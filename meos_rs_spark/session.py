@@ -1,0 +1,71 @@
+"""SparkSession factory + session normalization.
+
+The driver owns the SparkSession for ``__spark_entry__`` calls, so anything
+our queries depend on must be *runtime-settable* SQL confs applied lazily by
+:func:`prepare_session` — never builder-time configs.
+
+Scale notes (local[32] here, 1000-executor cluster in spirit):
+  * AQE on — runtime coalescing / skew-join splitting replaces hand-tuned
+    shuffle partition counts at 100 TB.
+  * Arrow on — every pandas_udf / toPandas crosses JVM<->Python via Arrow
+    batches instead of pickled rows.
+  * session TZ pinned UTC — the reference always works in UTC
+    (``meos/examples/04_to_file.rs:147`` appends ``+00``); SURVEY §7
+    known-hard (d).
+  * legacy nanosAsLong — the ``events`` fixture stores TIMESTAMP(NANOS)
+    which Spark's parquet reader otherwise rejects; we read the raw int64
+    nanos and normalize in sources.tables.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs every entry point applies (idempotent).
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def prepare_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to an externally-owned session (driver's)."""
+    for key, value in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            # Non-settable in this deployment — proceed; queries are written
+            # to degrade gracefully (e.g. explicit UTC-independent exprs).
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "meos-rs-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build a local session (tests / bench.py). Driver paths never call this."""
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 8)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.pyspark.udf.faulthandler.enabled", "true")
+    )
+    for key, value in RUNTIME_CONFS.items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return prepare_session(spark)
