@@ -1,0 +1,93 @@
+"""Cross-engine determinism conventions.
+
+The driver hashes query output values order-insensitively and compares Spark
+against DuckDB (``__spark_entry__`` docstring). Floating point makes that
+fragile in exactly two places, and these helpers close both:
+
+1. **Order-dependent double aggregation** (SUM/AVG over DOUBLE): partial
+   aggregates combine in shuffle order, so the last bits differ run-to-run
+   and engine-to-engine. Fix: sum through DECIMAL (exact, associative), cast
+   back to DOUBLE at the end. The money columns in the fixtures are 2-decimal
+   (l_extendedprice etc.), so DECIMAL(18,2) loses nothing; generic doubles go
+   through DECIMAL(28,6) after an explicit ROUND.
+
+2. **Float→string rendering** (trajectory WKT, paths): Spark's
+   ``format_string`` uses Java HALF_UP while DuckDB's ``printf`` uses C
+   half-even — they disagree on exact ties. Casting to DECIMAL first avoids
+   printf entirely: both engines round a double→DECIMAL cast half-away-from-
+   zero and render the decimal with full scale, so trimming trailing zeros
+   yields identical strings. (Reference pins maxdd=15 for sequence WKT and 6
+   for boxes/MF-JSON — ``meos/src/tseq.rs:68``, ``tbox.rs:68``,
+   ``temp.rs:18``; we standardize on 6 fractional digits.)
+
+Every helper comes in a Spark-SQL and a DuckDB-SQL flavor built from the same
+template so the two sides cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# --- money aggregation (exact 2-decimal inputs) ----------------------------
+
+
+def money_sum_sql(expr: str, dialect: str = "spark") -> str:
+    """Order-independent SUM over a 2-decimal DOUBLE column, as DOUBLE."""
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,2))) AS DOUBLE)"
+
+
+def money_avg_sql(expr: str, dialect: str = "spark") -> str:
+    """Order-independent AVG: exact decimal sum, then one double division."""
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,2))) AS DOUBLE) / COUNT({expr})"
+
+
+def money_sum(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast("decimal(18,2)")).cast("double")
+
+
+def money_avg(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast("decimal(18,2)")).cast("double") / F.count(c)
+
+
+# --- generic double aggregation (round first, then exact decimal sum) ------
+
+
+def rounded_sum_sql(expr: str, scale: int = 6) -> str:
+    """SUM of arbitrary doubles: ROUND (half-away-from-zero in both engines)
+    → DECIMAL (exact, associative) → DOUBLE. Deterministic under any shuffle
+    order as long as the per-row double is computed identically."""
+    return f"CAST(SUM(CAST(ROUND({expr}, {scale}) AS DECIMAL(28,{scale}))) AS DOUBLE)"
+
+
+# --- float → string rendering ---------------------------------------------
+
+
+def fmt6_sql(expr: str, dialect: str = "spark") -> str:
+    """Render a double with ≤6 fractional digits, trailing zeros trimmed —
+    identical text on both engines (decimal cast, never printf)."""
+    dec = f"CAST(CAST({expr} AS DECIMAL(28,6)) AS {'STRING' if dialect == 'spark' else 'VARCHAR'})"
+    if dialect == "spark":
+        return f"trim(TRAILING '.' FROM trim(TRAILING '0' FROM {dec}))"
+    return f"rtrim(rtrim({dec}, '0'), '.')"
+
+
+def fmt6(col: str | Column) -> Column:
+    expr = col if isinstance(col, str) else None
+    if expr is None:
+        raise TypeError("fmt6 takes a SQL expression string; use fmt6_sql for columns")
+    return F.expr(fmt6_sql(expr, "spark"))
+
+
+# --- timestamps ------------------------------------------------------------
+
+
+def epoch_us_sql(expr: str, dialect: str = "spark") -> str:
+    """Epoch microseconds (BIGINT) of a naive-UTC timestamp — the safest
+    cross-engine output form for timestamps. Spark side assumes session TZ is
+    pinned UTC (session.prepare_session), so NTZ→TIMESTAMP keeps the instant."""
+    if dialect == "spark":
+        return f"unix_micros(CAST({expr} AS TIMESTAMP))"
+    return f"epoch_us({expr})"

@@ -1,0 +1,241 @@
+"""Trajectory (temporal sequence) model + operators, Spark-first.
+
+Reference semantics being reproduced (cited file:line at /root/reference):
+
+* instant = (value, t) pair — ``meos/src/tinst.rs:10-43``
+* sequence = ordered instants + interp + inclusive bounds, built by
+  ``tsequence_make(instants, n, lower_inc=true, upper_inc=true, LINEAR,
+  normalize=false)`` — ``meos/src/tseq.rs:50-64``
+* monotonic dedup while grouping: a posit is kept only if strictly later
+  than the previously kept one — ``meos/examples/04_to_file.rs:92-96``
+* min-trip-size filter — ``04_to_file.rs:111``, ``ais_to_db.rs:138``
+* max-trip-size truncation — ``ais_to_db.rs:191-193``
+* temporal merge of partial trajectories (server-side
+  ``public.update(old, new, true)``) — ``ais_to_db.rs:156-161``
+* bounding-box extent — ``meos/src/tbox.rs:87-98``, ``stbox.rs:16-94``
+
+Spark mapping (SURVEY.md §1.3): a trajectory is a plain struct column
+``STRUCT<interp, lower_inc, upper_inc, points ARRAY<STRUCT<lon,lat,ts>>>``
+— never an opaque binary — so Catalyst still prunes/pushes down on the key
+and ts fields, and every accessor is a built-in Column expression (no
+Python in the hot path).
+
+The ``events`` fixture stands in for AIS posits (FIXTURES.md §1):
+``user_id→mmsi``, ``ts``, ``value→lon``, ``props.$.k→lat``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from meos_rs_spark.functions.determinism import fmt6_sql
+from meos_rs_spark.sources.tables import load_table
+
+# --- posit view ------------------------------------------------------------
+
+# DuckDB twin of posits() — keep in lockstep (tested by oracle parity).
+POSITS_CTE = (
+    "posits AS (SELECT user_id AS mmsi, ts, value AS lon, "
+    "CAST(json_extract_string(props, '$.k') AS DOUBLE) AS lat, event_id "
+    "FROM events)"
+)
+
+
+def posits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → AIS-like posit frame [mmsi, ts, lon, lat, event_id]."""
+    return load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("mmsi"),
+        "ts",
+        F.col("value").alias("lon"),
+        F.get_json_object("props", "$.k").cast("double").alias("lat"),
+        "event_id",
+    )
+
+
+# --- P4: monotonic-timestamp dedup ----------------------------------------
+
+
+def dedup_monotonic(df: DataFrame, key: str = "mmsi", ts: str = "ts", tiebreak: str = "event_id") -> DataFrame:
+    """Drop posits that do not strictly advance the clock within a group.
+
+    Scanning in (ts, tiebreak) order, the reference's "skip if prev >= posit"
+    filter (04_to_file.rs:92-96) reduces to keeping the first posit of each
+    distinct timestamp — exactly row_number()==1 per (key, ts). Window + one
+    shuffle on the group key; no Python.
+    """
+    w = Window.partitionBy(key, ts).orderBy(tiebreak)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+DEDUP_QUALIFY = "QUALIFY row_number() OVER (PARTITION BY mmsi, ts ORDER BY event_id) = 1"
+
+
+# --- P5: truncate group to max size ---------------------------------------
+
+
+def truncate_group(df: DataFrame, max_size: int, key: str = "mmsi", ts: str = "ts") -> DataFrame:
+    """Keep the first ``max_size`` posits per group in time order
+    (ais_to_db.rs:191-193)."""
+    w = Window.partitionBy(key).orderBy(ts, "event_id")
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_size)
+        .drop("__rn")
+    )
+
+
+# --- A5: trajectory assembly ----------------------------------------------
+
+
+def assemble(
+    df: DataFrame,
+    min_size: int = 1,
+    max_size: int | None = None,
+    key: str = "mmsi",
+) -> DataFrame:
+    """``tsequence_make`` as one aggregation: group → sorted point array →
+    sequence struct with reference defaults (lower_inc/upper_inc true,
+    LINEAR interp — tseq.rs:57-59).
+
+    Single shuffle (the groupBy); the sort is per-group array_sort, not a
+    global sort. Skewed vessels are handled by AQE; at 100 TB the pattern
+    stays valid because each group's points must colocate anyway to form
+    one sequence (same as the reference's per-MMSI HashMap, 04_to_file.rs:77).
+    """
+    df = dedup_monotonic(df, key=key)
+    if max_size is not None:
+        df = truncate_group(df, max_size, key=key)
+    agg = df.groupBy(key).agg(
+        F.array_sort(F.collect_list(F.struct("ts", "lon", "lat"))).alias("points"),
+        F.count(F.lit(1)).alias("n_instants"),
+    )
+    if min_size > 1:
+        agg = agg.filter(F.col("n_instants") >= min_size)
+    return agg.select(
+        key,
+        F.struct(
+            F.lit("Linear").alias("interp"),
+            F.lit(True).alias("lower_inc"),
+            F.lit(True).alias("upper_inc"),
+            F.col("points"),
+        ).alias("traj"),
+        "n_instants",
+    )
+
+
+# --- A6: temporal merge ----------------------------------------------------
+
+
+def merge_trajs(a: Column, b: Column) -> Column:
+    """Merge two trajectory structs into one (ais_to_db.rs:160 semantics:
+    append the new batch onto the stored sequence, dedup on ts, re-sort).
+
+    Pure Column ops: concat point arrays → sort → drop adjacent ts
+    duplicates keeping the first (the stored side wins, matching
+    ``public.update(old, EXCLUDED.new, true)`` with old listed first).
+    """
+    pts = F.array_sort(F.concat(a["points"], b["points"]))
+    deduped = F.filter(
+        pts,
+        lambda p, i: (i == 0) | (p["ts"] != F.get(pts, i - 1)["ts"]),
+    )
+    return F.struct(
+        a["interp"].alias("interp"),
+        a["lower_inc"].alias("lower_inc"),
+        b["upper_inc"].alias("upper_inc"),
+        deduped.alias("points"),
+    )
+
+
+# --- accessors (F5/F6, L2a) ------------------------------------------------
+
+
+def start_ts(traj: Column) -> Column:
+    """temporal_start_timestamptz (meos/src/temp.rs:50-52)."""
+    return F.element_at(traj["points"], 1)["ts"]
+
+
+def end_ts(traj: Column) -> Column:
+    return F.element_at(traj["points"], -1)["ts"]
+
+
+def num_instants(traj: Column) -> Column:
+    return F.size(traj["points"])
+
+
+def duration_seconds(traj: Column) -> Column:
+    """Sequence duration in seconds (L2 ``temporal_duration``)."""
+    return (
+        end_ts(traj).cast("timestamp").cast("double")
+        - start_ts(traj).cast("timestamp").cast("double")
+    )
+
+
+def subtype(traj: Column) -> Column:
+    """F6: Instant if a single point, else Sequence (meos/src/lib.rs:29-34)."""
+    return F.when(num_instants(traj) == 1, F.lit("Instant")).otherwise(F.lit("Sequence"))
+
+
+# --- L2d: spatial derivations ---------------------------------------------
+
+
+def _seg_dists(traj: Column) -> Column:
+    pts = traj["points"]
+    return F.transform(
+        F.slice(pts, 2, F.greatest(F.size(pts) - 1, F.lit(0))),
+        lambda p, i: F.sqrt(
+            F.pow(p["lon"] - F.get(pts, i)["lon"], 2)
+            + F.pow(p["lat"] - F.get(pts, i)["lat"], 2)
+        ),
+    )
+
+
+def path_length(traj: Column, scale: int = 6) -> Column:
+    """Planar path length (L2 ``tpoint_length``). Segment distances are
+    IEEE-exact sqrt (identical on any engine); each segment is rounded to
+    ``scale`` digits before the fold so the sum is associative/deterministic.
+    """
+    return F.aggregate(
+        _seg_dists(traj),
+        F.lit(0).cast("decimal(28,6)"),
+        lambda acc, d: acc + F.round(d, scale).cast("decimal(28,6)"),
+    ).cast("double")
+
+
+def avg_speed(traj: Column) -> Column:
+    """Length / duration (L2 ``tpoint_speed`` aggregate form), NULL for
+    zero-duration sequences."""
+    dur = duration_seconds(traj)
+    return F.when(dur > 0, path_length(traj) / dur)
+
+
+# --- rendering helpers -----------------------------------------------------
+
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+
+def point_wkt(lon: str, lat: str, ts: str) -> Column:
+    """One instant as MEOS WKT ``POINT(lon lat)@ts+00``
+    (meos/examples/01_hello_world.rs:8 form, UTC pinned)."""
+    return F.concat(
+        F.lit("POINT("),
+        F.expr(fmt6_sql(lon, "spark")),
+        F.lit(" "),
+        F.expr(fmt6_sql(lat, "spark")),
+        F.lit(")@"),
+        F.date_format(F.col(ts), TS_FMT_SPARK),
+        F.lit("+00"),
+    )
+
+
+def point_wkt_duck(lon: str, lat: str, ts: str) -> str:
+    return (
+        f"'POINT(' || {fmt6_sql(lon, 'duck')} || ' ' || {fmt6_sql(lat, 'duck')} || ')@' || "
+        f"strftime({ts}, '{TS_FMT_DUCK}') || '+00'"
+    )

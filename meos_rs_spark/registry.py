@@ -26,14 +26,6 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# DuckDB view of the events fixture normalized identically to
-# sources.tables._normalize_events (micros truncation, ns kept for ordering).
-EVENTS_CTE = (
-    "ev AS (SELECT event_id, make_timestamp(epoch_ns(ts) // 1000) AS ts, "
-    "epoch_ns(ts) AS ts_ns, user_id, event_type, value, props FROM events)"
-)
-
-
 @dataclass
 class QuerySpec:
     name: str
@@ -64,7 +56,17 @@ def register(
 
 
 def load_registry() -> dict[str, QuerySpec]:
-    """Import all query modules (side-effect registration) and return QUERIES."""
+    """Import all query modules (side-effect registration) and return QUERIES.
+
+    ``meos_rs_spark.queries.__init__`` imports each query module explicitly;
+    a missing module raises instead of silently resolving to an empty
+    PEP-420 namespace package (round-1 ADVICE.md item 1).
+    """
     from meos_rs_spark import queries as _queries  # noqa: F401
 
+    if not QUERIES:
+        raise RuntimeError(
+            "query registry is empty after importing meos_rs_spark.queries — "
+            "queries/__init__.py must explicitly import every query module"
+        )
     return QUERIES

@@ -34,15 +34,24 @@ RUNTIME_CONFS: dict[str, str] = {
 }
 
 
+# Confs whose failure to apply breaks queries outright (vs. merely degrading
+# performance): nanosAsLong gates reading the events parquet at all, and the
+# UTC pin gates every timestamp comparison against the naive-UTC oracle.
+_REQUIRED_CONFS = ("spark.sql.legacy.parquet.nanosAsLong", "spark.sql.session.timeZone")
+
+
 def prepare_session(spark: SparkSession) -> SparkSession:
     """Apply runtime confs to an externally-owned session (driver's)."""
     for key, value in RUNTIME_CONFS.items():
         try:
             spark.conf.set(key, value)
         except Exception:
-            # Non-settable in this deployment — proceed; queries are written
-            # to degrade gracefully (e.g. explicit UTC-independent exprs).
-            pass
+            if key in _REQUIRED_CONFS:
+                raise RuntimeError(
+                    f"required conf {key}={value} could not be applied; "
+                    "the events reader and timestamp normalization depend on it"
+                )
+            # Optional perf confs (AQE/Arrow): degrade gracefully.
     return spark
 
 

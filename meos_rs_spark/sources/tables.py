@@ -45,15 +45,15 @@ MICROS_PER_DAY = 86_400_000_000
 def _normalize_events(df: DataFrame) -> DataFrame:
     # int64 nanos -> TIMESTAMP_NTZ(micros), without going through a double
     # (1.7e18 exceeds 2^53) and without session-TZ-dependent casts.
-    micros = F.expr("ts div 1000")
-    days = (micros / F.lit(MICROS_PER_DAY)).cast("int")
-    rem = micros - days.cast("long") * F.lit(MICROS_PER_DAY)
+    # `div 1000` truncates toward zero; DuckDB's parquet reader truncates
+    # nanos to micros the same way for the post-epoch timestamps in the
+    # fixtures (all 2024; asserted in tests/test_sources.py), so the oracle
+    # side (`events` registered directly on the parquet) sees identical ts.
     ntz = F.expr(
         f"timestampadd(MICROSECOND, (ts div 1000) % {MICROS_PER_DAY}, "
         f"CAST(date_add(DATE '1970-01-01', CAST((ts div 1000) div {MICROS_PER_DAY} AS INT)) "
         f"AS TIMESTAMP_NTZ))"
     )
-    _ = (days, rem)  # documented derivation; expression above is the single source
     return df.select(
         "event_id",
         ntz.alias("ts"),

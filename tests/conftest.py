@@ -1,0 +1,20 @@
+"""Shared pytest fixtures: one local SparkSession per test run."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+SF_SMOKE = os.environ.get("SPARK_GRAFT_SMOKE_DIR", "/root/testdata/sf0.001")
+SF_ORACLE = os.environ.get("SPARK_GRAFT_ORACLE_DIR", "/root/testdata/sf0.01")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from meos_rs_spark.session import get_spark
+
+    cpus = int(os.environ.get("SPARK_GRAFT_TEST_CPUS", "8"))
+    spark = get_spark(app_name="meos-rs-spark-tests", cpus=cpus, shuffle_partitions=8)
+    yield spark
+    spark.stop()

@@ -1,0 +1,98 @@
+"""Local stand-in for the driver's Spark-vs-DuckDB correctness gate.
+
+Approximates the driver's compare: row count, schema (column names), and an
+order-insensitive value comparison with columns sorted by name. We compare
+exact values (not hashes) so mismatches are debuggable; floats must match to
+a tight tolerance, everything else exactly — if this passes, the driver's
+hash compare should too (and any residual float divergence is a determinism
+bug we want surfaced here first).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def duck_connection(sf_dir: str):
+    import duckdb
+
+    con = duckdb.connect()
+    for name in (
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "events",
+        "documents",
+        "embeddings",
+    ):
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
+        )
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = s.astype("datetime64[us]")
+        elif s.dtype == object:
+            # unify list/array cells to tuples so sorting/compare works
+            df[c] = s.map(
+                lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v
+            )
+    sort_cols = list(df.columns)
+    try:
+        df = df.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+    except TypeError:
+        df = df.iloc[
+            df.astype(str).sort_values(sort_cols, kind="mergesort").index
+        ].reset_index(drop=True)
+    return df
+
+
+def compare(spark_df, duck_df: pd.DataFrame, name: str, float_rtol: float = 0.0) -> list[str]:
+    """Return a list of mismatch descriptions (empty == parity)."""
+    issues: list[str] = []
+    sp = spark_df.toPandas()
+    if sorted(sp.columns) != sorted(duck_df.columns):
+        return [
+            f"{name}: schema mismatch spark={sorted(sp.columns)} duck={sorted(duck_df.columns)}"
+        ]
+    if len(sp) != len(duck_df):
+        issues.append(f"{name}: row count spark={len(sp)} duck={len(duck_df)}")
+        return issues
+    a, b = _normalize(sp), _normalize(duck_df)
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if pd.api.types.is_float_dtype(av) and pd.api.types.is_float_dtype(bv):
+            ok = np.allclose(
+                av.to_numpy(dtype=float),
+                bv.to_numpy(dtype=float),
+                rtol=float_rtol,
+                atol=0.0,
+                equal_nan=True,
+            )
+            if not ok:
+                bad = np.where(
+                    ~np.isclose(av.to_numpy(float), bv.to_numpy(float), rtol=float_rtol, atol=0.0, equal_nan=True)
+                )[0][:3]
+                issues.append(
+                    f"{name}.{c}: float mismatch rows {bad.tolist()} "
+                    f"spark={av.iloc[bad].tolist()} duck={bv.iloc[bad].tolist()}"
+                )
+        else:
+            eq = (av == bv) | (av.isna() & bv.isna())
+            if not bool(eq.all()):
+                bad = np.where(~eq.to_numpy())[0][:3]
+                issues.append(
+                    f"{name}.{c}: value mismatch rows {bad.tolist()} "
+                    f"spark={av.iloc[bad].tolist()!r} duck={bv.iloc[bad].tolist()!r}"
+                )
+    return issues

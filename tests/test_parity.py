@@ -1,0 +1,47 @@
+"""Every registered query with an oracle must match DuckDB exactly —
+the local twin of the driver's CORRECTNESS gate, run at sf0.001 for speed
+(set SPARK_GRAFT_ORACLE_DIR=/root/testdata/sf0.01 for the full check)."""
+
+from __future__ import annotations
+
+import pytest
+
+from meos_rs_spark.registry import load_registry
+from tests.conftest import SF_SMOKE
+from tests.oracle import compare, duck_connection
+
+REGISTRY = load_registry()
+WITH_ORACLE = sorted(n for n, s in REGISTRY.items() if s.oracle)
+ROWS_ONLY = sorted(n for n, s in REGISTRY.items() if not s.oracle)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duck_connection(SF_SMOKE)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", WITH_ORACLE)
+def test_oracle_parity(spark, duck, name):
+    spec = REGISTRY[name]
+    sdf = spec.fn(spark, SF_SMOKE)
+    ddf = duck.sql(spec.oracle).df()
+    issues = compare(sdf, ddf, name)
+    assert not issues, "\n".join(issues)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_runs(spark, name):
+    spec = REGISTRY[name]
+    df = spec.fn(spark, SF_SMOKE)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert set(e.oracle_sql()) <= set(e.queries())
