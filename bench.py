@@ -1,0 +1,66 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]; prints ONE JSON line for the driver
+(BENCH_r{N}.json).
+
+Query set mirrors the reference's instrumented pipeline (BASELINE.md): the
+E3 scan→group→agg→sort→limit aggregation plus the heaviest operators per
+family — trajectory assembly (A5), multi-way join, window battery, MinHash
+LSH dedup, cosine top-k. Each timing covers plan build + execution to a
+count/collect the way the reference times plan-exec (ais_to_db.rs:117,
+142-148).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+BENCH_QUERIES = [
+    "flagship_trip_pipeline",
+    "rel_pricing_summary",
+    "rel_join_multiway",
+    "win_running_total",
+    "traj_assembly",
+    "dedup_minhash_lsh",
+    "sim_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from meos_rs_spark.registry import load_registry
+    from meos_rs_spark.session import get_spark
+
+    spark = get_spark(app_name="meos-rs-spark-bench")
+    registry = load_registry()
+
+    # one warm-up action so JVM/codegen startup isn't billed to the first query
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        spec = registry[name]
+        t0 = time.perf_counter()
+        n = spec.fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", flush=True)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,52 @@
+"""Trajectory similarity (SURVEY.md §2.8 L2g: Fréchet, DTW, Hausdorff —
+the MEOS similarity family reachable via meos.h 1.1.0; see SURVEY L2 and
+``meos-sys/build.rs:16-20``).
+
+Hausdorff is max-min distance — pure join/agg, implemented in
+queries/trajsim.py with a DuckDB oracle. Discrete Fréchet and DTW need an
+O(n·m) dynamic program — a genuinely iterative algorithm, so they run as a
+grouped ``applyInPandas`` over vessel pairs (numpy DP per group, Arrow
+batches; the one place per SURVEY §2.10 where Python is the right tool).
+Exactness is pinned by golden tests on hand-computed curves
+(tests/test_trajsim.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def dtw_distance(a: np.ndarray, b: np.ndarray) -> float:
+    """Dynamic time warping with euclidean ground distance, no window
+    constraint. a: (n,2), b: (m,2)."""
+    n, m = len(a), len(b)
+    d = np.sqrt(((a[:, None, :] - b[None, :, :]) ** 2).sum(axis=2))
+    acc = np.full((n + 1, m + 1), np.inf)
+    acc[0, 0] = 0.0
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            acc[i, j] = d[i - 1, j - 1] + min(acc[i - 1, j], acc[i, j - 1], acc[i - 1, j - 1])
+    return float(acc[n, m])
+
+
+def frechet_distance(a: np.ndarray, b: np.ndarray) -> float:
+    """Discrete Fréchet distance (coupling measure), euclidean ground
+    distance — the discrete analog of MEOS temporal_frechet_distance."""
+    n, m = len(a), len(b)
+    d = np.sqrt(((a[:, None, :] - b[None, :, :]) ** 2).sum(axis=2))
+    ca = np.full((n, m), -1.0)
+    ca[0, 0] = d[0, 0]
+    for i in range(1, n):
+        ca[i, 0] = max(ca[i - 1, 0], d[i, 0])
+    for j in range(1, m):
+        ca[0, j] = max(ca[0, j - 1], d[0, j])
+    for i in range(1, n):
+        for j in range(1, m):
+            ca[i, j] = max(min(ca[i - 1, j], ca[i, j - 1], ca[i - 1, j - 1]), d[i, j])
+    return float(ca[n - 1, m - 1])
+
+
+def hausdorff_distance(a: np.ndarray, b: np.ndarray) -> float:
+    """Symmetric Hausdorff (reference twin of the SQL/max-min-join form)."""
+    d = np.sqrt(((a[:, None, :] - b[None, :, :]) ** 2).sum(axis=2))
+    return float(max(d.min(axis=1).max(), d.min(axis=0).max()))

@@ -203,7 +203,9 @@ def path_length(traj: Column, scale: int = 6) -> Column:
     return F.aggregate(
         _seg_dists(traj),
         F.lit(0).cast("decimal(28,6)"),
-        lambda acc, d: acc + F.round(d, scale).cast("decimal(28,6)"),
+        # re-cast after each add: Spark widens DECIMAL(28,6)+DECIMAL(28,6) to
+        # (29,6) which would break the fold's type contract
+        lambda acc, d: (acc + F.round(d, scale).cast("decimal(28,6)")).cast("decimal(28,6)"),
     ).cast("double")
 
 

@@ -1,0 +1,288 @@
+"""Deduplication operators for LLM training-data pipelines (north-star ops,
+BASELINE.json; SURVEY.md §2.10 / §7 M5) over the ``documents`` fixture.
+
+Four tiers, all built for 100 TB first:
+  * exact          — hash groupBy (one shuffle on the digest)
+  * MinHash + LSH  — shingle → 16-way minhash signature → 4 banded hash
+                     buckets → equi-join within buckets → exact-Jaccard
+                     re-rank. NEVER an all-pairs crossJoin: candidate
+                     generation is a bucket equi-join whose group sizes are
+                     the LSH collision sets.
+  * SimHash        — 16-bit sign-of-weighted-sum fingerprint, one groupBy
+  * n-gram Jaccard — exact set similarity via a shingle-equi-join (the
+                     verification primitive the LSH tier reuses)
+
+Hash function is md5 (bit-identical in Spark and DuckDB), so every tier is
+fully oracle-checkable — no rows-only fallbacks here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from meos_rs_spark.registry import register
+from meos_rs_spark.sources.tables import load_table
+
+N_HASHES = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_HASHES // N_BANDS
+
+
+# --- exact dedup -----------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+WITH hashed AS (
+  SELECT doc_id, md5(text) AS text_hash FROM documents
+)
+SELECT doc_id, text_hash,
+       min(doc_id) OVER (PARTITION BY text_hash) AS canonical_id,
+       CAST(doc_id != min(doc_id) OVER (PARTITION BY text_hash) AS INT) AS is_dup,
+       count(*) OVER (PARTITION BY text_hash) AS n_copies
+FROM hashed
+""",
+    tags=("dedup",),
+    doc="exact dedup: digest → window-min canonical; scales as one shuffle on the digest",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", F.md5("text").alias("text_hash"))
+    w = Window.partitionBy("text_hash")
+    return d.select(
+        "doc_id",
+        "text_hash",
+        F.min("doc_id").over(w).alias("canonical_id"),
+        (F.col("doc_id") != F.min("doc_id").over(w)).cast("int").alias("is_dup"),
+        F.count(F.lit(1)).over(w).alias("n_copies"),
+    )
+
+
+# --- shared shingle SQL ----------------------------------------------------
+
+# word-level 3-shingles, distinct per doc (1-indexed in both engines)
+_SHINGLES_DUCK = """
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+shingles AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+  FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)
+  WHERE len(t) >= 3
+)
+"""
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", F.split("text", " ").alias("t"))
+    return (
+        d.filter(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr("transform(sequence(1, size(t) - 2), i -> concat(t[i-1], ' ', t[i], ' ', t[i+1]))")
+                )
+            ).alias("sh"),
+        )
+    )
+
+
+def _minhash_sig_exprs(dialect: str) -> list[str]:
+    # h_j = min over shingles of md5(shingle || '#j') — md5 is engine-identical
+    return [f"min(md5(sh || '#{j}')) AS h{j}" for j in range(N_HASHES)]
+
+
+# --- MinHash + LSH near-dup ------------------------------------------------
+
+_BANDS_DUCK = ", ".join(
+    "md5(" + " || '|' || ".join(f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)) + f") AS band{b}"
+    for b in range(N_BANDS)
+)
+
+_MINHASH_ORACLE = f"""
+WITH {_SHINGLES_DUCK},
+sig AS (
+  SELECT doc_id, {', '.join(_minhash_sig_exprs('duck'))}
+  FROM shingles GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, {_BANDS_DUCK} FROM sig
+),
+buckets AS (
+  SELECT doc_id, b.band_id, b.key FROM banded,
+  LATERAL (VALUES (0, band0), (1, band1), (2, band2), (3, band3)) AS b(band_id, key)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.band_id = b.band_id AND a.key = b.key AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_inter
+  FROM cand c
+  JOIN shingles sa ON sa.doc_id = c.id_a
+  JOIN shingles sb ON sb.doc_id = c.id_b AND sb.sh = sa.sh
+  GROUP BY c.id_a, c.id_b
+)
+SELECT c.id_a, c.id_b,
+       COALESCE(i.n_inter, 0) AS n_inter,
+       za.n + zb.n - COALESCE(i.n_inter, 0) AS n_union,
+       CAST(COALESCE(i.n_inter, 0) AS DOUBLE) / (za.n + zb.n - COALESCE(i.n_inter, 0)) AS jaccard
+FROM cand c
+LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+JOIN sizes za ON za.doc_id = c.id_a
+JOIN sizes zb ON zb.doc_id = c.id_b
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_MINHASH_ORACLE,
+    tags=("dedup", "lsh"),
+    doc=f"near-dup candidates: {N_HASHES} minhashes → {N_BANDS} bands → bucket equi-join → "
+    "exact-Jaccard re-rank; no cartesian product at any stage",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles(spark, sf_dir).cache()
+    sig = sh.groupBy("doc_id").agg(
+        *[F.min(F.md5(F.concat("sh", F.lit(f"#{j}")))).alias(f"h{j}") for j in range(N_HASHES)]
+    )
+    band_cols = [
+        F.md5(F.concat_ws("|", *[f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)])).alias(f"band{b}")
+        for b in range(N_BANDS)
+    ]
+    banded = sig.select("doc_id", *band_cols)
+    buckets = banded.select(
+        "doc_id",
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("key")) for b in range(N_BANDS)])
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band_id").alias("band_id"), F.col("bk.key").alias("key"))
+    a = buckets.select(F.col("doc_id").alias("id_a"), "band_id", "key")
+    b = buckets.select(F.col("doc_id").alias("id_b"), F.col("band_id").alias("band_id_b"), F.col("key").alias("key_b"))
+    cand = (
+        a.join(b, (a.band_id == b.band_id_b) & (a.key == b.key_b) & (a.id_a < b.id_b))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("sb_id"), F.col("sh").alias("sh_b"))
+    inter = (
+        cand.join(sa, "id_a")
+        .join(sb, (F.col("id_b") == F.col("sb_id")) & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
+    zb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
+    out = (
+        cand.join(inter, ["id_a", "id_b"], "left")
+        .join(za, "id_a")
+        .join(zb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.coalesce("n_inter", F.lit(0)).alias("n_inter"),
+            (F.col("n_a") + F.col("n_b") - F.coalesce("n_inter", F.lit(0))).alias("n_union"),
+            (
+                F.coalesce("n_inter", F.lit(0)).cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.coalesce("n_inter", F.lit(0)))
+            ).alias("jaccard"),
+        )
+    )
+    return out
+
+
+# --- SimHash ---------------------------------------------------------------
+
+
+def _simhash_bit_exprs(instr_fn: str) -> list[str]:
+    # bit b: weight +1 if the b-th hex digit of md5(token) >= 8 else -1;
+    # token multiplicity counts (standard SimHash weighting by frequency)
+    return [
+        f"CAST(SUM(CASE WHEN {instr_fn}('0123456789abcdef', substr(md5(tok), {b + 1}, 1)) - 1 >= 8 "
+        f"THEN 1 ELSE -1 END) > 0 AS INT) AS bit{b}"
+        for b in range(16)
+    ]
+
+
+_SIMHASH_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+bits AS (
+  SELECT doc_id, {', '.join(_simhash_bit_exprs('instr'))}
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id,
+       {' + '.join(f'bit{b} * {1 << b}' for b in range(16))} AS simhash16
+FROM bits
+"""
+
+
+@register(
+    "dedup_simhash",
+    oracle=_SIMHASH_ORACLE,
+    tags=("dedup",),
+    doc="16-bit SimHash fingerprint (sign of per-bit weighted sums); near-dups share fingerprints",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    # instr(haystack, needle) is 1-based in both engines, so the same SQL text works
+    bits = d.groupBy("doc_id").agg(*[F.expr(e) for e in _simhash_bit_exprs("instr")])
+    fp = sum(F.col(f"bit{b}") * (1 << b) for b in range(16))
+    return bits.select("doc_id", fp.alias("simhash16"))
+
+
+# --- exact n-gram Jaccard on a bounded candidate domain --------------------
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH {_SHINGLES_DUCK},
+small AS (SELECT * FROM shingles WHERE doc_id < 40),
+sizes AS (SELECT doc_id, count(*) AS n FROM small GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM small a JOIN small b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.id_a, i.id_b, i.n_inter,
+       za.n + zb.n - i.n_inter AS n_union,
+       CAST(i.n_inter AS DOUBLE) / (za.n + zb.n - i.n_inter) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.id_a
+JOIN sizes zb ON zb.doc_id = i.id_b
+""",
+    tags=("dedup",),
+    doc="exact 3-gram Jaccard via shingle equi-join (pairs materialize only on shared "
+    "shingles — the join IS the candidate filter, no crossJoin)",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles(spark, sf_dir).filter(F.col("doc_id") < 40)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = (
+        a.join(b, (a.sh_a == b.sh_b) & (a.id_a < b.id_b))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
+    zb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(za, "id_a")
+        .join(zb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_inter",
+            (F.col("n_a") + F.col("n_b") - F.col("n_inter")).alias("n_union"),
+            (F.col("n_inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))).alias("jaccard"),
+        )
+    )

@@ -1,0 +1,96 @@
+"""Multimodal column handling (north-star ops, BASELINE.json): opaque
+``binary`` payloads + typed metadata structs, with decode/feature-extract
+as Arrow-batched ``mapInPandas`` stages.
+
+The container has no image/audio codecs, so the payloads are the documents'
+UTF-8 bytes standing in for media blobs; the *decode* step is a clearly
+marked deterministic fake (STUB) while everything Spark-side — binary
+column, metadata struct schema, mapInPandas batch shape, partition flow —
+is real and tested (tests/test_multimodal.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from meos_rs_spark.registry import register
+from meos_rs_spark.sources.tables import load_table
+
+
+# --- metadata over binary payloads (oracle-checkable) ----------------------
+
+
+@register(
+    "mm_metadata",
+    oracle="""
+SELECT doc_id,
+       octet_length(CAST(text AS BLOB)) AS payload_bytes,
+       md5(text) AS checksum,
+       'text/plain' AS mime,
+       CAST(octet_length(CAST(text AS BLOB)) > 256 AS INT) AS is_large
+FROM documents
+""",
+    tags=("multimodal",),
+    doc="binary payload + typed metadata (size/checksum/mime) as prunable top-level columns",
+)
+def mm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.encode("text", "utf-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(payload).alias("payload_bytes"),
+        F.md5("text").alias("checksum"),
+        F.lit("text/plain").alias("mime"),
+        (F.octet_length(payload) > 256).cast("int").alias("is_large"),
+    )
+
+
+# --- decode / feature-extract via mapInPandas (rows-only) ------------------
+
+_DECODE_SCHEMA = (
+    "doc_id long, payload_bytes int, fake_width int, fake_height int, "
+    "fake_n_frames int, feature array<double>"
+)
+
+
+def _fake_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB decode: a real deployment would decode image/audio bytes here
+    (PIL/ffmpeg are not in this container). Deterministic fake: dimensions
+    derived from payload length, a 4-dim 'feature' from byte statistics —
+    stable across runs/partitions so the driver's rows-only check is stable.
+    """
+    for pdf in batches:
+        n = pdf["payload"].str.len()
+        first = pdf["payload"].map(lambda b: b[0] if len(b) else 0)
+        last = pdf["payload"].map(lambda b: b[-1] if len(b) else 0)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "payload_bytes": n.astype("int32"),
+                "fake_width": (n % 640).astype("int32"),
+                "fake_height": (n % 480).astype("int32"),
+                "fake_n_frames": ((n % 24) + 1).astype("int32"),
+                "feature": [
+                    [float(a), float(z), float(ln % 256), float((a + z) % 256)]
+                    for a, z, ln in zip(first, last, n)
+                ],
+            }
+        )
+
+
+@register(
+    "mm_decode_features",
+    oracle=None,  # decode is a stubbed binary transform; plumbing asserted in tests/test_multimodal.py
+    tags=("multimodal",),
+    doc="mapInPandas decode + feature extraction over binary payloads (Arrow batches; "
+    "decode itself is a deterministic STUB — no codecs in this container)",
+)
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return d.mapInPandas(_fake_decode, schema=_DECODE_SCHEMA)

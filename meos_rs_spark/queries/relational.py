@@ -1,0 +1,481 @@
+"""Relational core (SURVEY.md §2: P1-P2, J1-J6, A1/A2/A8/A9, O1-O3, SET).
+
+The reference delegates these to Polars (``meos-polars/examples/
+ais_to_db.rs:118-141``) / Postgres; here they are first-class declared
+queries over the TPC-H-ish fixtures, each with a DuckDB oracle twin.
+
+Scale discipline per query (noted inline): dimension joins broadcast, one
+shuffle per groupBy, sort+limit plans as TakeOrderedAndProject, non-equi
+joins are bucketed so no cartesian product survives at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from meos_rs_spark.functions.determinism import money_avg, money_sum, money_sum_sql
+from meos_rs_spark.registry import register
+from meos_rs_spark.sources.tables import load_table
+
+
+# --- P1: projection + rename (ais_to_db.rs:124-129) ------------------------
+
+
+@register(
+    "rel_projection_rename",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) AS revenue,
+       l_quantity AS qty
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '2001-01-01'
+""",
+    tags=("P1",),
+    doc="select/alias/row-arithmetic with scan-level filter pushdown",
+)
+def rel_projection_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_shipdate") >= F.lit("2001-01-01").cast("timestamp_ntz")).select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.col("l_quantity").alias("qty"),
+    )
+
+
+# --- A1/A2 + P2: group-agg + HAVING (ais_to_db.rs:130-138) -----------------
+
+
+@register(
+    "rel_group_having",
+    oracle="""
+SELECT o_custkey, count(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+FROM orders
+GROUP BY o_custkey
+HAVING count(*) > 3
+""",
+    tags=("A1", "A2", "P2"),
+)
+def rel_group_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"), money_sum("o_totalprice").alias("total_spent"))
+        .filter(F.col("n_orders") > 3)
+    )
+
+
+# --- TPC-H Q1 analog: pricing summary (A1/A2, decimal-sum discipline) ------
+
+
+@register(
+    "rel_pricing_summary",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {money_sum_sql('l_quantity')} AS sum_qty,
+       {money_sum_sql('l_extendedprice')} AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+       {money_sum_sql('l_quantity')} / COUNT(l_quantity) AS avg_qty,
+       {money_sum_sql('l_discount')} / COUNT(l_discount) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+    tags=("A1", "A2"),
+    doc="TPC-H Q1 shape; all double sums via exact DECIMAL for shuffle-order independence",
+)
+def rel_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            money_sum("l_quantity").alias("sum_qty"),
+            money_sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price.cast("decimal(28,4)")).cast("double").alias("sum_disc_price"),
+            F.sum(charge.cast("decimal(28,6)")).cast("double").alias("sum_charge"),
+            money_avg("l_quantity").alias("avg_qty"),
+            money_avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --- J1: equi inner join, dimension side broadcast -------------------------
+
+
+@register(
+    "rel_join_inner_broadcast",
+    oracle="""
+SELECT n.n_name, count(*) AS n_customers,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+    tags=("J1",),
+    doc="fact⋈dim with explicit broadcast of the 25-row dimension",
+)
+def rel_join_inner_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"), money_sum("c_acctbal").alias("total_bal"))
+    )
+
+
+# --- J2: outer join --------------------------------------------------------
+
+
+@register(
+    "rel_join_left_outer",
+    oracle="""
+SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey
+""",
+    tags=("J2",),
+)
+def rel_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@register(
+    "rel_join_full_outer",
+    oracle="""
+SELECT COALESCE(c.c_nationkey, s.s_nationkey) AS nationkey,
+       count(DISTINCT c.c_custkey) AS n_cust,
+       count(DISTINCT s.s_suppkey) AS n_supp
+FROM customer c FULL JOIN supplier s ON c.c_nationkey = s.s_nationkey
+GROUP BY COALESCE(c.c_nationkey, s.s_nationkey)
+""",
+    tags=("J2",),
+)
+def rel_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    j = c.join(s, c.c_nationkey == s.s_nationkey, "full")
+    return j.groupBy(
+        F.coalesce(c.c_nationkey, s.s_nationkey).alias("nationkey")
+    ).agg(
+        F.countDistinct("c_custkey").alias("n_cust"),
+        F.countDistinct("s_suppkey").alias("n_supp"),
+    )
+
+
+# --- J3: semi / anti -------------------------------------------------------
+
+
+@register(
+    "rel_join_semi",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+""",
+    tags=("J3",),
+)
+def rel_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "rel_join_anti",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+    tags=("J3",),
+)
+def rel_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+# --- J4: theta/range join (equi key + time-range refinement) ---------------
+
+
+@register(
+    "rel_join_range",
+    oracle="""
+SELECT o.o_orderpriority, count(*) AS n_fast_lines
+FROM orders o JOIN lineitem l
+  ON l.l_orderkey = o.o_orderkey
+ AND l.l_shipdate >= o.o_orderdate
+ AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
+GROUP BY o.o_orderpriority
+""",
+    tags=("J4",),
+    doc="equi join + range predicate: Catalyst keeps the hash join on the key, range as post-filter",
+)
+def rel_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = (
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate >= o.o_orderdate)
+        & (li.l_shipdate < F.expr("o_orderdate + INTERVAL 30 DAY"))
+    )
+    return o.join(li, cond).groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_fast_lines"))
+
+
+# --- J4 pure non-equi: bucketed band join ----------------------------------
+
+_BUCKETS = [(0.0, 50.0), (50.0, 100.0), (100.0, 200.0), (200.0, 1e9)]
+
+
+@register(
+    "rel_join_band_bucketed",
+    oracle="""
+WITH buckets(lo, hi) AS (VALUES (0.0, 50.0), (50.0, 100.0), (100.0, 200.0), (200.0, 1000000000.0))
+SELECT b.lo, b.hi, count(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events e JOIN buckets b ON e.value >= b.lo AND e.value < b.hi
+GROUP BY b.lo, b.hi
+""",
+    tags=("J4",),
+    doc="pure range join against a tiny broadcast band table (BroadcastNestedLoop is fine: 4 rows)",
+)
+def rel_join_band_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    b = spark.createDataFrame(_BUCKETS, "lo double, hi double")
+    return (
+        ev.join(broadcast(b), (ev.value >= b.lo) & (ev.value < b.hi))
+        .groupBy("lo", "hi")
+        .agg(F.count(F.lit(1)).alias("n_events"), money_sum("value").alias("sum_value"))
+    )
+
+
+# --- J6: as-of join --------------------------------------------------------
+
+
+@register(
+    "rel_join_asof",
+    oracle="""
+WITH probes AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) + INTERVAL 1 DAY AS pts FROM events
+)
+SELECT p.user_id, p.pts,
+       arg_max(e.value, e.ts) AS last_value,
+       max(e.ts) AS last_ts
+FROM probes p JOIN events e
+  ON e.user_id = p.user_id AND e.ts <= p.pts
+GROUP BY p.user_id, p.pts
+""",
+    tags=("J6",),
+    doc="as-of join: last event at or before each probe ts (argmax pattern; DuckDB twin uses arg_max)",
+)
+def rel_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    probes = ev.select(
+        "user_id", F.expr("date_trunc('day', ts) + INTERVAL 1 DAY").alias("pts")
+    ).distinct()
+    e = ev.select("user_id", "ts", "value")
+    return (
+        probes.join(e, (e.user_id == probes.user_id) & (e.ts <= probes.pts))
+        .drop(e.user_id)
+        .groupBy("user_id", "pts")
+        .agg(
+            F.max_by("value", "ts").alias("last_value"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
+
+
+# --- multi-way join (TPC-H Q5 shape) ---------------------------------------
+
+
+@register(
+    "rel_join_multiway",
+    oracle="""
+SELECT n.n_name,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       count(*) AS n_orders
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+WHERE r.r_name IN ('ASIA', 'AMERICA')
+  AND o.o_orderdate >= TIMESTAMP '1998-01-01'
+GROUP BY n.n_name
+""",
+    tags=("J1", "A1"),
+    doc="4-way star join: region/nation broadcast, orders filter pushed to scan",
+)
+def rel_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "AMERICA"))
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp_ntz")
+    )
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(money_sum("o_totalprice").alias("revenue"), F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+# --- A8: distinct / rollup / cube ------------------------------------------
+
+
+@register(
+    "rel_distinct",
+    oracle="SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+    tags=("A8",),
+)
+def rel_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()
+
+
+@register(
+    "rel_count_distinct",
+    oracle="""
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_supps
+FROM lineitem GROUP BY l_returnflag
+""",
+    tags=("A8",),
+)
+def rel_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+        )
+    )
+
+
+@register(
+    "rel_rollup",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+       GROUPING(o_orderstatus) + 2 * GROUPING(o_orderpriority) AS grp_id
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+    tags=("A8",),
+)
+def rel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            money_sum("o_totalprice").alias("total"),
+            (F.grouping("o_orderstatus") + 2 * F.grouping("o_orderpriority")).alias("grp_id"),
+        )
+    )
+
+
+@register(
+    "rel_cube",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       {money_sum_sql('l_quantity')} AS sum_qty,
+       GROUPING(l_returnflag) + 2 * GROUPING(l_linestatus) AS grp_id
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+    tags=("A8",),
+)
+def rel_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            money_sum("l_quantity").alias("sum_qty"),
+            (F.grouping("l_returnflag") + 2 * F.grouping("l_linestatus")).alias("grp_id"),
+        )
+    )
+
+
+# --- O1/O3: sort + top-k ---------------------------------------------------
+
+
+@register(
+    "rel_topk_orders",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+""",
+    tags=("O1", "O3"),
+    doc="global top-k: plans as TakeOrderedAndProject (no full sort shuffle); orderkey tiebreak",
+)
+def rel_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(25)
+    )
+
+
+# --- SET: union / intersect / except ---------------------------------------
+
+
+@register(
+    "rel_set_ops",
+    oracle="""
+WITH cn AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
+     sn AS (SELECT DISTINCT s_nationkey AS nk FROM supplier)
+SELECT 'union' AS op, nk FROM (SELECT nk FROM cn UNION SELECT nk FROM sn)
+UNION ALL
+SELECT 'intersect' AS op, nk FROM (SELECT nk FROM cn INTERSECT SELECT nk FROM sn)
+UNION ALL
+SELECT 'except' AS op, nk FROM (SELECT nk FROM cn EXCEPT SELECT nk FROM sn)
+""",
+    tags=("SET",),
+)
+def rel_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cn = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk")).distinct()
+    sn = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk")).distinct()
+    u = cn.union(sn).distinct().select(F.lit("union").alias("op"), "nk")
+    i = cn.intersect(sn).select(F.lit("intersect").alias("op"), "nk")
+    e = cn.exceptAll(sn).select(F.lit("except").alias("op"), "nk")
+    return u.unionByName(i).unionByName(e)
+
+
+# --- A9: global metrics ----------------------------------------------------
+
+
+@register(
+    "rel_global_metrics",
+    oracle="""
+SELECT (SELECT count(*) FROM lineitem) AS n_lineitem,
+       (SELECT count(*) FROM orders) AS n_orders,
+       (SELECT count(DISTINCT o_custkey) FROM orders) AS n_active_customers,
+       (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM orders) AS gross
+""",
+    tags=("A9",),
+    doc="run-level counters (reference prints these: ais_to_db.rs:151-153,215-224)",
+)
+def rel_global_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n_lineitem"))
+    o = load_table(spark, sf_dir, "orders").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_active_customers"),
+        money_sum("o_totalprice").alias("gross"),
+    )
+    return li.crossJoin(o)

@@ -1,0 +1,245 @@
+"""Scalar function batteries (SURVEY.md §2.8: F11, F12 + standard
+string/date/math/array/JSON — absent in the reference because its host
+languages provide them; first-class declared queries here).
+
+Cross-engine notes baked into each query:
+  * day-of-week conventions differ (Spark 1=Sun, DuckDB 0=Sun) — avoided;
+  * Spark datediff(end,start) vs DuckDB date_diff(part,start,end) — avoided
+    in favor of epoch arithmetic;
+  * regexes kept to the common Java/RE2 subset;
+  * no printf on doubles (determinism.py conventions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from meos_rs_spark.registry import register
+from meos_rs_spark.sources.tables import load_table
+
+
+# --- strings (F12 concat_ws + battery) -------------------------------------
+
+
+@register(
+    "scalar_strings",
+    oracle="""
+SELECT c_custkey,
+       upper(c_name) AS name_upper,
+       substr(c_name, 1, 8) AS name_prefix,
+       length(c_name) AS name_len,
+       concat_ws('|', c_mktsegment, c_name) AS tagged,
+       replace(c_name, '#', '-') AS dashed,
+       CASE WHEN c_name LIKE '%1%' THEN 1 ELSE 0 END AS has_one,
+       lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded_key
+FROM customer
+""",
+    tags=("F12", "scalar"),
+)
+def scalar_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").alias("name_len"),
+        F.concat_ws("|", "c_mktsegment", "c_name").alias("tagged"),
+        F.replace(F.col("c_name"), F.lit("#"), F.lit("-")).alias("dashed"),
+        F.when(F.col("c_name").like("%1%"), 1).otherwise(0).alias("has_one"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded_key"),
+    )
+
+
+# --- dates (F11 timestamp parse + battery) ---------------------------------
+
+
+@register(
+    "scalar_dates",
+    oracle="""
+SELECT o_orderkey,
+       date_trunc('month', o_orderdate) AS order_month,
+       CAST(year(o_orderdate) AS INT) AS yr,
+       CAST(month(o_orderdate) AS INT) AS mon,
+       CAST(quarter(o_orderdate) AS INT) AS qtr,
+       CAST(day(o_orderdate) AS INT) AS dom,
+       epoch_us(o_orderdate) AS epoch_micros,
+       o_orderdate + INTERVAL 90 DAY AS due_date
+FROM orders
+""",
+    tags=("F11", "scalar"),
+)
+def scalar_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").cast("timestamp_ntz").alias("order_month"),
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mon"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))").alias("epoch_micros"),
+        F.expr("o_orderdate + INTERVAL 90 DAY").alias("due_date"),
+    )
+
+
+@register(
+    "scalar_ts_roundtrip",
+    oracle="""
+SELECT event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_text,
+       epoch_us(strptime(strftime(ts, '%Y-%m-%d %H:%M:%S.%f'), '%Y-%m-%d %H:%M:%S.%f')) AS reparsed_us
+FROM events
+""",
+    tags=("F11",),
+    doc="WKT-style timestamp render + parse round-trip (04_to_file.rs:146-148 analog)",
+)
+def scalar_ts_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    txt = F.date_format("ts", fmt)
+    return ev.select(
+        "event_id",
+        txt.alias("ts_text"),
+        F.expr(
+            "unix_micros(to_timestamp(date_format(ts, 'yyyy-MM-dd HH:mm:ss.SSSSSS'), "
+            "'yyyy-MM-dd HH:mm:ss.SSSSSS'))"
+        ).alias("reparsed_us"),
+    )
+
+
+# --- math ------------------------------------------------------------------
+
+
+@register(
+    "scalar_math",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       abs(l_extendedprice - 50000) AS dev,
+       round(l_extendedprice / 1000, 1) AS price_k,
+       CAST(floor(l_quantity / 7) AS BIGINT) AS q7,
+       CAST(ceil(l_quantity / 7) AS BIGINT) AS q7c,
+       l_linenumber % 3 AS mod3,
+       greatest(l_discount, l_tax) AS max_rate,
+       least(l_discount, l_tax) AS min_rate
+FROM lineitem
+""",
+    tags=("scalar",),
+)
+def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_extendedprice") - 50000).alias("dev"),
+        F.round(F.col("l_extendedprice") / 1000, 1).alias("price_k"),
+        F.floor(F.col("l_quantity") / 7).alias("q7"),
+        F.ceil(F.col("l_quantity") / 7).alias("q7c"),
+        (F.col("l_linenumber") % 3).alias("mod3"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        F.least("l_discount", "l_tax").alias("min_rate"),
+    )
+
+
+# --- conditionals ----------------------------------------------------------
+
+
+@register(
+    "scalar_case_coalesce",
+    oracle="""
+SELECT event_id,
+       CASE WHEN value < 10 THEN 'low' WHEN value < 100 THEN 'mid' ELSE 'high' END AS band,
+       coalesce(nullif(event_type, 'view'), 'VIEWED') AS et,
+       CASE WHEN value IS NULL THEN -1 ELSE 1 END AS has_value
+FROM events
+""",
+    tags=("scalar",),
+)
+def scalar_case_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.when(F.col("value") < 10, "low").when(F.col("value") < 100, "mid").otherwise("high").alias("band"),
+        F.coalesce(F.nullif("event_type", F.lit("view")), F.lit("VIEWED")).alias("et"),
+        F.when(F.col("value").isNull(), -1).otherwise(1).alias("has_value"),
+    )
+
+
+# --- JSON (events.props fixture) -------------------------------------------
+
+
+@register(
+    "scalar_json",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+       json_extract_string(props, '$.missing') AS missing_val,
+       CASE WHEN json_extract(props, '$.k') IS NOT NULL THEN 1 ELSE 0 END AS has_k
+FROM events
+""",
+    tags=("scalar", "json"),
+)
+def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
+        F.get_json_object("props", "$.missing").alias("missing_val"),
+        F.when(F.get_json_object("props", "$.k").isNotNull(), 1).otherwise(0).alias("has_k"),
+    )
+
+
+# --- arrays (documents.text tokens) ----------------------------------------
+
+
+@register(
+    "scalar_arrays",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       toks[1] AS first_tok,
+       toks[-1] AS last_tok,
+       CAST(list_contains(toks, 'spark') AS INT) AS has_spark,
+       len(list_distinct(toks)) AS n_distinct,
+       array_to_string(toks[1:3], '_') AS head3
+FROM t
+""",
+    tags=("scalar", "array"),
+)
+def scalar_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.element_at(toks, 1).alias("first_tok"),
+        F.element_at(toks, -1).alias("last_tok"),
+        F.array_contains(toks, "spark").cast("int").alias("has_spark"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.array_join(F.slice(toks, 1, 3), "_").alias("head3"),
+    )
+
+
+# --- regexp ----------------------------------------------------------------
+
+
+@register(
+    "scalar_regexp",
+    oracle="""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[a-z]+')) AS n_word_tokens,
+       regexp_extract(text, '([a-z]+)', 1) AS first_word,
+       CAST(regexp_matches(text, 'spark.*join|join.*spark') AS INT) AS spark_join
+FROM documents
+""",
+    tags=("scalar", "regexp"),
+)
+def scalar_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.expr(r"regexp_extract_all(text, '[a-z]+', 0)")).alias("n_word_tokens"),
+        F.regexp_extract("text", r"([a-z]+)", 1).alias("first_word"),
+        F.col("text").rlike("spark.*join|join.*spark").cast("int").alias("spark_join"),
+    )

@@ -1,0 +1,205 @@
+"""Similarity search over the ``embeddings`` fixture (north-star ops,
+BASELINE.json; SURVEY.md §7 M5): brute-force cosine top-k as the exactness
+baseline, sign-LSH bucketed search as the 100 TB path, plus embedding-cosine
+near-dup detection.
+
+Determinism: dot products are sequential left-to-right folds over the
+64-dim arrays in BOTH engines (Spark ``aggregate`` codegen loop, DuckDB
+``list_dot_product`` C++ loop) on float32 inputs widened to double — the
+bit pattern matches, verified by the oracle hash. Ranking ties broken by
+vec_id so top-k is total-ordered.
+
+Scale shape: probes are a broadcast side (small); the LSH variant buckets
+the corpus ONCE (one shuffle) and probes search only their bucket — the
+classic band-partition ANN layout. No N×N crossJoin anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from meos_rs_spark.registry import register
+from meos_rs_spark.sources.tables import load_table
+
+N_PROBES = 5
+TOP_K = 10
+N_PLANES = 8
+DIM = 64
+
+# deterministic pseudo-random hyperplanes: sign from md5 parity of (plane, dim)
+# — engine-identical, no RNG state
+_PLANE_SIGN_SPARK = (
+    "transform(sequence(0, {d} - 1), j -> CASE WHEN instr('89abcdef', "
+    "substr(md5(concat('{p}', '-', j)), 1, 1)) > 0 THEN 1.0 ELSE -1.0 END)"
+)
+
+_DOT_SPARK = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+    "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
+
+def _norm_sql(a: str) -> str:
+    return f"sqrt({_DOT_SPARK.format(a=a, b=a)})"
+
+
+_DOT_DUCK = "list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+
+
+def _duck_cosine(a: str, b: str) -> str:
+    return (
+        f"{_DOT_DUCK.format(a=a, b=b)} / "
+        f"(sqrt({_DOT_DUCK.format(a=a, b=a)}) * sqrt({_DOT_DUCK.format(a=b, b=b)}))"
+    )
+
+
+# --- brute-force cosine top-k (exactness baseline) -------------------------
+
+
+@register(
+    "sim_cosine_topk",
+    oracle=f"""
+WITH probes AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < {N_PROBES}),
+scored AS (
+  SELECT p.probe_id, e.vec_id, e.label,
+         {_duck_cosine('p.pe', 'e.embedding')} AS cosine
+  FROM probes p JOIN embeddings e ON e.vec_id != p.probe_id
+)
+SELECT probe_id, vec_id, label, cosine
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) <= {TOP_K}
+""",
+    tags=("sim",),
+    doc="brute-force cosine top-k: probes broadcast against the corpus, "
+    "TakeOrdered per probe; the exactness baseline for the LSH variant",
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
+    )
+    scored = (
+        emb.join(broadcast(probes), F.col("vec_id") != F.col("probe_id"))
+        .withColumn("cosine", F.expr(
+            f"{_DOT_SPARK.format(a='pe', b='embedding')} / "
+            f"({_norm_sql('pe')} * {_norm_sql('embedding')})"
+        ))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), "vec_id")
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= TOP_K)
+        .select("probe_id", "vec_id", "label", "cosine")
+    )
+
+
+# --- sign-LSH bucketed ANN (the scale path) --------------------------------
+
+def _bucket_expr_spark() -> str:
+    # bit p = sign of <plane_p, embedding>
+    bits = []
+    for p in range(N_PLANES):
+        plane = _PLANE_SIGN_SPARK.format(p=p, d=DIM)
+        dot = _DOT_SPARK.format(a=plane, b="embedding")
+        bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(bits)
+
+
+def _bucket_expr_duck(col: str) -> str:
+    bits = []
+    for p in range(N_PLANES):
+        plane = (
+            f"list_transform(generate_series(0, {DIM} - 1), j -> "
+            f"CASE WHEN instr('89abcdef', substr(md5('{p}' || '-' || j), 1, 1)) > 0 "
+            f"THEN 1.0 ELSE -1.0 END)"
+        )
+        dot = f"list_dot_product({plane}, CAST({col} AS DOUBLE[]))"
+        bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(bits)
+
+
+@register(
+    "sim_ann_lsh",
+    oracle=f"""
+WITH bucketed AS (
+  SELECT vec_id, label, embedding, {_bucket_expr_duck('embedding')} AS bucket
+  FROM embeddings
+),
+probes AS (SELECT vec_id AS probe_id, embedding AS pe, bucket AS pb FROM bucketed WHERE vec_id < {N_PROBES}),
+cand AS (
+  SELECT p.probe_id, e.vec_id, e.label,
+         {_duck_cosine('p.pe', 'e.embedding')} AS cosine
+  FROM probes p JOIN bucketed e ON e.bucket = p.pb AND e.vec_id != p.probe_id
+)
+SELECT probe_id, vec_id, label, cosine
+FROM cand
+QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) <= 3
+""",
+    tags=("sim", "lsh"),
+    doc=f"ANN via {N_PLANES}-plane sign-LSH: corpus bucketed once, probes equi-join "
+    "their bucket then re-rank — the bucket join replaces the N×N scan at scale",
+)
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucketed = emb.withColumn("bucket", F.expr(_bucket_expr_spark()))
+    probes = bucketed.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe"), F.col("bucket").alias("pb")
+    )
+    cand = (
+        bucketed.join(
+            broadcast(probes), (F.col("bucket") == F.col("pb")) & (F.col("vec_id") != F.col("probe_id"))
+        )
+        .withColumn("cosine", F.expr(
+            f"{_DOT_SPARK.format(a='pe', b='embedding')} / "
+            f"({_norm_sql('pe')} * {_norm_sql('embedding')})"
+        ))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), "vec_id")
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 3)
+        .select("probe_id", "vec_id", "label", "cosine")
+    )
+
+
+# --- embedding-cosine near-dup ---------------------------------------------
+
+
+@register(
+    "sim_embedding_neardup",
+    oracle=f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, {_bucket_expr_duck('embedding')} AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {_duck_cosine('a.embedding', 'b.embedding')} AS cosine
+FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {_duck_cosine('a.embedding', 'b.embedding')} >= 0.5
+""",
+    tags=("sim", "dedup", "lsh"),
+    doc="embedding-cosine near-dup: same-bucket pairs filtered by cosine ≥ 0.5 "
+    "(bucket join bounds the pair space; threshold tuned to fixture geometry)",
+)
+def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucketed = emb.withColumn("bucket", F.expr(_bucket_expr_spark())).select(
+        "vec_id", "embedding", "bucket"
+    )
+    a = bucketed.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), F.col("bucket").alias("ba")
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"), F.col("bucket").alias("bb")
+    )
+    cos = F.expr(
+        f"{_DOT_SPARK.format(a='ea', b='eb')} / ({_norm_sql('ea')} * {_norm_sql('eb')})"
+    )
+    return (
+        a.join(b, (a.ba == b.bb) & (a.id_a < b.id_b))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= 0.5)
+        .select("id_a", "id_b", "cosine")
+    )

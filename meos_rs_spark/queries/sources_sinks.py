@@ -1,0 +1,238 @@
+"""Sources & sinks (SURVEY.md §2.1 S1-S8).
+
+The reference's connectors: serde CSV scan (``meos/examples/
+04_to_file.rs:69-84``), Polars lazy multi-file CSV (``ais_to_db.rs:
+118-120``), JSON-lines sink (``04_to_file.rs:131-144``), Postgres upsert
+with server-side temporal merge (``ais_to_db.rs:156-161``), bootstrap DDL
+(``:12-24``), pooled/partitioned load (``:89-98,202-212``).
+
+Spark equivalents here run a real write → read-back → verify cycle against
+scratch space, then return a summary frame the DuckDB oracle reproduces
+from the original parquet — proving the connector round-trip is lossless.
+Only loss-free column types cross the CSV boundary (ints/strings); doubles
+and timestamps take the parquet path, so no formatting ambiguity enters
+the hash.
+
+There is no Postgres in this environment, so the S6 upsert sink targets a
+parquet-backed store with the same merge semantics (the temporal merge
+itself is the A6 Column implementation — engine-side, exactly where the
+reference runs it server-side).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from meos_rs_spark.functions.trajectory import (
+    POSITS_CTE,
+    assemble,
+    end_ts,
+    merge_trajs,
+    num_instants,
+    posits,
+    start_ts,
+)
+from meos_rs_spark.registry import register
+from meos_rs_spark.sources.tables import TABLE_NAMES, load_table
+
+
+def _scratch(sf_dir: str, name: str) -> str:
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(tempfile.gettempdir(), f"meos_rs_spark_{tag}", name)
+
+
+# --- S1/S2: CSV scan (explicit schema, header, multi-file glob) ------------
+
+_CSV_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+    ]
+)
+
+
+@register(
+    "src_csv_roundtrip",
+    oracle="""
+SELECT event_type,
+       count(*) AS n,
+       count(DISTINCT user_id) AS n_users,
+       sum(event_id) AS sum_ids
+FROM events GROUP BY event_type
+""",
+    tags=("S1", "S2"),
+    doc="CSV connector: write 4-file CSV with header, re-scan via directory glob with "
+    "explicit schema (04_to_file.rs:69-84 serde scan + ais_to_db.rs:118-120 multi-file), "
+    "aggregate must equal the parquet source",
+)
+def src_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _scratch(sf_dir, "events_csv")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    ev.repartition(4).write.mode("overwrite").option("header", True).csv(path)
+    back = spark.read.schema(_CSV_SCHEMA).option("header", True).csv(path)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("event_id").alias("sum_ids"),
+    )
+
+
+# --- S5: JSON-lines file sink ----------------------------------------------
+
+
+@register(
+    "snk_jsonl_trips",
+    oracle=f"""
+WITH {POSITS_CTE},
+dedup AS (
+  SELECT * FROM posits
+  QUALIFY row_number() OVER (PARTITION BY mmsi, ts ORDER BY event_id) = 1
+)
+SELECT mmsi AS id, count(*) AS n_instants, epoch_us(min(ts)) AS start_us
+FROM dedup GROUP BY mmsi HAVING count(*) >= 2
+""",
+    tags=("S5", "E2"),
+    doc='JSON-lines trajectory sink ({"id":…,"n_instants":…} per line, 04_to_file.rs:131-144): '
+    "write text JSON, re-read with from_json, summary must survive the round-trip",
+)
+def snk_jsonl_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _scratch(sf_dir, "trips_jsonl")
+    trips = assemble(posits(spark, sf_dir), min_size=2)
+    lines = trips.select(
+        F.to_json(
+            F.struct(
+                F.col("mmsi").alias("id"),
+                F.col("n_instants"),
+                F.expr("unix_micros(CAST(traj.points[0].ts AS TIMESTAMP))").alias("start_us"),
+            )
+        ).alias("value")
+    )
+    lines.write.mode("overwrite").text(path)
+    back = spark.read.text(path).select(
+        F.from_json("value", "id long, n_instants long, start_us long").alias("j")
+    )
+    return back.select(
+        F.col("j.id").alias("id"),
+        F.col("j.n_instants").alias("n_instants"),
+        F.col("j.start_us").alias("start_us"),
+    )
+
+
+# --- S6: upsert sink with temporal merge -----------------------------------
+
+
+@register(
+    "snk_upsert_merge",
+    oracle=f"""
+WITH {POSITS_CTE},
+merged AS (
+  SELECT * FROM posits
+  QUALIFY row_number() OVER (PARTITION BY mmsi, ts ORDER BY lon, lat) = 1
+)
+SELECT mmsi, count(*) AS n_points, min(ts) AS t_start, max(ts) AS t_end
+FROM merged GROUP BY mmsi
+""",
+    tags=("S6", "A6"),
+    doc="INSERT…ON CONFLICT DO UPDATE SET trip=public.update(old,new,true) analog "
+    "(ais_to_db.rs:156-161): store first-half trajectories, upsert second half with the "
+    "A6 merge, read the store back — equals whole-set assembly",
+)
+def snk_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _scratch(sf_dir, "trips_store")
+    pts = posits(spark, sf_dir)
+    mid = pts.agg(
+        F.expr(
+            "timestampadd(MICROSECOND, (unix_micros(CAST(max(ts) AS TIMESTAMP)) "
+            "- unix_micros(CAST(min(ts) AS TIMESTAMP))) div 2, min(ts))"
+        ).alias("mid")
+    ).collect()[0]["mid"]
+
+    first = assemble(pts.filter(F.col("ts") <= F.lit(mid)), min_size=1)
+    first.write.mode("overwrite").parquet(path)
+
+    store = spark.read.parquet(path).select("mmsi", F.col("traj").alias("old_traj"))
+    incoming = assemble(pts.filter(F.col("ts") > F.lit(mid)), min_size=1).select(
+        "mmsi", F.col("traj").alias("new_traj")
+    )
+    empty = F.struct(
+        F.lit("Linear").alias("interp"),
+        F.lit(True).alias("lower_inc"),
+        F.lit(True).alias("upper_inc"),
+        F.expr("CAST(array() AS ARRAY<STRUCT<ts: TIMESTAMP_NTZ, lon: DOUBLE, lat: DOUBLE>>)").alias("points"),
+    )
+    merged = store.join(incoming, "mmsi", "full").select(
+        "mmsi",
+        merge_trajs(
+            F.coalesce(F.col("old_traj"), empty), F.coalesce(F.col("new_traj"), empty)
+        ).alias("traj"),
+    )
+    upserted = _scratch(sf_dir, "trips_store_v2")
+    merged.write.mode("overwrite").parquet(upserted)
+    back = spark.read.parquet(upserted)
+    t = F.col("traj")
+    return back.select(
+        "mmsi",
+        num_instants(t).alias("n_points"),
+        start_ts(t).alias("t_start"),
+        end_ts(t).alias("t_end"),
+    )
+
+
+# --- S7: catalog bootstrap DDL ---------------------------------------------
+
+
+@register(
+    "src_catalog_bootstrap",
+    oracle="""
+SELECT 'customer' AS tbl, count(*) AS n FROM customer
+UNION ALL SELECT 'events', count(*) FROM events
+UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+UNION ALL SELECT 'orders', count(*) FROM orders
+""",
+    tags=("S7",),
+    doc="DDL/catalog bootstrap (ais_to_db.rs:12-24): register temp views for every "
+    "fixture, then query through spark.sql against the catalog",
+)
+def src_catalog_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(f"meos_{name}")
+    return spark.sql(
+        """
+        SELECT 'customer' AS tbl, count(*) AS n FROM meos_customer
+        UNION ALL SELECT 'events', count(*) FROM meos_events
+        UNION ALL SELECT 'lineitem', count(*) FROM meos_lineitem
+        UNION ALL SELECT 'orders', count(*) FROM meos_orders
+        """
+    )
+
+
+# --- S8: partitioned parallel sink -----------------------------------------
+
+
+@register(
+    "snk_partitioned_write",
+    oracle="""
+SELECT o_orderstatus, count(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders GROUP BY o_orderstatus
+""",
+    tags=("S8",),
+    doc="partitioned sink (deadpool/async batch analog, ais_to_db.rs:89-98,202-212): "
+    "write orders hive-partitioned by status, re-scan with partition pruning, aggregate",
+)
+def snk_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meos_rs_spark.functions.determinism import money_sum
+
+    path = _scratch(sf_dir, "orders_by_status")
+    o = load_table(spark, sf_dir, "orders")
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"), money_sum("o_totalprice").alias("total")
+    )

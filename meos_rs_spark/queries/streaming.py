@@ -1,0 +1,176 @@
+"""Structured Streaming (SURVEY.md §2.9): the reference is batch-only, but
+its incremental upsert + temporal merge (``ais_to_db.rs:156-161``) defines
+the streaming semantics — append new posits to existing trajectories.
+
+Each query here runs a real streaming pipeline to completion
+(``availableNow`` trigger over the events parquet → memory sink) and
+returns the materialized result, so the driver can hash it like any batch
+query. Tumbling-window and session-window results are oracle-checked
+against their batch SQL equivalents — watermark semantics don't drop
+anything under availableNow with ordered replay, so the stream must equal
+the batch answer exactly.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from meos_rs_spark.registry import register
+from pyspark.sql.types import DoubleType
+
+# streaming readers need an explicit schema; with nanosAsLong the parquet
+# TIMESTAMP(NANOS) column arrives as int64
+_EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meos_rs_spark.session import prepare_session
+
+    prepare_session(spark)
+    # file streams take a directory; glob-filter down to the events parquet
+    raw = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # watermarks require TIMESTAMP (not NTZ); session TZ is pinned UTC so the
+    # instant equals the NTZ wall-clock the batch loaders produce
+    instant = F.expr("timestamp_micros(ts div 1000)")
+    return raw.select("event_id", instant.alias("ts"), "user_id", "event_type", "value")
+
+
+def _run_to_table(df: DataFrame, spark: SparkSession) -> DataFrame:
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+# --- tumbling window aggregation -------------------------------------------
+
+
+@register(
+    "stream_tumbling_counts",
+    oracle="""
+SELECT user_id,
+       date_trunc('hour', ts) AS win_start,
+       count(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY user_id, date_trunc('hour', ts)
+""",
+    tags=("ST",),
+    doc="readStream → 1h tumbling window agg → availableNow → memory sink; "
+    "must equal the batch date_trunc aggregation exactly",
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.window("ts", "1 hour").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )
+    out = _run_to_table(agg, spark)
+    return out.select(
+        "user_id",
+        F.col("win.start").cast("timestamp_ntz").alias("win_start"),
+        "n",
+        "sum_value",
+    )
+
+
+# --- session window (gap-based trip segmentation, TSet analog) -------------
+
+_GAP = "6 hours"
+_GAP_US = 21_600_000_000
+
+
+@register(
+    "stream_session_windows",
+    oracle=f"""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= {_GAP_US} THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, count(*) AS n
+FROM sessions GROUP BY user_id, sid
+""",
+    tags=("ST", "TSet"),
+    doc=f"session_window(ts, '{_GAP}') trip segmentation — streaming twin of the batch "
+    "gap-islands SQL (trajectory sessionize); equality proves the semantics match",
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.session_window("ts", _GAP).alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = _run_to_table(agg, spark)
+    # session_window end = last_ts + gap; report observed bounds instead:
+    # recompute min/max inside the window is not possible post-hoc, so carry
+    # them through the aggregation
+    return out.select(
+        "user_id",
+        F.col("win.start").cast("timestamp_ntz").alias("session_start"),
+        F.expr(f"CAST(win.end - INTERVAL {_GAP} AS TIMESTAMP_NTZ)").alias("session_end"),
+        "n",
+    )
+
+
+# --- stateful trajectory accumulation (rows-only) --------------------------
+
+
+@register(
+    "stream_stateful_assembly",
+    oracle=None,  # custom stateful operator — streaming semantics, rows-only check
+    tags=("ST", "A5"),
+    doc="applyInPandasWithState-style stateful trajectory accumulation; implemented with "
+    "session_window + sorted collect under availableNow (state = open session per vessel)",
+)
+def stream_stateful_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.session_window("ts", _GAP).alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.array_sort(F.collect_list(F.struct("ts", "value"))).alias("points"),
+        )
+    )
+    out = _run_to_table(agg, spark)
+    return out.select(
+        "user_id",
+        F.col("win.start").cast("timestamp_ntz").alias("t_start"),
+        "n_points",
+        F.size("points").alias("n_collected"),
+    )

@@ -1,0 +1,519 @@
+"""Trajectory queries (SURVEY.md §2: A5 assembly, A6 merge, A7 extent,
+L2a accessors, L2b restriction, L2c transforms, L2d spatial, TSet
+sessionization) over the events-as-AIS fixture.
+
+Reference semantics: ``tsequence_make`` (meos/src/tseq.rs:50-64), monotonic
+dedup (04_to_file.rs:92-96), min/max trip size (04_to_file.rs:111,
+ais_to_db.rs:191-193), temporal merge (ais_to_db.rs:156-161), boxes
+(tbox.rs:87-98).
+
+Every query is one groupBy shuffle over the vessel key (the points of a
+sequence must colocate regardless of engine); rendering follows the
+determinism conventions so the DuckDB twin hashes identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from meos_rs_spark.functions.determinism import fmt6_sql
+from meos_rs_spark.functions.trajectory import (
+    POSITS_CTE,
+    assemble,
+    avg_speed,
+    dedup_monotonic,
+    duration_seconds,
+    end_ts,
+    merge_trajs,
+    num_instants,
+    path_length,
+    point_wkt,
+    point_wkt_duck,
+    posits,
+    start_ts,
+    subtype,
+)
+from meos_rs_spark.registry import register
+
+MIN_TRIP, MAX_TRIP = 5, 80
+
+# DuckDB twin of dedup+truncate+assemble (kept adjacent to the Spark impl).
+_ASSEMBLED_CTE = f"""
+{POSITS_CTE},
+dedup AS (
+  SELECT * FROM posits
+  QUALIFY row_number() OVER (PARTITION BY mmsi, ts ORDER BY event_id) = 1
+),
+trunc AS (
+  SELECT * FROM dedup
+  QUALIFY row_number() OVER (PARTITION BY mmsi ORDER BY ts, event_id) <= {MAX_TRIP}
+)
+"""
+
+
+# --- A5: trajectory assembly (flagship UDAF as pure Column ops) ------------
+
+
+@register(
+    "traj_assembly",
+    oracle=f"""
+WITH {_ASSEMBLED_CTE}
+SELECT mmsi,
+       count(*) AS n_instants,
+       '[' || string_agg({point_wkt_duck('lon', 'lat', 'ts')}, ', ' ORDER BY ts) || ']' AS seq_wkt
+FROM trunc
+GROUP BY mmsi
+HAVING count(*) >= {MIN_TRIP}
+""",
+    tags=("A5", "P4", "P5", "F2"),
+    doc="tsequence_make: dedup → truncate → sorted assembly → linear-seq WKT ([...] form, 01_hello_world.rs:23)",
+)
+def traj_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = dedup_monotonic(posits(spark, sf_dir))
+    w = Window.partitionBy("mmsi").orderBy("ts", "event_id")
+    pts = pts.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= MAX_TRIP)
+    return (
+        pts.select("mmsi", "ts", point_wkt("lon", "lat", "ts").alias("pw"))
+        .groupBy("mmsi")
+        .agg(
+            F.count(F.lit(1)).alias("n_instants"),
+            F.concat(
+                F.lit("["),
+                F.array_join(
+                    F.transform(F.array_sort(F.collect_list(F.struct("ts", "pw"))), lambda s: s["pw"]),
+                    ", ",
+                ),
+                F.lit("]"),
+            ).alias("seq_wkt"),
+        )
+        .filter(F.col("n_instants") >= MIN_TRIP)
+    )
+
+
+# --- A7: bounding-box extent aggregate (STBox analog) ----------------------
+
+
+@register(
+    "traj_extent",
+    oracle=f"""
+WITH {POSITS_CTE}
+SELECT mmsi,
+       min(lon) AS xmin, max(lon) AS xmax,
+       min(lat) AS ymin, max(lat) AS ymax,
+       min(ts) AS tmin, max(ts) AS tmax
+FROM posits GROUP BY mmsi
+""",
+    tags=("A7", "F10"),
+    doc="STBox extent as plain min/max aggregates (stbox.rs:16-94; SQL-expressible by design, SURVEY §4)",
+)
+def traj_extent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        posits(spark, sf_dir)
+        .groupBy("mmsi")
+        .agg(
+            F.min("lon").alias("xmin"),
+            F.max("lon").alias("xmax"),
+            F.min("lat").alias("ymin"),
+            F.max("lat").alias("ymax"),
+            F.min("ts").alias("tmin"),
+            F.max("ts").alias("tmax"),
+        )
+    )
+
+
+# --- A6: temporal merge of partial trajectories ----------------------------
+
+
+@register(
+    "traj_merge",
+    oracle=f"""
+WITH {POSITS_CTE},
+both_halves AS (
+  SELECT * FROM posits  -- merge(evens, odds) == dedup-by-ts over the union
+),
+merged AS (
+  SELECT * FROM both_halves
+  QUALIFY row_number() OVER (PARTITION BY mmsi, ts ORDER BY lon, lat) = 1
+)
+SELECT mmsi, count(*) AS n_points, min(ts) AS t_start, max(ts) AS t_end
+FROM merged GROUP BY mmsi
+""",
+    tags=("A6",),
+    doc="public.update(old, new, true) analog: assemble even/odd event halves separately, merge structs "
+    "(concat→sort→dedup-by-ts keeping lexicographically-first point), verify against whole-set assembly",
+)
+def traj_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = posits(spark, sf_dir)
+    halves = [
+        assemble(pts.filter(F.col("event_id") % 2 == i), min_size=1).select(
+            "mmsi", F.col("traj").alias(f"traj_{i}")
+        )
+        for i in (0, 1)
+    ]
+    j = halves[0].join(halves[1], "mmsi", "full")
+    # a vessel may appear in only one half: coalesce with an empty sequence
+    empty = F.struct(
+        F.lit("Linear").alias("interp"),
+        F.lit(True).alias("lower_inc"),
+        F.lit(True).alias("upper_inc"),
+        F.expr("CAST(array() AS ARRAY<STRUCT<ts: TIMESTAMP_NTZ, lon: DOUBLE, lat: DOUBLE>>)").alias("points"),
+    )
+    merged = merge_trajs(F.coalesce(F.col("traj_0"), empty), F.coalesce(F.col("traj_1"), empty))
+    return j.select(
+        "mmsi",
+        num_instants(merged).alias("n_points"),
+        start_ts(merged).alias("t_start"),
+        end_ts(merged).alias("t_end"),
+    )
+
+
+# --- F7/P6: temporal equality ----------------------------------------------
+
+
+@register(
+    "traj_equality",
+    oracle=f"""
+WITH {POSITS_CTE}
+SELECT mmsi, 1 AS halves_eq_whole FROM posits GROUP BY mmsi
+""",
+    tags=("F7", "P6"),
+    doc="temporal_eq (tinst.rs:53-68, tseq.rs:83-98): merge of even/odd-half assemblies "
+    "must equal whole-set assembly — deep struct equality incl. nested point arrays; "
+    "the oracle states the invariant (1 per vessel), the Spark side proves it",
+)
+def traj_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = posits(spark, sf_dir)
+    whole = assemble(pts, min_size=1).select("mmsi", F.col("traj").alias("tw"))
+    halves = [
+        assemble(pts.filter(F.col("event_id") % 2 == i), min_size=1).select(
+            "mmsi", F.col("traj").alias(f"t{i}")
+        )
+        for i in (0, 1)
+    ]
+    empty = F.struct(
+        F.lit("Linear").alias("interp"),
+        F.lit(True).alias("lower_inc"),
+        F.lit(True).alias("upper_inc"),
+        F.expr("CAST(array() AS ARRAY<STRUCT<ts: TIMESTAMP_NTZ, lon: DOUBLE, lat: DOUBLE>>)").alias("points"),
+    )
+    j = whole.join(halves[0], "mmsi", "left").join(halves[1], "mmsi", "left")
+    merged = merge_trajs(F.coalesce(F.col("t0"), empty), F.coalesce(F.col("t1"), empty))
+    return j.select(
+        "mmsi",
+        (merged["points"] == F.col("tw")["points"]).cast("int").alias("halves_eq_whole"),
+    )
+
+
+# --- F5/F6/L2a: accessors --------------------------------------------------
+
+
+@register(
+    "traj_accessors",
+    oracle=f"""
+WITH {POSITS_CTE}
+SELECT mmsi,
+       min(ts) AS start_ts,
+       max(ts) AS end_ts,
+       count(*) AS n_instants,
+       epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us,
+       CASE WHEN count(*) = 1 THEN 'Instant' ELSE 'Sequence' END AS subtype
+FROM posits GROUP BY mmsi
+""",
+    tags=("F5", "F6", "L2a"),
+    doc="start/end timestamp, num_instants, duration, subtype (temp.rs:50-52, lib.rs:29-34)",
+)
+def traj_accessors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = assemble(posits(spark, sf_dir), min_size=1)
+    traj = F.col("traj")
+    return t.select(
+        "mmsi",
+        start_ts(traj).alias("start_ts"),
+        end_ts(traj).alias("end_ts"),
+        num_instants(traj).alias("n_instants"),
+        (
+            F.expr("unix_micros(CAST(traj.points[size(traj.points)-1].ts AS TIMESTAMP))")
+            - F.expr("unix_micros(CAST(traj.points[0].ts AS TIMESTAMP))")
+        ).alias("duration_us"),
+        subtype(traj).alias("subtype"),
+    )
+
+
+# --- L2d: length / speed ---------------------------------------------------
+
+
+@register(
+    "traj_length_speed",
+    oracle=f"""
+WITH {POSITS_CTE},
+segs AS (
+  SELECT mmsi, ts,
+         sqrt( (lon - lag(lon) OVER w) * (lon - lag(lon) OVER w)
+             + (lat - lag(lat) OVER w) * (lat - lag(lat) OVER w) ) AS seg
+  FROM posits
+  WINDOW w AS (PARTITION BY mmsi ORDER BY ts, event_id)
+)
+SELECT mmsi,
+       CAST(SUM(CAST(ROUND(seg, 6) AS DECIMAL(28,6))) AS DOUBLE) AS length,
+       count(seg) AS n_segments
+FROM segs GROUP BY mmsi HAVING count(seg) > 0
+""",
+    tags=("L2d",),
+    doc="tpoint_length: planar segment sum; per-segment sqrt is IEEE-exact, rounded before the "
+    "decimal fold so the aggregate is shuffle-order independent",
+)
+def traj_length_speed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = assemble(posits(spark, sf_dir), min_size=2)
+    traj = F.col("traj")
+    return t.select(
+        "mmsi",
+        path_length(traj).alias("length"),
+        (num_instants(traj) - 1).cast("long").alias("n_segments"),
+    )
+
+
+# --- L2b: restriction (at-time value with linear interpolation) ------------
+
+
+@register(
+    "traj_value_at_time",
+    oracle=f"""
+WITH {POSITS_CTE},
+probe AS (
+  -- midpoint via integer micros: engines disagree on interval/2 semantics
+  SELECT mmsi,
+         min(ts) + to_microseconds((epoch_us(max(ts)) - epoch_us(min(ts))) // 2) AS pt
+  FROM posits GROUP BY mmsi
+),
+below AS (
+  SELECT p.mmsi, p.pt, arg_max(e.lon, e.ts) AS lon0, arg_max(e.lat, e.ts) AS lat0, max(e.ts) AS t0
+  FROM probe p JOIN posits e ON e.mmsi = p.mmsi AND e.ts <= p.pt GROUP BY p.mmsi, p.pt
+),
+above AS (
+  SELECT p.mmsi, arg_min(e.lon, e.ts) AS lon1, arg_min(e.lat, e.ts) AS lat1, min(e.ts) AS t1
+  FROM probe p JOIN posits e ON e.mmsi = p.mmsi AND e.ts > p.pt GROUP BY p.mmsi
+)
+SELECT b.mmsi, b.pt,
+       CASE WHEN a.t1 IS NULL THEN b.lon0
+            ELSE b.lon0 + (a.lon1 - b.lon0) * (CAST(epoch_us(b.pt) - epoch_us(b.t0) AS DOUBLE)
+                                               / CAST(epoch_us(a.t1) - epoch_us(b.t0) AS DOUBLE)) END AS lon_at,
+       CASE WHEN a.t1 IS NULL THEN b.lat0
+            ELSE b.lat0 + (a.lat1 - b.lat0) * (CAST(epoch_us(b.pt) - epoch_us(b.t0) AS DOUBLE)
+                                               / CAST(epoch_us(a.t1) - epoch_us(b.t0) AS DOUBLE)) END AS lat_at
+FROM below b LEFT JOIN above a ON a.mmsi = b.mmsi
+""",
+    tags=("L2b", "J6"),
+    doc="value_at_timestamp with LINEAR interpolation (tseq.rs:59 interp mode) at each vessel's midpoint",
+)
+def traj_value_at_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = posits(spark, sf_dir)
+    probe = pts.groupBy("mmsi").agg(
+        F.expr(
+            "timestampadd(MICROSECOND, (unix_micros(CAST(max(ts) AS TIMESTAMP)) "
+            "- unix_micros(CAST(min(ts) AS TIMESTAMP))) div 2, min(ts))"
+        ).alias("pt")
+    )
+    e = pts.select(F.col("mmsi").alias("e_mmsi"), "ts", "lon", "lat")
+    below = (
+        probe.join(e, (e.e_mmsi == probe.mmsi) & (e.ts <= probe.pt))
+        .groupBy("mmsi", "pt")
+        .agg(
+            F.max_by("lon", "ts").alias("lon0"),
+            F.max_by("lat", "ts").alias("lat0"),
+            F.max("ts").alias("t0"),
+        )
+    )
+    above = (
+        probe.join(e, (e.e_mmsi == probe.mmsi) & (e.ts > probe.pt))
+        .groupBy("mmsi")
+        .agg(
+            F.min_by("lon", "ts").alias("lon1"),
+            F.min_by("lat", "ts").alias("lat1"),
+            F.min("ts").alias("t1"),
+        )
+    )
+    j = below.join(above, "mmsi", "left")
+    frac = (
+        F.expr("CAST(unix_micros(CAST(pt AS TIMESTAMP)) - unix_micros(CAST(t0 AS TIMESTAMP)) AS DOUBLE)")
+        / F.expr("CAST(unix_micros(CAST(t1 AS TIMESTAMP)) - unix_micros(CAST(t0 AS TIMESTAMP)) AS DOUBLE)")
+    )
+    return j.select(
+        "mmsi",
+        "pt",
+        F.when(F.col("t1").isNull(), F.col("lon0"))
+        .otherwise(F.col("lon0") + (F.col("lon1") - F.col("lon0")) * frac)
+        .alias("lon_at"),
+        F.when(F.col("t1").isNull(), F.col("lat0"))
+        .otherwise(F.col("lat0") + (F.col("lat1") - F.col("lat0")) * frac)
+        .alias("lat_at"),
+    )
+
+
+# --- L2c: transforms (shift / scale / temporal sample) ---------------------
+
+
+@register(
+    "traj_shift_scale",
+    oracle=f"""
+WITH {POSITS_CTE}
+SELECT mmsi, event_id,
+       ts + INTERVAL 1 HOUR AS ts_shifted,
+       epoch_us(ts + INTERVAL 1 HOUR) AS ts_shifted_us,
+       lon * 2.0 AS lon_scaled,
+       lat + 10.0 AS lat_shifted
+FROM posits
+""",
+    tags=("L2c",),
+    doc="shift/scale transforms (L2 temporal_shift_time / value scaling)",
+)
+def traj_shift_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return posits(spark, sf_dir).select(
+        "mmsi",
+        "event_id",
+        F.expr("ts + INTERVAL 1 HOUR").alias("ts_shifted"),
+        F.expr("unix_micros(CAST(ts + INTERVAL 1 HOUR AS TIMESTAMP))").alias("ts_shifted_us"),
+        (F.col("lon") * 2.0).alias("lon_scaled"),
+        (F.col("lat") + 10.0).alias("lat_shifted"),
+    )
+
+
+@register(
+    "traj_sample",
+    oracle=f"""
+WITH {POSITS_CTE},
+numbered AS (
+  SELECT mmsi, ts, event_id, row_number() OVER (PARTITION BY mmsi ORDER BY ts, event_id) AS rn
+  FROM posits
+)
+SELECT mmsi, ts, event_id FROM numbered WHERE (rn - 1) % 4 = 0
+""",
+    tags=("L2c",),
+    doc="temporal downsampling: every 4th instant (L2 temporal_tsample analog)",
+)
+def traj_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("mmsi").orderBy("ts", "event_id")
+    return (
+        posits(spark, sf_dir)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") - 1) % 4 == 0)
+        .select("mmsi", "ts", "event_id")
+    )
+
+
+# --- L2e: ever/always comparisons ------------------------------------------
+
+
+@register(
+    "traj_ever_always",
+    oracle=f"""
+WITH {POSITS_CTE}
+SELECT mmsi,
+       CAST(bool_or(lon > 150) AS INT) AS ever_gt150,
+       CAST(bool_and(lon > 1) AS INT) AS always_gt1,
+       CAST(bool_or(lat = 50) AS INT) AS ever_eq50
+FROM posits GROUP BY mmsi
+""",
+    tags=("L2e",),
+    doc="ever/always value comparisons (L2 ever_gt/always_gt family) as bool aggregates",
+)
+def traj_ever_always(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        posits(spark, sf_dir)
+        .groupBy("mmsi")
+        .agg(
+            F.max((F.col("lon") > 150).cast("int")).alias("ever_gt150"),
+            F.min((F.col("lon") > 1).cast("int")).alias("always_gt1"),
+            F.max((F.col("lat") == 50).cast("int")).alias("ever_eq50"),
+        )
+    )
+
+
+# --- L2f: temporal arithmetic ----------------------------------------------
+
+
+@register(
+    "traj_arith",
+    oracle=f"""
+WITH {POSITS_CTE}
+SELECT mmsi, event_id,
+       lon + lat AS t_add,
+       lon * 0.5 AS t_scale,
+       CAST(lon > lat AS INT) AS t_gt
+FROM posits
+""",
+    tags=("L2f", "P6"),
+    doc="temporal float arithmetic + comparison (L2 add_tfloat_float family): per-instant ops",
+)
+def traj_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return posits(spark, sf_dir).select(
+        "mmsi",
+        "event_id",
+        (F.col("lon") + F.col("lat")).alias("t_add"),
+        (F.col("lon") * 0.5).alias("t_scale"),
+        (F.col("lon") > F.col("lat")).cast("int").alias("t_gt"),
+    )
+
+
+# --- L2h: time bucketing / tiling ------------------------------------------
+
+
+@register(
+    "traj_time_buckets",
+    oracle=f"""
+WITH {POSITS_CTE}
+SELECT mmsi, date_trunc('hour', ts) AS bucket, count(*) AS n,
+       CAST(SUM(CAST(lon AS DECIMAL(18,2))) AS DOUBLE) AS sum_lon
+FROM posits GROUP BY mmsi, date_trunc('hour', ts)
+""",
+    tags=("L2h",),
+    doc="time tiling (L2 tbucket): hourly grid per vessel",
+)
+def traj_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meos_rs_spark.functions.determinism import money_sum
+
+    return (
+        posits(spark, sf_dir)
+        .groupBy("mmsi", F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"), money_sum("lon").alias("sum_lon"))
+    )
+
+
+# --- TSet analog: gap-based sessionization ---------------------------------
+
+
+@register(
+    "traj_sessionize",
+    oracle=f"""
+WITH {POSITS_CTE},
+flagged AS (
+  SELECT mmsi, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000 THEN 1 ELSE 0 END AS new_session
+  FROM posits WINDOW w AS (PARTITION BY mmsi ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT mmsi, ts,
+         SUM(new_session) OVER (PARTITION BY mmsi ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT mmsi, session_id, count(*) AS n_pts, min(ts) AS t_start, max(ts) AS t_end
+FROM sessions GROUP BY mmsi, session_id
+""",
+    tags=("TSet", "ST"),
+    doc="sequence-set construction: split trajectory on >6h gaps (TSet gaps, tset.rs:10-49; "
+    "batch twin of session_window in §2.9)",
+)
+def traj_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("mmsi").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    gap_us = F.expr("unix_micros(CAST(ts AS TIMESTAMP))") - F.expr(
+        "unix_micros(CAST(lag(ts) OVER (PARTITION BY mmsi ORDER BY ts, event_id) AS TIMESTAMP))"
+    )
+    return (
+        posits(spark, sf_dir)
+        .withColumn("new_session", F.when(gap_us.isNull() | (gap_us > 21_600_000_000), 1).otherwise(0))
+        .withColumn("session_id", F.sum("new_session").over(wrun))
+        .groupBy("mmsi", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_pts"), F.min("ts").alias("t_start"), F.max("ts").alias("t_end"))
+    )

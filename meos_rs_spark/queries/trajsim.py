@@ -1,0 +1,144 @@
+"""Trajectory-similarity queries (SURVEY.md L2g: Hausdorff / Fréchet / DTW).
+
+Hausdorff = max over A of min over B of pointwise distance (symmetrized):
+pure join/agg with a DuckDB twin. Fréchet/DTW are iterative DPs → grouped
+applyInPandas (rows-only driver check; exact values pinned by golden tests
+in tests/test_trajsim.py).
+
+Pair domain is the first K vessels (K² pairs independent of sf); the
+point-level join is bounded per pair by the max trip length, so the plan
+is a bucketable pair join, not a global cross product.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from meos_rs_spark.functions.similarity import dtw_distance, frechet_distance
+from meos_rs_spark.functions.trajectory import POSITS_CTE, posits
+from meos_rs_spark.registry import register
+
+K_VESSELS = 8
+
+
+@register(
+    "trajsim_hausdorff",
+    oracle=f"""
+WITH {POSITS_CTE},
+sel AS (SELECT mmsi, lon, lat FROM posits WHERE mmsi < {K_VESSELS}),
+pairs AS (
+  SELECT DISTINCT a.mmsi AS id_a, b.mmsi AS id_b
+  FROM (SELECT DISTINCT mmsi FROM sel) a JOIN (SELECT DISTINCT mmsi FROM sel) b
+    ON a.mmsi < b.mmsi
+),
+dists AS (
+  SELECT p.id_a, p.id_b, pa.lon AS ax, pa.lat AS ay, pb.lon AS bx, pb.lat AS by,
+         sqrt((pa.lon - pb.lon) * (pa.lon - pb.lon) + (pa.lat - pb.lat) * (pa.lat - pb.lat)) AS d
+  FROM pairs p
+  JOIN sel pa ON pa.mmsi = p.id_a
+  JOIN sel pb ON pb.mmsi = p.id_b
+),
+ab AS (
+  SELECT id_a, id_b, max(md) AS h_ab FROM (
+    SELECT id_a, id_b, ax, ay, min(d) AS md FROM dists GROUP BY id_a, id_b, ax, ay
+  ) GROUP BY id_a, id_b
+),
+ba AS (
+  SELECT id_a, id_b, max(md) AS h_ba FROM (
+    SELECT id_a, id_b, bx, by, min(d) AS md FROM dists GROUP BY id_a, id_b, bx, by
+  ) GROUP BY id_a, id_b
+)
+SELECT ab.id_a, ab.id_b, greatest(ab.h_ab, ba.h_ba) AS hausdorff
+FROM ab JOIN ba ON ba.id_a = ab.id_a AND ba.id_b = ab.id_b
+""",
+    tags=("L2g",),
+    doc="symmetric Hausdorff via max-min joins (no DP needed → fully SQL-expressible; "
+    "min/max aggs only, so no float-sum ordering hazards)",
+)
+def trajsim_hausdorff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sel = posits(spark, sf_dir).filter(F.col("mmsi") < K_VESSELS).select("mmsi", "lon", "lat")
+    ids = sel.select("mmsi").distinct()
+    pairs = (
+        ids.select(F.col("mmsi").alias("id_a"))
+        .join(ids.select(F.col("mmsi").alias("id_b")), F.col("id_a") < F.col("id_b"))
+    )
+    pa = sel.select(F.col("mmsi").alias("id_a"), F.col("lon").alias("ax"), F.col("lat").alias("ay"))
+    pb = sel.select(F.col("mmsi").alias("id_b"), F.col("lon").alias("bx"), F.col("lat").alias("by"))
+    d = (
+        pairs.join(pa, "id_a")
+        .join(pb, "id_b")
+        .withColumn(
+            "d",
+            F.sqrt(
+                (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
+                + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by"))
+            ),
+        )
+    )
+    ab = (
+        d.groupBy("id_a", "id_b", "ax", "ay")
+        .agg(F.min("d").alias("md"))
+        .groupBy("id_a", "id_b")
+        .agg(F.max("md").alias("h_ab"))
+    )
+    ba = (
+        d.groupBy("id_a", "id_b", "bx", "by")
+        .agg(F.min("d").alias("md"))
+        .groupBy("id_a", "id_b")
+        .agg(F.max("md").alias("h_ba"))
+    )
+    return ab.join(ba, ["id_a", "id_b"]).select(
+        "id_a", "id_b", F.greatest("h_ab", "h_ba").alias("hausdorff")
+    )
+
+
+# --- Fréchet / DTW via grouped DP ------------------------------------------
+
+_DP_SCHEMA = "id_a long, id_b long, n_a long, n_b long, dtw double, frechet double"
+
+
+def _pair_dp(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    a = pdf[pdf["side"] == 0].sort_values("ts")[["lon", "lat"]].to_numpy(dtype=float)
+    b = pdf[pdf["side"] == 1].sort_values("ts")[["lon", "lat"]].to_numpy(dtype=float)
+    if len(a) == 0 or len(b) == 0:
+        return pd.DataFrame(
+            {"id_a": [key[0]], "id_b": [key[1]], "n_a": [len(a)], "n_b": [len(b)],
+             "dtw": [np.nan], "frechet": [np.nan]}
+        )
+    return pd.DataFrame(
+        {
+            "id_a": [key[0]],
+            "id_b": [key[1]],
+            "n_a": [len(a)],
+            "n_b": [len(b)],
+            "dtw": [dtw_distance(a, b)],
+            "frechet": [frechet_distance(a, b)],
+        }
+    )
+
+
+@register(
+    "trajsim_dtw_frechet",
+    oracle=None,  # O(n·m) dynamic programs — iterative, not SQL-expressible; golden tests pin values
+    tags=("L2g",),
+    doc="discrete Fréchet + DTW per vessel pair via applyInPandas (numpy DP per group, "
+    "pair-bucketed shuffle — the SURVEY §2.10 grouped-UDAF surface)",
+)
+def trajsim_dtw_frechet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sel = posits(spark, sf_dir).filter(F.col("mmsi") < K_VESSELS).select("mmsi", "ts", "lon", "lat")
+    ids = sel.select("mmsi").distinct()
+    pairs = (
+        ids.select(F.col("mmsi").alias("id_a"))
+        .join(ids.select(F.col("mmsi").alias("id_b")), F.col("id_a") < F.col("id_b"))
+    )
+    side_a = pairs.join(sel, pairs.id_a == sel.mmsi).select(
+        "id_a", "id_b", F.lit(0).alias("side"), "ts", "lon", "lat"
+    )
+    side_b = pairs.join(sel, pairs.id_b == sel.mmsi).select(
+        "id_a", "id_b", F.lit(1).alias("side"), "ts", "lon", "lat"
+    )
+    tagged = side_a.unionByName(side_b)
+    return tagged.groupBy("id_a", "id_b").applyInPandas(_pair_dp, schema=_DP_SCHEMA)

@@ -1,0 +1,212 @@
+"""Window functions (SURVEY.md §2.5: W, P4 lag-dedup, P5 row_number-truncate).
+
+The reference's row path IS window logic: the monotonic dedup
+(``meos/examples/04_to_file.rs:92-96``) and the max-trip-size cutoff
+(``ais_to_db.rs:191-193``) are lag/row_number over (vessel, ts). Here they
+are named operators plus the standard ranking/analytic/frame battery.
+
+All window shuffles partition on user_id — the same single shuffle a
+groupBy would need; frames are bounded (ROWS BETWEEN) so state per group
+is O(frame), safe at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from meos_rs_spark.registry import register
+from meos_rs_spark.sources.tables import load_table
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+
+
+# --- P4: monotonic-timestamp dedup as a named operator ---------------------
+
+
+@register(
+    "win_lag_dedup",
+    oracle="""
+SELECT event_id, user_id, ts, value FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) = 1
+""",
+    tags=("P4", "W"),
+    doc="keep only posits that strictly advance the clock (04_to_file.rs:92-96)",
+)
+def win_lag_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id", "ts").orderBy("event_id")
+    return (
+        _events(spark, sf_dir)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("event_id", "user_id", "ts", "value")
+    )
+
+
+# --- P5: truncate group to max size ----------------------------------------
+
+
+@register(
+    "win_rownum_truncate",
+    oracle="""
+SELECT user_id, ts, event_id FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) <= 5
+""",
+    tags=("P5", "W"),
+    doc="first max_trip_size posits per vessel (ais_to_db.rs:191-193)",
+)
+def win_rownum_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        _events(spark, sf_dir)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 5)
+        .select("user_id", "ts", "event_id")
+    )
+
+
+# --- ranking ---------------------------------------------------------------
+
+
+@register(
+    "win_rank_dense",
+    oracle="""
+SELECT user_id, event_id, value,
+       rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rnk,
+       dense_rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS drnk
+FROM events
+QUALIFY rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) <= 3
+""",
+    tags=("W",),
+)
+def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), "event_id")
+    return (
+        _events(spark, sf_dir)
+        .select(
+            "user_id",
+            "event_id",
+            "value",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+# --- lag/lead: inter-event gaps --------------------------------------------
+
+
+@register(
+    "win_lead_gap",
+    oracle="""
+SELECT user_id, event_id,
+       epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) - epoch_us(ts) AS gap_us
+FROM events
+QUALIFY lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NOT NULL
+""",
+    tags=("W",),
+    doc="time-to-next-posit per vessel in exact integer micros",
+)
+def win_lead_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return (
+        _events(spark, sf_dir)
+        .select(
+            "user_id",
+            "event_id",
+            (
+                F.expr("unix_micros(CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS TIMESTAMP))")
+                - F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+            ).alias("gap_us"),
+            nxt.alias("__nxt"),
+        )
+        .filter(F.col("__nxt").isNotNull())
+        .drop("__nxt")
+    )
+
+
+# --- frames: bounded rolling aggregate -------------------------------------
+
+
+@register(
+    "win_rolling_frame",
+    oracle="""
+SELECT user_id, event_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,2)))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_sum5,
+       count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS rolling_n5
+FROM events
+""",
+    tags=("W",),
+    doc="bounded ROWS frame (O(frame) state per group at any scale)",
+)
+def win_rolling_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-4, 0)
+    return _events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("rolling_sum5"),
+        F.count(F.lit(1)).over(w).alias("rolling_n5"),
+    )
+
+
+# --- running (cumulative) aggregate ----------------------------------------
+
+
+@register(
+    "win_running_total",
+    oracle="""
+SELECT user_id, event_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,2)))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+FROM events
+""",
+    tags=("W",),
+)
+def win_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(Window.unboundedPreceding, 0)
+    ws = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return _events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("running_total"),
+        F.row_number().over(ws).alias("seq"),
+    )
+
+
+# --- analytic: ntile / first / last ----------------------------------------
+
+
+@register(
+    "win_ntile_first_last",
+    oracle="""
+SELECT user_id, event_id,
+       ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS quartile,
+       first_value(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_event,
+       last_value(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_event
+FROM events
+""",
+    tags=("W",),
+)
+def win_ntile_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return _events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        F.ntile(4).over(wo).alias("quartile"),
+        F.first("event_id").over(wf).alias("first_event"),
+        F.last("event_id").over(wf).alias("last_event"),
+    )

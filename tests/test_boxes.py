@@ -1,0 +1,58 @@
+"""Box-algebra truth tables, transcribed from the reference's unit tests
+(meos/src/tbox.rs:153-195): contains/overlaps/same/eq on identical, nested,
+and shifted time boxes — plus the int_to_tbox canonical WKT
+(tbox.rs:87-98,198-199)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from meos_rs_spark.functions.boxes import (
+    int_to_tbox_wkt,
+    tbox_cmp,
+    tbox_contains,
+    tbox_overlaps,
+    tbox_same,
+)
+
+# time-only boxes from tbox.rs tests (value span collapsed to a constant)
+_D1, _D2, _D3 = "2001-01-01", "2001-01-02", "2001-01-03"
+
+
+def _boxes(spark, pairs):
+    rows = [
+        (a_lo, a_hi, b_lo, b_hi)
+        for (a_lo, a_hi), (b_lo, b_hi) in pairs
+    ]
+    df = spark.createDataFrame(rows, "a_lo string, a_hi string, b_lo string, b_hi string")
+    mk = lambda lo, hi: F.struct(  # noqa: E731
+        F.lit(0.0).alias("xmin"),
+        F.lit(1.0).alias("xmax"),
+        F.col(lo).cast("timestamp_ntz").alias("tmin"),
+        F.col(hi).cast("timestamp_ntz").alias("tmax"),
+    )
+    return df.select(mk("a_lo", "a_hi").alias("a"), mk("b_lo", "b_hi").alias("b"))
+
+
+def test_tbox_truth_tables(spark):
+    cases = [
+        # ((a), (b)) -> expected (contains, overlaps, same, cmp)
+        (((_D1, _D2), (_D1, _D2)), (True, True, True, 0)),  # tbox.rs:154-158 identical
+        (((_D1, _D2), (_D1, _D3)), (False, True, False, -1)),  # :160-163 a ⊉ longer b, overlap
+        (((_D1, _D3), (_D1, _D2)), (True, True, False, 1)),  # containment of nested
+        (((_D2, _D2), (_D1, _D2)), (False, True, False, 1)),  # :190-193 eq ordering case
+    ]
+    df = _boxes(spark, [c[0] for c in cases])
+    got = df.select(
+        tbox_contains(F.col("a"), F.col("b")).alias("c"),
+        tbox_overlaps(F.col("a"), F.col("b")).alias("o"),
+        tbox_same(F.col("a"), F.col("b")).alias("s"),
+        tbox_cmp(F.col("a"), F.col("b")).alias("cmp"),
+    ).collect()
+    for (_, exp), row in zip(cases, got):
+        assert (row.c, row.o, row.s, row.cmp) == exp
+
+
+def test_int_to_tbox_wkt(spark):
+    df = spark.range(1, 3).select(int_to_tbox_wkt(F.col("id").cast("int")).alias("w"))
+    assert [r.w for r in df.collect()] == ["TBOXINT X([1, 2))", "TBOXINT X([2, 3))"]

@@ -1,0 +1,52 @@
+"""Physical-plan audits — the 100 TB discipline checks (SURVEY.md §4).
+
+These assert the *shape* of the plan, not the result: filters reach the
+parquet scan, dimension joins broadcast, global top-k avoids a full sort
+shuffle, LSH candidate generation never degenerates into a cartesian
+product, and scans prune columns.
+"""
+
+from __future__ import annotations
+
+from meos_rs_spark.registry import load_registry
+from tests.conftest import SF_SMOKE
+
+
+def _plan(spark, name: str) -> str:
+    df = load_registry()[name].fn(spark, SF_SMOKE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _plan(spark, "rel_projection_rename")
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200]
+
+
+def test_column_pruning(spark):
+    plan = _plan(spark, "rel_topk_orders")
+    read = plan.split("ReadSchema")[1][:250]
+    assert "o_orderdate" not in read  # unused column pruned from the scan
+
+
+def test_dimension_join_broadcasts(spark):
+    plan = _plan(spark, "rel_join_inner_broadcast")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topk_is_take_ordered(spark):
+    plan = _plan(spark, "rel_topk_orders")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_lsh_has_no_cartesian_product(spark):
+    for name in ("dedup_minhash_lsh", "sim_ann_lsh", "box_stbox_overlap_join"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan or name == "box_stbox_overlap_join", name
+
+
+def test_flagship_single_shuffle_agg(spark):
+    plan = _plan(spark, "flagship_trip_pipeline")
+    # one Exchange for the groupBy, then TakeOrdered — no second global sort
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "TakeOrderedAndProject" in plan

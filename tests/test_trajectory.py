@@ -1,0 +1,86 @@
+"""Trajectory-semantics unit tests against hand-built micro-fixtures:
+monotonic dedup (04_to_file.rs:92-96), assembly bounds/interp defaults
+(tseq.rs:50-64), merge (ais_to_db.rs:156-161), accessors, path length."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from meos_rs_spark.functions.trajectory import (
+    assemble,
+    dedup_monotonic,
+    duration_seconds,
+    end_ts,
+    merge_trajs,
+    num_instants,
+    path_length,
+    start_ts,
+    subtype,
+)
+
+
+@pytest.fixture(scope="module")
+def micro(spark):
+    rows = [
+        # mmsi, ts, lon, lat, event_id — vessel 1 has a duplicate ts (events 2,3)
+        (1, "2024-01-01 00:00:00", 0.0, 0.0, 1),
+        (1, "2024-01-01 00:00:10", 3.0, 4.0, 2),
+        (1, "2024-01-01 00:00:10", 9.9, 9.9, 3),  # dup ts → dropped (first kept)
+        (1, "2024-01-01 00:00:20", 3.0, 8.0, 4),
+        (2, "2024-01-01 00:00:00", 5.0, 5.0, 5),  # single-instant vessel
+    ]
+    return (
+        spark.createDataFrame(rows, "mmsi int, ts string, lon double, lat double, event_id int")
+        .withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    )
+
+
+def test_dedup_monotonic_keeps_first_of_each_ts(micro):
+    kept = dedup_monotonic(micro).select("event_id").toPandas()["event_id"].sort_values().tolist()
+    assert kept == [1, 2, 4, 5]
+
+
+def test_assemble_defaults_and_min_size(micro):
+    t = assemble(micro, min_size=2).orderBy("mmsi").collect()
+    assert len(t) == 1  # vessel 2 (1 instant) filtered by min_size
+    traj = t[0].traj
+    assert traj.interp == "Linear" and traj.lower_inc and traj.upper_inc  # tseq.rs:57-59
+    assert [p.lon for p in traj.points] == [0.0, 3.0, 3.0]
+
+
+def test_assemble_max_size_truncates(micro):
+    t = assemble(micro.filter("mmsi = 1"), max_size=2).collect()[0]
+    assert t.n_instants == 2
+    assert [p.event_id for p in []] == []  # points carry no event_id (schema: ts, lon, lat)
+    assert [p.lon for p in t.traj.points] == [0.0, 3.0]
+
+
+def test_accessors_and_length(micro, spark):
+    t = assemble(micro.filter("mmsi = 1"), min_size=1)
+    row = t.select(
+        start_ts(F.col("traj")).alias("s"),
+        end_ts(F.col("traj")).alias("e"),
+        num_instants(F.col("traj")).alias("n"),
+        duration_seconds(F.col("traj")).alias("d"),
+        subtype(F.col("traj")).alias("st"),
+        path_length(F.col("traj")).alias("len"),
+    ).collect()[0]
+    assert row.n == 3 and row.d == 20.0 and row.st == "Sequence"
+    # 3-4-5 triangle leg + vertical segment: 5 + 4 = 9
+    assert row.len == pytest.approx(9.0)
+
+
+def test_merge_dedups_on_ts(micro):
+    evens = assemble(micro.filter("event_id % 2 = 0"), min_size=1).select(
+        "mmsi", F.col("traj").alias("ta")
+    )
+    odds = assemble(micro.filter("event_id % 2 = 1"), min_size=1).select(
+        "mmsi", F.col("traj").alias("tb")
+    )
+    j = evens.join(odds, "mmsi")
+    merged = j.select("mmsi", merge_trajs(F.col("ta"), F.col("tb")).alias("m"))
+    row = merged.filter("mmsi = 1").collect()[0]
+    ts_list = [p.ts.isoformat() for p in row.m.points]
+    assert ts_list == sorted(ts_list)
+    assert len(ts_list) == 3  # the duplicate-ts point collapsed

@@ -1,0 +1,59 @@
+"""Golden tests for trajectory similarity DPs (L2g), hand-computed curves."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from meos_rs_spark.functions.similarity import (
+    dtw_distance,
+    frechet_distance,
+    hausdorff_distance,
+)
+
+A = np.array([[0.0, 0.0], [1.0, 0.0], [2.0, 0.0]])
+B = np.array([[0.0, 1.0], [1.0, 1.0], [2.0, 1.0]])  # A shifted up by 1
+
+
+def test_parallel_lines():
+    # every matched pair is distance 1
+    assert frechet_distance(A, B) == pytest.approx(1.0)
+    assert hausdorff_distance(A, B) == pytest.approx(1.0)
+    assert dtw_distance(A, B) == pytest.approx(3.0)  # 3 diagonal steps × 1
+
+
+def test_identical_curves():
+    assert frechet_distance(A, A) == 0.0
+    assert dtw_distance(A, A) == 0.0
+    assert hausdorff_distance(A, A) == 0.0
+
+
+def test_frechet_vs_hausdorff_divergence():
+    # classic case: Hausdorff small but Fréchet large (reversed curve)
+    C = A[::-1].copy()
+    assert hausdorff_distance(A, C) == 0.0  # same point set
+    assert frechet_distance(A, C) == pytest.approx(2.0)  # must traverse end-to-end
+
+
+def test_dtw_asymmetric_lengths():
+    D = np.array([[0.0, 0.0], [2.0, 0.0]])
+    # DTW aligns middle point of A to one endpoint: cost 0 + 1 + 0
+    assert dtw_distance(A, D) == pytest.approx(1.0)
+
+
+def test_spark_pairs_match_local(spark):
+    from meos_rs_spark.registry import load_registry
+    from meos_rs_spark.functions.trajectory import posits
+    from tests.conftest import SF_SMOKE
+
+    rows = load_registry()["trajsim_dtw_frechet"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    pts = posits(spark, SF_SMOKE).filter("mmsi < 8").orderBy("ts").collect()
+    by_id: dict[int, list[tuple[float, float]]] = {}
+    for r in pts:
+        by_id.setdefault(r.mmsi, []).append((r.lon, r.lat))
+    for r in rows[:3]:
+        a = np.array(by_id[r.id_a])
+        b = np.array(by_id[r.id_b])
+        assert r.dtw == pytest.approx(dtw_distance(a, b))
+        assert r.frechet == pytest.approx(frechet_distance(a, b))
