@@ -61,14 +61,17 @@ def dedup_monotonic(df: DataFrame, key: str = "mmsi", ts: str = "ts", tiebreak: 
 
     Scanning in (ts, tiebreak) order, the reference's "skip if prev >= posit"
     filter (04_to_file.rs:92-96) reduces to keeping the first posit of each
-    distinct timestamp — exactly row_number()==1 per (key, ts). Window + one
-    shuffle on the group key; no Python.
+    distinct timestamp — a lag(ts) != ts filter. Partitioning the window by
+    the group key ALONE (ordering by ts inside) keeps one hash partitioning
+    that every downstream groupBy(key) reuses — one shuffle for the whole
+    dedup→assemble pipeline instead of two. No Python.
     """
-    w = Window.partitionBy(key, ts).orderBy(tiebreak)
+    w = Window.partitionBy(key).orderBy(ts, tiebreak)
+    prev = F.lag(ts).over(w)
     return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        df.withColumn("__prev_ts", prev)
+        .filter(F.col("__prev_ts").isNull() | (F.col(ts) != F.col("__prev_ts")))
+        .drop("__prev_ts")
     )
 
 

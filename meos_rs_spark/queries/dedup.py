@@ -145,8 +145,17 @@ JOIN sizes zb ON zb.doc_id = c.id_b
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingles(spark, sf_dir).cache()
-    sig = sh.groupBy("doc_id").agg(
-        *[F.min(F.md5(F.concat("sh", F.lit(f"#{j}")))).alias(f"h{j}") for j in range(N_HASHES)]
+    # hash each DISTINCT shingle once (the shingle dictionary is far smaller
+    # than the doc×shingle fact table — bounded by vocab³, not corpus size),
+    # then broadcast-join back and min-aggregate: turns 16·|doc_shingles|
+    # md5 calls into 16·|dictionary|
+    dictionary = sh.select("sh").distinct().select(
+        "sh", *[F.md5(F.concat("sh", F.lit(f"#{j}"))).alias(f"sh_h{j}") for j in range(N_HASHES)]
+    )
+    sig = (
+        sh.join(dictionary, "sh")
+        .groupBy("doc_id")
+        .agg(*[F.min(f"sh_h{j}").alias(f"h{j}") for j in range(N_HASHES)])
     )
     band_cols = [
         F.md5(F.concat_ws("|", *[f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)])).alias(f"band{b}")

@@ -3,11 +3,11 @@ BASELINE.json; SURVEY.md §7 M5): brute-force cosine top-k as the exactness
 baseline, sign-LSH bucketed search as the 100 TB path, plus embedding-cosine
 near-dup detection.
 
-Determinism: dot products are sequential left-to-right folds over the
-64-dim arrays in BOTH engines (Spark ``aggregate`` codegen loop, DuckDB
-``list_dot_product`` C++ loop) on float32 inputs widened to double — the
-bit pattern matches, verified by the oracle hash. Ranking ties broken by
-vec_id so top-k is total-ordered.
+Determinism: dot products accumulate dimension-by-dimension in order on
+float32 inputs widened to double — the Arrow-batched pandas_udf
+(functions/embeddings.py) reproduces bit-for-bit the sequential fold
+DuckDB's ``list_dot_product`` performs, verified by the oracle hash.
+Ranking ties broken by vec_id so top-k is total-ordered.
 
 Scale shape: probes are a broadcast side (small); the LSH variant buckets
 the corpus ONCE (one shuffle) and probes search only their bucket — the
@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
+from meos_rs_spark.functions.embeddings import cosine, make_lsh_bucket_udf
 from meos_rs_spark.registry import register
 from meos_rs_spark.sources.tables import load_table
 
@@ -27,23 +28,6 @@ N_PROBES = 5
 TOP_K = 10
 N_PLANES = 8
 DIM = 64
-
-# deterministic pseudo-random hyperplanes: sign from md5 parity of (plane, dim)
-# — engine-identical, no RNG state
-_PLANE_SIGN_SPARK = (
-    "transform(sequence(0, {d} - 1), j -> CASE WHEN instr('89abcdef', "
-    "substr(md5(concat('{p}', '-', j)), 1, 1)) > 0 THEN 1.0 ELSE -1.0 END)"
-)
-
-_DOT_SPARK = (
-    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-    "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-)
-
-
-def _norm_sql(a: str) -> str:
-    return f"sqrt({_DOT_SPARK.format(a=a, b=a)})"
-
 
 _DOT_DUCK = "list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
 
@@ -80,12 +64,8 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = emb.filter(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
     )
-    scored = (
-        emb.join(broadcast(probes), F.col("vec_id") != F.col("probe_id"))
-        .withColumn("cosine", F.expr(
-            f"{_DOT_SPARK.format(a='pe', b='embedding')} / "
-            f"({_norm_sql('pe')} * {_norm_sql('embedding')})"
-        ))
+    scored = emb.join(broadcast(probes), F.col("vec_id") != F.col("probe_id")).withColumn(
+        "cosine", cosine(F.col("pe"), F.col("embedding"))
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), "vec_id")
     return (
@@ -97,14 +77,9 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- sign-LSH bucketed ANN (the scale path) --------------------------------
 
-def _bucket_expr_spark() -> str:
-    # bit p = sign of <plane_p, embedding>
-    bits = []
-    for p in range(N_PLANES):
-        plane = _PLANE_SIGN_SPARK.format(p=p, d=DIM)
-        dot = _DOT_SPARK.format(a=plane, b="embedding")
-        bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
-    return " + ".join(bits)
+# deterministic pseudo-random hyperplanes: sign from md5 parity of
+# (plane, dim) — engine-identical, no RNG state; the Spark-side twin is
+# functions.embeddings.plane_signs (kept in lockstep)
 
 
 def _bucket_expr_duck(col: str) -> str:
@@ -143,7 +118,7 @@ QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) <
 )
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    bucketed = emb.withColumn("bucket", F.expr(_bucket_expr_spark()))
+    bucketed = emb.withColumn("bucket", make_lsh_bucket_udf(N_PLANES, DIM)(F.col("embedding")))
     probes = bucketed.filter(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe"), F.col("bucket").alias("pb")
     )
@@ -151,10 +126,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucketed.join(
             broadcast(probes), (F.col("bucket") == F.col("pb")) & (F.col("vec_id") != F.col("probe_id"))
         )
-        .withColumn("cosine", F.expr(
-            f"{_DOT_SPARK.format(a='pe', b='embedding')} / "
-            f"({_norm_sql('pe')} * {_norm_sql('embedding')})"
-        ))
+        .withColumn("cosine", cosine(F.col("pe"), F.col("embedding")))
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), "vec_id")
     return (
@@ -185,21 +157,18 @@ WHERE {_duck_cosine('a.embedding', 'b.embedding')} >= 0.5
 )
 def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    bucketed = emb.withColumn("bucket", F.expr(_bucket_expr_spark())).select(
-        "vec_id", "embedding", "bucket"
-    )
+    bucketed = emb.withColumn(
+        "bucket", make_lsh_bucket_udf(N_PLANES, DIM)(F.col("embedding"))
+    ).select("vec_id", "embedding", "bucket")
     a = bucketed.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), F.col("bucket").alias("ba")
     )
     b = bucketed.select(
         F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"), F.col("bucket").alias("bb")
     )
-    cos = F.expr(
-        f"{_DOT_SPARK.format(a='ea', b='eb')} / ({_norm_sql('ea')} * {_norm_sql('eb')})"
-    )
     return (
         a.join(b, (a.ba == b.bb) & (a.id_a < b.id_b))
-        .withColumn("cosine", cos)
+        .withColumn("cosine", cosine(F.col("ea"), F.col("eb")))
         .filter(F.col("cosine") >= 0.5)
         .select("id_a", "id_b", "cosine")
     )

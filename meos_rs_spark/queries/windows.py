@@ -38,11 +38,15 @@ QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) = 1
     doc="keep only posits that strictly advance the clock (04_to_file.rs:92-96)",
 )
 def win_lag_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = Window.partitionBy("user_id", "ts").orderBy("event_id")
+    # lag-form of the dedup: window partitioned by user_id alone so downstream
+    # per-user operators reuse the single hash partitioning (see
+    # functions.trajectory.dedup_monotonic)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
     return (
         _events(spark, sf_dir)
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
+        .withColumn("__prev", prev)
+        .filter(F.col("__prev").isNull() | (F.col("ts") != F.col("__prev")))
         .select("event_id", "user_id", "ts", "value")
     )
 
