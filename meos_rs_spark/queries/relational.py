@@ -479,3 +479,105 @@ def rel_global_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         money_sum("o_totalprice").alias("gross"),
     )
     return li.crossJoin(o)
+
+
+# --- TPC-H Q6 shape: predicate-heavy scan aggregation ----------------------
+
+
+@register(
+    "rel_filter_agg",
+    oracle="""
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+       count(*) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+  AND l_shipdate < TIMESTAMP '2000-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+    tags=("P2", "A2"),
+    doc="TPC-H Q6 shape: all predicates push to the parquet scan, single partial+final agg",
+)
+def rel_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1999-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("2000-01-01").cast("timestamp_ntz"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(28,4)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# --- TPC-H Q12 shape: conditional aggregation over a join ------------------
+
+
+@register(
+    "rel_conditional_agg",
+    oracle="""
+SELECT l.l_linestatus,
+       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '2000-01-01'
+GROUP BY l.l_linestatus
+""",
+    tags=("J1", "A2"),
+    doc="TPC-H Q12 shape: CASE-conditional counts over a fact-fact join",
+)
+def rel_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp_ntz")
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# --- TPC-H Q17 shape: correlated scalar subquery (decorrelated by Catalyst) -
+
+
+@register(
+    "rel_correlated_subquery",
+    oracle="""
+SELECT l.l_partkey,
+       count(*) AS n_small
+FROM lineitem l
+WHERE l.l_quantity < (
+    SELECT 0.5 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l2.l_quantity))
+    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+)
+GROUP BY l.l_partkey
+""",
+    tags=("J1", "A1"),
+    doc="TPC-H Q17 shape: correlated scalar subquery — Catalyst decorrelates into an "
+    "aggregate+join; per-part average uses the exact-decimal form on both sides",
+)
+def rel_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("meos_q17_lineitem")
+    return spark.sql(
+        """
+        SELECT l.l_partkey, count(*) AS n_small
+        FROM meos_q17_lineitem l
+        WHERE l.l_quantity < (
+            SELECT 0.5 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l2.l_quantity))
+            FROM meos_q17_lineitem l2 WHERE l2.l_partkey = l.l_partkey
+        )
+        GROUP BY l.l_partkey
+        """
+    )

@@ -236,3 +236,45 @@ def snk_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"), money_sum("o_totalprice").alias("total")
     )
+
+
+# --- S8+: bucketed tables → co-located (exchange-free) join ----------------
+
+
+@register(
+    "snk_bucketed_join",
+    oracle="""
+SELECT c.c_mktsegment, count(*) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY c.c_mktsegment
+""",
+    tags=("S8", "J1"),
+    doc="bucketed-table co-location: write orders+customer bucketed by custkey, "
+    "sort-merge join them WITHOUT a shuffle on either side (the 100 TB co-located "
+    "join pattern; exchange-free plan asserted in tests/test_plans.py)",
+)
+def snk_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meos_rs_spark.functions.determinism import money_sum
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    for name, df, key in (
+        (f"meos_bkt_orders_{tag}", load_table(spark, sf_dir, "orders"), "o_custkey"),
+        (f"meos_bkt_customer_{tag}", load_table(spark, sf_dir, "customer"), "c_custkey"),
+    ):
+        (
+            df.write.mode("overwrite")
+            .option("path", _scratch(sf_dir, name))
+            .bucketBy(8, key)
+            .sortBy(key)
+            .saveAsTable(name)
+        )
+    o = spark.table(f"meos_bkt_orders_{tag}")
+    c = spark.table(f"meos_bkt_customer_{tag}")
+    return (
+        o.hint("merge")
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orders"), money_sum("o_totalprice").alias("revenue"))
+    )

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
@@ -147,30 +147,78 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- stateful trajectory accumulation (rows-only) --------------------------
+# --- stateful trajectory accumulation (applyInPandasWithState) -------------
+
+
+def _traj_state_fn(key, pdf_iter, state):
+    """Custom stateful trajectory accumulator (GroupState): maintains
+    (n_points, min_ts_us, max_ts_us) per vessel across
+    micro-batches — the applyInPandasWithState analog of the reference's
+    incremental upsert (ais_to_db.rs:156-161): new posits extend the stored
+    trajectory's state."""
+    import pandas as pd
+
+    if state.exists:
+        n, tmin, tmax = state.get
+    else:
+        n, tmin, tmax = 0, None, None
+    for pdf in pdf_iter:
+        if len(pdf) == 0:
+            continue
+        us = pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000  # → µs
+        n += len(pdf)
+        bmin, bmax = int(us.min()), int(us.max())
+        tmin = bmin if tmin is None else min(tmin, bmin)
+        tmax = bmax if tmax is None else max(tmax, bmax)
+    state.update((n, tmin, tmax))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_points": [n], "t_start_us": [tmin], "t_end_us": [tmax]}
+    )
 
 
 @register(
     "stream_stateful_assembly",
-    oracle=None,  # custom stateful operator — streaming semantics, rows-only check
-    tags=("ST", "A5"),
-    doc="applyInPandasWithState-style stateful trajectory accumulation; implemented with "
-    "session_window + sorted collect under availableNow (state = open session per vessel)",
+    oracle="""
+SELECT user_id, count(*) AS n_points,
+       epoch_us(min(ts)) AS t_start_us,
+       epoch_us(max(ts)) AS t_end_us
+FROM events GROUP BY user_id
+""",
+    tags=("ST", "A5", "A6"),
+    doc="true custom stateful operator: applyInPandasWithState trajectory accumulation "
+    "per vessel (state = running extent), run to completion under availableNow — "
+    "final state must equal the batch aggregate",
 )
 def stream_stateful_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
     ev = _stream_events(spark, sf_dir)
-    agg = (
-        ev.withWatermark("ts", "1 hour")
-        .groupBy("user_id", F.session_window("ts", _GAP).alias("win"))
-        .agg(
-            F.count(F.lit(1)).alias("n_points"),
-            F.array_sort(F.collect_list(F.struct("ts", "value"))).alias("points"),
+    out = (
+        ev.groupBy("user_id")
+        .applyInPandasWithState(
+            _traj_state_fn,
+            outputStructType="user_id long, n_points long, t_start_us long, t_end_us long",
+            stateStructType="n long, tmin long, tmax long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    out = _run_to_table(agg, spark)
-    return out.select(
-        "user_id",
-        F.col("win.start").cast("timestamp_ntz").alias("t_start"),
-        "n_points",
-        F.size("points").alias("n_collected"),
+    name = f"stream_state_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode emits one row per (user, batch); keep the final state per user
+    latest = spark.table(name)
+    w_latest = F.row_number().over(
+        Window.partitionBy("user_id").orderBy(F.col("n_points").desc())
+    )
+    return (
+        latest.withColumn("__rn", w_latest)
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "n_points", "t_start_us", "t_end_us")
     )

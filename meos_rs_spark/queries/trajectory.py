@@ -517,3 +517,111 @@ def traj_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("mmsi", "session_id")
         .agg(F.count(F.lit(1)).alias("n_pts"), F.min("ts").alias("t_start"), F.max("ts").alias("t_end"))
     )
+
+
+# --- L2d: azimuth / heading -------------------------------------------------
+
+
+@register(
+    "traj_azimuth",
+    oracle=f"""
+WITH {POSITS_CTE},
+segs AS (
+  SELECT mmsi, event_id,
+         lead(lon) OVER w - lon AS dx,
+         lead(lat) OVER w - lat AS dy
+  FROM posits WINDOW w AS (PARTITION BY mmsi ORDER BY ts, event_id)
+)
+SELECT mmsi, event_id, round(atan2(dy, dx), 6) AS azimuth_rad
+FROM segs WHERE dx IS NOT NULL
+""",
+    tags=("L2d",),
+    doc="per-segment heading (L2 tpoint_azimuth family); atan2 rounded to 6 digits "
+    "(engines may differ in the last ulp of transcendental functions)",
+)
+def traj_azimuth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("mmsi").orderBy("ts", "event_id")
+    dx = F.lead("lon").over(w) - F.col("lon")
+    dy = F.lead("lat").over(w) - F.col("lat")
+    return (
+        posits(spark, sf_dir)
+        .withColumn("dx", dx)
+        .withColumn("dy", dy)
+        .filter(F.col("dx").isNotNull())
+        .select("mmsi", "event_id", F.round(F.atan2("dy", "dx"), 6).alias("azimuth_rad"))
+    )
+
+
+# --- L2d: per-instant speed (temporal speed) --------------------------------
+
+
+@register(
+    "traj_speed_segments",
+    oracle=f"""
+WITH {POSITS_CTE},
+segs AS (
+  SELECT mmsi, event_id,
+         sqrt( (lead(lon) OVER w - lon) * (lead(lon) OVER w - lon)
+             + (lead(lat) OVER w - lat) * (lead(lat) OVER w - lat) ) AS dist,
+         CAST(epoch_us(lead(ts) OVER w) - epoch_us(ts) AS DOUBLE) / 1000000.0 AS dt_s
+  FROM posits WINDOW w AS (PARTITION BY mmsi ORDER BY ts, event_id)
+)
+SELECT mmsi, event_id, dist / dt_s AS speed
+FROM segs WHERE dist IS NOT NULL AND dt_s > 0
+""",
+    tags=("L2d",),
+    doc="tpoint_speed as a temporal (per-segment) value: IEEE-exact sqrt and division, "
+    "no aggregation — deterministic without rounding",
+)
+def traj_speed_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("mmsi").orderBy("ts", "event_id")
+    dist = F.sqrt(
+        (F.lead("lon").over(w) - F.col("lon")) * (F.lead("lon").over(w) - F.col("lon"))
+        + (F.lead("lat").over(w) - F.col("lat")) * (F.lead("lat").over(w) - F.col("lat"))
+    )
+    dt = (
+        F.expr("CAST(unix_micros(CAST(lead(ts) OVER (PARTITION BY mmsi ORDER BY ts, event_id) AS TIMESTAMP)) "
+               "- unix_micros(CAST(ts AS TIMESTAMP)) AS DOUBLE)") / 1_000_000.0
+    )
+    return (
+        posits(spark, sf_dir)
+        .withColumn("dist", dist)
+        .withColumn("dt_s", dt)
+        .filter(F.col("dist").isNotNull() & (F.col("dt_s") > 0))
+        .select("mmsi", "event_id", (F.col("dist") / F.col("dt_s")).alias("speed"))
+    )
+
+
+# --- L2b: at-box restriction ------------------------------------------------
+
+
+@register(
+    "traj_at_box",
+    oracle=f"""
+WITH {POSITS_CTE}
+SELECT mmsi,
+       count(*) FILTER (WHERE lon BETWEEN 20 AND 120 AND lat BETWEEN 10 AND 80
+                          AND ts BETWEEN TIMESTAMP '2024-01-05' AND TIMESTAMP '2024-01-25') AS n_inside,
+       count(*) AS n_total
+FROM posits GROUP BY mmsi
+""",
+    tags=("L2b", "F8"),
+    doc="at-STBox restriction (L2 tpoint_at_stbox): points inside a space-time box "
+    "(contains_stbox_tpoint semantics, stbox.rs:83-85) counted per vessel",
+)
+def traj_at_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    inside = (
+        F.col("lon").between(20, 120)
+        & F.col("lat").between(10, 80)
+        & F.col("ts").between(
+            F.lit("2024-01-05").cast("timestamp_ntz"), F.lit("2024-01-25").cast("timestamp_ntz")
+        )
+    )
+    return (
+        posits(spark, sf_dir)
+        .groupBy("mmsi")
+        .agg(
+            F.count(F.when(inside, 1)).alias("n_inside"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+    )

@@ -45,6 +45,16 @@ def test_lsh_has_no_cartesian_product(spark):
         assert "BroadcastNestedLoopJoin" not in plan or name == "box_stbox_overlap_join", name
 
 
+def test_bucketed_join_is_exchange_free(spark):
+    df = load_registry()["snk_bucketed_join"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    # both sides read the bucketed layout; the ONLY exchange is the final
+    # groupBy — the join itself is shuffle-free
+    assert plan.count("Bucketed: true") >= 2, plan[:2000]
+    assert plan.count("Exchange hashpartitioning") <= 1, plan[:2000]
+
+
 def test_flagship_single_shuffle_agg(spark):
     plan = _plan(spark, "flagship_trip_pipeline")
     # one Exchange for the groupBy, then TakeOrdered — no second global sort
