@@ -1,0 +1,45 @@
+"""Trajectory simplification (SURVEY.md L2d: Douglas-Peucker, reachable in
+MEOS as ``temporal_simplify_dp``; see SURVEY L2 spatial family).
+
+An inherently recursive algorithm → numpy implementation applied per vessel
+via ``applyInPandas`` (rows-only driver check; exact behavior pinned by
+golden tests in tests/test_simplify.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _perp_dist(pts: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Perpendicular distance of each point to segment a-b (degenerate
+    segment → plain euclidean distance to a)."""
+    ab = b - a
+    denom = np.hypot(*ab)
+    if denom == 0.0:
+        return np.hypot(pts[:, 0] - a[0], pts[:, 1] - a[1])
+    return np.abs(ab[0] * (a[1] - pts[:, 1]) - (a[0] - pts[:, 0]) * ab[1]) / denom
+
+
+def douglas_peucker_mask(pts: np.ndarray, epsilon: float) -> np.ndarray:
+    """Boolean keep-mask for Douglas-Peucker with tolerance ``epsilon``
+    (iterative stack form — no recursion limits)."""
+    n = len(pts)
+    keep = np.zeros(n, dtype=bool)
+    if n == 0:
+        return keep
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        lo, hi = stack.pop()
+        if hi <= lo + 1:
+            continue
+        seg = pts[lo + 1 : hi]
+        d = _perp_dist(seg, pts[lo], pts[hi])
+        imax = int(np.argmax(d))
+        if d[imax] > epsilon:
+            mid = lo + 1 + imax
+            keep[mid] = True
+            stack.append((lo, mid))
+            stack.append((mid, hi))
+    return keep

@@ -140,3 +140,145 @@ def serde_hexwkb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pts.select(
         "mmsi", "event_id", point_hexwkb(F.col("lon"), F.col("lat")).alias("hexwkb")
     )
+
+
+# --- F2 complete: the six WKT forms (01_hello_world.rs:7-56) ---------------
+
+_N_PTS = 4  # points per rendered form (bounded output)
+
+
+@register(
+    "serde_wkt_forms",
+    oracle=f"""
+WITH {POSITS_CTE},
+dedup AS (
+  SELECT * FROM posits
+  QUALIFY row_number() OVER (PARTITION BY mmsi, ts ORDER BY event_id) = 1
+),
+head AS (
+  SELECT * FROM dedup
+  QUALIFY row_number() OVER (PARTITION BY mmsi ORDER BY ts, event_id) <= {_N_PTS}
+),
+pts AS (
+  SELECT mmsi, ts, {point_wkt_duck('lon', 'lat', 'ts')} AS pw FROM head
+),
+agg AS (
+  SELECT mmsi, string_agg(pw, ', ' ORDER BY ts) AS body, count(*) AS n FROM pts GROUP BY mmsi
+)
+SELECT mmsi,
+       CASE WHEN n = 1 THEN body END AS instant_wkt,
+       '{{' || body || '}}' AS discrete_wkt,
+       '[' || body || ']' AS linear_wkt,
+       'Interp=Step;[' || body || ']' AS step_wkt
+FROM agg
+""",
+    tags=("F2", "F6"),
+    doc="instant / discrete {a,b} / linear [a,b] / step Interp=Step;[a,b] WKT forms "
+    "(01_hello_world.rs:8,14,23,32); instant form only for single-point vessels",
+)
+def serde_wkt_forms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meos_rs_spark.functions.trajectory import dedup_monotonic
+
+    pts = dedup_monotonic(posits(spark, sf_dir))
+    w = Window.partitionBy("mmsi").orderBy("ts", "event_id")
+    pts = pts.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= _N_PTS)
+    agg = (
+        pts.select("mmsi", "ts", point_wkt("lon", "lat", "ts").alias("pw"))
+        .groupBy("mmsi")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list(F.struct("ts", "pw"))), lambda s: s["pw"]),
+                ", ",
+            ).alias("body"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return agg.select(
+        "mmsi",
+        F.when(F.col("n") == 1, F.col("body")).alias("instant_wkt"),
+        F.concat(F.lit("{"), F.col("body"), F.lit("}")).alias("discrete_wkt"),
+        F.concat(F.lit("["), F.col("body"), F.lit("]")).alias("linear_wkt"),
+        F.concat(F.lit("Interp=Step;["), F.col("body"), F.lit("]")).alias("step_wkt"),
+    )
+
+
+_GAP_US = 21_600_000_000  # 6h session gap for the sequence-set form
+
+
+@register(
+    "serde_wkt_seqset",
+    oracle=f"""
+WITH {POSITS_CTE},
+flagged AS (
+  SELECT mmsi, ts, lon, lat,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {_GAP_US} THEN 1 ELSE 0 END AS new_s
+  FROM posits WINDOW w AS (PARTITION BY mmsi ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT mmsi, ts, lon, lat,
+         SUM(new_s) OVER (PARTITION BY mmsi ORDER BY ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+),
+capped AS (
+  SELECT * FROM sessions
+  QUALIFY row_number() OVER (PARTITION BY mmsi, sid ORDER BY ts) <= 3
+),
+per_session AS (
+  SELECT mmsi, sid,
+         '[' || string_agg({point_wkt_duck('lon', 'lat', 'ts')}, ', ' ORDER BY ts) || ']' AS seq,
+         min(ts) AS s_start
+  FROM capped GROUP BY mmsi, sid HAVING count(*) > 0
+)
+SELECT mmsi,
+       '{{' || string_agg(seq, ', ' ORDER BY s_start) || '}}' AS seqset_wkt,
+       count(*) AS n_sequences
+FROM per_session GROUP BY mmsi
+""",
+    tags=("F2", "TSet"),
+    doc="sequence-set WKT {[...], [...]} from gap-split sessions (01_hello_world.rs:41; "
+    "TSet = trajectory with gaps, tset.rs:10-49); 3 points per sequence for bounded output",
+)
+def serde_wkt_seqset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("mmsi").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    gap_us = F.expr("unix_micros(CAST(ts AS TIMESTAMP))") - F.expr(
+        "unix_micros(CAST(lag(ts) OVER (PARTITION BY mmsi ORDER BY ts, event_id) AS TIMESTAMP))"
+    )
+    sess = (
+        posits(spark, sf_dir)
+        .withColumn("new_s", F.when(gap_us.isNull() | (gap_us > _GAP_US), 1).otherwise(0))
+        .withColumn("sid", F.sum("new_s").over(wrun))
+    )
+    wcap = Window.partitionBy("mmsi", "sid").orderBy("ts")
+    capped = sess.withColumn("__rn", F.row_number().over(wcap)).filter(F.col("__rn") <= 3)
+    per_session = (
+        capped.select("mmsi", "sid", "ts", point_wkt("lon", "lat", "ts").alias("pw"))
+        .groupBy("mmsi", "sid")
+        .agg(
+            F.concat(
+                F.lit("["),
+                F.array_join(
+                    F.transform(F.array_sort(F.collect_list(F.struct("ts", "pw"))), lambda s: s["pw"]),
+                    ", ",
+                ),
+                F.lit("]"),
+            ).alias("seq"),
+            F.min("ts").alias("s_start"),
+        )
+    )
+    return (
+        per_session.groupBy("mmsi")
+        .agg(
+            F.concat(
+                F.lit("{"),
+                F.array_join(
+                    F.transform(F.array_sort(F.collect_list(F.struct("s_start", "seq"))), lambda s: s["seq"]),
+                    ", ",
+                ),
+                F.lit("}"),
+            ).alias("seqset_wkt"),
+            F.count(F.lit(1)).alias("n_sequences"),
+        )
+    )

@@ -222,3 +222,47 @@ def stream_stateful_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .select("user_id", "n_points", "t_start_us", "t_end_us")
     )
+
+
+# --- sliding window aggregation --------------------------------------------
+
+
+@register(
+    "stream_sliding_counts",
+    oracle="""
+WITH contrib AS (
+  SELECT user_id, value,
+         date_trunc('hour', ts) AS w1,
+         date_trunc('hour', ts) - INTERVAL 1 HOUR AS w0
+  FROM events
+),
+expanded AS (
+  SELECT user_id, value, w1 AS win_start FROM contrib
+  UNION ALL
+  SELECT user_id, value, w0 FROM contrib
+)
+SELECT user_id, win_start, count(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM expanded GROUP BY user_id, win_start
+""",
+    tags=("ST",),
+    doc="2h sliding window, 1h slide: each event lands in two windows; the batch twin "
+    "expands each event into both contributing window starts",
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.window("ts", "2 hours", "1 hour").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )
+    out = _run_to_table(agg, spark)
+    return out.select(
+        "user_id",
+        F.col("win.start").cast("timestamp_ntz").alias("win_start"),
+        "n",
+        "sum_value",
+    )

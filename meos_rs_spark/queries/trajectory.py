@@ -625,3 +625,103 @@ def traj_at_box(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_total"),
         )
     )
+
+
+# --- L2d: Douglas-Peucker simplification ------------------------------------
+
+_DP_EPSILON = 5.0
+
+
+def _simplify_group(key, pdf):
+    import pandas as pd
+
+    from meos_rs_spark.functions.simplify import douglas_peucker_mask
+
+    pdf = pdf.sort_values(["ts", "event_id"])
+    pts = pdf[["lon", "lat"]].to_numpy(dtype=float)
+    keep = douglas_peucker_mask(pts, _DP_EPSILON)
+    return pd.DataFrame(
+        {
+            "mmsi": [key[0]],
+            "n_original": [len(pdf)],
+            "n_simplified": [int(keep.sum())],
+            "kept_event_ids": [pdf["event_id"].to_numpy()[keep].tolist()],
+        }
+    )
+
+
+@register(
+    "traj_simplify_dp",
+    oracle=None,  # recursive geometry algorithm — golden tests in tests/test_simplify.py
+    tags=("L2d",),
+    doc=f"Douglas-Peucker simplification (L2 temporal_simplify_dp), epsilon={_DP_EPSILON}, "
+    "via applyInPandas per vessel (numpy stack implementation, Arrow batches)",
+)
+def traj_simplify_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        posits(spark, sf_dir)
+        .groupBy("mmsi")
+        .applyInPandas(
+            _simplify_group,
+            schema="mmsi long, n_original long, n_simplified long, kept_event_ids array<long>",
+        )
+    )
+
+
+# --- SET/span-set algebra: session-span coverage ----------------------------
+
+
+@register(
+    "traj_spanset_coverage",
+    oracle=f"""
+WITH {POSITS_CTE},
+flagged AS (
+  SELECT mmsi, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000 THEN 1 ELSE 0 END AS new_s
+  FROM posits WINDOW w AS (PARTITION BY mmsi ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT mmsi, ts,
+         SUM(new_s) OVER (PARTITION BY mmsi ORDER BY ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+),
+spans AS (
+  SELECT mmsi, sid, epoch_us(min(ts)) AS lo, epoch_us(max(ts)) AS hi
+  FROM sessions GROUP BY mmsi, sid
+)
+SELECT mmsi,
+       count(*) AS n_spans,
+       SUM(hi - lo) AS covered_us,
+       max(hi) - min(lo) AS extent_us,
+       max(hi) - min(lo) - SUM(hi - lo) AS gaps_us
+FROM spans GROUP BY mmsi
+""",
+    tags=("SET", "TSet"),
+    doc="span-set algebra over the vessel's session spans (L2 spanset union/difference): "
+    "covered duration = union of disjoint session spans, gaps = extent minus union — "
+    "the timestamp-span analog of §2.7's set operations",
+)
+def traj_spanset_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("mmsi").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    gap_us = F.expr("unix_micros(CAST(ts AS TIMESTAMP))") - F.expr(
+        "unix_micros(CAST(lag(ts) OVER (PARTITION BY mmsi ORDER BY ts, event_id) AS TIMESTAMP))"
+    )
+    spans = (
+        posits(spark, sf_dir)
+        .withColumn("new_s", F.when(gap_us.isNull() | (gap_us > 21_600_000_000), 1).otherwise(0))
+        .withColumn("sid", F.sum("new_s").over(wrun))
+        .groupBy("mmsi", "sid")
+        .agg(
+            F.expr("unix_micros(CAST(min(ts) AS TIMESTAMP))").alias("lo"),
+            F.expr("unix_micros(CAST(max(ts) AS TIMESTAMP))").alias("hi"),
+        )
+    )
+    return spans.groupBy("mmsi").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("hi") - F.col("lo")).alias("covered_us"),
+        (F.max("hi") - F.min("lo")).alias("extent_us"),
+        (F.max("hi") - F.min("lo") - F.sum(F.col("hi") - F.col("lo"))).alias("gaps_us"),
+    )

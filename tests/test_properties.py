@@ -1,0 +1,67 @@
+"""Property-based tests (hypothesis) for the pure algorithmic kernels —
+stronger than the reference's golden-string-only strategy (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from meos_rs_spark.functions.similarity import (
+    dtw_distance,
+    frechet_distance,
+    hausdorff_distance,
+)
+from meos_rs_spark.functions.simplify import douglas_peucker_mask
+
+coords = st.floats(min_value=-100, max_value=100, allow_nan=False, allow_infinity=False)
+curve = st.lists(st.tuples(coords, coords), min_size=1, max_size=12).map(np.array)
+
+
+@settings(max_examples=50, deadline=None)
+@given(curve, curve)
+def test_similarity_symmetry(a, b):
+    assert dtw_distance(a, b) == dtw_distance(b, a)
+    assert frechet_distance(a, b) == frechet_distance(b, a)
+    assert hausdorff_distance(a, b) == hausdorff_distance(b, a)
+
+
+@settings(max_examples=50, deadline=None)
+@given(curve)
+def test_similarity_identity(a):
+    assert dtw_distance(a, a) == 0.0
+    assert frechet_distance(a, a) == 0.0
+    assert hausdorff_distance(a, a) == 0.0
+
+
+@settings(max_examples=50, deadline=None)
+@given(curve, curve)
+def test_frechet_bounds_hausdorff(a, b):
+    # discrete Fréchet dominates Hausdorff; both dominated by max pair distance
+    h = hausdorff_distance(a, b)
+    f = frechet_distance(a, b)
+    dmax = float(np.sqrt(((a[:, None, :] - b[None, :, :]) ** 2).sum(axis=2)).max())
+    assert f >= h - 1e-9
+    assert f <= dmax + 1e-9
+
+
+def _perp(p, a, b):
+    ab = b - a
+    denom = np.hypot(*ab)
+    if denom == 0.0:
+        return float(np.hypot(*(p - a)))
+    return float(abs(ab[0] * (a[1] - p[1]) - (a[0] - p[0]) * ab[1]) / denom)
+
+
+@settings(max_examples=50, deadline=None)
+@given(curve, st.floats(min_value=0, max_value=50, allow_nan=False))
+def test_dp_error_guarantee(pts, eps):
+    """The DP invariant: every dropped point lies within eps of the segment
+    joining its enclosing kept points."""
+    keep = douglas_peucker_mask(pts, eps)
+    assert len(keep) == len(pts)
+    assert keep[0] and keep[-1]  # endpoints always survive
+    kept_idx = np.flatnonzero(keep)
+    for lo, hi in zip(kept_idx, kept_idx[1:]):
+        for m in range(lo + 1, hi):
+            assert _perp(pts[m], pts[lo], pts[hi]) <= eps + 1e-9

@@ -1,0 +1,53 @@
+"""Golden tests for Douglas-Peucker simplification (L2d), hand-built curves."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from meos_rs_spark.functions.simplify import douglas_peucker_mask
+
+
+def test_straight_line_collapses_to_endpoints():
+    pts = np.array([[float(i), 0.0] for i in range(10)])
+    keep = douglas_peucker_mask(pts, epsilon=0.5)
+    assert keep.tolist() == [True] + [False] * 8 + [True]
+
+
+def test_spike_is_kept():
+    pts = np.array([[0.0, 0.0], [1.0, 0.0], [2.0, 5.0], [3.0, 0.0], [4.0, 0.0]])
+    keep = douglas_peucker_mask(pts, epsilon=1.0)
+    assert keep[0] and keep[-1] and keep[2]  # the spike survives
+    assert not keep[1] and not keep[3]  # collinear-ish points dropped
+
+
+def test_epsilon_zero_keeps_everything_nonlinear():
+    pts = np.array([[0.0, 0.0], [1.0, 0.1], [2.0, -0.1], [3.0, 0.0]])
+    keep = douglas_peucker_mask(pts, epsilon=0.0)
+    assert keep.all()
+
+
+def test_degenerate_inputs():
+    assert douglas_peucker_mask(np.empty((0, 2)), 1.0).tolist() == []
+    assert douglas_peucker_mask(np.array([[1.0, 1.0]]), 1.0).tolist() == [True]
+    # duplicate endpoints (zero-length segment) must not divide by zero
+    pts = np.array([[1.0, 1.0], [2.0, 3.0], [1.0, 1.0]])
+    keep = douglas_peucker_mask(pts, epsilon=0.5)
+    assert keep[0] and keep[-1] and keep[1]
+
+
+def test_spark_query_matches_local(spark):
+    from meos_rs_spark.functions.trajectory import posits
+    from meos_rs_spark.registry import load_registry
+    from tests.conftest import SF_SMOKE
+
+    rows = {r.mmsi: r for r in load_registry()["traj_simplify_dp"].fn(spark, SF_SMOKE).collect()}
+    pts = posits(spark, SF_SMOKE).orderBy("ts", "event_id").collect()
+    by_id: dict[int, list] = {}
+    for r in pts:
+        by_id.setdefault(r.mmsi, []).append((r.lon, r.lat, r.event_id))
+    for mmsi in list(by_id)[:3]:
+        arr = np.array([(x, y) for x, y, _ in by_id[mmsi]])
+        keep = douglas_peucker_mask(arr, 5.0)
+        expected = [eid for (_, _, eid), k in zip(by_id[mmsi], keep) if k]
+        assert rows[mmsi].kept_event_ids == expected
+        assert rows[mmsi].n_simplified == int(keep.sum())
