@@ -725,3 +725,74 @@ def traj_spanset_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("hi") - F.min("lo")).alias("extent_us"),
         (F.max("hi") - F.min("lo") - F.sum(F.col("hi") - F.col("lo"))).alias("gaps_us"),
     )
+
+
+# --- L2d: SRID transform (lon/lat → web-mercator) ---------------------------
+
+_R = 6378137.0
+
+
+@register(
+    "traj_project_mercator",
+    oracle=f"""
+WITH {POSITS_CTE}
+SELECT mmsi, event_id,
+       round(radians(lon) * {_R}, 6) AS x_merc,
+       round(ln(tan(pi() / 4 + radians(least(lat, 85.0)) / 2)) * {_R}, 6) AS y_merc
+FROM posits
+""",
+    tags=("L2d",),
+    doc="CRS transform (L2 tpoint_transform via PROJ): EPSG:4326 → EPSG:3857 web-mercator, "
+    "closed-form; rounded to 6 digits (ln/tan may differ in the last ulp across engines)",
+)
+def traj_project_mercator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lat_c = F.least(F.col("lat"), F.lit(85.0))
+    return posits(spark, sf_dir).select(
+        "mmsi",
+        "event_id",
+        F.round(F.radians("lon") * _R, 6).alias("x_merc"),
+        F.round(
+            F.log(F.tan(F.lit(3.141592653589793) / 4 + F.radians(lat_c) / 2)) * _R, 6
+        ).alias("y_merc"),
+    )
+
+
+# --- L2f: temporal boolean + duration-where-true ----------------------------
+
+
+@register(
+    "traj_tbool_duration",
+    oracle=f"""
+WITH {POSITS_CTE},
+stepped AS (
+  SELECT mmsi, ts, lon > 100 AS cond,
+         epoch_us(lead(ts) OVER (PARTITION BY mmsi ORDER BY ts, event_id)) - epoch_us(ts) AS dt_us
+  FROM posits
+)
+SELECT mmsi,
+       COALESCE(SUM(dt_us) FILTER (WHERE cond), 0) AS true_us,
+       COALESCE(SUM(dt_us) FILTER (WHERE NOT cond), 0) AS false_us,
+       count(*) AS n_instants
+FROM stepped GROUP BY mmsi
+""",
+    tags=("L2f", "L2e"),
+    doc="temporal boolean (tbool) with step semantics: lon>100 evaluated per instant, "
+    "held until the next instant; duration-where-true per vessel (L2 tbool_when/duration)",
+)
+def traj_tbool_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("mmsi").orderBy("ts", "event_id")
+    dt = F.expr(
+        "unix_micros(CAST(lead(ts) OVER (PARTITION BY mmsi ORDER BY ts, event_id) AS TIMESTAMP))"
+    ) - F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+    cond = F.col("lon") > 100
+    return (
+        posits(spark, sf_dir)
+        .withColumn("dt_us", dt)
+        .withColumn("cond", cond)
+        .groupBy("mmsi")
+        .agg(
+            F.coalesce(F.sum(F.when(F.col("cond"), F.col("dt_us"))), F.lit(0)).alias("true_us"),
+            F.coalesce(F.sum(F.when(~F.col("cond"), F.col("dt_us"))), F.lit(0)).alias("false_us"),
+            F.count(F.lit(1)).alias("n_instants"),
+        )
+    )

@@ -142,3 +142,41 @@ def trajsim_dtw_frechet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tagged = side_a.unionByName(side_b)
     return tagged.groupBy("id_a", "id_b").applyInPandas(_pair_dp, schema=_DP_SCHEMA)
+
+
+# --- L2: nearest-approach distance ------------------------------------------
+
+
+@register(
+    "trajsim_nearest_approach",
+    oracle=f"""
+WITH {POSITS_CTE},
+sel AS (SELECT mmsi, lon, lat FROM posits WHERE mmsi < {K_VESSELS}),
+pairs AS (
+  SELECT a.mmsi AS id_a, b.mmsi AS id_b,
+         sqrt((a.lon - b.lon) * (a.lon - b.lon) + (a.lat - b.lat) * (a.lat - b.lat)) AS d
+  FROM sel a JOIN sel b ON a.mmsi < b.mmsi
+)
+SELECT id_a, id_b, min(d) AS nad
+FROM pairs GROUP BY id_a, id_b
+""",
+    tags=("L2g", "L2d"),
+    doc="nearest-approach distance between trajectory pairs (L2 nad_tpoint_tpoint): "
+    "min pointwise distance; min-agg only, no float-sum hazards",
+)
+def trajsim_nearest_approach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sel = posits(spark, sf_dir).filter(F.col("mmsi") < K_VESSELS).select("mmsi", "lon", "lat")
+    a = sel.select(F.col("mmsi").alias("id_a"), F.col("lon").alias("ax"), F.col("lat").alias("ay"))
+    b = sel.select(F.col("mmsi").alias("id_b"), F.col("lon").alias("bx"), F.col("lat").alias("by"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "d",
+            F.sqrt(
+                (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
+                + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by"))
+            ),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.min("d").alias("nad"))
+    )
