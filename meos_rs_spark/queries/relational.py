@@ -581,3 +581,37 @@ def rel_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l.l_partkey
         """
     )
+
+
+# --- skew defense: two-stage salted aggregation ----------------------------
+
+_SALT = 16
+
+
+@register(
+    "rel_salted_agg",
+    oracle="""
+SELECT l_returnflag,
+       count(*) AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM lineitem GROUP BY l_returnflag
+""",
+    tags=("A1", "A2"),
+    doc=f"hot-key defense: stage 1 aggregates on (key, salt=pmod(hash(rowid), {_SALT})) "
+    "spreading each giant group over the cluster, stage 2 re-aggregates per key — "
+    "exact-decimal partials make the two-stage sum identical to the direct one "
+    "(the salting pattern for skewed vessels at 100 TB, SURVEY §7 known-hard e)",
+)
+def rel_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    salted = li.withColumn(
+        "__salt", F.pmod(F.hash("l_orderkey", "l_linenumber"), F.lit(_SALT))
+    )
+    partial = salted.groupBy("l_returnflag", "__salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("psum"),
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("pn").alias("n"),
+        F.sum("psum").cast("double").alias("total"),
+    )
