@@ -796,3 +796,58 @@ def traj_tbool_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_instants"),
         )
     )
+
+
+# --- L2d: geodesic (haversine) length ---------------------------------------
+
+_EARTH_R = 6371000.0
+
+
+@register(
+    "traj_length_haversine",
+    oracle=f"""
+WITH {POSITS_CTE},
+segs AS (
+  SELECT mmsi,
+         2 * {_EARTH_R} * asin(sqrt(
+             pow(sin(radians(lat - lag(lat) OVER w) / 2), 2)
+           + cos(radians(lag(lat) OVER w)) * cos(radians(lat))
+             * pow(sin(radians(lon - lag(lon) OVER w) / 2), 2)
+         )) AS seg_m
+  FROM posits WINDOW w AS (PARTITION BY mmsi ORDER BY ts, event_id)
+)
+SELECT mmsi,
+       CAST(SUM(CAST(ROUND(seg_m, 3) AS DECIMAL(28,3))) AS DOUBLE) AS length_m,
+       count(seg_m) AS n_segments
+FROM segs GROUP BY mmsi HAVING count(seg_m) > 0
+""",
+    tags=("L2d",),
+    doc="geodesic trajectory length via haversine on WGS84 (the true tpoint_length "
+    "semantic for geography points, SRID=4326 per 04_to_file.rs:147); per-segment "
+    "round-to-mm before the exact-decimal fold (sin/cos/asin engine ulp tolerance)",
+)
+def traj_length_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("mmsi").orderBy("ts", "event_id")
+    lat0, lon0 = F.lag("lat").over(w), F.lag("lon").over(w)
+    seg = (
+        2
+        * _EARTH_R
+        * F.asin(
+            F.sqrt(
+                F.pow(F.sin(F.radians(F.col("lat") - lat0) / 2), 2)
+                + F.cos(F.radians(lat0))
+                * F.cos(F.radians("lat"))
+                * F.pow(F.sin(F.radians(F.col("lon") - lon0) / 2), 2)
+            )
+        )
+    )
+    return (
+        posits(spark, sf_dir)
+        .withColumn("seg_m", seg)
+        .filter(F.col("seg_m").isNotNull())
+        .groupBy("mmsi")
+        .agg(
+            F.sum(F.round("seg_m", 3).cast("decimal(28,3)")).cast("double").alias("length_m"),
+            F.count("seg_m").alias("n_segments"),
+        )
+    )
