@@ -266,3 +266,74 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "sum_value",
     )
+
+
+# --- streaming dedup (P4 under a watermark) ---------------------------------
+
+
+@register(
+    "stream_dedup_watermark",
+    oracle="""
+WITH d AS (
+  SELECT user_id, ts FROM events
+  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) = 1
+)
+SELECT user_id, count(*) AS n_unique FROM d GROUP BY user_id
+""",
+    tags=("ST", "P4"),
+    doc="streaming monotonic dedup: dropDuplicatesWithinWatermark on (user_id, ts) — "
+    "the streaming form of the 04_to_file.rs:92-96 filter with bounded state",
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _stream_events(spark, sf_dir)
+    deduped = (
+        ev.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "ts"])
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+    )
+    out = _run_to_table(deduped, spark)
+    return out.select("user_id", "n_unique")
+
+
+# --- foreachBatch upsert sink (S6 streaming form) ---------------------------
+
+
+@register(
+    "stream_foreachbatch_sink",
+    oracle="""
+SELECT user_id, count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY user_id
+""",
+    tags=("ST", "S6"),
+    doc="foreachBatch sink: each micro-batch merged into a parquet store "
+    "(the streaming leg of the ais_to_db.rs:202-212 batch-upsert loop); "
+    "store read back after availableNow completion",
+)
+def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    store = os.path.join(tempfile.gettempdir(), f"meos_rs_spark_{tag}", "stream_store")
+    # reset the store for a deterministic result on every invocation
+    import shutil
+
+    shutil.rmtree(store, ignore_errors=True)
+
+    def write_batch(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(store)
+
+    ev = _stream_events(spark, sf_dir)
+    q = (
+        ev.writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", store + "_ckpt_" + uuid.uuid4().hex[:8])
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(store)
+    return back.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
