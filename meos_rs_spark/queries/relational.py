@@ -615,3 +615,40 @@ def rel_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").alias("n"),
         F.sum("psum").cast("double").alias("total"),
     )
+
+
+# --- TPC-H Q19 shape: disjunctive multi-predicate join ---------------------
+
+
+@register(
+    "rel_disjunctive_join",
+    oracle="""
+SELECT count(*) AS n,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND l.l_quantity BETWEEN 1 AND 11 AND p.p_size BETWEEN 1 AND 5)
+   OR (p.p_brand = 'Brand#2' AND l.l_quantity BETWEEN 10 AND 20 AND p.p_size BETWEEN 1 AND 10)
+   OR (p.p_brand = 'Brand#3' AND l.l_quantity BETWEEN 20 AND 30 AND p.p_size BETWEEN 1 AND 15)
+""",
+    tags=("J1", "P2"),
+    doc="TPC-H Q19 shape: OR-of-conjunctions over a join — Catalyst extracts the "
+    "common p_partkey equi-key and pushes brand/size disjuncts to the part scan",
+)
+def rel_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    cond = (
+        ((p.p_brand == "Brand#1") & F.col("l_quantity").between(1, 11) & p.p_size.between(1, 5))
+        | ((p.p_brand == "Brand#2") & F.col("l_quantity").between(10, 20) & p.p_size.between(1, 10))
+        | ((p.p_brand == "Brand#3") & F.col("l_quantity").between(20, 30) & p.p_size.between(1, 15))
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,4)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

@@ -243,3 +243,34 @@ def scalar_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("text", r"([a-z]+)", 1).alias("first_word"),
         F.col("text").rlike("spark.*join|join.*spark").cast("int").alias("spark_join"),
     )
+
+
+# --- maps ------------------------------------------------------------------
+
+
+@register(
+    "scalar_maps",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, map {'lang': lang, 'source': source} AS m FROM documents
+)
+SELECT doc_id,
+       m['lang'][1] AS lang_val,       -- DuckDB map access yields a list
+       m['source'][1] AS source_val,
+       CAST(cardinality(m) AS INT) AS n_keys,
+       array_to_string(map_keys(m), ',') AS keys_csv
+FROM t
+""",
+    tags=("scalar", "map"),
+    doc="map construction/access battery (map_from_arrays, element access, keys)",
+)
+def scalar_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    m = F.create_map(F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source"))
+    return d.select(
+        "doc_id",
+        m["lang"].alias("lang_val"),
+        m["source"].alias("source_val"),
+        F.size(m).alias("n_keys"),
+        F.array_join(F.map_keys(m), ",").alias("keys_csv"),
+    )
