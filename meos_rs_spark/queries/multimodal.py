@@ -93,4 +93,18 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
-    return d.mapInPandas(_fake_decode, schema=_DECODE_SCHEMA)
+    decoded = d.mapInPandas(_fake_decode, schema=_DECODE_SCHEMA)
+    # render the vector to one sortable string column: the driver's rows-only
+    # canonicalizer sorts output columns in pandas, which cannot hash a raw
+    # array<double> cell (r2 ERR) — components are small exact integers, so
+    # a fixed "%.1f" rendering is lossless
+    return decoded.select(
+        "doc_id",
+        "payload_bytes",
+        "fake_width",
+        "fake_height",
+        "fake_n_frames",
+        F.array_join(
+            F.transform("feature", lambda x: F.format_string("%.1f", x)), ","
+        ).alias("feature_csv"),
+    )

@@ -63,7 +63,7 @@ _CSV_SCHEMA = StructType(
 SELECT event_type,
        count(*) AS n,
        count(DISTINCT user_id) AS n_users,
-       sum(event_id) AS sum_ids
+       CAST(sum(event_id) AS BIGINT) AS sum_ids
 FROM events GROUP BY event_type
 """,
     tags=("S1", "S2"),

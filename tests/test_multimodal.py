@@ -11,10 +11,10 @@ def test_decode_schema_and_determinism(spark):
     spec = load_registry()["mm_decode_features"]
     df = spec.fn(spark, SF_SMOKE)
     assert [f.name for f in df.schema.fields] == [
-        "doc_id", "payload_bytes", "fake_width", "fake_height", "fake_n_frames", "feature"
+        "doc_id", "payload_bytes", "fake_width", "fake_height", "fake_n_frames", "feature_csv"
     ]
-    a = {r.doc_id: (r.payload_bytes, tuple(r.feature)) for r in df.collect()}
-    b = {r.doc_id: (r.payload_bytes, tuple(r.feature)) for r in spec.fn(spark, SF_SMOKE).collect()}
+    a = {r.doc_id: (r.payload_bytes, r.feature_csv) for r in df.collect()}
+    b = {r.doc_id: (r.payload_bytes, r.feature_csv) for r in spec.fn(spark, SF_SMOKE).collect()}
     assert a == b and len(a) > 0
     # payload length must match the documents' byte length
     docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").selectExpr(
@@ -27,4 +27,4 @@ def test_decode_schema_and_determinism(spark):
 def test_feature_dim(spark):
     spec = load_registry()["mm_decode_features"]
     row = spec.fn(spark, SF_SMOKE).limit(1).collect()[0]
-    assert len(row.feature) == 4
+    assert len(row.feature_csv.split(",")) == 4
