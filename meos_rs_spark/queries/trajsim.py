@@ -165,11 +165,22 @@ FROM pairs GROUP BY id_a, id_b
     "min pointwise distance; min-agg only, no float-sum hazards",
 )
 def trajsim_nearest_approach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Same shape as trajsim_hausdorff: the only non-equi join is the tiny
+    # distinct-id pair build (K² rows); points attach via equi-joins on the
+    # vessel id, so the plan never nested-loops over point-level rows
+    # (the r2 version's `a.join(b, id_a < id_b)` over points planned as a
+    # BroadcastNestedLoopJoin quadratic in total points).
     sel = posits(spark, sf_dir).filter(F.col("mmsi") < K_VESSELS).select("mmsi", "lon", "lat")
-    a = sel.select(F.col("mmsi").alias("id_a"), F.col("lon").alias("ax"), F.col("lat").alias("ay"))
-    b = sel.select(F.col("mmsi").alias("id_b"), F.col("lon").alias("bx"), F.col("lat").alias("by"))
+    ids = sel.select("mmsi").distinct()
+    pairs = (
+        ids.select(F.col("mmsi").alias("id_a"))
+        .join(ids.select(F.col("mmsi").alias("id_b")), F.col("id_a") < F.col("id_b"))
+    )
+    pa = sel.select(F.col("mmsi").alias("id_a"), F.col("lon").alias("ax"), F.col("lat").alias("ay"))
+    pb = sel.select(F.col("mmsi").alias("id_b"), F.col("lon").alias("bx"), F.col("lat").alias("by"))
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+        pairs.join(pa, "id_a")
+        .join(pb, "id_b")
         .withColumn(
             "d",
             F.sqrt(

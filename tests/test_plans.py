@@ -45,6 +45,17 @@ def test_lsh_has_no_cartesian_product(spark):
         assert "BroadcastNestedLoopJoin" not in plan or name == "box_stbox_overlap_join", name
 
 
+def test_nearest_approach_not_point_quadratic(spark):
+    # the only nested-loop join allowed is the K²-bounded distinct-id pair
+    # build; the point-level joins must be equi-joins on the vessel id
+    # (the r2 plan nested-looped raw point scans — quadratic in total points)
+    plan = _plan(spark, "trajsim_nearest_approach")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    equi = sum(plan.count(j) for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"))
+    assert equi >= 2, plan[:2000]
+
+
 def test_bucketed_join_is_exchange_free(spark):
     df = load_registry()["snk_bucketed_join"].fn(spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
