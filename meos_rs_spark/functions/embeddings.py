@@ -39,6 +39,22 @@ def cosine(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(num / den)
 
 
+@pandas_udf(DoubleType())
+def seq_dot(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Bare sequential-fold dot product — combine with precomputed ``l2norm``
+    columns to avoid re-folding each vector's norm once per pair (the full
+    ``cosine`` does 3 folds per pair; dot+stored-norms does 1)."""
+    return pd.Series(_seq_dot(_stack(a), _stack(b)))
+
+
+@pandas_udf(DoubleType())
+def l2norm(a: pd.Series) -> pd.Series:
+    """sqrt of the sequential-fold self-dot: bit-identical to the
+    ``sqrt(list_dot_product(v, v))`` factor in the oracle's cosine."""
+    v = _stack(a)
+    return pd.Series(np.sqrt(_seq_dot(v, v)))
+
+
 def plane_signs(n_planes: int, dim: int) -> np.ndarray:
     """Deterministic ±1 hyperplanes from md5 parity — MUST stay in lockstep
     with the SQL definition in queries/similarity.py (_PLANE_SIGN templates):

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from meos_rs_spark.functions.embeddings import cosine, make_lsh_bucket_udf
+from meos_rs_spark.functions.embeddings import cosine, l2norm, make_lsh_bucket_udf, seq_dot
 from meos_rs_spark.registry import register
 from meos_rs_spark.sources.tables import load_table
 
@@ -60,12 +60,15 @@ QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) <
     "TakeOrdered per probe; the exactness baseline for the LSH variant",
 )
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    # norms fold once per VECTOR (not once per pair): cosine = dot/(|a|·|b|)
+    # with |·| precomputed — same sequential fold the oracle's
+    # sqrt(list_dot_product(v,v)) factor performs, so values stay bit-equal
+    emb = load_table(spark, sf_dir, "embeddings").withColumn("enorm", l2norm("embedding"))
     probes = emb.filter(F.col("vec_id") < N_PROBES).select(
-        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe"), F.col("enorm").alias("pnorm")
     )
     scored = emb.join(broadcast(probes), F.col("vec_id") != F.col("probe_id")).withColumn(
-        "cosine", cosine(F.col("pe"), F.col("embedding"))
+        "cosine", seq_dot(F.col("pe"), F.col("embedding")) / (F.col("pnorm") * F.col("enorm"))
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), "vec_id")
     return (
