@@ -138,11 +138,25 @@ def merge_trajs(a: Column, b: Column) -> Column:
     """Merge two trajectory structs into one (ais_to_db.rs:160 semantics:
     append the new batch onto the stored sequence, dedup on ts, re-sort).
 
-    Pure Column ops: concat point arrays → sort → drop adjacent ts
-    duplicates keeping the first (the stored side wins, matching
-    ``public.update(old, EXCLUDED.new, true)`` with old listed first).
+    Pure Column ops: tag each point with its side ordinal (0 = stored, 1 =
+    incoming) before sorting on (ts, side), so on a timestamp collision the
+    kept point is the STORED one — matching ``public.update(old, EXCLUDED.new,
+    true)`` with old listed first — regardless of position values (a bare
+    (ts, lon, lat) sort kept the lexicographically smallest position instead).
     """
-    pts = F.array_sort(F.concat(a["points"], b["points"]))
+
+    def _tag(pts: Column, side: int) -> Column:
+        return F.transform(
+            pts,
+            lambda p: F.struct(
+                p["ts"].alias("ts"),
+                F.lit(side).alias("side"),
+                p["lon"].alias("lon"),
+                p["lat"].alias("lat"),
+            ),
+        )
+
+    pts = F.array_sort(F.concat(_tag(a["points"], 0), _tag(b["points"], 1)))
     deduped = F.filter(
         pts,
         lambda p, i: (i == 0) | (p["ts"] != F.get(pts, i - 1)["ts"]),
@@ -151,7 +165,10 @@ def merge_trajs(a: Column, b: Column) -> Column:
         a["interp"].alias("interp"),
         a["lower_inc"].alias("lower_inc"),
         b["upper_inc"].alias("upper_inc"),
-        deduped.alias("points"),
+        F.transform(
+            deduped,
+            lambda p: F.struct(p["ts"].alias("ts"), p["lon"].alias("lon"), p["lat"].alias("lat")),
+        ).alias("points"),
     )
 
 

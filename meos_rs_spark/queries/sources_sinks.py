@@ -146,18 +146,22 @@ FROM merged GROUP BY mmsi
 def snk_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _scratch(sf_dir, "trips_store")
     pts = posits(spark, sf_dir)
-    mid = pts.agg(
+    # split point stays engine-side: broadcast the 1-row aggregate instead of
+    # a driver .collect() round-trip (the 100 TB upsert loop must not force an
+    # extra job per batch)
+    mid_df = pts.agg(
         F.expr(
             "timestampadd(MICROSECOND, (unix_micros(CAST(max(ts) AS TIMESTAMP)) "
             "- unix_micros(CAST(min(ts) AS TIMESTAMP))) div 2, min(ts))"
-        ).alias("mid")
-    ).collect()[0]["mid"]
+        ).alias("mid_ts")
+    )
+    split = pts.crossJoin(F.broadcast(mid_df))
 
-    first = assemble(pts.filter(F.col("ts") <= F.lit(mid)), min_size=1)
+    first = assemble(split.filter(F.col("ts") <= F.col("mid_ts")).drop("mid_ts"), min_size=1)
     first.write.mode("overwrite").parquet(path)
 
     store = spark.read.parquet(path).select("mmsi", F.col("traj").alias("old_traj"))
-    incoming = assemble(pts.filter(F.col("ts") > F.lit(mid)), min_size=1).select(
+    incoming = assemble(split.filter(F.col("ts") > F.col("mid_ts")).drop("mid_ts"), min_size=1).select(
         "mmsi", F.col("traj").alias("new_traj")
     )
     empty = F.struct(

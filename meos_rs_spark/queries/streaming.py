@@ -22,6 +22,13 @@ from pyspark.sql.types import LongType, StringType, StructField, StructType
 from meos_rs_spark.registry import register
 from pyspark.sql.types import DoubleType
 
+# dropDuplicatesWithinWatermark only guarantees dedup of duplicates whose
+# arrivals fall within the delay; the fixture's event span is ~30 days
+# (tests/test_streaming_bounds.py asserts < this bound), so 45 days makes the
+# dedup effectively global and the global-dedup oracle exact under any
+# micro-batch split of the input
+DEDUP_WATERMARK = "45 days"
+
 # streaming readers need an explicit schema; with nanosAsLong the parquet
 # TIMESTAMP(NANOS) column arrives as int64
 _EVENTS_SCHEMA = StructType(
@@ -282,12 +289,16 @@ SELECT user_id, count(*) AS n_unique FROM d GROUP BY user_id
 """,
     tags=("ST", "P4"),
     doc="streaming monotonic dedup: dropDuplicatesWithinWatermark on (user_id, ts) — "
-    "the streaming form of the 04_to_file.rs:92-96 filter with bounded state",
+    "the streaming form of the 04_to_file.rs:92-96 filter with bounded state. "
+    "The delay exceeds the fixture's full 30-day event span (asserted in "
+    "tests/test_streaming_bounds.py) so dedup is global under ANY micro-batching "
+    "and the global oracle is exact; production would size the delay to the "
+    "real late-duplicate bound instead",
 )
 def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _stream_events(spark, sf_dir)
     deduped = (
-        ev.withWatermark("ts", "1 hour")
+        ev.withWatermark("ts", DEDUP_WATERMARK)
         .dropDuplicatesWithinWatermark(["user_id", "ts"])
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_unique"))

@@ -1,0 +1,24 @@
+"""stream_dedup_watermark's global-dedup oracle is only exact while the
+watermark delay exceeds the fixture's whole event-time span (duplicates can
+then never age out of dedup state, whatever the micro-batching). Pin that
+precondition here so a fixture regeneration that widens the span fails loudly
+instead of silently breaking the streaming parity hash."""
+
+from __future__ import annotations
+
+import duckdb
+
+from meos_rs_spark.queries.streaming import DEDUP_WATERMARK
+
+SF_DIRS = [f"/root/testdata/sf{sf}" for sf in ("0.001", "0.01", "0.1")]
+
+
+def test_watermark_covers_event_span():
+    n, unit = DEDUP_WATERMARK.split()
+    assert unit in ("day", "days")
+    delay_days = int(n)
+    for sf_dir in SF_DIRS:
+        (span_days,) = duckdb.sql(
+            f"SELECT date_diff('day', min(ts), max(ts)) FROM '{sf_dir}/events.parquet'"
+        ).fetchone()
+        assert span_days < delay_days, (sf_dir, span_days, delay_days)

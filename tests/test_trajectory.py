@@ -84,3 +84,24 @@ def test_merge_dedups_on_ts(micro):
     ts_list = [p.ts.isoformat() for p in row.m.points]
     assert ts_list == sorted(ts_list)
     assert len(ts_list) == 3  # the duplicate-ts point collapsed
+
+
+def test_merge_stored_side_wins_ts_collision(spark):
+    # two single-point trajectories at the SAME ts: the stored (first) side
+    # must win even though the incoming point sorts lexicographically lower
+    # (public.update(old, EXCLUDED.new, true) with old listed first)
+    rows = [(1, "2024-01-01 00:00:00", 9.0, 9.0, 1)]
+    stored_pts = (
+        spark.createDataFrame(rows, "mmsi int, ts string, lon double, lat double, event_id int")
+        .withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    )
+    incoming_pts = stored_pts.select(
+        "mmsi", "ts", (F.col("lon") - 8).alias("lon"), (F.col("lat") - 8).alias("lat"), "event_id"
+    )
+    stored = assemble(stored_pts, min_size=1).select("mmsi", F.col("traj").alias("ta"))
+    incoming = assemble(incoming_pts, min_size=1).select("mmsi", F.col("traj").alias("tb"))
+    merged = stored.join(incoming, "mmsi").select(merge_trajs(F.col("ta"), F.col("tb")).alias("m"))
+    pts = merged.collect()[0].m.points
+    assert len(pts) == 1 and pts[0].lon == 9.0 and pts[0].lat == 9.0
+    # and the merged point schema stays (ts, lon, lat) — no side tag leaks out
+    assert list(pts[0].asDict()) == ["ts", "lon", "lat"]
