@@ -119,6 +119,45 @@ def stbox_overlaps(a: Column, b: Column) -> Column:
     )
 
 
+# --- STBox Z (3D) -----------------------------------------------------------
+#
+# STBox carries an optional Z extent (stbox.rs:113-124 round-trips
+# "STBOX Z((1,2,3),(4,5,6))"); predicates gain one more inequality pair.
+
+
+def stbox_z_overlaps(a: Column, b: Column) -> Column:
+    """overlaps_stbox_stbox with Z (stbox.rs:87-89 lifted to X/Y/Z/T)."""
+    return (
+        stbox_overlaps(a, b)
+        & (a["zmin"] <= b["zmax"])
+        & (b["zmin"] <= a["zmax"])
+    )
+
+
+def stbox_z_contains(a: Column, b: Column) -> Column:
+    """a ⊇ b on X/Y/Z/T extents (contains_stbox_stbox + Z)."""
+    return (
+        (a["xmin"] <= b["xmin"]) & (a["xmax"] >= b["xmax"])
+        & (a["ymin"] <= b["ymin"]) & (a["ymax"] >= b["ymax"])
+        & (a["zmin"] <= b["zmin"]) & (a["zmax"] >= b["zmax"])
+        & (a["tmin"] <= b["tmin"]) & (a["tmax"] >= b["tmax"])
+    )
+
+
+def stbox_z_wkt_sql(p: str, dialect: str) -> str:
+    """Canonical ``STBOX Z((xmin,ymin,zmin),(xmax,ymax,zmax))`` WKT
+    (golden form stbox.rs:119-122: minimal digits, no spaces) from columns
+    ``{p}xmin``..``{p}zmax`` — same template both dialects so they can't
+    drift."""
+    from meos_rs_spark.functions.determinism import fmt6_sql
+
+    f = lambda c: fmt6_sql(p + c, dialect)  # noqa: E731
+    return (
+        f"'STBOX Z((' || {f('xmin')} || ',' || {f('ymin')} || ',' || {f('zmin')} || "
+        f"'),(' || {f('xmax')} || ',' || {f('ymax')} || ',' || {f('zmax')} || '))'"
+    )
+
+
 def stbox_contains_point(box: Column, lon: Column, lat: Column, ts: Column) -> Column:
     """contains_stbox_tpoint (stbox.rs:83-85): box ⊇ a temporal point."""
     return (

@@ -16,6 +16,9 @@ from pyspark.sql import functions as F
 from meos_rs_spark.functions.boxes import (
     int_to_tbox_wkt,
     stbox_overlaps,
+    stbox_z_contains,
+    stbox_z_overlaps,
+    stbox_z_wkt_sql,
     tbox,
     tbox_cmp,
     tbox_contains,
@@ -102,6 +105,74 @@ def box_int_to_tbox(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
     return p.select(F.col("p_size").alias("v")).distinct().select(
         "v", int_to_tbox_wkt(F.col("v")).alias("tbox_wkt")
+    )
+
+
+# --- F8+: STBox Z — 3D extents, canonical WKT, Z-aware predicates -----------
+
+# altitude stand-in: the fixture is 2D, so z derives deterministically from
+# the event id ((id % 1000) / 10 → [0, 99.9]) — the Z plumbing (struct field,
+# predicates, WKT form) is what's under test, exactly like stbox.rs:119-122
+_Z_EXPR = "(event_id % 1000) / 10.0"
+
+# fixed probe box: X/Y the fixture's lower-left quadrant, Z the lower half
+_PROBE = {"xmin": 0.0, "xmax": 50.0, "ymin": 0.0, "ymax": 50.0, "zmin": 0.0, "zmax": 50.0}
+
+
+@register(
+    "box_stbox_z",
+    oracle=f"""
+WITH {POSITS_CTE},
+vbox AS (
+  SELECT mmsi,
+         min(lon) AS xmin, max(lon) AS xmax,
+         min(lat) AS ymin, max(lat) AS ymax,
+         min({_Z_EXPR}) AS zmin, max({_Z_EXPR}) AS zmax
+  FROM posits GROUP BY mmsi
+)
+SELECT mmsi,
+       {stbox_z_wkt_sql('', 'duck')} AS stbox_z_wkt,
+       CAST((xmin <= {_PROBE['xmax']} AND {_PROBE['xmin']} <= xmax
+         AND ymin <= {_PROBE['ymax']} AND {_PROBE['ymin']} <= ymax
+         AND zmin <= {_PROBE['zmax']} AND {_PROBE['zmin']} <= zmax) AS INT) AS overlaps_probe,
+       CAST(({_PROBE['xmin']} <= xmin AND xmax <= {_PROBE['xmax']}
+         AND {_PROBE['ymin']} <= ymin AND ymax <= {_PROBE['ymax']}
+         AND {_PROBE['zmin']} <= zmin AND zmax <= {_PROBE['zmax']}) AS INT) AS inside_probe
+FROM vbox
+""",
+    tags=("F8", "F2"),
+    doc="STBOX Z: per-vessel 3D extent boxes, canonical 'STBOX Z((..),(..))' WKT "
+    "(golden form stbox.rs:119-122), Z-aware overlap/containment vs a fixed probe "
+    "box; z is a deterministic event-id-derived altitude stand-in (2D fixture)",
+)
+def box_stbox_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    z = F.expr(_Z_EXPR)
+    vbox = (
+        posits(spark, sf_dir)
+        .groupBy("mmsi")
+        .agg(
+            F.min("lon").alias("xmin"), F.max("lon").alias("xmax"),
+            F.min("lat").alias("ymin"), F.max("lat").alias("ymax"),
+            F.min(z).alias("zmin"), F.max(z).alias("zmax"),
+        )
+    )
+    # temporal extent is irrelevant to the Z form; reuse the same instant for
+    # tmin/tmax so the generic Z predicates degenerate correctly
+    box = F.struct(
+        *[F.col(c).alias(c) for c in ("xmin", "xmax", "ymin", "ymax", "zmin", "zmax")],
+        F.lit(0).alias("tmin"), F.lit(0).alias("tmax"),
+    )
+    probe = F.struct(
+        F.lit(_PROBE["xmin"]).alias("xmin"), F.lit(_PROBE["xmax"]).alias("xmax"),
+        F.lit(_PROBE["ymin"]).alias("ymin"), F.lit(_PROBE["ymax"]).alias("ymax"),
+        F.lit(_PROBE["zmin"]).alias("zmin"), F.lit(_PROBE["zmax"]).alias("zmax"),
+        F.lit(0).alias("tmin"), F.lit(0).alias("tmax"),
+    )
+    return vbox.select(
+        "mmsi",
+        F.expr(stbox_z_wkt_sql("", "spark")).alias("stbox_z_wkt"),
+        stbox_z_overlaps(box, probe).cast("int").alias("overlaps_probe"),
+        stbox_z_contains(probe, box).cast("int").alias("inside_probe"),
     )
 
 

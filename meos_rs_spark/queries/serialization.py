@@ -14,8 +14,12 @@ from pyspark.sql import functions as F
 from meos_rs_spark.functions.determinism import fmt6_sql
 from meos_rs_spark.functions.serde import (
     PARSE_WKT_DUCK,
+    TRAJ_WKB_HEADER_BYTES,
+    TRAJ_WKB_POINT_BYTES,
     parse_point_wkt,
     point_hexwkb,
+    traj_from_wkb,
+    traj_wkb,
 )
 from meos_rs_spark.functions.trajectory import (
     POSITS_CTE,
@@ -139,6 +143,78 @@ def serde_hexwkb(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = posits(spark, sf_dir)
     return pts.select(
         "mmsi", "event_id", point_hexwkb(F.col("lon"), F.col("lat")).alias("hexwkb")
+    )
+
+
+# --- F4 complete: trajectory-level WKB out + from_wkb ingest ----------------
+
+_WKB_PTS = 4  # instants per sequence (bounded output, matches serde_wkt_forms)
+
+
+@register(
+    "serde_wkb_roundtrip",
+    oracle=f"""
+WITH {POSITS_CTE},
+dedup AS (
+  SELECT * FROM posits
+  QUALIFY row_number() OVER (PARTITION BY mmsi, ts ORDER BY event_id) = 1
+),
+head AS (
+  SELECT * FROM dedup
+  QUALIFY row_number() OVER (PARTITION BY mmsi ORDER BY ts, event_id) <= {_WKB_PTS}
+),
+agg AS (
+  SELECT mmsi, count(*) AS n_points,
+         epoch_us(min(ts)) AS t_start_us,
+         epoch_us(max(ts)) AS t_end_us,
+         first(lon ORDER BY ts) AS lon0_raw,
+         last(lat ORDER BY ts) AS lat_last_raw
+  FROM head GROUP BY mmsi
+)
+SELECT mmsi, n_points,
+       {TRAJ_WKB_HEADER_BYTES} + {TRAJ_WKB_POINT_BYTES} * n_points AS n_bytes,
+       'Linear' AS interp, t_start_us, t_end_us,
+       {fmt6_sql('lon0_raw', 'duck')} AS lon_first,
+       {fmt6_sql('lat_last_raw', 'duck')} AS lat_last
+FROM agg
+""",
+    tags=("F4", "F1"),
+    doc="whole-sequence WKB out + from_wkb ingest round-trip (temporal_as_wkb "
+    "temp.rs:21-28, tgeompointFromBinary ais_to_db.rs:160): every output column "
+    "derives from the PARSED bytes; n_bytes proves the 10+24n pack size "
+    "arithmetically. Exact golden bytes in tests/test_serde.py.",
+)
+def serde_wkb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meos_rs_spark.functions.trajectory import dedup_monotonic
+
+    pts = dedup_monotonic(posits(spark, sf_dir))
+    w = Window.partitionBy("mmsi").orderBy("ts", "event_id")
+    head = pts.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= _WKB_PTS)
+    agg = head.groupBy("mmsi").agg(
+        F.array_sort(F.collect_list(F.struct("ts", "lon", "lat"))).alias("points")
+    )
+    arrs = agg.select(
+        "mmsi",
+        F.expr("transform(points, p -> unix_micros(CAST(p.ts AS TIMESTAMP)))").alias("ts_us"),
+        F.expr("transform(points, p -> p.lon)").alias("lon"),
+        F.expr("transform(points, p -> p.lat)").alias("lat"),
+    )
+    packed = arrs.select(
+        "mmsi",
+        traj_wkb("ts_us", "lon", "lat", F.lit(True), F.lit(True), F.lit("Linear")).alias("wkb"),
+    )
+    parsed = packed.select(
+        "mmsi", F.octet_length("wkb").alias("n_bytes"), traj_from_wkb(F.col("wkb")).alias("p")
+    )
+    return parsed.select(
+        "mmsi",
+        F.size("p.ts_us").alias("n_points"),
+        "n_bytes",
+        F.col("p.interp").alias("interp"),
+        F.element_at(F.col("p.ts_us"), 1).alias("t_start_us"),
+        F.element_at(F.col("p.ts_us"), -1).alias("t_end_us"),
+        F.expr(fmt6_sql("element_at(p.lon, 1)", "spark")).alias("lon_first"),
+        F.expr(fmt6_sql("element_at(p.lat, -1)", "spark")).alias("lat_last"),
     )
 
 

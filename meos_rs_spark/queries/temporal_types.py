@@ -1,0 +1,138 @@
+"""Temporal base types beyond tgeompoint/tfloat/tbool: ``tint`` and
+``ttext`` (SURVEY.md §1.1 L2 — the reference's temporal algebra spans
+tbool/tint/tfloat/ttext, meos/src/lib.rs:29-34; sequences built by
+tsequence_make, tseq.rs:50-64).
+
+A temporal int here is the step-interpolated integer value a vessel carries
+between observations (floor(lon) as the magnitude stand-in); a temporal text
+is the event_type a user emits over time. Both queries stay pure
+DataFrame/SQL: value-at-timestamp is an ordered-aggregate (max_by/arg_max
+under a time filter), per-value duration is a lead() window over the step
+sequence — no Python anywhere.
+
+floor() (not int casts) keeps the double→int mapping engine-identical:
+Spark's CAST truncates while DuckDB's rounds, but floor agrees everywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from meos_rs_spark.functions.trajectory import POSITS_CTE, dedup_monotonic, posits
+from meos_rs_spark.registry import register
+
+# fixed mid-fixture probe instant for value-at-timestamp
+_PROBE_TS = "2024-01-15 00:00:00"
+
+
+# --- tint: step-interpolated temporal integer -------------------------------
+
+
+@register(
+    "ttype_tint_step",
+    oracle=f"""
+WITH {POSITS_CTE},
+dedup AS (
+  SELECT * FROM posits
+  QUALIFY row_number() OVER (PARTITION BY mmsi, ts ORDER BY event_id) = 1
+),
+tint AS (
+  SELECT mmsi, ts, CAST(floor(lon) AS BIGINT) AS iv,
+         lead(ts) OVER (PARTITION BY mmsi ORDER BY ts) AS next_ts,
+         lag(CAST(floor(lon) AS BIGINT)) OVER (PARTITION BY mmsi ORDER BY ts) AS prev_iv
+  FROM dedup
+),
+vmax AS (SELECT mmsi, max(iv) AS max_iv FROM tint GROUP BY mmsi)
+SELECT t.mmsi,
+       arg_max(t.iv, t.ts) FILTER (WHERE t.ts <= TIMESTAMP '{_PROBE_TS}') AS value_at_probe,
+       min(t.iv) AS min_value,
+       max(t.iv) AS max_value,
+       arg_min(t.iv, t.ts) AS start_value,
+       arg_max(t.iv, t.ts) AS end_value,
+       count(*) FILTER (WHERE t.prev_iv IS NOT NULL AND t.iv != t.prev_iv) AS n_changes,
+       CAST(COALESCE(sum(epoch_us(t.next_ts) - epoch_us(t.ts))
+                     FILTER (WHERE t.iv = v.max_iv AND t.next_ts IS NOT NULL), 0)
+            AS BIGINT) AS us_at_max
+FROM tint t JOIN vmax v ON v.mmsi = t.mmsi
+GROUP BY t.mmsi
+""",
+    tags=("L2", "tint"),
+    doc="temporal int (step interp): value-at-timestamp via time-filtered arg_max, "
+    "start/end/min/max values, change count, and step-duration spent at the max "
+    "value (lead() gap sum) — tint algebra per SURVEY §1.1 / tseq.rs:50-64",
+)
+def ttype_tint_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = dedup_monotonic(posits(spark, sf_dir))
+    w = Window.partitionBy("mmsi").orderBy("ts")
+    tint = pts.select(
+        "mmsi",
+        "ts",
+        F.floor("lon").cast("bigint").alias("iv"),
+    ).withColumn("next_ts", F.lead("ts").over(w)).withColumn("prev_iv", F.lag("iv").over(w))
+    wmax = Window.partitionBy("mmsi")
+    tint = tint.withColumn("max_iv", F.max("iv").over(wmax))
+    gap_us = F.expr("unix_micros(CAST(next_ts AS TIMESTAMP)) - unix_micros(CAST(ts AS TIMESTAMP))")
+    return tint.groupBy("mmsi").agg(
+        F.expr(f"max_by(iv, ts) FILTER (WHERE ts <= TIMESTAMP_NTZ'{_PROBE_TS}')").alias("value_at_probe"),
+        F.min("iv").alias("min_value"),
+        F.max("iv").alias("max_value"),
+        F.expr("min_by(iv, ts)").alias("start_value"),
+        F.expr("max_by(iv, ts)").alias("end_value"),
+        F.count_if(F.col("prev_iv").isNotNull() & (F.col("iv") != F.col("prev_iv"))).alias("n_changes"),
+        F.coalesce(
+            F.sum(F.when((F.col("iv") == F.col("max_iv")) & F.col("next_ts").isNotNull(), gap_us)),
+            F.lit(0),
+        ).alias("us_at_max"),
+    )
+
+
+# --- ttext: temporal text ---------------------------------------------------
+
+
+@register(
+    "ttype_ttext_ops",
+    oracle="""
+WITH dedup AS (
+  SELECT user_id, ts, event_type FROM events
+  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) = 1
+),
+tt AS (
+  SELECT user_id, ts, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev_v
+  FROM dedup
+)
+SELECT user_id,
+       arg_min(event_type, ts) AS start_value,
+       arg_max(event_type, ts) AS end_value,
+       min(event_type) AS min_value,
+       max(event_type) AS max_value,
+       upper(arg_max(event_type, ts)) AS end_value_upper,
+       CAST(max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS INT) AS ever_click,
+       count(DISTINCT event_type) AS n_values,
+       count(*) FILTER (WHERE prev_v IS NOT NULL AND event_type != prev_v) AS n_changes
+FROM tt GROUP BY user_id
+""",
+    tags=("L2", "ttext"),
+    doc="temporal text: per-user event_type sequence — start/end/min/max text "
+    "values, lifted upper() (a ttext→ttext map), ever-equals predicate, distinct "
+    "values and change count (ttext algebra per SURVEY §1.1; ASCII-only domain so "
+    "min/max collation is engine-identical)",
+)
+def ttype_ttext_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meos_rs_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type", "event_id")
+    dd = dedup_monotonic(ev, key="user_id", ts="ts", tiebreak="event_id")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    tt = dd.withColumn("prev_v", F.lag("event_type").over(w))
+    return tt.groupBy("user_id").agg(
+        F.expr("min_by(event_type, ts)").alias("start_value"),
+        F.expr("max_by(event_type, ts)").alias("end_value"),
+        F.min("event_type").alias("min_value"),
+        F.max("event_type").alias("max_value"),
+        F.upper(F.expr("max_by(event_type, ts)")).alias("end_value_upper"),
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).cast("int").alias("ever_click"),
+        F.countDistinct("event_type").alias("n_values"),
+        F.count_if(F.col("prev_v").isNotNull() & (F.col("event_type") != F.col("prev_v"))).alias("n_changes"),
+    )

@@ -8,7 +8,12 @@ import struct
 
 from pyspark.sql import functions as F
 
-from meos_rs_spark.functions.serde import point_hexwkb, point_wkb
+from meos_rs_spark.functions.serde import (
+    point_hexwkb,
+    point_wkb,
+    traj_from_wkb,
+    traj_wkb,
+)
 from meos_rs_spark.functions.trajectory import point_wkt
 from meos_rs_spark.registry import load_registry
 from tests.conftest import SF_SMOKE
@@ -26,6 +31,47 @@ def test_point_wkb_golden(spark):
         assert row.hex == expected.hex().upper()
     # golden: POINT(1 1) little-endian
     assert rows[0].hex == "0101000000000000000000F03F000000000000F03F"
+
+
+def test_traj_wkb_golden(spark):
+    # 2-instant linear sequence, both bounds inclusive, 2024-01-01T00:00:00Z
+    # and +60s — 10-byte header + 2×24-byte instants, little-endian
+    df = spark.createDataFrame(
+        [([1704067200000000, 1704067260000000], [1.0, 3.5], [2.0, -4.25])],
+        "ts_us array<long>, lon array<double>, lat array<double>",
+    )
+    row = df.select(
+        F.hex(
+            traj_wkb("ts_us", "lon", "lat", F.lit(True), F.lit(True), F.lit("Linear"))
+        ).alias("h")
+    ).collect()[0]
+    assert row.h == (
+        "01"          # little-endian
+        "01000020"    # type: Point | 0x20000000 temporal-sequence flag (LE)
+        "07"          # flags: lower_inc | upper_inc | linear
+        "02000000"    # n_instants = 2
+        "000000000000F03F" "0000000000000040" "00202110D70D0600"  # (1.0, 2.0)@t0
+        "0000000000000C40" "00000000000011C0" "00A7B413D70D0600"  # (3.5, -4.25)@t1
+    )
+
+
+def test_traj_wkb_roundtrip_identity(spark):
+    # pack → parse must reproduce every field, including non-default flags
+    df = spark.createDataFrame(
+        [
+            ([1704067200000000], [0.0], [0.0], True, False, "Step"),
+            ([1, 2, 3], [1.5, 2.5, 3.5], [-1.0, -2.0, -3.0], False, True, "Linear"),
+        ],
+        "ts_us array<long>, lon array<double>, lat array<double>, "
+        "lo boolean, up boolean, interp string",
+    )
+    out = df.select(
+        "ts_us", "lon", "lat", "lo", "up", "interp",
+        traj_from_wkb(traj_wkb("ts_us", "lon", "lat", "lo", "up", "interp")).alias("p"),
+    ).collect()
+    for r in out:
+        assert r.p.interp == r.interp and r.p.lower_inc == r.lo and r.p.upper_inc == r.up
+        assert list(r.p.ts_us) == r.ts_us and list(r.p.lon) == r.lon and list(r.p.lat) == r.lat
 
 
 def test_point_wkt_golden(spark):
