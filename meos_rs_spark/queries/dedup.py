@@ -104,8 +104,9 @@ _BANDS_DUCK = ", ".join(
     for b in range(N_BANDS)
 )
 
-_MINHASH_ORACLE = f"""
-WITH {_SHINGLES_DUCK},
+# CTE block shared by dedup_minhash_lsh and dedup_components (the latter
+# wraps it in WITH RECURSIVE for the label-propagation oracle)
+_MINHASH_CTES = f"""{_SHINGLES_DUCK},
 sig AS (
   SELECT doc_id, {', '.join(_minhash_sig_exprs('duck'))}
   FROM shingles GROUP BY doc_id
@@ -130,15 +131,21 @@ inter AS (
   JOIN shingles sa ON sa.doc_id = c.id_a
   JOIN shingles sb ON sb.doc_id = c.id_b AND sb.sh = sa.sh
   GROUP BY c.id_a, c.id_b
-)
-SELECT c.id_a, c.id_b,
-       COALESCE(i.n_inter, 0) AS n_inter,
-       za.n + zb.n - COALESCE(i.n_inter, 0) AS n_union,
-       CAST(COALESCE(i.n_inter, 0) AS DOUBLE) / (za.n + zb.n - COALESCE(i.n_inter, 0)) AS jaccard
-FROM cand c
-LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
-JOIN sizes za ON za.doc_id = c.id_a
-JOIN sizes zb ON zb.doc_id = c.id_b
+),
+scored AS (
+  SELECT c.id_a, c.id_b,
+         COALESCE(i.n_inter, 0) AS n_inter,
+         za.n + zb.n - COALESCE(i.n_inter, 0) AS n_union,
+         CAST(COALESCE(i.n_inter, 0) AS DOUBLE) / (za.n + zb.n - COALESCE(i.n_inter, 0)) AS jaccard
+  FROM cand c
+  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+  JOIN sizes za ON za.doc_id = c.id_a
+  JOIN sizes zb ON zb.doc_id = c.id_b
+)"""
+
+_MINHASH_ORACLE = f"""
+WITH {_MINHASH_CTES}
+SELECT id_a, id_b, n_inter, n_union, jaccard FROM scored
 """
 
 
@@ -223,6 +230,80 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+# --- near-dup clustering: connected components over the pair graph ---------
+
+CC_JACCARD = 0.6  # fixture near-dups all score >= 0.89; 0.6 keeps the full graph
+CC_ROUNDS = 8  # min-label propagation rounds; components are LSH-bucket
+# cliques (diameter 1-2), so 8 rounds is a wide safety margin over the true
+# diameter. The parity twin compares against DuckDB's exact transitive
+# closure, so any unconverged component fails the hash outright.
+
+
+@register(
+    "dedup_components",
+    oracle=f"""
+WITH RECURSIVE {_MINHASH_CTES},
+pairs AS (SELECT id_a, id_b FROM scored WHERE jaccard >= {CC_JACCARD}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+walk(id, label) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.src, w.label FROM edges e JOIN walk w ON w.id = e.dst
+)
+SELECT id AS doc_id,
+       min(label) AS component,
+       CAST(min(label) = id AS INT) AS is_canonical
+FROM walk GROUP BY id
+""",
+    tags=("dedup", "lsh"),
+    doc=f"near-dup clustering: connected components over the jaccard>={CC_JACCARD} "
+    "pair graph via min-label propagation (the canonical-doc assignment step after "
+    "pair generation in a dedup pipeline). Fixed-round joins, no driver loop state; "
+    "at 100 TB diameter stays O(1) because components are LSH-bucket cliques — for "
+    "adversarial graphs swap in alternating large-star/small-star with checkpoints. "
+    "Oracle is DuckDB's recursive-CTE transitive closure (exact components).",
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_minhash_lsh(spark, sf_dir).filter(F.col("jaccard") >= CC_JACCARD).select(
+        "id_a", "id_b"
+    )
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    # materialize once and truncate lineage: each propagation round references
+    # the previous labels TWICE, so without checkpointing the logical plan
+    # doubles per round (2^rounds copies of the whole LSH pipeline — OOMs the
+    # planner long before execution). localCheckpoint is the local[] form; a
+    # cluster deployment points spark.checkpoint.dir at durable storage and
+    # uses checkpoint() for executor-loss tolerance.
+    edges = edges.localCheckpoint(eager=True)
+    labels = edges.select(F.col("src").alias("doc_id")).distinct().withColumn(
+        "label", F.col("doc_id")
+    )
+    for _ in range(CC_ROUNDS):
+        nbr = (
+            edges.join(labels.withColumnRenamed("doc_id", "dst_id"), F.col("dst") == F.col("dst_id"))
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(nbr, labels.doc_id == nbr.src, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("component"),
+        (F.col("label") == F.col("doc_id")).cast("int").alias("is_canonical"),
+    )
 
 
 # --- SimHash ---------------------------------------------------------------

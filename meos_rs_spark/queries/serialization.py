@@ -146,6 +146,61 @@ def serde_hexwkb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- F3 complete: MF-JSON ingest (from_mfjson) ------------------------------
+
+_MFJSON_SCHEMA = (
+    "type string, interpolation string, coordinates array<array<double>>, "
+    "datetimes array<string>, lower_inc boolean, upper_inc boolean"
+)
+
+
+@register(
+    "serde_mfjson_ingest",
+    oracle=f"""
+WITH {POSITS_CTE},
+dedup AS (
+  SELECT * FROM posits
+  QUALIFY row_number() OVER (PARTITION BY mmsi, ts ORDER BY event_id) = 1
+),
+head AS (
+  SELECT * FROM dedup
+  QUALIFY row_number() OVER (PARTITION BY mmsi ORDER BY ts, event_id) <= 20
+)
+SELECT mmsi,
+       'MovingPoint' AS mf_type,
+       'Linear' AS interp,
+       count(*) AS n_points,
+       epoch_us(min(ts)) AS t_start_us,
+       epoch_us(max(ts)) AS t_end_us,
+       {fmt6_sql("first(lon ORDER BY ts)", 'duck')} AS lon_first,
+       {fmt6_sql("last(lat ORDER BY ts)", 'duck')} AS lat_last
+FROM head GROUP BY mmsi
+""",
+    tags=("F3", "F1"),
+    doc="MF-JSON ingest: render (serde_mfjson pipeline) → from_json parse → every "
+    "output column derives from the PARSED document, so equality with the raw-data "
+    "oracle proves the parse inverts the render. (Reference is out-only, "
+    "temp.rs:17-19 — ingest closes the round-trip a Spark user needs.)",
+)
+def serde_mfjson_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rendered = serde_mfjson(spark, sf_dir)  # (mmsi, mfjson) — the F3 out pipeline
+    parsed = rendered.select("mmsi", F.from_json("mfjson", _MFJSON_SCHEMA).alias("j"))
+    ts_parsed = F.expr(
+        "transform(j.datetimes, d -> unix_micros(CAST("
+        "to_timestamp(substring(d, 1, length(d) - 1), \"yyyy-MM-dd'T'HH:mm:ss.SSSSSS\") AS TIMESTAMP)))"
+    )
+    return parsed.select(
+        "mmsi",
+        F.col("j.type").alias("mf_type"),
+        F.col("j.interpolation").alias("interp"),
+        F.size("j.coordinates").alias("n_points"),
+        F.element_at(ts_parsed, 1).alias("t_start_us"),
+        F.element_at(ts_parsed, -1).alias("t_end_us"),
+        F.expr(fmt6_sql("element_at(j.coordinates, 1)[0]", "spark")).alias("lon_first"),
+        F.expr(fmt6_sql("element_at(j.coordinates, -1)[1]", "spark")).alias("lat_last"),
+    )
+
+
 # --- F4 complete: trajectory-level WKB out + from_wkb ingest ----------------
 
 _WKB_PTS = 4  # instants per sequence (bounded output, matches serde_wkt_forms)
