@@ -82,6 +82,101 @@ def _fake_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
+# --- resize via mapInPandas (oracle-checkable geometry) ---------------------
+
+_RESIZE_SCHEMA = (
+    "doc_id long, src_w int, src_h int, dst_w int, dst_h int, resized_bytes int"
+)
+_DST_W, _DST_H = 224, 224  # the ubiquitous vision-model input size
+
+
+def _fake_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB resize: a real deployment decodes + resamples pixels here (no
+    codecs in this container). The fake materializes a dst_w×dst_h-byte
+    payload by tiling the source bytes, so the output SIZE is the real
+    contract a downstream batch loader sees — and is oracle-checkable."""
+    for pdf in batches:
+        n = pdf["payload"].str.len()
+        src_w = (n % 640).astype("int32")
+        src_h = (n % 480).astype("int32")
+        resized = pdf["payload"].map(
+            lambda b: (b * (_DST_W * _DST_H // max(len(b), 1) + 1))[: _DST_W * _DST_H]
+        )
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "src_w": src_w,
+                "src_h": src_h,
+                "dst_w": _DST_W,
+                "dst_h": _DST_H,
+                "resized_bytes": resized.str.len().astype("int32"),
+            }
+        )
+
+
+@register(
+    "mm_resize",
+    oracle=f"""
+SELECT doc_id,
+       CAST(octet_length(CAST(text AS BLOB)) % 640 AS INT) AS src_w,
+       CAST(octet_length(CAST(text AS BLOB)) % 480 AS INT) AS src_h,
+       {_DST_W} AS dst_w, {_DST_H} AS dst_h,
+       {_DST_W * _DST_H} AS resized_bytes
+FROM documents
+""",
+    tags=("multimodal",),
+    doc=f"mapInPandas resize stage: fake-decode dims → tile payload to a "
+    f"{_DST_W}×{_DST_H}-byte buffer (STUB pixels, real batch shape); the oracle "
+    "reproduces the geometry + output size arithmetically from the raw table",
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return d.mapInPandas(_fake_resize, schema=_RESIZE_SCHEMA)
+
+
+# --- video frame sampling (explode shape, fully oracle-checkable) -----------
+
+_FRAME_BYTES = 64  # fake frame = 64-byte slice of the payload
+_FRAME_STRIDE = 4  # keep every 4th frame
+
+
+@register(
+    "mm_frame_sample",
+    oracle=f"""
+WITH meta AS (
+  SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
+         octet_length(CAST(text AS BLOB)) // {_FRAME_BYTES} AS n_frames
+  FROM documents
+)
+SELECT m.doc_id, m.n_frames, u.i AS frame_idx,
+       u.i * {_FRAME_BYTES} AS byte_offset
+FROM meta m, unnest(range(0, m.n_frames, {_FRAME_STRIDE})) AS u(i)
+WHERE m.n_frames > 0
+""",
+    tags=("multimodal",),
+    doc=f"video-as-binary frame sampling: treat the payload as {_FRAME_BYTES}-byte "
+    f"frames, keep every {_FRAME_STRIDE}th (sequence + explode — pure Column ops, "
+    "the decode of each sampled frame being the STUB step); one row per sampled "
+    "frame with its byte offset, the shape a frame-extraction pipeline shuffles on",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.octet_length(F.encode("text", "utf-8")).alias("n_bytes")
+    )
+    d = d.withColumn("n_frames", (F.col("n_bytes") / _FRAME_BYTES).cast("int")).filter(
+        F.col("n_frames") > 0
+    )
+    return d.select(
+        "doc_id",
+        "n_frames",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(_FRAME_STRIDE))
+        ).alias("frame_idx"),
+    ).withColumn("byte_offset", F.col("frame_idx") * _FRAME_BYTES)
+
+
 @register(
     "mm_decode_features",
     oracle=None,  # decode is a stubbed binary transform; plumbing asserted in tests/test_multimodal.py
