@@ -175,3 +175,89 @@ def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= 0.5)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# --- IVF-style cell-probed ANN (coarse quantizer + cell equi-join) ----------
+
+N_CELLS = 8
+NPROBE = 2
+IVF_TOPK = 3
+
+
+@register(
+    "sim_ann_ivf",
+    oracle=f"""
+WITH cents AS (
+  SELECT vec_id AS cent_id, embedding AS ce FROM embeddings WHERE vec_id < {N_CELLS}
+),
+assign AS (
+  SELECT e.vec_id, e.label, e.embedding, c.cent_id,
+         {{ccos}} AS ccos
+  FROM embeddings e CROSS JOIN cents c
+),
+cells AS (
+  SELECT vec_id, label, embedding, cent_id AS cell FROM assign
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) = 1
+),
+probe_cells AS (
+  SELECT p.vec_id AS probe_id, p.embedding AS pe, c.cent_id AS cell
+  FROM embeddings p CROSS JOIN cents c
+  WHERE p.vec_id < {N_PROBES}
+  QUALIFY row_number() OVER (PARTITION BY p.vec_id ORDER BY {{pcos}} DESC, c.cent_id) <= {NPROBE}
+),
+cand AS (
+  SELECT pc.probe_id, e.vec_id, e.label,
+         {{scos}} AS cosine
+  FROM probe_cells pc JOIN cells e ON e.cell = pc.cell AND e.vec_id != pc.probe_id
+)
+SELECT probe_id, vec_id, label, cosine
+FROM cand
+QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) <= {IVF_TOPK}
+""".format(
+        ccos=_duck_cosine("e.embedding", "c.ce"),
+        pcos=_duck_cosine("p.embedding", "c.ce"),
+        scos=_duck_cosine("pc.pe", "e.embedding"),
+    ),
+    tags=("sim", "ivf"),
+    doc=f"IVF-style ANN: {N_CELLS} coarse centroids (a production system trains "
+    "them offline with k-means; here the first corpus vectors, deterministically) "
+    "broadcast against the corpus to assign each vector its nearest cell ONCE, "
+    f"probes search their {NPROBE} closest cells via a cell equi-join and re-rank "
+    "exactly — the inverted-file layout that replaces the N-squared scan at scale "
+    "(assignment is a broadcast map; only the per-vec argmin needs a vec_id window)",
+)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce")
+    )
+    assign = emb.crossJoin(broadcast(cents)).withColumn(
+        "ccos", cosine(F.col("embedding"), F.col("ce"))
+    )
+    wv = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), "cent_id")
+    cells = (
+        assign.withColumn("__rn", F.row_number().over(wv))
+        .filter(F.col("__rn") == 1)
+        .select("vec_id", "label", "embedding", F.col("cent_id").alias("cell"))
+    )
+    probe_assign = (
+        emb.filter(F.col("vec_id") < N_PROBES)
+        .crossJoin(broadcast(cents))
+        .withColumn("pcos", cosine(F.col("embedding"), F.col("ce")))
+    )
+    wp = Window.partitionBy("vec_id").orderBy(F.col("pcos").desc(), "cent_id")
+    probe_cells = (
+        probe_assign.withColumn("__rn", F.row_number().over(wp))
+        .filter(F.col("__rn") <= NPROBE)
+        .select(F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe"),
+                F.col("cent_id").alias("cell"))
+    )
+    cand = cells.join(
+        broadcast(probe_cells), (cells.cell == probe_cells.cell) & (F.col("vec_id") != F.col("probe_id"))
+    ).withColumn("cosine", cosine(F.col("pe"), F.col("embedding")))
+    wk = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), "vec_id")
+    return (
+        cand.withColumn("__rnk", F.row_number().over(wk))
+        .filter(F.col("__rnk") <= IVF_TOPK)
+        .select("probe_id", "vec_id", "label", "cosine")
+    )

@@ -851,3 +851,261 @@ def traj_length_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("seg_m").alias("n_segments"),
         )
     )
+
+
+# --- L2b: minus-box restriction (complement of at-box) ----------------------
+
+_BOX_PRED_DUCK = (
+    "lon BETWEEN 20 AND 120 AND lat BETWEEN 10 AND 80 "
+    "AND ts BETWEEN TIMESTAMP '2024-01-05' AND TIMESTAMP '2024-01-25'"
+)
+
+
+@register(
+    "traj_minus_box",
+    oracle=f"""
+WITH {POSITS_CTE},
+flagged AS (
+  SELECT mmsi, ts, event_id,
+         CASE WHEN NOT ({_BOX_PRED_DUCK}) THEN 1 ELSE 0 END AS outside
+  FROM posits
+),
+runs AS (
+  SELECT mmsi, ts, outside,
+         CASE WHEN outside = 1 AND coalesce(lag(outside) OVER w, 0) = 0
+              THEN 1 ELSE 0 END AS new_run
+  FROM flagged WINDOW w AS (PARTITION BY mmsi ORDER BY ts, event_id)
+)
+SELECT mmsi,
+       CAST(SUM(outside) AS BIGINT) AS n_outside,
+       CAST(SUM(new_run) AS BIGINT) AS n_seqs,
+       min(ts) FILTER (WHERE outside = 1) AS t_start,
+       max(ts) FILTER (WHERE outside = 1) AS t_end
+FROM runs GROUP BY mmsi
+""",
+    tags=("L2b", "F8"),
+    doc="minus-STBox restriction (L2 tpoint_minus_stbox, the complement of "
+    "traj_at_box): the result of `minus` is a sequence SET, so alongside the "
+    "outside-point count we count its maximal contiguous runs (n_seqs) via a "
+    "lag-transition window — one shuffle on the vessel key",
+)
+def traj_minus_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    inside = (
+        F.col("lon").between(20, 120)
+        & F.col("lat").between(10, 80)
+        & F.col("ts").between(
+            F.lit("2024-01-05").cast("timestamp_ntz"), F.lit("2024-01-25").cast("timestamp_ntz")
+        )
+    )
+    w = Window.partitionBy("mmsi").orderBy("ts", "event_id")
+    df = (
+        posits(spark, sf_dir)
+        .withColumn("outside", F.when(~inside, 1).otherwise(0))
+        .withColumn(
+            "new_run",
+            F.when(
+                (F.col("outside") == 1) & (F.coalesce(F.lag("outside").over(w), F.lit(0)) == 0), 1
+            ).otherwise(0),
+        )
+    )
+    return df.groupBy("mmsi").agg(
+        F.sum("outside").alias("n_outside"),
+        F.sum("new_run").alias("n_seqs"),
+        F.min(F.when(F.col("outside") == 1, F.col("ts"))).alias("t_start"),
+        F.max(F.when(F.col("outside") == 1, F.col("ts"))).alias("t_end"),
+    )
+
+
+# --- L2d: stop detection ----------------------------------------------------
+
+V_STOP = 0.002  # units/s — ~median segment speed in the fixture
+MIN_STOP_US = 43_200_000_000  # 12 h
+
+
+@register(
+    "traj_stops",
+    oracle=f"""
+WITH {POSITS_CTE},
+segs AS (
+  SELECT mmsi, ts, event_id,
+         sqrt( (lon - lag(lon) OVER w) * (lon - lag(lon) OVER w)
+             + (lat - lag(lat) OVER w) * (lat - lag(lat) OVER w) ) AS dist,
+         CAST(epoch_us(ts) - epoch_us(lag(ts) OVER w) AS DOUBLE) / 1000000.0 AS dt_s
+  FROM posits WINDOW w AS (PARTITION BY mmsi ORDER BY ts, event_id)
+),
+flagged AS (
+  SELECT mmsi, ts, event_id,
+         CASE WHEN dt_s > 0 AND dist / dt_s < {V_STOP} THEN 1 ELSE 0 END AS slow
+  FROM segs
+),
+runs AS (
+  SELECT mmsi, ts, event_id, slow,
+         CASE WHEN slow = 1 AND coalesce(lag(slow) OVER w2, 0) = 0
+              THEN 1 ELSE 0 END AS new_run
+  FROM flagged WINDOW w2 AS (PARTITION BY mmsi ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT mmsi, ts, slow,
+         CAST(SUM(new_run) OVER (PARTITION BY mmsi ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS stop_id
+  FROM runs
+)
+SELECT mmsi, stop_id, count(*) AS n_pts, min(ts) AS t_start, max(ts) AS t_end,
+       CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS duration_us
+FROM numbered WHERE slow = 1
+GROUP BY mmsi, stop_id
+HAVING epoch_us(max(ts)) - epoch_us(min(ts)) >= {MIN_STOP_US}
+""",
+    tags=("L2d", "TSet"),
+    doc=f"stop detection (L2 tpoint_stops shape): maximal runs of consecutive "
+    f"segments slower than {V_STOP} units/s lasting >= 12h (speed-threshold "
+    "variant of the reference's maxdist+minduration contract); lag-speed -> "
+    "run sessionization -> duration filter, all in one vessel-key shuffle",
+)
+def traj_stops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("mmsi").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    dist = F.sqrt(
+        (F.col("lon") - F.lag("lon").over(w)) * (F.col("lon") - F.lag("lon").over(w))
+        + (F.col("lat") - F.lag("lat").over(w)) * (F.col("lat") - F.lag("lat").over(w))
+    )
+    dt = (
+        F.expr("CAST(unix_micros(CAST(ts AS TIMESTAMP)) "
+               "- unix_micros(CAST(lag(ts) OVER (PARTITION BY mmsi ORDER BY ts, event_id) AS TIMESTAMP)) AS DOUBLE)")
+        / 1_000_000.0
+    )
+    df = (
+        posits(spark, sf_dir)
+        .withColumn("dist", dist)
+        .withColumn("dt_s", dt)
+        .withColumn(
+            "slow",
+            F.when((F.col("dt_s") > 0) & (F.col("dist") / F.col("dt_s") < V_STOP), 1).otherwise(0),
+        )
+        .withColumn(
+            "new_run",
+            F.when(
+                (F.col("slow") == 1) & (F.coalesce(F.lag("slow").over(w), F.lit(0)) == 0), 1
+            ).otherwise(0),
+        )
+        .withColumn("stop_id", F.sum("new_run").over(wrun))
+        .filter(F.col("slow") == 1)
+    )
+    us = "unix_micros(CAST({c} AS TIMESTAMP))"
+    return (
+        df.groupBy("mmsi", "stop_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pts"),
+            F.min("ts").alias("t_start"),
+            F.max("ts").alias("t_end"),
+        )
+        .withColumn(
+            "duration_us",
+            F.expr(us.format(c="t_end")) - F.expr(us.format(c="t_start")),
+        )
+        .filter(F.col("duration_us") >= MIN_STOP_US)
+    )
+
+
+# --- temporal COUNT aggregate (sweep-line over session intervals) -----------
+
+_SESSIONS_CTE = f"""
+flagged AS (
+  SELECT mmsi, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000 THEN 1 ELSE 0 END AS new_session
+  FROM posits WINDOW w AS (PARTITION BY mmsi ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT mmsi, ts,
+         SUM(new_session) OVER (PARTITION BY mmsi ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+),
+spans AS (
+  SELECT mmsi, session_id, min(ts) AS t_start, max(ts) AS t_end
+  FROM sessions GROUP BY mmsi, session_id
+)
+"""
+
+
+@register(
+    "traj_tcount_sweep",
+    oracle=f"""
+WITH {POSITS_CTE},
+{_SESSIONS_CTE},
+deltas AS (
+  SELECT t_start AS ts, 1 AS delta FROM spans
+  UNION ALL
+  SELECT t_end AS ts, -1 AS delta FROM spans
+),
+net AS (
+  SELECT ts, CAST(SUM(delta) AS BIGINT) AS net_delta FROM deltas GROUP BY ts
+)
+SELECT ts, net_delta,
+       CAST(SUM(net_delta) OVER (ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS active
+FROM net
+""",
+    tags=("TSet", "A7"),
+    doc="temporal COUNT aggregate (MEOS tcount over sequence sets): sweep-line "
+    "over 6h-gap session intervals — +1/-1 boundary events, grouped per distinct "
+    "instant (order-free), then one running sum over the change-point stream; the "
+    "final global window runs over ~2 rows per session (tiny), so the single "
+    "ordered partition is not a scale hazard (convention: a session is active "
+    "through its end instant; the -1 nets at exactly t_end)",
+)
+def traj_tcount_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("mmsi").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    gap_us = F.expr("unix_micros(CAST(ts AS TIMESTAMP))") - F.expr(
+        "unix_micros(CAST(lag(ts) OVER (PARTITION BY mmsi ORDER BY ts, event_id) AS TIMESTAMP))"
+    )
+    spans = (
+        posits(spark, sf_dir)
+        .withColumn("new_session", F.when(gap_us.isNull() | (gap_us > 21_600_000_000), 1).otherwise(0))
+        .withColumn("session_id", F.sum("new_session").over(wrun))
+        .groupBy("mmsi", "session_id")
+        .agg(F.min("ts").alias("t_start"), F.max("ts").alias("t_end"))
+    )
+    deltas = spans.select(F.col("t_start").alias("ts"), F.lit(1).alias("delta")).unionByName(
+        spans.select(F.col("t_end").alias("ts"), F.lit(-1).alias("delta"))
+    )
+    net = deltas.groupBy("ts").agg(F.sum("delta").alias("net_delta"))
+    wsweep = Window.orderBy("ts").rowsBetween(Window.unboundedPreceding, 0)
+    return net.withColumn("active", F.sum("net_delta").over(wsweep))
+
+
+# --- temporal CENTROID aggregate (hour-granular tcentroid) ------------------
+
+
+@register(
+    "traj_tcentroid",
+    oracle=f"""
+WITH {POSITS_CTE}
+SELECT date_trunc('hour', ts) AS bucket,
+       count(*) AS n_pts,
+       CAST(SUM(CAST(lon AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS cx,
+       CAST(SUM(CAST(lat AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS cy
+FROM posits GROUP BY date_trunc('hour', ts)
+""",
+    tags=("A7", "L2h"),
+    doc="temporal CENTROID aggregate (MEOS tcentroid shape) at hour granularity: "
+    "mean fleet position per time bucket; lon/lat are exact 2-decimal fixture "
+    "values so the DECIMAL(18,2) sum is lossless and shuffle-order-free, with one "
+    "double division at the end — map-side partial aggregation does the heavy "
+    "lifting at scale",
+)
+def traj_tcentroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meos_rs_spark.functions.determinism import money_sum
+
+    n = F.count(F.lit(1))
+    return (
+        posits(spark, sf_dir)
+        .groupBy(F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("bucket"))
+        .agg(
+            n.alias("n_pts"),
+            (money_sum("lon") / n).alias("cx"),
+            (money_sum("lat") / n).alias("cy"),
+        )
+    )

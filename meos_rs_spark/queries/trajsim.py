@@ -191,3 +191,63 @@ def trajsim_nearest_approach(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("id_a", "id_b")
         .agg(F.min("d").alias("nad"))
     )
+
+
+# --- L2: nearest-approach INSTANT (synchronized at hour granularity) --------
+
+
+@register(
+    "trajsim_nearest_instant",
+    oracle=f"""
+WITH {POSITS_CTE},
+res AS (
+  SELECT mmsi, date_trunc('hour', ts) AS bucket,
+         CAST(SUM(CAST(lon AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS cx,
+         CAST(SUM(CAST(lat AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS cy
+  FROM posits WHERE mmsi < {K_VESSELS}
+  GROUP BY mmsi, date_trunc('hour', ts)
+),
+d AS (
+  SELECT a.mmsi AS id_a, b.mmsi AS id_b, a.bucket,
+         sqrt((a.cx - b.cx) * (a.cx - b.cx) + (a.cy - b.cy) * (a.cy - b.cy)) AS dist
+  FROM res a JOIN res b ON a.bucket = b.bucket AND a.mmsi < b.mmsi
+)
+SELECT id_a, id_b, bucket AS t_nearest, dist AS nad_sync
+FROM d
+QUALIFY row_number() OVER (PARTITION BY id_a, id_b ORDER BY dist, bucket) = 1
+""",
+    tags=("L2g", "L2d"),
+    doc="nearest-approach INSTANT (L2 nai_tpoint_tpoint): trajectories are "
+    "synchronized by hour-bucket resampling (tprecision + twavg per bucket — "
+    "exact-decimal means, one double division), pairs meet via an EQUI-join on "
+    "the bucket (never a point-level theta join), and the argmin instant per "
+    "pair is a row_number window with a total (dist, bucket) tiebreak",
+)
+def trajsim_nearest_instant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meos_rs_spark.functions.determinism import money_sum
+
+    n = F.count(F.lit(1))
+    res = (
+        posits(spark, sf_dir)
+        .filter(F.col("mmsi") < K_VESSELS)
+        .groupBy("mmsi", F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("bucket"))
+        .agg((money_sum("lon") / n).alias("cx"), (money_sum("lat") / n).alias("cy"))
+    )
+    a = res.select(F.col("mmsi").alias("id_a"), "bucket", F.col("cx").alias("ax"), F.col("cy").alias("ay"))
+    b = res.select(F.col("mmsi").alias("id_b"), F.col("bucket").alias("bucket_b"),
+                   F.col("cx").alias("bx"), F.col("cy").alias("by"))
+    d = a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("id_a") < F.col("id_b"))).withColumn(
+        "dist",
+        F.sqrt(
+            (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
+            + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by"))
+        ),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id_a", "id_b").orderBy("dist", "bucket")
+    return (
+        d.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("id_a", "id_b", F.col("bucket").alias("t_nearest"), F.col("dist").alias("nad_sync"))
+    )
