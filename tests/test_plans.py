@@ -71,3 +71,36 @@ def test_flagship_single_shuffle_agg(spark):
     # one Exchange for the groupBy, then TakeOrdered — no second global sort
     assert plan.count("Exchange hashpartitioning") <= 2
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ivf_candidate_join_is_equi(spark):
+    # centroid assignment is an intentional broadcast NLJ over 8 rows; the
+    # candidate search must equi-join on the cell (never rescan the corpus
+    # per probe), and the probe side must broadcast
+    plan = _plan(spark, "sim_ann_ivf")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_nearest_instant_is_bucket_equi_join(spark):
+    # pair meeting happens on the hour-bucket equi key; the id_a < id_b
+    # predicate is a post-join filter, not a nested-loop condition
+    plan = _plan(spark, "trajsim_nearest_instant")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert any(j in plan for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
+
+
+def test_tcount_sweep_shuffles_are_bounded(spark):
+    # sessionize window + span agg + delta agg; the final running sum runs
+    # over the tiny change-point stream (single partition by design)
+    plan = _plan(spark, "traj_tcount_sweep")
+    assert "CartesianProduct" not in plan
+
+
+def test_tcentroid_partial_aggregates(spark):
+    # map-side partial agg (HashAggregate appears above and below the
+    # exchange) so the shuffle carries one row per (bucket) per task
+    plan = _plan(spark, "traj_tcentroid")
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange hashpartitioning") == 1
