@@ -172,3 +172,67 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("gh").alias("fingerprint"),
         F.countDistinct("gh").alias("n_distinct_grams"),
     )
+
+
+# --- benchmark decontamination (n-gram overlap vs a held-out set) -----------
+
+_BENCH_DOCS = 20  # doc_id < 20 plays the held-out benchmark set
+_CONTAM_THRESHOLD = 0.5
+
+
+@register(
+    "text_decontaminate",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+shingles AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+  FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)
+  WHERE len(t) >= 3
+),
+bench AS (SELECT DISTINCT sh FROM shingles WHERE doc_id < {_BENCH_DOCS}),
+corpus AS (SELECT doc_id, sh FROM shingles WHERE doc_id >= {_BENCH_DOCS}),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY doc_id),
+hits AS (
+  SELECT c.doc_id, count(*) AS n_overlap
+  FROM corpus c JOIN bench b ON b.sh = c.sh
+  GROUP BY c.doc_id
+)
+SELECT s.doc_id, s.n_shingles,
+       CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+       CAST(coalesce(h.n_overlap, 0) AS DOUBLE) / s.n_shingles AS overlap_ratio,
+       CASE WHEN CAST(coalesce(h.n_overlap, 0) AS DOUBLE) / s.n_shingles
+                 > {_CONTAM_THRESHOLD} THEN 1 ELSE 0 END AS contaminated
+FROM sizes s LEFT JOIN hits h ON h.doc_id = s.doc_id
+""",
+    tags=("text", "dedup"),
+    doc=f"training-set decontamination: flag corpus docs whose distinct word-3-gram "
+    f"overlap with a benchmark set (docs < {_BENCH_DOCS}) exceeds "
+    f"{_CONTAM_THRESHOLD}; the benchmark shingle set is tiny and broadcast, so at "
+    "100 TB this is a map-side hash probe per shingle — no shuffle of the corpus "
+    "beyond the per-doc count",
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    from meos_rs_spark.queries.dedup import _shingles
+
+    sh = _shingles(spark, sf_dir)
+    bench = sh.filter(F.col("doc_id") < _BENCH_DOCS).select("sh").distinct()
+    corpus = sh.filter(F.col("doc_id") >= _BENCH_DOCS)
+    sizes = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        corpus.join(broadcast(bench), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap_raw"))
+    )
+    ratio = F.coalesce(F.col("n_overlap_raw"), F.lit(0)).cast("double") / F.col("n_shingles")
+    return (
+        sizes.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce(F.col("n_overlap_raw"), F.lit(0)).cast("bigint").alias("n_overlap"),
+            ratio.alias("overlap_ratio"),
+            F.when(ratio > _CONTAM_THRESHOLD, 1).otherwise(0).alias("contaminated"),
+        )
+    )

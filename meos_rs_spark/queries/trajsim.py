@@ -251,3 +251,74 @@ def trajsim_nearest_instant(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .select("id_a", "id_b", F.col("bucket").alias("t_nearest"), F.col("dist").alias("nad_sync"))
     )
+
+
+# --- L2: temporal within-distance predicate (tdwithin summary) --------------
+
+D_WITHIN = 50.0
+
+_RESAMPLE_CTE = f"""
+res AS (
+  SELECT mmsi, date_trunc('hour', ts) AS bucket,
+         CAST(SUM(CAST(lon AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS cx,
+         CAST(SUM(CAST(lat AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS cy
+  FROM posits WHERE mmsi < {K_VESSELS}
+  GROUP BY mmsi, date_trunc('hour', ts)
+)
+"""
+
+
+@register(
+    "trajsim_tdwithin",
+    oracle=f"""
+WITH {POSITS_CTE},
+{_RESAMPLE_CTE},
+d AS (
+  SELECT a.mmsi AS id_a, b.mmsi AS id_b, a.bucket,
+         CASE WHEN sqrt((a.cx - b.cx) * (a.cx - b.cx) + (a.cy - b.cy) * (a.cy - b.cy))
+                   < {D_WITHIN} THEN 1 ELSE 0 END AS within
+  FROM res a JOIN res b ON a.bucket = b.bucket AND a.mmsi < b.mmsi
+)
+SELECT id_a, id_b,
+       count(*) AS n_sync,
+       CAST(SUM(within) AS BIGINT) AS n_within,
+       min(bucket) FILTER (WHERE within = 1) AS t_first_within
+FROM d GROUP BY id_a, id_b
+""",
+    tags=("L2g", "L2f"),
+    doc=f"tdwithin (L2 tdwithin_tpoint_tpoint) summarized: the temporal boolean "
+    f"'pair within {D_WITHIN} units' sampled at hour buckets — per pair the count "
+    "of synchronized instants, how many are within range, and the first such "
+    "instant; same bucket equi-join shape as trajsim_nearest_instant",
+)
+def trajsim_tdwithin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meos_rs_spark.functions.determinism import money_sum
+
+    n = F.count(F.lit(1))
+    res = (
+        posits(spark, sf_dir)
+        .filter(F.col("mmsi") < K_VESSELS)
+        .groupBy("mmsi", F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("bucket"))
+        .agg((money_sum("lon") / n).alias("cx"), (money_sum("lat") / n).alias("cy"))
+    )
+    a = res.select(F.col("mmsi").alias("id_a"), "bucket", F.col("cx").alias("ax"), F.col("cy").alias("ay"))
+    b = res.select(F.col("mmsi").alias("id_b"), F.col("bucket").alias("bucket_b"),
+                   F.col("cx").alias("bx"), F.col("cy").alias("by"))
+    within = F.when(
+        F.sqrt(
+            (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
+            + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by"))
+        )
+        < D_WITHIN,
+        1,
+    ).otherwise(0)
+    return (
+        a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("id_a") < F.col("id_b")))
+        .withColumn("within", within)
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_sync"),
+            F.sum("within").alias("n_within"),
+            F.min(F.when(F.col("within") == 1, F.col("bucket"))).alias("t_first_within"),
+        )
+    )
