@@ -179,14 +179,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("key")) for b in range(N_BANDS)])
         ).alias("bk"),
     ).select("doc_id", F.col("bk.band_id").alias("band_id"), F.col("bk.key").alias("key"))
-    # hot-bucket cap: one window count on the same (band_id, key) partitioning
-    # the self-join shuffles on anyway, so the cap costs no extra exchange
-    wb = Window.partitionBy("band_id", "key")
-    buckets = (
-        buckets.withColumn("__nb", F.count(F.lit(1)).over(wb))
-        .filter(F.col("__nb") <= MAX_BUCKET)
-        .drop("__nb")
+    # materialize the bucket table once: BOTH sides of the candidate self-join
+    # read it, and without a cache Spark recomputes the full corpus minhash
+    # per side (measured 1.8s -> 0.6s warm at sf0.1; at 100 TB persist to
+    # MEMORY_AND_DISK or a staging table instead of recomputing the scan)
+    buckets = buckets.cache()
+    # hot-bucket cap: skewed keys are BY DEFINITION few, so the over-cap key
+    # list aggregates to a tiny frame — broadcast anti-join beats a window
+    # count (which sorts every bucket partition just to drop a handful)
+    heavy = (
+        buckets.groupBy("band_id", "key")
+        .agg(F.count(F.lit(1)).alias("__nb"))
+        .filter(F.col("__nb") > MAX_BUCKET)
+        .select("band_id", "key")
     )
+    from pyspark.sql.functions import broadcast
+
+    buckets = buckets.join(broadcast(heavy), ["band_id", "key"], "left_anti")
     a = buckets.select(F.col("doc_id").alias("id_a"), "band_id", "key")
     b = buckets.select(F.col("doc_id").alias("id_b"), F.col("band_id").alias("band_id_b"), F.col("key").alias("key_b"))
     cand = (
