@@ -236,3 +236,122 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(ratio > _CONTAM_THRESHOLD, 1).otherwise(0).alias("contaminated"),
         )
     )
+
+
+# --- repetition signal (duplicate n-gram ratio) -----------------------------
+
+
+@register(
+    "text_repetition",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         len(toks) - 2 AS n_grams,
+         len(list_distinct(list_transform(generate_series(1, len(toks) - 2),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS n_distinct
+  FROM t WHERE len(toks) >= 3
+)
+SELECT doc_id, n_grams, n_distinct,
+       1.0 - CAST(n_distinct AS DOUBLE) / n_grams AS dup_gram_ratio,
+       CAST(1.0 - CAST(n_distinct AS DOUBLE) / n_grams > 0.5 AS INT) AS is_repetitive
+FROM g
+""",
+    tags=("text",),
+    doc="repetition quality signal: fraction of duplicated word-3-grams per doc "
+    "(boilerplate/template detector); pure array expressions, no explode — the "
+    "per-doc gram set never leaves the row, so the scan is the only pass",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", F.split("text", " ").alias("toks"))
+    d = d.filter(F.size("toks") >= 3)
+    grams = F.expr("transform(sequence(1, size(toks) - 2), i -> concat(toks[i-1], ' ', toks[i], ' ', toks[i+1]))")
+    d = d.select(
+        "doc_id",
+        (F.size("toks") - 2).cast("bigint").alias("n_grams"),
+        F.size(F.array_distinct(grams)).cast("bigint").alias("n_distinct"),
+    )
+    ratio = 1.0 - F.col("n_distinct").cast("double") / F.col("n_grams")
+    return d.select(
+        "doc_id", "n_grams", "n_distinct",
+        ratio.alias("dup_gram_ratio"),
+        (ratio > 0.5).cast("int").alias("is_repetitive"),
+    )
+
+
+# --- the composed curation pass --------------------------------------------
+
+from meos_rs_spark.queries.dedup import _MINHASH_CTES as _LSH_CTES  # noqa: E402
+from meos_rs_spark.queries.dedup import CC_JACCARD as _CC_J  # noqa: E402
+
+_CURATION_ORACLE = f"""
+WITH RECURSIVE {_LSH_CTES},
+pairs AS (SELECT id_a, id_b FROM scored WHERE jaccard >= {_CC_J}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+walk(id, label) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.src, w.label FROM edges e JOIN walk w ON w.id = e.dst
+),
+noncanon AS (SELECT id AS doc_id FROM walk GROUP BY id HAVING min(label) != id),
+base AS (
+  SELECT doc_id, lang, source,
+         len(string_split(text, ' ')) AS n_tokens,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / len(string_split(text, ' ')) AS ttr,
+         md5(text) AS text_hash
+  FROM documents
+),
+first_of_hash AS (
+  SELECT * FROM base
+  QUALIFY row_number() OVER (PARTITION BY text_hash ORDER BY doc_id) = 1
+),
+surv AS (
+  SELECT f.doc_id, f.lang, f.source, f.n_tokens
+  FROM first_of_hash f
+  WHERE f.n_tokens BETWEEN 20 AND 1000 AND f.ttr > 0.2
+    AND f.doc_id NOT IN (SELECT doc_id FROM noncanon)
+)
+SELECT lang, source, count(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM surv GROUP BY lang, source
+"""
+
+
+@register(
+    "text_curation_pipeline",
+    oracle=_CURATION_ORACLE,
+    tags=("text", "dedup", "pipeline"),
+    doc="end-to-end corpus curation: quality gate (length + type-token ratio) ∧ "
+    "exact-dedup first-of-hash ∧ near-dup non-canonicals removed (connected "
+    "components over the MinHash-LSH pair graph) → surviving docs aggregated to "
+    "per-(lang, source) doc and token counts — the single pass a training-data "
+    "pipeline runs before tokenization; every stage is a prior registered "
+    "operator, composed",
+)
+def text_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from meos_rs_spark.queries.dedup import CC_JACCARD, dedup_components
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n
+    d = d.select("doc_id", "lang", "source", n.alias("n_tokens"), ttr.alias("ttr"),
+                 F.md5("text").alias("text_hash"))
+    wq = Window.partitionBy("text_hash").orderBy("doc_id")
+    d = d.withColumn("__rn", F.row_number().over(wq))
+    survivors = d.filter(
+        (F.col("n_tokens") >= 20) & (F.col("n_tokens") <= 1000) & (F.col("ttr") > 0.2)
+        & (F.col("__rn") == 1)
+    )
+    noncanon = dedup_components(spark, sf_dir).filter(F.col("is_canonical") == 0).select("doc_id")
+    survivors = survivors.join(noncanon, "doc_id", "left_anti")
+    return survivors.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
