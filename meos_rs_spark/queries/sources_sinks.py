@@ -282,3 +282,33 @@ def snk_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n_orders"), money_sum("o_totalprice").alias("revenue"))
     )
+
+
+# --- S4+: partition-pruned scan --------------------------------------------
+
+
+@register(
+    "src_partition_pruning",
+    oracle="""
+SELECT o_orderpriority, count(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+""",
+    tags=("S4", "S8"),
+    doc="partition pruning: hive-partitioned layout scanned with an equality "
+    "filter on the partition column — the scan must touch ONLY the matching "
+    "directory (PartitionFilters in the plan, asserted in tests/test_plans.py); "
+    "at 100 TB this is the difference between reading one partition and all of "
+    "them",
+)
+def src_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meos_rs_spark.functions.determinism import money_sum
+
+    path = _scratch(sf_dir, "orders_by_status_pruned")
+    o = load_table(spark, sf_dir, "orders")
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), money_sum("o_totalprice").alias("total")
+    )

@@ -104,3 +104,9 @@ def test_tcentroid_partial_aggregates(spark):
     plan = _plan(spark, "traj_tcentroid")
     assert plan.count("HashAggregate") >= 2
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_partition_pruning_reaches_scan(spark):
+    plan = _plan(spark, "src_partition_pruning")
+    seg = plan.split("PartitionFilters")[1][:200] if "PartitionFilters" in plan else ""
+    assert "o_orderstatus" in seg, plan[:2000]
