@@ -348,3 +348,59 @@ def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
     )
+
+
+# --- stream-stream interval join -------------------------------------------
+
+
+@register(
+    "stream_interval_join",
+    oracle="""
+SELECT a.event_id AS view_id, b.event_id AS purchase_id, a.user_id,
+       CAST(epoch_us(b.ts) - epoch_us(a.ts) AS BIGINT) AS dt_us
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'view' AND b.event_type = 'purchase'
+ AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 2 HOUR
+""",
+    tags=("ST", "J4"),
+    doc="stream-stream interval self-join (view -> purchase attribution within "
+    "2h, per user): both sides watermarked so the state store evicts rows older "
+    "than the join window — the streaming analog of the batch range join J4; "
+    "under availableNow the append-mode result must equal the batch join exactly",
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _stream_events(spark, sf_dir)
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(F.col("event_id").alias("view_id"), F.col("user_id").alias("v_user"),
+                F.col("ts").alias("v_ts"))
+        .withWatermark("v_ts", "2 hours")
+    )
+    buys = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"), F.col("user_id").alias("b_user"),
+                F.col("ts").alias("b_ts"))
+        .withWatermark("b_ts", "2 hours")
+    )
+    joined = views.join(
+        buys,
+        (F.col("v_user") == F.col("b_user"))
+        & (F.col("b_ts") > F.col("v_ts"))
+        & (F.col("b_ts") <= F.col("v_ts") + F.expr("INTERVAL 2 HOURS")),
+    ).select(
+        "view_id",
+        "purchase_id",
+        F.col("v_user").alias("user_id"),
+        (F.expr("unix_micros(b_ts)") - F.expr("unix_micros(v_ts)")).alias("dt_us"),
+    )
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
