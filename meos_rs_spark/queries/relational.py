@@ -652,3 +652,96 @@ def rel_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+# --- PIVOT / UNPIVOT --------------------------------------------------------
+
+_SEGMENTS = ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+
+
+@register(
+    "rel_pivot",
+    oracle=f"""
+SELECT o.o_orderpriority,
+       {", ".join(
+           f"CAST(SUM(CASE WHEN c.c_mktsegment = '{s}' "
+           f"THEN CAST(o.o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS {s.lower()}"
+           for s in _SEGMENTS)}
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY o.o_orderpriority
+""",
+    tags=("A8",),
+    doc="PIVOT: order revenue by priority x market segment — groupBy().pivot() "
+    "with an EXPLICIT value list (without it Spark runs an extra distinct scan "
+    "to discover columns; at 100 TB always enumerate); one shuffle, map-side "
+    "partials per (priority, segment)",
+)
+def rel_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    piv = (
+        o.join(broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderpriority")
+        .pivot("c_mktsegment", list(_SEGMENTS))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"))
+    )
+    return piv.select(
+        "o_orderpriority", *[F.col(s).alias(s.lower()) for s in _SEGMENTS]
+    )
+
+
+@register(
+    "rel_unpivot",
+    oracle="""
+SELECT o_orderkey, metric, val
+FROM (
+  SELECT o_orderkey,
+         CAST(o_totalprice AS DOUBLE) AS totalprice,
+         CAST(o_custkey AS DOUBLE) AS custkey
+  FROM orders WHERE o_orderkey < 1000
+) UNPIVOT (val FOR metric IN (totalprice, custkey))
+""",
+    tags=("A8",),
+    doc="UNPIVOT (melt): wide metric columns to (key, metric, value) rows — "
+    "df.unpivot, the zero-shuffle narrow transform (DuckDB UNPIVOT twin)",
+)
+def rel_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    wide = o.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("totalprice"),
+        F.col("o_custkey").cast("double").alias("custkey"),
+    )
+    return wide.unpivot("o_orderkey", ["totalprice", "custkey"], "metric", "val")
+
+
+# --- exact percentiles ------------------------------------------------------
+
+
+@register(
+    "rel_percentiles",
+    oracle="""
+SELECT c.c_mktsegment,
+       quantile_cont(o.o_totalprice, 0.5) AS p50,
+       quantile_cont(o.o_totalprice, 0.95) AS p95,
+       max(o.o_totalprice) AS p100
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY c.c_mktsegment
+""",
+    tags=("A1",),
+    doc="exact interpolated percentiles per group (Spark percentile == DuckDB "
+    "quantile_cont: both sort-and-lerp, IEEE-identical on identical inputs); "
+    "the exact form is the oracle for any approx_percentile rollout at scale",
+)
+def rel_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.percentile("o_totalprice", F.lit(0.5)).alias("p50"),
+            F.percentile("o_totalprice", F.lit(0.95)).alias("p95"),
+            F.max("o_totalprice").alias("p100"),
+        )
+    )
