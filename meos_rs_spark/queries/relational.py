@@ -745,3 +745,33 @@ def rel_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("p100"),
         )
     )
+
+
+@register(
+    "rel_grouping_sets",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       GROUPING(o_orderstatus, o_orderpriority) AS grp_id,
+       count(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+""",
+    tags=("A8",),
+    doc="explicit GROUPING SETS with a GROUPING() id (disambiguates real NULLs "
+    "from subtotal rows — rollup/cube's general form); one expand + one shuffle",
+)
+def rel_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id("o_orderstatus", "o_orderpriority").alias("grp_id"),
+            F.count(F.lit(1)).alias("n"),
+            money_sum("o_totalprice").alias("total"),
+        )
+    )

@@ -1109,3 +1109,58 @@ def traj_tcentroid(spark: SparkSession, sf_dir: str) -> DataFrame:
             (money_sum("lat") / n).alias("cy"),
         )
     )
+
+
+# --- time-weighted average (MEOS twavg) -------------------------------------
+
+
+@register(
+    "traj_twavg",
+    oracle=f"""
+WITH {POSITS_CTE},
+segs AS (
+  SELECT mmsi,
+         CAST(ROUND(lon * 100) AS BIGINT)
+           + CAST(ROUND(lag(lon) OVER w * 100) AS BIGINT) AS ab,
+         epoch_us(ts) - epoch_us(lag(ts) OVER w) AS dt_us
+  FROM posits WINDOW w AS (PARTITION BY mmsi ORDER BY ts, event_id)
+)
+SELECT mmsi,
+       CAST(SUM(ab * dt_us) AS DOUBLE)
+         / (200.0 * CAST(CAST(SUM(dt_us) AS BIGINT) AS DOUBLE)) AS twavg_lon,
+       CAST(SUM(dt_us) AS BIGINT) AS total_us
+FROM segs WHERE dt_us IS NOT NULL AND dt_us > 0
+GROUP BY mmsi
+""",
+    tags=("L2a", "A7"),
+    doc="time-weighted average (MEOS twavg_tfloat): trapezoidal integral of the "
+    "linearly-interpolated value over time / total duration. Fixture lon is an "
+    "exact 2-decimal, so the whole integral is computed in INTEGER centi-lon x "
+    "microseconds (exact, associative — shuffle-order-free without any decimal "
+    "rounding) and the single double division happens at the very end; one "
+    "vessel-key shuffle",
+)
+def traj_twavg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("mmsi").orderBy("ts", "event_id")
+    us = "unix_micros(CAST({c} AS TIMESTAMP))"
+    dt_us = F.expr(us.format(c="ts")) - F.expr(
+        us.format(c="lag(ts) OVER (PARTITION BY mmsi ORDER BY ts, event_id)")
+    )
+    ab = F.round(F.col("lon") * 100).cast("bigint") + F.round(
+        F.lag("lon").over(w) * 100
+    ).cast("bigint")
+    segs = (
+        posits(spark, sf_dir)
+        .withColumn("ab", ab)
+        .withColumn("dt_us", dt_us)
+        .filter(F.col("dt_us").isNotNull() & (F.col("dt_us") > 0))
+    )
+    total_us = F.sum("dt_us").cast("bigint")
+    # per-segment products stay under 2^63; the SUM is kept exact through
+    # DECIMAL(38,0) (Spark BIGINT sum would overflow at corpus scale) and
+    # matches DuckDB's HUGEINT sum bit-for-bit after the double cast
+    num = F.sum((F.col("ab") * F.col("dt_us")).cast("decimal(38,0)")).cast("double")
+    return segs.groupBy("mmsi").agg(
+        (num / (F.lit(200.0) * total_us.cast("double"))).alias("twavg_lon"),
+        total_us.alias("total_us"),
+    )
