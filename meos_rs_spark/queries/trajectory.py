@@ -1164,3 +1164,125 @@ def traj_twavg(spark: SparkSession, sf_dir: str) -> DataFrame:
         (num / (F.lit(200.0) * total_us.cast("double"))).alias("twavg_lon"),
         total_us.alias("total_us"),
     )
+
+
+# --- L2c: grid resample with linear interpolation (tsample, linear) ---------
+
+
+@register(
+    "traj_resample_linear",
+    oracle=f"""
+WITH {POSITS_CTE},
+dedup AS (
+  SELECT * FROM posits
+  QUALIFY row_number() OVER (PARTITION BY mmsi, ts ORDER BY event_id) = 1
+),
+spans AS (SELECT mmsi, min(ts) AS t0, max(ts) AS t1 FROM dedup GROUP BY mmsi),
+grid AS (
+  SELECT mmsi, u.g
+  FROM spans, unnest(generate_series(date_trunc('day', t0), t1, INTERVAL 6 HOUR)) AS u(g)
+  WHERE u.g >= t0 AND u.g <= t1
+),
+tagged AS (
+  SELECT mmsi, ts, lon, lat, 0 AS is_marker FROM dedup
+  UNION ALL
+  SELECT mmsi, g, NULL, NULL, 1 FROM grid
+),
+interp AS (
+  SELECT mmsi, ts, is_marker,
+         last_value(lon IGNORE NULLS) OVER wp AS p_lon,
+         last_value(lat IGNORE NULLS) OVER wp AS p_lat,
+         last_value(CASE WHEN is_marker = 0 THEN ts END IGNORE NULLS) OVER wp AS p_ts,
+         first_value(lon IGNORE NULLS) OVER wf AS n_lon,
+         first_value(lat IGNORE NULLS) OVER wf AS n_lat,
+         first_value(CASE WHEN is_marker = 0 THEN ts END IGNORE NULLS) OVER wf AS n_ts
+  FROM tagged
+  WINDOW wp AS (PARTITION BY mmsi ORDER BY ts, is_marker
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY mmsi ORDER BY ts, is_marker
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT mmsi, ts AS g,
+       CASE WHEN epoch_us(n_ts) = epoch_us(p_ts) THEN p_lon
+            ELSE p_lon + (n_lon - p_lon)
+                 * (CAST(epoch_us(ts) - epoch_us(p_ts) AS DOUBLE)
+                    / CAST(epoch_us(n_ts) - epoch_us(p_ts) AS DOUBLE)) END AS lon_i,
+       CASE WHEN epoch_us(n_ts) = epoch_us(p_ts) THEN p_lat
+            ELSE p_lat + (n_lat - p_lat)
+                 * (CAST(epoch_us(ts) - epoch_us(p_ts) AS DOUBLE)
+                    / CAST(epoch_us(n_ts) - epoch_us(p_ts) AS DOUBLE)) END AS lat_i
+FROM interp
+WHERE is_marker = 1 AND p_ts IS NOT NULL AND n_ts IS NOT NULL
+""",
+    tags=("L2c", "L2b"),
+    doc="grid resampling with linear interpolation (L2 temporal_tsample, LINEAR "
+    "interp — the general form of traj_value_at_time): 6h grid markers unioned "
+    "into the posit stream, surrounding posits found by ignore-nulls running "
+    "windows (one vessel-key shuffle, no per-marker join), exact lerp in epoch "
+    "micros; the union+window shape is how as-of interpolation scales — the "
+    "grid never joins against the full posit table",
+)
+def traj_resample_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = dedup_monotonic(posits(spark, sf_dir))
+    spans = p.groupBy("mmsi").agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+    # sequence() starts at the day floor; clamp the low end to the observed span
+    grid = spans.select(
+        "mmsi",
+        F.explode(F.expr("sequence(date_trunc('DAY', t0), t1, interval 6 hours)")).alias("g"),
+        "t0",
+    ).filter((F.col("g") >= F.col("t0"))).select("mmsi", "g")
+    tagged = p.select(
+        "mmsi", "ts", "lon", "lat", F.lit(0).alias("is_marker")
+    ).unionByName(
+        grid.select(
+            "mmsi",
+            F.col("g").alias("ts"),
+            F.lit(None).cast("double").alias("lon"),
+            F.lit(None).cast("double").alias("lat"),
+            F.lit(1).alias("is_marker"),
+        )
+    )
+    wp = (
+        Window.partitionBy("mmsi")
+        .orderBy("ts", "is_marker")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("mmsi")
+        .orderBy("ts", "is_marker")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    posit_ts = F.when(F.col("is_marker") == 0, F.col("ts"))
+    interp = tagged.select(
+        "mmsi",
+        "ts",
+        "is_marker",
+        F.last("lon", ignorenulls=True).over(wp).alias("p_lon"),
+        F.last("lat", ignorenulls=True).over(wp).alias("p_lat"),
+        F.last(posit_ts, ignorenulls=True).over(wp).alias("p_ts"),
+        F.first("lon", ignorenulls=True).over(wf).alias("n_lon"),
+        F.first("lat", ignorenulls=True).over(wf).alias("n_lat"),
+        F.first(posit_ts, ignorenulls=True).over(wf).alias("n_ts"),
+    )
+    us = "unix_micros(CAST({c} AS TIMESTAMP))"
+    g_us = F.expr(us.format(c="ts"))
+    p_us = F.expr(us.format(c="p_ts"))
+    n_us = F.expr(us.format(c="n_ts"))
+    frac = (g_us - p_us).cast("double") / (n_us - p_us).cast("double")
+
+    def lerp(pv: str, nv: str):
+        return F.when(n_us == p_us, F.col(pv)).otherwise(
+            F.col(pv) + (F.col(nv) - F.col(pv)) * frac
+        )
+
+    return (
+        interp.filter(
+            (F.col("is_marker") == 1) & F.col("p_ts").isNotNull() & F.col("n_ts").isNotNull()
+        )
+        .select(
+            "mmsi",
+            F.col("ts").alias("g"),
+            lerp("p_lon", "n_lon").alias("lon_i"),
+            lerp("p_lat", "n_lat").alias("lat_i"),
+        )
+    )
