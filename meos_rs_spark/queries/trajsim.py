@@ -322,3 +322,49 @@ def trajsim_tdwithin(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.when(F.col("within") == 1, F.col("bucket"))).alias("t_first_within"),
         )
     )
+
+
+# --- L2: temporal distance between moving points ----------------------------
+
+
+@register(
+    "trajsim_tdistance",
+    oracle=f"""
+WITH {POSITS_CTE},
+{_RESAMPLE_CTE},
+d AS (
+  SELECT a.mmsi AS id_a, b.mmsi AS id_b, a.bucket,
+         sqrt((a.cx - b.cx) * (a.cx - b.cx) + (a.cy - b.cy) * (a.cy - b.cy)) AS dist
+  FROM res a JOIN res b ON a.bucket = b.bucket AND a.mmsi < b.mmsi
+)
+SELECT id_a, id_b, bucket, dist FROM d
+""",
+    tags=("L2g", "L2d"),
+    doc="temporal distance (L2 tdistance_tpoint_tpoint): the distance-over-time "
+    "sequence itself, one row per synchronized hour instant per pair — "
+    "nearest_instant and tdwithin are reductions of this sequence; bucket "
+    "equi-join, never a point-level theta join",
+)
+def trajsim_tdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meos_rs_spark.functions.determinism import money_sum
+
+    n = F.count(F.lit(1))
+    res = (
+        posits(spark, sf_dir)
+        .filter(F.col("mmsi") < K_VESSELS)
+        .groupBy("mmsi", F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("bucket"))
+        .agg((money_sum("lon") / n).alias("cx"), (money_sum("lat") / n).alias("cy"))
+    )
+    a = res.select(F.col("mmsi").alias("id_a"), "bucket", F.col("cx").alias("ax"), F.col("cy").alias("ay"))
+    b = res.select(F.col("mmsi").alias("id_b"), F.col("bucket").alias("bucket_b"),
+                   F.col("cx").alias("bx"), F.col("cy").alias("by"))
+    return (
+        a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("id_a") < F.col("id_b")))
+        .select(
+            "id_a", "id_b", "bucket",
+            F.sqrt(
+                (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
+                + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by"))
+            ).alias("dist"),
+        )
+    )
