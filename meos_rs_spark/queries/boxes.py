@@ -242,3 +242,55 @@ def box_stbox_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pairs
+
+
+# --- STBOX expand (spatial buffer) ------------------------------------------
+
+_EXPAND_D = 15.0
+
+
+@register(
+    "box_stbox_expand",
+    oracle=f"""
+WITH {POSITS_CTE},
+vbox AS (
+  SELECT mmsi,
+         min(lon) AS xmin, max(lon) AS xmax,
+         min(lat) AS ymin, max(lat) AS ymax
+  FROM posits GROUP BY mmsi
+)
+SELECT mmsi,
+       xmin - {_EXPAND_D} AS exmin, xmax + {_EXPAND_D} AS exmax,
+       ymin - {_EXPAND_D} AS eymin, ymax + {_EXPAND_D} AS eymax,
+       CAST((xmin - {_EXPAND_D} <= 120.0 AND 20.0 <= xmax + {_EXPAND_D}
+         AND ymin - {_EXPAND_D} <= 80.0 AND 10.0 <= ymax + {_EXPAND_D}) AS INT)
+         AS overlaps_region_after
+FROM vbox
+""",
+    tags=("F8",),
+    doc="STBOX spatial expand (L2 stbox_expand_space: buffer every spatial bound "
+    "by d, the pre-filter widening step of distance-within joins): expanded "
+    "per-vessel extents + overlap against the fixed region after expansion — "
+    "a dwithin(traj, region, d) test reduces to overlap of the expanded box",
+)
+def box_stbox_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vbox = (
+        posits(spark, sf_dir)
+        .groupBy("mmsi")
+        .agg(
+            F.min("lon").alias("xmin"), F.max("lon").alias("xmax"),
+            F.min("lat").alias("ymin"), F.max("lat").alias("ymax"),
+        )
+    )
+    exmin = F.col("xmin") - _EXPAND_D
+    exmax = F.col("xmax") + _EXPAND_D
+    eymin = F.col("ymin") - _EXPAND_D
+    eymax = F.col("ymax") + _EXPAND_D
+    return vbox.select(
+        "mmsi",
+        exmin.alias("exmin"), exmax.alias("exmax"),
+        eymin.alias("eymin"), eymax.alias("eymax"),
+        ((exmin <= 120.0) & (F.lit(20.0) <= exmax) & (eymin <= 80.0) & (F.lit(10.0) <= eymax))
+        .cast("int")
+        .alias("overlaps_region_after"),
+    )

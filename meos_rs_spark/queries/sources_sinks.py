@@ -312,3 +312,44 @@ def src_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"), money_sum("o_totalprice").alias("total")
     )
+
+
+# --- S4+: schema evolution across parquet file generations ------------------
+
+
+@register(
+    "src_schema_evolution",
+    oracle="""
+WITH unioned AS (
+  SELECT o_orderkey, o_totalprice, NULL AS o_clerk_tag FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT o_orderkey, o_totalprice, o_orderpriority AS o_clerk_tag FROM orders WHERE o_orderkey % 2 = 1
+)
+SELECT count(*) AS n_total,
+       count(o_clerk_tag) AS n_with_tag,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM unioned
+""",
+    tags=("S4",),
+    doc="schema evolution: two parquet generations (v1 without, v2 with an added "
+    "column) read as ONE dataset via mergeSchema — missing columns surface as "
+    "NULL, the lakehouse contract for additive schema change; aggregation "
+    "proves both generations scanned",
+)
+def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meos_rs_spark.functions.determinism import money_sum
+
+    path = _scratch(sf_dir, "orders_evolving")
+    o = load_table(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_totalprice")
+    v2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", F.col("o_orderpriority").alias("o_clerk_tag")
+    )
+    v1.write.mode("overwrite").parquet(f"{path}/gen=1")
+    v2.write.mode("overwrite").parquet(f"{path}/gen=2")
+    back = spark.read.option("mergeSchema", "true").parquet(f"{path}/gen=1", f"{path}/gen=2")
+    return back.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count("o_clerk_tag").alias("n_with_tag"),
+        money_sum("o_totalprice").alias("total"),
+    )
