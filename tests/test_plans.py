@@ -110,3 +110,25 @@ def test_partition_pruning_reaches_scan(spark):
     plan = _plan(spark, "src_partition_pruning")
     seg = plan.split("PartitionFilters")[1][:200] if "PartitionFilters" in plan else ""
     assert "o_orderstatus" in seg, plan[:2000]
+
+
+def test_resample_single_vessel_shuffle(spark):
+    # union + two windows + span agg all hash-partition on mmsi; the grid
+    # never joins against the posit fact table
+    plan = _plan(spark, "traj_resample_linear")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_decontaminate_probe_set_broadcasts(spark):
+    plan = _plan(spark, "text_decontaminate")
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_pivot_explicit_values_single_shuffle(spark):
+    # explicit pivot value list: no extra distinct-scan job; the canonical
+    # plan is (priority, segment) pair agg -> pivotfirst agg, i.e. exactly
+    # two hash exchanges, with the customer side broadcast
+    plan = _plan(spark, "rel_pivot")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan[:2000]
