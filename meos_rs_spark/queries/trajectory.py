@@ -1286,3 +1286,36 @@ def traj_resample_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             lerp("p_lat", "n_lat").alias("lat_i"),
         )
     )
+
+
+# --- UDTF surface: sequence -> instants explode -----------------------------
+
+
+@register(
+    "traj_unnest_instants",
+    oracle=f"""
+WITH {_ASSEMBLED_CTE}
+SELECT mmsi,
+       CAST(row_number() OVER (PARTITION BY mmsi ORDER BY ts, event_id) - 1 AS BIGINT) AS idx,
+       {point_wkt_duck('lon', 'lat', 'ts')} AS instant_wkt
+FROM trunc
+QUALIFY count(*) OVER (PARTITION BY mmsi) >= {MIN_TRIP}
+""",
+    tags=("F2", "A5"),
+    doc="the UDTF direction of the flagship UDAF (SURVEY §2.10): assembled "
+    "sequences exploded back to one row per instant with its 0-based position "
+    "and the reference's instant WKT 'POINT(x y)@ts+00' (tinst out form, "
+    "01_hello_world.rs:8); posexplode keeps the array order so no re-sort",
+)
+def traj_unnest_instants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seqs = assemble(posits(spark, sf_dir), min_size=MIN_TRIP, max_size=MAX_TRIP)
+    inst = seqs.select(
+        "mmsi", F.posexplode("traj.points").alias("idx", "pt")
+    ).select(
+        "mmsi",
+        F.col("idx").cast("bigint").alias("idx"),
+        F.col("pt.lon").alias("lon"),
+        F.col("pt.lat").alias("lat"),
+        F.col("pt.ts").alias("ts"),
+    )
+    return inst.select("mmsi", "idx", point_wkt("lon", "lat", "ts").alias("instant_wkt"))
