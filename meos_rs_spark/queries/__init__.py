@@ -16,6 +16,7 @@ from meos_rs_spark.queries import sources_sinks  # noqa: F401
 from meos_rs_spark.queries import streaming  # noqa: F401
 from meos_rs_spark.queries import textanalysis  # noqa: F401
 from meos_rs_spark.queries import relational  # noqa: F401
+from meos_rs_spark.queries import sampling  # noqa: F401
 from meos_rs_spark.queries import scalars  # noqa: F401
 from meos_rs_spark.queries import temporal_types  # noqa: F401
 from meos_rs_spark.queries import trajectory  # noqa: F401

@@ -1319,3 +1319,45 @@ def traj_unnest_instants(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pt.ts").alias("ts"),
     )
     return inst.select("mmsi", "idx", point_wkt("lon", "lat", "ts").alias("instant_wkt"))
+
+
+# --- L2h: space-time grid tiling -------------------------------------------
+
+_CELL_DEG = 5.0  # degrees per spatial cell
+_TILE_HOURS = 6  # hours per temporal slice
+
+
+@register(
+    "traj_space_time_grid",
+    oracle=f"""
+WITH {POSITS_CTE}
+SELECT CAST(FLOOR(lon / {_CELL_DEG}) AS BIGINT) AS cell_x,
+       CAST(FLOOR(lat / {_CELL_DEG}) AS BIGINT) AS cell_y,
+       CAST(FLOOR(epoch_us(ts) / ({_TILE_HOURS} * 3600000000)) AS BIGINT) AS tile_t,
+       count(*) AS n_posits,
+       count(DISTINCT mmsi) AS n_vessels
+FROM posits
+GROUP BY 1, 2, 3
+""",
+    tags=("L2h", "J5"),
+    doc="space-time tiling (L2 stbox_tile_list family; the 3-D grid behind the "
+    f"J5 box-join bucketing): posits binned into {_CELL_DEG}°×{_CELL_DEG}°×"
+    f"{_TILE_HOURS}h cells with posit + distinct-vessel counts per cell — one "
+    "partial-aggregated shuffle on the cell key; output cardinality is the "
+    "occupied-cell count, independent of posit volume, so the occupancy "
+    "summary of a 100 TB AIS feed still fits in memory",
+)
+def traj_space_time_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = posits(spark, sf_dir)
+    tile_us = _TILE_HOURS * 3600 * 1_000_000
+    return (
+        p.groupBy(
+            F.floor(F.col("lon") / _CELL_DEG).cast("bigint").alias("cell_x"),
+            F.floor(F.col("lat") / _CELL_DEG).cast("bigint").alias("cell_y"),
+            F.floor(F.expr("unix_micros(CAST(ts AS TIMESTAMP))") / tile_us).cast("bigint").alias("tile_t"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_posits"),
+            F.countDistinct("mmsi").alias("n_vessels"),
+        )
+    )

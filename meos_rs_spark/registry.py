@@ -135,7 +135,9 @@ VERIFY_ORDER_HEAD: tuple[str, ...] = (
 #   text_curation_pipeline src_partition_pruning stream_interval_join
 #   rel_pivot rel_unpivot rel_percentiles rel_grouping_sets traj_twavg
 #   traj_resample_linear trajsim_tdistance box_stbox_expand
-#   src_schema_evolution traj_unnest_instants
+#   src_schema_evolution traj_unnest_instants text_hash_split
+#   text_quota_sample text_shard_packing text_length_histogram
+#   traj_space_time_grid
 # plus any r4 additions, backfilled to 50 with r2-green names; update
 # tests/test_registry_order.py to match.
 

@@ -132,3 +132,25 @@ def test_pivot_explicit_values_single_shuffle(spark):
     plan = _plan(spark, "rel_pivot")
     assert "BroadcastHashJoin" in plan
     assert plan.count("Exchange hashpartitioning") <= 2, plan[:2000]
+
+
+def test_shard_packing_window_is_block_partitioned(spark):
+    # the corpus-wide prefix sum must NOT be one global window: the only
+    # single-partition window allowed is over the tiny block-offset table,
+    # and the per-doc window must be hash-partitioned by block
+    plan = _plan(spark, "text_shard_packing")
+    assert "Exchange hashpartitioning(block" in plan, plan[:2000]
+    assert "BroadcastExchange" in plan  # block offsets rejoin via broadcast
+
+
+def test_hash_split_is_scan_only(spark):
+    # stateless per-row map: no exchange of any kind in the plan
+    plan = _plan(spark, "text_hash_split")
+    assert "Exchange" not in plan, plan[:2000]
+
+
+def test_space_time_grid_partial_agg(spark):
+    # one shuffle on the cell key, with a map-side partial aggregate before it
+    plan = _plan(spark, "traj_space_time_grid")
+    assert plan.count("Exchange hashpartitioning") <= 2  # partial c.d. expand
+    assert "HashAggregate" in plan
