@@ -261,3 +261,88 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rnk") <= IVF_TOPK)
         .select("probe_id", "vec_id", "label", "cosine")
     )
+
+
+# --- k-means Lloyd iteration (the IVF training step) ------------------------
+
+_KM_K = 8  # clusters; seeds = first _KM_K corpus vectors (deterministic)
+
+
+@register(
+    "sim_kmeans_iter",
+    oracle=f"""
+WITH cents AS (
+  SELECT vec_id AS cent_id, embedding AS ce,
+         {_DOT_DUCK.format(a='embedding', b='embedding')} AS cn2
+  FROM embeddings WHERE vec_id < {_KM_K}
+),
+vecs AS (
+  SELECT vec_id, embedding,
+         {_DOT_DUCK.format(a='embedding', b='embedding')} AS vn2
+  FROM embeddings
+),
+assign AS (
+  SELECT v.vec_id, v.embedding, c.cent_id,
+         v.vn2 + c.cn2 - 2 * {_DOT_DUCK.format(a='v.embedding', b='c.ce')} AS d2
+  FROM vecs v CROSS JOIN cents c
+),
+cells AS (
+  SELECT vec_id, embedding, cent_id AS cluster_id FROM assign
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) = 1
+),
+comps AS (
+  SELECT cluster_id, CAST(i - 1 AS INT) AS dim,
+         CAST(ROUND(CAST(embedding[i] AS DOUBLE), 6) AS DECIMAL(28,6)) AS val
+  FROM cells, unnest(generate_series(1, len(embedding))) AS g(i)
+)
+SELECT cluster_id, dim,
+       count(*) AS n_members,
+       CAST(CAST(SUM(val) AS DOUBLE) / count(*) AS DOUBLE) AS centroid_val
+FROM comps GROUP BY cluster_id, dim
+""",
+    tags=("sim", "ivf", "iterative"),
+    doc=f"one Lloyd (k-means) iteration over the embedding corpus — the "
+    f"training step behind the IVF quantizer (sim_ann_ivf seeds its cells the "
+    f"same way): {_KM_K} broadcast seed centroids, squared-L2 assignment using "
+    "precomputed self-dots (one fold per pair, not three), then per-dimension "
+    "cluster means via posexplode + exact DECIMAL(28,6) sums so the mean is "
+    "shuffle-order-independent. At 100 TB the assignment is a map-side "
+    "broadcast pass and the recompute is one (cluster, dim)-keyed partial "
+    "aggregation — each further iteration is the same two stages re-run",
+)
+def sim_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meos_rs_spark.functions.embeddings import seq_dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", "embedding", seq_dot("embedding", "embedding").alias("vn2")
+    )
+    cents = (
+        emb.filter(F.col("vec_id") < _KM_K)
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("ce"),
+            seq_dot("embedding", "embedding").alias("cn2"),
+        )
+    )
+    assign = vecs.crossJoin(broadcast(cents)).withColumn(
+        "d2",
+        F.col("vn2") + F.col("cn2") - 2 * seq_dot(F.col("embedding"), F.col("ce")),
+    )
+    wv = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cent_id").asc())
+    cells = (
+        assign.withColumn("__rn", F.row_number().over(wv))
+        .filter(F.col("__rn") == 1)
+        .select("vec_id", "embedding", F.col("cent_id").alias("cluster_id"))
+    )
+    comps = cells.select(
+        "cluster_id", F.posexplode("embedding").alias("dim", "raw")
+    ).select(
+        "cluster_id",
+        "dim",
+        F.round(F.col("raw").cast("double"), 6).cast("decimal(28,6)").alias("val"),
+    )
+    return comps.groupBy("cluster_id", "dim").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        (F.sum("val").cast("double") / F.count(F.lit(1))).cast("double").alias("centroid_val"),
+    )
