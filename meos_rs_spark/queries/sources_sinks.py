@@ -353,3 +353,38 @@ def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("o_clerk_tag").alias("n_with_tag"),
         money_sum("o_totalprice").alias("total"),
     )
+
+
+# --- S4 twin: ORC columnar round-trip --------------------------------------
+
+
+@register(
+    "src_orc_roundtrip",
+    oracle="""
+SELECT event_type,
+       count(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       min(ts) AS t_min,
+       max(ts) AS t_max
+FROM events GROUP BY event_type
+""",
+    tags=("S4",),
+    doc="second columnar format: write events to ORC (snappy), re-scan, and "
+    "aggregate — unlike the CSV round-trip this carries native TIMESTAMP and "
+    "DOUBLE types through the file boundary, so the re-read needs no re-cast "
+    "and predicate/column pushdown still applies to the ORC scan; the "
+    "aggregate must equal the parquet source exactly",
+)
+def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meos_rs_spark.functions.determinism import money_sum
+
+    path = _scratch(sf_dir, "events_orc")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    ev.repartition(4).write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        money_sum("value").alias("sum_value"),
+        F.min("ts").alias("t_min"),
+        F.max("ts").alias("t_max"),
+    )
