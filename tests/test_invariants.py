@@ -61,3 +61,67 @@ def test_stops_are_long_enough(spark):
     rows = _q(spark, "traj_stops").collect()
     assert all(r.duration_us >= 43_200_000_000 for r in rows)
     assert all(r.n_pts >= 1 for r in rows)
+
+
+# --- sampling / sharding operators (round-3 session-3) ----------------------
+
+
+def test_hash_split_partitions_the_corpus(spark):
+    from meos_rs_spark.sources.tables import load_table
+
+    s = _q(spark, "text_hash_split")
+    n_docs = load_table(spark, SF_SMOKE, "documents").count()
+    assert s.count() == n_docs  # every doc gets exactly one assignment
+    counts = {r["split"]: r["n"] for r in s.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) <= {"train", "val", "test"}
+    # ~90/5/5 split: train must dominate with a wide tolerance at tiny sf
+    assert counts.get("train", 0) / n_docs > 0.75
+
+
+def test_quota_sample_exact_per_group(spark):
+    from meos_rs_spark.queries.sampling import _QUOTA
+    from meos_rs_spark.sources.tables import load_table
+
+    got = {
+        r["lang"]: r["n"]
+        for r in _q(spark, "text_quota_sample").groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    avail = {
+        r["lang"]: r["n"]
+        for r in load_table(spark, SF_SMOKE, "documents").groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == {lang: min(_QUOTA, n) for lang, n in avail.items()}
+
+
+def test_shard_packing_offsets_are_a_prefix_sum(spark):
+    from meos_rs_spark.queries.sampling import _SHARD_BUDGET
+
+    rows = sorted(_q(spark, "text_shard_packing").collect(), key=lambda r: r["doc_id"])
+    running = 0
+    for r in rows:
+        assert r["start_offset"] == running  # exclusive prefix sum, doc_id order
+        assert r["shard_id"] == running // _SHARD_BUDGET
+        running += r["n_tokens"]
+    # shard ids are contiguous from 0
+    shard_ids = sorted({r["shard_id"] for r in rows})
+    assert shard_ids == list(range(len(shard_ids)))
+
+
+def test_space_time_grid_conserves_posits(spark):
+    g = _q(spark, "traj_space_time_grid")
+    total = g.agg(F.sum("n_posits")).collect()[0][0]
+    assert total == posits(spark, SF_SMOKE).count()
+    # a cell never counts more vessels than posits
+    assert g.filter(F.col("n_vessels") > F.col("n_posits")).count() == 0
+
+
+def test_kmeans_iter_conserves_membership(spark):
+    from meos_rs_spark.sources.tables import load_table
+
+    km = _q(spark, "sim_kmeans_iter")
+    n_vecs = load_table(spark, SF_SMOKE, "embeddings").count()
+    dims = km.groupBy("cluster_id").agg(
+        F.count("*").alias("n_dims"), F.min("n_members").alias("lo"), F.max("n_members").alias("hi")
+    ).collect()
+    assert all(r["n_dims"] == 64 and r["lo"] == r["hi"] for r in dims)  # consistent across dims
+    assert sum(r["lo"] for r in dims) == n_vecs  # every vector in exactly one cluster
