@@ -154,3 +154,13 @@ def test_space_time_grid_partial_agg(spark):
     plan = _plan(spark, "traj_space_time_grid")
     assert plan.count("Exchange hashpartitioning") <= 2  # partial c.d. expand
     assert "HashAggregate" in plan
+
+
+def test_kmeans_assignment_is_broadcast(spark):
+    # centroid assignment must be a broadcast NLJ over the K-row seed table
+    # (a map-side pass), never a shuffle of the corpus; the only hash
+    # exchanges are the per-vec argmin window and the (cluster, dim) agg
+    plan = _plan(spark, "sim_kmeans_iter")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 3, plan[:2000]
