@@ -775,3 +775,44 @@ def rel_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum("o_totalprice").alias("total"),
         )
     )
+
+
+# --- hot-key defense, join edition: salted skew join ------------------------
+
+_JSALT = 8
+
+
+@register(
+    "rel_salted_join",
+    oracle="""
+SELECT n.n_name,
+       count(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events e JOIN nation n ON n.n_nationkey = e.user_id % 25
+GROUP BY n.n_name
+""",
+    tags=("J1", "A1"),
+    doc=f"hot-key defense for JOINS (the salted-agg twin): the fact side's join "
+    f"key domain is tiny (user_id%25), so a plain shuffle join lands each hot "
+    f"key on one task. Fact rows get salt=pmod(hash(event_id), {_JSALT}); the "
+    f"dim side is replicated ×{_JSALT} via explode(sequence) and the join runs "
+    "on (key, salt) — every hot key spreads over "
+    f"{_JSALT} tasks and results are exactly the plain join's (merge hint "
+    "keeps the demo on SMJ; in production this is the fallback when the dim "
+    "is too big to broadcast and AQE skew-split can't help, e.g. bucketed "
+    "layouts)",
+)
+def rel_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "__nkey", (F.col("user_id") % 25).cast("int")
+    ).withColumn("__salt", F.pmod(F.hash("event_id"), F.lit(_JSALT)))
+    dim = (
+        load_table(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name", F.explode(F.sequence(F.lit(0), F.lit(_JSALT - 1))).alias("__salt"))
+        .hint("merge")
+    )
+    joined = ev.join(dim, (ev.__nkey == dim.n_nationkey) & (ev.__salt == dim.__salt))
+    return joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )

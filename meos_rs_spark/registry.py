@@ -127,7 +127,7 @@ VERIFY_ORDER_HEAD: tuple[str, ...] = (
 
 
 # ROUND-4 ROTATION (do this FIRST in the r4 session): replace
-# VERIFY_ORDER_HEAD with the 30 queries that have no driver row yet —
+# VERIFY_ORDER_HEAD with the 38 queries that have no driver row yet —
 #   box_stbox_z serde_wkb_roundtrip serde_mfjson_ingest dedup_components
 #   ttype_tint_step ttype_ttext_ops mm_resize mm_frame_sample traj_minus_box
 #   traj_stops traj_tcount_sweep traj_tcentroid trajsim_nearest_instant
@@ -137,7 +137,7 @@ VERIFY_ORDER_HEAD: tuple[str, ...] = (
 #   traj_resample_linear trajsim_tdistance box_stbox_expand
 #   src_schema_evolution traj_unnest_instants text_hash_split
 #   text_quota_sample text_shard_packing text_length_histogram
-#   traj_space_time_grid sim_kmeans_iter src_orc_roundtrip
+#   traj_space_time_grid sim_kmeans_iter src_orc_roundtrip rel_salted_join
 # plus any r4 additions, backfilled to 50 with r2-green names; update
 # tests/test_registry_order.py to match.
 

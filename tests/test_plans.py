@@ -164,3 +164,11 @@ def test_kmeans_assignment_is_broadcast(spark):
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange hashpartitioning") <= 3, plan[:2000]
+
+
+def test_salted_join_is_smj_on_salted_key(spark):
+    # the demo must actually exercise the shuffle-join path (broadcast would
+    # make salting moot) and join on the composite (key, salt)
+    plan = _plan(spark, "rel_salted_join")
+    assert "SortMergeJoin" in plan, plan[:2000]
+    assert "BroadcastHashJoin" not in plan, plan[:2000]
