@@ -404,3 +404,63 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+# --- streaming corpus curation (LLM-ops × streaming) ------------------------
+
+_DOCS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+
+@register(
+    "stream_doc_curation",
+    oracle="""
+WITH t AS (
+  SELECT lang, source,
+         len(string_split(text, ' ')) AS n_tokens,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / len(string_split(text, ' ')) AS ttr
+  FROM documents
+)
+SELECT lang, source,
+       count(*) AS n_docs_pass,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM t
+WHERE n_tokens BETWEEN 20 AND 1000 AND ttr > 0.2
+GROUP BY lang, source
+""",
+    tags=("ST", "text"),
+    doc="streaming ingest curation: the text_quality gate (length + type-token "
+    "ratio) applied to a document file stream, with running per-(lang, source) "
+    "admission counts in complete mode — the shape of a continuously-fed "
+    "training-corpus intake. The gate itself is stateless (per-row map, no "
+    "state store growth); only the bounded (lang, source) aggregate holds "
+    "state, so the pipeline runs indefinitely at ingest scale",
+)
+def stream_doc_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meos_rs_spark.session import prepare_session
+
+    prepare_session(spark)
+    raw = (
+        spark.readStream.schema(_DOCS_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n
+    passed = raw.select(
+        "lang", "source", n.cast("bigint").alias("n_tokens"), ttr.alias("ttr")
+    ).filter((F.col("n_tokens") >= 20) & (F.col("n_tokens") <= 1000) & (F.col("ttr") > 0.2))
+    agg = passed.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs_pass"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+    return _run_to_table(agg, spark)
