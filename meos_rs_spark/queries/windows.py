@@ -214,3 +214,33 @@ def win_ntile_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("event_id").over(wf).alias("first_event"),
         F.last("event_id").over(wf).alias("last_event"),
     )
+
+
+# --- analytic: relative-position functions ----------------------------------
+
+
+@register(
+    "win_percent_rank_cume",
+    oracle="""
+SELECT user_id, event_id,
+       percent_rank() OVER (PARTITION BY user_id ORDER BY value, event_id) AS pct_rank,
+       cume_dist() OVER (PARTITION BY user_id ORDER BY value, event_id) AS cume,
+       CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_in_group
+FROM events
+""",
+    tags=("W",),
+    doc="relative-position analytics: percent_rank and cume_dist per user over "
+    "the value ordering (total tiebreak on event_id so both engines rank "
+    "identically); the fractions are exact ratios of integer ranks, so the "
+    "doubles hash cross-engine",
+)
+def win_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wo = Window.partitionBy("user_id").orderBy("value", "event_id")
+    wp = Window.partitionBy("user_id")
+    return _events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        F.percent_rank().over(wo).alias("pct_rank"),
+        F.cume_dist().over(wo).alias("cume"),
+        F.count(F.lit(1)).over(wp).cast("bigint").alias("n_in_group"),
+    )

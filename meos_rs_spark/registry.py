@@ -138,7 +138,7 @@ VERIFY_ORDER_HEAD: tuple[str, ...] = (
 #   src_schema_evolution traj_unnest_instants text_hash_split
 #   text_quota_sample text_shard_packing text_length_histogram
 #   traj_space_time_grid sim_kmeans_iter src_orc_roundtrip rel_salted_join
-#   stream_doc_curation
+#   stream_doc_curation win_percent_rank_cume
 # plus any r4 additions, backfilled to 50 with r2-green names; update
 # tests/test_registry_order.py to match.
 
