@@ -127,7 +127,7 @@ VERIFY_ORDER_HEAD: tuple[str, ...] = (
 
 
 # ROUND-4 ROTATION (do this FIRST in the r4 session): replace
-# VERIFY_ORDER_HEAD with the 38 queries that have no driver row yet —
+# VERIFY_ORDER_HEAD with the 40 queries that have no driver row yet —
 #   box_stbox_z serde_wkb_roundtrip serde_mfjson_ingest dedup_components
 #   ttype_tint_step ttype_ttext_ops mm_resize mm_frame_sample traj_minus_box
 #   traj_stops traj_tcount_sweep traj_tcentroid trajsim_nearest_instant
