@@ -1361,3 +1361,82 @@ def traj_space_time_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("mmsi").alias("n_vessels"),
         )
     )
+
+
+# --- L2b: at-value restriction (linear interpolation) ------------------------
+
+_AV_LO, _AV_HI = 25.0, 75.0
+
+
+@register(
+    "traj_at_value",
+    oracle=f"""
+WITH {POSITS_CTE},
+segs AS (
+  SELECT mmsi, lon AS v0,
+         lead(lon) OVER w AS v1,
+         epoch_us(lead(ts) OVER w) - epoch_us(ts) AS dur_us
+  FROM posits WINDOW w AS (PARTITION BY mmsi ORDER BY ts, event_id)
+),
+clipped AS (
+  SELECT mmsi, dur_us,
+    CASE
+      WHEN v1 IS NULL THEN NULL
+      WHEN v0 = v1 THEN CASE WHEN v0 BETWEEN {_AV_LO} AND {_AV_HI} THEN dur_us ELSE 0 END
+      ELSE CAST(FLOOR(
+             GREATEST(LEAST(GREATEST(v0, v1), {_AV_HI}) - GREATEST(LEAST(v0, v1), {_AV_LO}), 0)
+             / (GREATEST(v0, v1) - LEAST(v0, v1)) * dur_us) AS BIGINT)
+    END AS in_us
+  FROM segs
+)
+SELECT mmsi,
+       CAST(COALESCE(SUM(in_us), 0) AS BIGINT) AS in_range_us,
+       CAST(COALESCE(SUM(dur_us), 0) AS BIGINT) AS total_us,
+       count(in_us) AS n_segments,
+       CAST(COALESCE(SUM(CASE WHEN in_us > 0 AND in_us < dur_us THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_partial
+FROM clipped GROUP BY mmsi
+""",
+    tags=("L2b",),
+    doc=f"at-value restriction under LINEAR interpolation (L2 temporal_at_value "
+    f"family; completes at-time/at-box/minus-box): time each vessel's lon "
+    f"spends inside [{_AV_LO}, {_AV_HI}], clipping each segment by the exact "
+    "value-overlap fraction (crossings interpolated, not snapped to instants "
+    "— the step-semantics twin is traj_tbool_duration). Determinism: the "
+    "fraction is scalar per segment (identical IEEE ops both engines), "
+    "FLOOR-ed to integer micros so the per-vessel fold is an associative "
+    "BIGINT sum",
+)
+def traj_at_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("mmsi").orderBy("ts", "event_id")
+    p = (
+        posits(spark, sf_dir)
+        .withColumn("v1", F.lead("lon").over(w))
+        .withColumn(
+            "dur_us",
+            F.expr("unix_micros(CAST(lead(ts) OVER (PARTITION BY mmsi ORDER BY ts, event_id) AS TIMESTAMP))")
+            - F.expr("unix_micros(CAST(ts AS TIMESTAMP))"),
+        )
+        .withColumnRenamed("lon", "v0")
+    )
+    vmax, vmin = F.greatest("v0", "v1"), F.least("v0", "v1")
+    clip = F.greatest(
+        F.least(vmax, F.lit(_AV_HI)) - F.greatest(vmin, F.lit(_AV_LO)), F.lit(0.0)
+    )
+    in_us = (
+        F.when(F.col("v1").isNull(), F.lit(None).cast("bigint"))
+        .when(
+            F.col("v0") == F.col("v1"),
+            F.when(F.col("v0").between(_AV_LO, _AV_HI), F.col("dur_us")).otherwise(F.lit(0)),
+        )
+        .otherwise(F.floor(clip / (vmax - vmin) * F.col("dur_us")).cast("bigint"))
+    )
+    c = p.withColumn("in_us", in_us)
+    return c.groupBy("mmsi").agg(
+        F.coalesce(F.sum("in_us"), F.lit(0)).cast("bigint").alias("in_range_us"),
+        F.coalesce(F.sum("dur_us"), F.lit(0)).cast("bigint").alias("total_us"),
+        F.count("in_us").alias("n_segments"),
+        F.coalesce(
+            F.sum(F.when((F.col("in_us") > 0) & (F.col("in_us") < F.col("dur_us")), 1).otherwise(0)),
+            F.lit(0),
+        ).cast("bigint").alias("n_partial"),
+    )

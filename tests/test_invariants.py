@@ -125,3 +125,9 @@ def test_kmeans_iter_conserves_membership(spark):
     ).collect()
     assert all(r["n_dims"] == 64 and r["lo"] == r["hi"] for r in dims)  # consistent across dims
     assert sum(r["lo"] for r in dims) == n_vecs  # every vector in exactly one cluster
+
+
+def test_at_value_time_bounded_by_total(spark):
+    r = _q(spark, "traj_at_value")
+    assert r.filter((F.col("in_range_us") < 0) | (F.col("in_range_us") > F.col("total_us"))).count() == 0
+    assert r.filter(F.col("n_partial") > F.col("n_segments")).count() == 0
