@@ -1440,3 +1440,80 @@ def traj_at_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0),
         ).cast("bigint").alias("n_partial"),
     )
+
+
+# --- temporal MAX aggregate (sweep over active sessions) --------------------
+
+_TMAX_TILE_US = 21_600_000_000  # 6h tiles bucket the interval join
+
+
+@register(
+    "traj_tmax_sweep",
+    oracle=f"""
+WITH {POSITS_CTE},
+flagged AS (
+  SELECT mmsi, ts, lon, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000 THEN 1 ELSE 0 END AS new_session
+  FROM posits WINDOW w AS (PARTITION BY mmsi ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT mmsi, ts, lon,
+         SUM(new_session) OVER (PARTITION BY mmsi ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+),
+spans AS (
+  SELECT mmsi, session_id, min(ts) AS t_start, max(ts) AS t_end, max(lon) AS v
+  FROM sessions GROUP BY mmsi, session_id
+),
+bounds AS (
+  SELECT DISTINCT ts FROM (
+    SELECT t_start AS ts FROM spans UNION ALL SELECT t_end FROM spans
+  )
+)
+SELECT b.ts, count(*) AS n_active, max(s.v) AS max_lon
+FROM bounds b JOIN spans s ON b.ts BETWEEN s.t_start AND s.t_end
+GROUP BY b.ts
+""",
+    tags=("TSet", "A7"),
+    doc="temporal MAX aggregate (MEOS tmax over a step-interpolated sequence "
+    "set): each 6h-gap session carries its max lon as a constant value; at "
+    "every session boundary the sweep reports how many sessions are active "
+    "and the max of their values. The oracle states it as an interval join; "
+    "the Spark side buckets both sides into 6h time tiles and equi-joins on "
+    "the tile before the range refinement — a boundary instant lives in "
+    "exactly one tile, so no pair dedup is needed and no nested-loop join "
+    "appears at any scale",
+)
+def traj_tmax_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("mmsi").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    gap_us = F.expr("unix_micros(CAST(ts AS TIMESTAMP))") - F.expr(
+        "unix_micros(CAST(lag(ts) OVER (PARTITION BY mmsi ORDER BY ts, event_id) AS TIMESTAMP))"
+    )
+    spans = (
+        posits(spark, sf_dir)
+        .withColumn("new_session", F.when(gap_us.isNull() | (gap_us > 21_600_000_000), 1).otherwise(0))
+        .withColumn("session_id", F.sum("new_session").over(wrun))
+        .groupBy("mmsi", "session_id")
+        .agg(F.min("ts").alias("t_start"), F.max("ts").alias("t_end"), F.max("lon").alias("v"))
+    )
+    tile = lambda c: (F.expr(f"unix_micros(CAST({c} AS TIMESTAMP))") / _TMAX_TILE_US).cast("bigint")
+    span_tiles = spans.select(
+        "t_start", "t_end", "v",
+        F.explode(F.sequence(tile("t_start"), tile("t_end"))).alias("tile"),
+    )
+    bounds = (
+        spans.select(F.col("t_start").alias("ts"))
+        .unionByName(spans.select(F.col("t_end").alias("ts")))
+        .distinct()
+        .withColumn("tile", tile("ts"))
+    )
+    joined = bounds.join(span_tiles, "tile").filter(
+        (F.col("ts") >= F.col("t_start")) & (F.col("ts") <= F.col("t_end"))
+    )
+    return joined.groupBy("ts").agg(
+        F.count(F.lit(1)).alias("n_active"),
+        F.max("v").alias("max_lon"),
+    )

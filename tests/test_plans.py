@@ -172,3 +172,11 @@ def test_salted_join_is_smj_on_salted_key(spark):
     plan = _plan(spark, "rel_salted_join")
     assert "SortMergeJoin" in plan, plan[:2000]
     assert "BroadcastHashJoin" not in plan, plan[:2000]
+
+
+def test_tmax_sweep_interval_join_is_equi(spark):
+    # the boundary-vs-span interval join must ride the 6h tile equi-key,
+    # never a nested loop over raw ranges
+    plan = _plan(spark, "traj_tmax_sweep")
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
