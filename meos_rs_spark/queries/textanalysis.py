@@ -355,3 +355,42 @@ def text_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
     )
+
+
+# --- global heavy hitters: top n-grams --------------------------------------
+
+_TOP_NGRAMS_K = 50
+
+
+@register(
+    "text_top_ngrams",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+shingles AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+  FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)
+  WHERE len(t) >= 3
+)
+SELECT sh, count(*) AS doc_freq
+FROM shingles GROUP BY sh
+ORDER BY doc_freq DESC, sh
+LIMIT {_TOP_NGRAMS_K}
+""",
+    tags=("text",),
+    doc=f"global heavy hitters: the {_TOP_NGRAMS_K} word-3-grams present in the "
+    "most documents (boilerplate/template mining — the corpus-wide view behind "
+    "per-doc text_repetition). Per-doc DISTINCT keeps a doc from voting twice; "
+    "the count is one partial-aggregated shuffle and the top-k plans as "
+    "TakeOrderedAndProject (no global sort), so output stays K rows at any "
+    "corpus size",
+)
+def text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meos_rs_spark.queries.dedup import _shingles
+
+    sh = _shingles(spark, sf_dir)  # already DISTINCT (doc_id, sh)
+    return (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), "sh")
+        .limit(_TOP_NGRAMS_K)
+    )
