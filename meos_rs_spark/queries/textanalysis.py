@@ -394,3 +394,65 @@ def text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("doc_freq").desc(), "sh")
         .limit(_TOP_NGRAMS_K)
     )
+
+
+# --- TF-IDF top terms --------------------------------------------------------
+
+_TFIDF_TOP = 3
+
+
+@register(
+    "text_tfidf_topterms",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf,
+         CAST(t.tf * CAST(ROUND(LN(CAST(n.n_docs AS DOUBLE) / d.df), 6) AS DECIMAL(18,6)) AS DOUBLE) AS tfidf
+  FROM tf t JOIN df d ON d.term = t.term CROSS JOIN n
+)
+SELECT doc_id, term, tf, tfidf
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) <= {_TFIDF_TOP}
+""",
+    tags=("text",),
+    doc=f"TF-IDF: top-{_TFIDF_TOP} most characteristic terms per document. The "
+    "idf is rounded to 6 decimals and the tf×idf product is computed in exact "
+    "DECIMAL so engine-ulp differences in LN() cannot reach the hash; the df "
+    "table is small (vocabulary-sized) and broadcast, so the corpus-side cost "
+    "is the (doc, term) aggregation plus a per-doc top-k window",
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.groupBy().agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(broadcast(df), "term")
+        .crossJoin(broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            (
+                F.col("tf")
+                * F.round(F.log(F.col("n_docs").cast("double") / F.col("df")), 6).cast("decimal(18,6)")
+            ).cast("double"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= _TFIDF_TOP)
+        .select("doc_id", "term", "tf", "tfidf")
+    )
