@@ -406,3 +406,54 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))).alias("jaccard"),
         )
     )
+
+
+# --- sketch fidelity: minhash-agreement estimate vs exact Jaccard -----------
+
+_EST_MATCH_DUCK = " + ".join(f"CAST(a.h{j} = b.h{j} AS INT)" for j in range(N_HASHES))
+
+
+@register(
+    "dedup_minhash_estimate",
+    oracle=f"""
+WITH {_MINHASH_CTES}
+SELECT s.id_a, s.id_b, s.jaccard,
+       CAST(({_EST_MATCH_DUCK}) AS BIGINT) AS n_agree,
+       CAST(({_EST_MATCH_DUCK}) AS DOUBLE) / {N_HASHES} AS jaccard_est,
+       ABS(s.jaccard - CAST(({_EST_MATCH_DUCK}) AS DOUBLE) / {N_HASHES}) AS abs_err
+FROM scored s
+JOIN sig a ON a.doc_id = s.id_a
+JOIN sig b ON b.doc_id = s.id_b
+""",
+    tags=("dedup", "lsh"),
+    doc=f"sketch fidelity check: for every LSH candidate pair, the Jaccard "
+    f"estimate from minhash agreement (matching components / {N_HASHES}) next "
+    "to the exact shingle Jaccard — at 100 TB the estimate IS the re-rank "
+    "(the exact join is what you drop first), so this query quantifies what "
+    "that trade costs; estimates are exact multiples of "
+    f"1/{N_HASHES} and hash cross-engine",
+)
+def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = dedup_minhash_lsh(spark, sf_dir)
+    sh = _shingles(spark, sf_dir)
+    sig = sh.groupBy("doc_id").agg(
+        *[F.min(F.md5(F.concat("sh", F.lit(f"#{j}")))).alias(f"h{j}") for j in range(N_HASHES)]
+    )
+    a = sig.select(F.col("doc_id").alias("id_a"), *[F.col(f"h{j}").alias(f"a{j}") for j in range(N_HASHES)])
+    b = sig.select(F.col("doc_id").alias("id_b"), *[F.col(f"h{j}").alias(f"b{j}") for j in range(N_HASHES)])
+    n_agree = sum(
+        (F.col(f"a{j}") == F.col(f"b{j}")).cast("int") for j in range(N_HASHES)
+    )
+    est = n_agree.cast("double") / N_HASHES
+    return (
+        scored.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            n_agree.cast("bigint").alias("n_agree"),
+            est.alias("jaccard_est"),
+            F.abs(F.col("jaccard") - est).alias("abs_err"),
+        )
+    )
