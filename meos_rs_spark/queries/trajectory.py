@@ -732,27 +732,40 @@ def traj_spanset_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 _R = 6378137.0
 
 
+# radians as ONE explicit multiply: Spark's radians() is x/180*pi while
+# DuckDB's is x*(pi/180) — different association, different last ulp, and at
+# x_merc magnitude ~1.7e7 an ulp (≈4e-9) sits close to a 6-decimal grain, so
+# the two engines rounded a boundary-straddling value apart at sf0.1. With a
+# shared constant both engines fold identical doubles; rounding at 2 decimals
+# (cm) keeps the grain 6 orders above the ulp; `+ 0.0` normalizes the -0.0
+# DuckDB otherwise emits at lat=0 (ln(tan(pi/4)) = -1e-16 → round → -0.0).
+_DEG2RAD = 0.017453292519943295
+
+
 @register(
     "traj_project_mercator",
     oracle=f"""
 WITH {POSITS_CTE}
 SELECT mmsi, event_id,
-       round(radians(lon) * {_R}, 6) AS x_merc,
-       round(ln(tan(pi() / 4 + radians(least(lat, 85.0)) / 2)) * {_R}, 6) AS y_merc
+       round(lon * {_DEG2RAD!r} * {_R}, 2) + 0.0 AS x_merc,
+       round(ln(tan(pi() / 4 + least(lat, 85.0) * {_DEG2RAD!r} / 2)) * {_R}, 2) + 0.0 AS y_merc
 FROM posits
 """,
     tags=("L2d",),
     doc="CRS transform (L2 tpoint_transform via PROJ): EPSG:4326 → EPSG:3857 web-mercator, "
-    "closed-form; rounded to 6 digits (ln/tan may differ in the last ulp across engines)",
+    "closed-form; cm-rounded with a shared deg→rad constant (see _DEG2RAD note)",
 )
 def traj_project_mercator(spark: SparkSession, sf_dir: str) -> DataFrame:
     lat_c = F.least(F.col("lat"), F.lit(85.0))
     return posits(spark, sf_dir).select(
         "mmsi",
         "event_id",
-        F.round(F.radians("lon") * _R, 6).alias("x_merc"),
-        F.round(
-            F.log(F.tan(F.lit(3.141592653589793) / 4 + F.radians(lat_c) / 2)) * _R, 6
+        (F.round(F.col("lon") * _DEG2RAD * _R, 2) + 0.0).alias("x_merc"),
+        (
+            F.round(
+                F.log(F.tan(F.lit(3.141592653589793) / 4 + lat_c * _DEG2RAD / 2)) * _R, 2
+            )
+            + 0.0
         ).alias("y_merc"),
     )
 
