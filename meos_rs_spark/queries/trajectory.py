@@ -1530,3 +1530,67 @@ def traj_tmax_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_active"),
         F.max("v").alias("max_lon"),
     )
+
+
+# --- AIS cleaning: implied-speed outlier filter ------------------------------
+
+_MAX_SPEED_DEG_H = 2.0  # max plausible travel rate, degrees/hour
+
+
+@register(
+    "traj_speed_filter",
+    oracle=f"""
+WITH {POSITS_CTE},
+stepped AS (
+  SELECT mmsi, ts, event_id,
+         sqrt( (lon - lag(lon) OVER w) * (lon - lag(lon) OVER w)
+             + (lat - lag(lat) OVER w) * (lat - lag(lat) OVER w) ) AS d_deg,
+         (epoch_us(ts) - epoch_us(lag(ts) OVER w)) / 3600000000.0 AS dt_h
+  FROM posits WINDOW w AS (PARTITION BY mmsi ORDER BY ts, event_id)
+),
+flagged AS (
+  SELECT mmsi, ts, event_id,
+         CASE WHEN d_deg IS NULL THEN 0
+              WHEN dt_h <= 0 THEN 1
+              WHEN d_deg / dt_h > {_MAX_SPEED_DEG_H} THEN 1 ELSE 0 END AS is_outlier
+  FROM stepped
+)
+SELECT mmsi,
+       count(*) AS n_posits,
+       CAST(SUM(is_outlier) AS BIGINT) AS n_dropped,
+       CAST(count(*) - SUM(is_outlier) AS BIGINT) AS n_kept
+FROM flagged GROUP BY mmsi
+""",
+    tags=("P4", "L2d"),
+    doc=f"AIS cleaning, the physics twin of monotonic dedup (04_to_file.rs:92-96): "
+    f"a posit whose implied travel rate from its predecessor exceeds "
+    f"{_MAX_SPEED_DEG_H} deg/h (or whose clock did not advance) is flagged as a "
+    "teleport/spoof outlier; per-vessel kept/dropped counts. The speed ratio is "
+    "scalar per row (identical IEEE ops both engines) and only integer flags "
+    "are summed, so the fold is associative",
+)
+def traj_speed_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("mmsi").orderBy("ts", "event_id")
+    dlon = F.col("lon") - F.lag("lon").over(w)
+    dlat = F.col("lat") - F.lag("lat").over(w)
+    d_deg = F.sqrt(dlon * dlon + dlat * dlat)
+    dt_h = (
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+        - F.expr("unix_micros(CAST(lag(ts) OVER (PARTITION BY mmsi ORDER BY ts, event_id) AS TIMESTAMP))")
+    ) / 3_600_000_000.0
+    is_outlier = (
+        F.when(d_deg.isNull(), 0)
+        .when(dt_h <= 0, 1)
+        .when(d_deg / dt_h > _MAX_SPEED_DEG_H, 1)
+        .otherwise(0)
+    )
+    return (
+        posits(spark, sf_dir)
+        .withColumn("is_outlier", is_outlier)
+        .groupBy("mmsi")
+        .agg(
+            F.count(F.lit(1)).alias("n_posits"),
+            F.sum("is_outlier").cast("bigint").alias("n_dropped"),
+            (F.count(F.lit(1)) - F.sum("is_outlier")).cast("bigint").alias("n_kept"),
+        )
+    )
