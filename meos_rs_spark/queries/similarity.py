@@ -346,3 +346,54 @@ def sim_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_members"),
         (F.sum("val").cast("double") / F.count(F.lit(1))).cast("double").alias("centroid_val"),
     )
+
+
+# --- ANN quality evaluation: IVF recall vs the exact baseline ----------------
+
+from meos_rs_spark.registry import QUERIES as _Q  # noqa: E402
+
+_ANN_RECALL_ORACLE = f"""
+WITH exact_raw AS ({_Q['sim_cosine_topk'].oracle}),
+ann AS ({_Q['sim_ann_ivf'].oracle}),
+exact AS (
+  SELECT probe_id, vec_id,
+         row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS rk
+  FROM exact_raw
+)
+SELECT a.probe_id,
+       count(*) AS n_ann,
+       CAST(SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_in_exact{TOP_K},
+       CAST(SUM(CASE WHEN e.rk <= {IVF_TOPK} THEN 1 ELSE 0 END) AS BIGINT) AS n_hit{IVF_TOPK},
+       CAST(SUM(CASE WHEN e.rk <= {IVF_TOPK} THEN 1 ELSE 0 END) AS DOUBLE) / {IVF_TOPK} AS recall{IVF_TOPK}
+FROM ann a LEFT JOIN exact e ON e.probe_id = a.probe_id AND e.vec_id = a.vec_id
+GROUP BY a.probe_id
+"""
+
+
+@register(
+    "sim_ann_recall",
+    oracle=_ANN_RECALL_ORACLE,
+    tags=("sim", "ivf", "eval"),
+    doc=f"ANN quality evaluation (the similarity twin of dedup_minhash_estimate): "
+    f"per probe, how many of the IVF's top-{IVF_TOPK} land in the exact "
+    f"top-{TOP_K}, and recall@{IVF_TOPK} against the exact top-{IVF_TOPK} — "
+    "the measurement a pipeline runs before trusting the approximate path at "
+    "100 TB; both legs are themselves oracled queries, composed",
+)
+def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = sim_cosine_topk(spark, sf_dir)
+    ann = sim_ann_ivf(spark, sf_dir)
+    wr = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), "vec_id")
+    ex = exact.withColumn("rk", F.row_number().over(wr)).select(
+        F.col("probe_id").alias("e_probe"), F.col("vec_id").alias("e_vec"), "rk"
+    )
+    joined = ann.join(
+        ex, (F.col("probe_id") == F.col("e_probe")) & (F.col("vec_id") == F.col("e_vec")), "left"
+    )
+    hit3 = F.sum(F.when(F.col("rk") <= IVF_TOPK, 1).otherwise(0))
+    return joined.groupBy("probe_id").agg(
+        F.count(F.lit(1)).alias("n_ann"),
+        F.sum(F.when(F.col("e_vec").isNotNull(), 1).otherwise(0)).cast("bigint").alias(f"n_in_exact{TOP_K}"),
+        hit3.cast("bigint").alias(f"n_hit{IVF_TOPK}"),
+        (hit3.cast("double") / IVF_TOPK).alias(f"recall{IVF_TOPK}"),
+    )
