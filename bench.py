@@ -31,6 +31,13 @@ BENCH_QUERIES = [
     "traj_assembly",
     "dedup_minhash_lsh",
     "sim_cosine_topk",
+    # round-3 session-3 additions for family breadth: the window-heavy
+    # mobility interpolator and the ANN scale path. (text_curation_pipeline
+    # was measured at 5.4s — dominated by the iterative connected-components
+    # loop — and deliberately left out: it is a composition of operators
+    # already benched individually, not a new hot path.)
+    "traj_resample_linear",
+    "sim_ann_ivf",
 ]
 
 
