@@ -274,3 +274,36 @@ def scalar_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(m).alias("n_keys"),
         F.array_join(F.map_keys(m), ",").alias("keys_csv"),
     )
+
+
+# --- ANSI-safe (try_*) arithmetic battery -----------------------------------
+
+
+@register(
+    "scalar_try_arith",
+    oracle="""
+SELECT event_id,
+       1.0 / NULLIF(value - 50.0, 0.0) AS inv_dist,
+       CAST(value = 50.0 AS INT) AS hit_pole,
+       TRY_CAST(event_type AS DOUBLE) AS et_num,
+       TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+       COALESCE(TRY_CAST(event_type AS DOUBLE), -1.0) AS et_num_or_default
+FROM events
+""",
+    tags=("scalar",),
+    doc="error-safe arithmetic under ANSI mode (Spark 4 default): try_divide "
+    "yields NULL instead of raising on the value=50.0 pole (the 2-decimal "
+    "fixture makes the zero exact), try_cast NULLs un-parseable strings, and "
+    "COALESCE supplies the pipeline default — the idioms that keep a 100 TB "
+    "job from dying on one malformed row; DuckDB twins via NULLIF/TRY_CAST",
+)
+def scalar_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.try_divide(F.lit(1.0), F.col("value") - 50.0).alias("inv_dist"),
+        (F.col("value") == 50.0).cast("int").alias("hit_pole"),
+        F.expr("try_cast(event_type AS DOUBLE)").alias("et_num"),
+        F.expr("try_cast(get_json_object(props, '$.k') AS BIGINT)").alias("k_num"),
+        F.coalesce(F.expr("try_cast(event_type AS DOUBLE)"), F.lit(-1.0)).alias("et_num_or_default"),
+    )
