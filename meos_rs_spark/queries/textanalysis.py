@@ -456,3 +456,175 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") <= _TFIDF_TOP)
         .select("doc_id", "term", "tf", "tfidf")
     )
+
+
+# --- context-window chunking -------------------------------------------------
+
+_CHUNK_SIZE = 40  # tokens per chunk
+_CHUNK_STRIDE = 30  # overlap = size - stride
+
+
+@register(
+    "text_chunking",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks, len(string_split(text, ' ')) AS n FROM documents
+),
+chunks AS (
+  SELECT doc_id,
+         CAST(i AS BIGINT) AS chunk_id,
+         list_slice(toks, i * {_CHUNK_STRIDE} + 1, i * {_CHUNK_STRIDE} + {_CHUNK_SIZE}) AS ct
+  FROM t, unnest(generate_series(0, CAST((n - 1) // {_CHUNK_STRIDE} AS INT))) AS u(i)
+)
+SELECT doc_id, chunk_id,
+       CAST(len(ct) AS BIGINT) AS chunk_tokens,
+       md5(array_to_string(ct, ' ')) AS chunk_hash
+FROM chunks
+""",
+    tags=("text", "sampling"),
+    doc=f"context-window chunking: each document split into {_CHUNK_SIZE}-token "
+    f"chunks at stride {_CHUNK_STRIDE} (a {_CHUNK_SIZE - _CHUNK_STRIDE}-token "
+    "overlap so no span is ever cut mid-context) — the tokenize-and-pack "
+    "preprocessing step before sequence packing; pure array expressions per "
+    "row plus one explode, no shuffle, chunk identity carried as an md5 so "
+    "downstream stages can dedup/trace chunks without re-reading text",
+)
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    n = F.size("toks")
+    d = d.withColumn("__nstarts", F.floor((n - 1) / _CHUNK_STRIDE).cast("int"))
+    chunks = d.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0), F.col("__nstarts"))).alias("chunk_id"),
+    ).select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.slice("toks", F.col("chunk_id") * _CHUNK_STRIDE + 1, _CHUNK_SIZE).alias("ct"),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        F.size("ct").cast("bigint").alias("chunk_tokens"),
+        F.md5(F.array_join("ct", " ")).alias("chunk_hash"),
+    )
+
+
+# --- unigram-LM log-prob quality filter --------------------------------------
+
+_NLL_THRESHOLD = 6.0
+
+
+@register(
+    "text_unigram_logprob",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+freq AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+tot AS (SELECT count(*) AS t FROM toks),
+scored AS (
+  SELECT k.doc_id,
+         CAST(ROUND(-LN(CAST(f.c AS DOUBLE) / tot.t), 6) AS DECIMAL(18,6)) AS nll
+  FROM toks k JOIN freq f ON f.term = k.term CROSS JOIN tot
+)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       CAST(CAST(SUM(nll) AS DOUBLE) / count(*) AS DOUBLE) AS mean_nll,
+       CAST(CAST(CAST(SUM(nll) AS DOUBLE) / count(*) AS DOUBLE) > {_NLL_THRESHOLD} AS INT) AS is_surprising
+FROM scored GROUP BY doc_id
+""",
+    tags=("text",),
+    doc=f"unigram-LM quality filter (the CCNet-style logprob signal): a unigram "
+    "model is fit on the corpus itself (token frequencies), every document "
+    "scored by mean negative log-probability, high-NLL docs flagged as "
+    f"out-of-distribution (> {_NLL_THRESHOLD} nats). Per-token NLLs are "
+    "rounded then summed in exact DECIMAL so LN() engine-ulp cannot reach the "
+    "hash; the frequency table is vocabulary-sized and broadcast — the corpus "
+    "pays one (doc, token) pass plus the per-doc aggregate",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    tot = toks.groupBy().agg(F.count(F.lit(1)).alias("t"))
+    scored = (
+        toks.join(broadcast(freq), "term")
+        .crossJoin(broadcast(tot))
+        .select(
+            "doc_id",
+            F.round(-F.log(F.col("c").cast("double") / F.col("t")), 6)
+            .cast("decimal(18,6)")
+            .alias("nll"),
+        )
+    )
+    mean_nll = (F.sum("nll").cast("double") / F.count(F.lit(1))).cast("double")
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        mean_nll.alias("mean_nll"),
+        (mean_nll > _NLL_THRESHOLD).cast("int").alias("is_surprising"),
+    )
+
+
+# --- cross-document chunk-level dedup ----------------------------------------
+
+_DCHUNK = 20  # non-overlapping chunk size for dedup granularity
+
+
+@register(
+    "dedup_chunk_level",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks, len(string_split(text, ' ')) AS n FROM documents
+),
+chunks AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(toks, i * {_DCHUNK} + 1, i * {_DCHUNK} + {_DCHUNK}), ' ')) AS ch
+  FROM t, unnest(generate_series(0, CAST((n - 1) // {_DCHUNK} AS INT))) AS u(i)
+),
+shared AS (
+  SELECT ch FROM chunks GROUP BY ch HAVING count(DISTINCT doc_id) >= 2
+)
+SELECT c.doc_id,
+       count(*) AS n_chunks,
+       CAST(SUM(CASE WHEN s.ch IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       CAST(SUM(CASE WHEN s.ch IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS shared_ratio
+FROM chunks c LEFT JOIN shared s ON s.ch = c.ch
+GROUP BY c.doc_id
+""",
+    tags=("text", "dedup"),
+    doc=f"chunk-level (paragraph-granularity) dedup signal: documents cut into "
+    f"non-overlapping {_DCHUNK}-token chunks; a chunk whose md5 appears in "
+    "≥ 2 distinct documents is boilerplate shared across the corpus, and each "
+    "doc reports its shared-chunk ratio — the sub-document granularity that "
+    "whole-doc hashing (dedup_exact) and doc-level sketches (MinHash) both "
+    "miss; two shuffles (chunk-hash group, doc re-aggregate), both partial-"
+    "aggregated",
+)
+def dedup_chunk_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    n = F.size("toks")
+    chunks = (
+        d.withColumn("__nstarts", F.floor((n - 1) / _DCHUNK).cast("int"))
+        .select("doc_id", "toks", F.explode(F.sequence(F.lit(0), F.col("__nstarts"))).alias("i"))
+        .select(
+            "doc_id",
+            F.md5(F.array_join(F.slice("toks", F.col("i") * _DCHUNK + 1, _DCHUNK), " ")).alias("ch"),
+        )
+    )
+    shared = chunks.groupBy("ch").agg(F.countDistinct("doc_id").alias("nd")).filter(
+        F.col("nd") >= 2
+    ).select("ch", F.lit(1).alias("__shared"))
+    joined = chunks.join(shared, "ch", "left")
+    n_shared = F.sum(F.when(F.col("__shared").isNotNull(), 1).otherwise(0))
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        n_shared.cast("bigint").alias("n_shared"),
+        (n_shared.cast("double") / F.count(F.lit(1))).alias("shared_ratio"),
+    )
