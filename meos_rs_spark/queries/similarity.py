@@ -397,3 +397,75 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         hit3.cast("bigint").alias(f"n_hit{IVF_TOPK}"),
         (hit3.cast("double") / IVF_TOPK).alias(f"recall{IVF_TOPK}"),
     )
+
+
+# --- coarse-to-fine retrieval: prefix-dimension rank, full-dimension rerank --
+
+_PREFIX_DIM = 16
+_COARSE_K = 20
+_FINAL_K = 5
+
+_PDOT_DUCK = (
+    f"list_dot_product(CAST(list_slice({{a}}, 1, {_PREFIX_DIM}) AS DOUBLE[]), "
+    f"CAST(list_slice({{b}}, 1, {_PREFIX_DIM}) AS DOUBLE[]))"
+)
+
+
+def _duck_prefix_cosine(a: str, b: str) -> str:
+    return (
+        f"{_PDOT_DUCK.format(a=a, b=b)} / "
+        f"(sqrt({_PDOT_DUCK.format(a=a, b=a)}) * sqrt({_PDOT_DUCK.format(a=b, b=b)}))"
+    )
+
+
+@register(
+    "sim_prefix_rerank",
+    oracle=f"""
+WITH probes AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < {N_PROBES}),
+coarse AS (
+  SELECT p.probe_id, e.vec_id, e.label, p.pe, e.embedding,
+         {_duck_prefix_cosine('p.pe', 'e.embedding')} AS pcos
+  FROM probes p JOIN embeddings e ON e.vec_id != p.probe_id
+  QUALIFY row_number() OVER (PARTITION BY p.probe_id ORDER BY pcos DESC, e.vec_id) <= {_COARSE_K}
+)
+SELECT probe_id, vec_id, label,
+       {_duck_cosine('pe', 'embedding')} AS cosine
+FROM coarse
+QUALIFY row_number() OVER (PARTITION BY probe_id
+                           ORDER BY {_duck_cosine('pe', 'embedding')} DESC, vec_id) <= {_FINAL_K}
+""",
+    tags=("sim",),
+    doc=f"coarse-to-fine (matryoshka-style) retrieval: rank the corpus by "
+    f"cosine over the first {_PREFIX_DIM} of {DIM} dimensions (a quarter of "
+    f"the bytes read), keep {_COARSE_K} candidates per probe, then re-rank "
+    f"those with the full-dimension cosine to top-{_FINAL_K} — the third ANN "
+    "family beside LSH buckets and IVF cells: no index at all, just cheaper "
+    "arithmetic first; at 100 TB the prefix would live in its own parquet "
+    "column so the coarse pass scans a quarter of the data",
+)
+def sim_prefix_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prefix = F.slice("embedding", 1, _PREFIX_DIM)
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "pre", prefix
+    ).withColumn("prenorm", l2norm("pre")).withColumn("enorm", l2norm("embedding"))
+    probes = emb.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("pe"),
+        F.col("pre").alias("ppre"),
+        F.col("prenorm").alias("ppnorm"),
+        F.col("enorm").alias("pnorm"),
+    )
+    coarse = emb.join(broadcast(probes), F.col("vec_id") != F.col("probe_id")).withColumn(
+        "pcos", seq_dot(F.col("ppre"), F.col("pre")) / (F.col("ppnorm") * F.col("prenorm"))
+    )
+    wc = Window.partitionBy("probe_id").orderBy(F.col("pcos").desc(), "vec_id")
+    cand = coarse.withColumn("__rn", F.row_number().over(wc)).filter(F.col("__rn") <= _COARSE_K)
+    fine = cand.withColumn(
+        "cosine", seq_dot(F.col("pe"), F.col("embedding")) / (F.col("pnorm") * F.col("enorm"))
+    )
+    wf = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), "vec_id")
+    return (
+        fine.withColumn("__rnk", F.row_number().over(wf))
+        .filter(F.col("__rnk") <= _FINAL_K)
+        .select("probe_id", "vec_id", "label", "cosine")
+    )

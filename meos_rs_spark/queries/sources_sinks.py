@@ -26,7 +26,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StringType, StructField, StructType
+from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
 
 from meos_rs_spark.functions.trajectory import (
     POSITS_CTE,
@@ -387,4 +387,65 @@ def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         money_sum("value").alias("sum_value"),
         F.min("ts").alias("t_min"),
         F.max("ts").alias("t_max"),
+    )
+
+
+# --- S1 robustness: malformed-row CSV ingestion (PERMISSIVE) -----------------
+
+_CORRUPT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("value", DoubleType()),
+        StructField("_corrupt", StringType()),
+    ]
+)
+
+
+@register(
+    "src_csv_malformed",
+    oracle="""
+SELECT count(*) AS n_rows,
+       CAST(SUM(CASE WHEN event_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+       CAST(SUM(CASE WHEN event_id % 10 != 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+       CAST(SUM(CASE WHEN event_id % 10 != 0
+                     THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_good_value
+FROM events
+""",
+    tags=("S1",),
+    doc="dirty-data ingestion: every 10th event row is written with a "
+    "non-numeric value field, then re-read under PERMISSIVE mode with a "
+    "columnNameOfCorruptRecord column — malformed rows survive (raw line "
+    "captured, bad field NULL) instead of failing the job, and the summary "
+    "proves exactly the planted rows were quarantined; the 100 TB posture: "
+    "never let one bad line kill an ingest, and keep the corrupt-row count "
+    "observable",
+)
+def src_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meos_rs_spark.functions.determinism import money_sum
+
+    path = _scratch(sf_dir, "events_dirty_csv")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    lines = ev.select(
+        F.concat_ws(
+            ",",
+            F.col("event_id").cast("string"),
+            F.col("user_id").cast("string"),
+            F.when(F.col("event_id") % 10 == 0, F.lit("not-a-number")).otherwise(
+                F.col("value").cast("string")
+            ),
+        ).alias("value")
+    )
+    lines.repartition(4).write.mode("overwrite").text(path)
+    back = (
+        spark.read.schema(_CORRUPT_SCHEMA)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("_corrupt").isNotNull(), 1).otherwise(0)).cast("bigint").alias("n_bad"),
+        F.sum(F.when(F.col("_corrupt").isNull(), 1).otherwise(0)).cast("bigint").alias("n_good"),
+        money_sum(F.when(F.col("_corrupt").isNull(), F.col("value"))).alias("sum_good_value"),
     )
