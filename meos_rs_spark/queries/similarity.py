@@ -469,3 +469,57 @@ def sim_prefix_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rnk") <= _FINAL_K)
         .select("probe_id", "vec_id", "label", "cosine")
     )
+
+
+# --- k-NN graph build (all-corpus neighbor lists within LSH buckets) ---------
+
+_KNN_K = 3
+
+
+@register(
+    "sim_knn_graph",
+    oracle=f"""
+WITH bucketed AS (
+  SELECT vec_id, label, embedding, {_bucket_expr_duck('embedding')} AS bucket
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst, b.label AS dst_label,
+         {_duck_cosine('a.embedding', 'b.embedding')} AS cosine
+  FROM bucketed a JOIN bucketed b
+    ON b.bucket = a.bucket AND b.vec_id != a.vec_id
+)
+SELECT src, dst, dst_label, cosine,
+       CAST(row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS BIGINT) AS nbr_rank
+FROM pairs
+QUALIFY row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) <= {_KNN_K}
+""",
+    tags=("sim", "lsh", "graph"),
+    doc=f"k-NN GRAPH build (every corpus vector's top-{_KNN_K} neighbors, not "
+    "just a probe set's): the adjacency list behind graph-based clustering "
+    "and kNN-graph dedup. Same-bucket pairs only (sign-LSH, corpus bucketed "
+    "once), so the pair count is sum of squared bucket sizes — bounded and "
+    "uniform under random hyperplanes — instead of N²; per-source top-k via "
+    "one window over the pair stream",
+)
+def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucketed = emb.withColumn(
+        "bucket", make_lsh_bucket_udf(N_PLANES, DIM)(F.col("embedding"))
+    ).select("vec_id", "label", "embedding", "bucket")
+    a = bucketed.select(
+        F.col("vec_id").alias("src"), F.col("embedding").alias("ea"), F.col("bucket").alias("ba")
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("dst"), F.col("label").alias("dst_label"),
+        F.col("embedding").alias("eb"), F.col("bucket").alias("bb"),
+    )
+    pairs = a.join(b, (F.col("ba") == F.col("bb")) & (F.col("src") != F.col("dst"))).withColumn(
+        "cosine", cosine(F.col("ea"), F.col("eb"))
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cosine").desc(), "dst")
+    return (
+        pairs.withColumn("nbr_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("nbr_rank") <= _KNN_K)
+        .select("src", "dst", "dst_label", "cosine", "nbr_rank")
+    )
