@@ -131,3 +131,32 @@ def test_at_value_time_bounded_by_total(spark):
     r = _q(spark, "traj_at_value")
     assert r.filter((F.col("in_range_us") < 0) | (F.col("in_range_us") > F.col("total_us"))).count() == 0
     assert r.filter(F.col("n_partial") > F.col("n_segments")).count() == 0
+
+
+def test_chunking_covers_every_token(spark):
+    from meos_rs_spark.queries.sampling import _doc_tokens
+    from meos_rs_spark.queries.textanalysis import _CHUNK_SIZE, _CHUNK_STRIDE
+
+    ch = _q(spark, "text_chunking").groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"), F.sum("chunk_tokens").alias("tok_with_overlap")
+    )
+    d = _doc_tokens(spark, SF_SMOKE).join(ch, "doc_id")
+    # overlap means chunk-token sum >= doc tokens; chunk count is the stride formula
+    assert d.filter(F.col("tok_with_overlap") < F.col("n_tokens")).count() == 0
+    assert d.filter(
+        F.col("n_chunks") != (F.floor((F.col("n_tokens") - 1) / _CHUNK_STRIDE) + 1)
+    ).count() == 0
+    assert _CHUNK_SIZE > _CHUNK_STRIDE
+
+
+def test_knn_graph_shape(spark):
+    g = _q(spark, "sim_knn_graph")
+    assert g.filter(F.col("src") == F.col("dst")).count() == 0
+    assert g.filter((F.col("nbr_rank") < 1) | (F.col("nbr_rank") > 3)).count() == 0
+    # at most k neighbors per source
+    assert g.groupBy("src").count().filter(F.col("count") > 3).count() == 0
+
+
+def test_unigram_logprob_positive(spark):
+    s = _q(spark, "text_unigram_logprob")
+    assert s.filter(F.col("mean_nll") <= 0).count() == 0

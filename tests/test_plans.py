@@ -180,3 +180,10 @@ def test_tmax_sweep_interval_join_is_equi(spark):
     plan = _plan(spark, "traj_tmax_sweep")
     assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
     assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_knn_graph_join_is_bucket_equi(spark):
+    # the all-corpus pair build must ride the LSH bucket equi-key
+    plan = _plan(spark, "sim_knn_graph")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
