@@ -136,3 +136,62 @@ def ttype_ttext_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("event_type").alias("n_values"),
         F.count_if(F.col("prev_v").isNotNull() & (F.col("event_type") != F.col("prev_v"))).alias("n_changes"),
     )
+
+
+# --- L2f: temporal-boolean algebra (tbool AND/OR/NOT durations) --------------
+
+
+@register(
+    "ttype_tbool_algebra",
+    oracle="""
+WITH posits AS (
+  SELECT user_id AS mmsi, ts, value AS lon,
+         CAST(json_extract_string(props, '$.k') AS DOUBLE) AS lat, event_id
+  FROM events
+),
+stepped AS (
+  SELECT mmsi,
+         lon > 100 AS a,
+         lat > 50 AS b,
+         epoch_us(lead(ts) OVER w) - epoch_us(ts) AS dt_us
+  FROM posits WINDOW w AS (PARTITION BY mmsi ORDER BY ts, event_id)
+)
+SELECT mmsi,
+       CAST(COALESCE(SUM(dt_us) FILTER (WHERE a AND b), 0) AS BIGINT) AS and_us,
+       CAST(COALESCE(SUM(dt_us) FILTER (WHERE a OR b), 0) AS BIGINT) AS or_us,
+       CAST(COALESCE(SUM(dt_us) FILTER (WHERE NOT a), 0) AS BIGINT) AS not_a_us,
+       CAST(COALESCE(SUM(dt_us) FILTER (WHERE a != b), 0) AS BIGINT) AS xor_us
+FROM stepped GROUP BY mmsi
+""",
+    tags=("L2f",),
+    doc="temporal-boolean ALGEBRA (L2 tand/tor/tnot over tbool): two step-"
+    "interpolated temporal booleans per vessel (lon>100, lat>50) combined "
+    "pointwise over the shared timeline, reporting the duration each compound "
+    "holds — the lifted-operator semantics MEOS applies between temporal "
+    "values, realized as one window pass plus per-vessel filtered sums "
+    "(integer micros, associative). Complements traj_tbool_duration (single "
+    "tbool) and ttype_tint_step/ttype_ttext_ops (other base types)",
+)
+def ttype_tbool_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meos_rs_spark.functions.trajectory import posits
+
+    w = Window.partitionBy("mmsi").orderBy("ts", "event_id")
+    dt = F.expr(
+        "unix_micros(CAST(lead(ts) OVER (PARTITION BY mmsi ORDER BY ts, event_id) AS TIMESTAMP))"
+    ) - F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+    p = (
+        posits(spark, sf_dir)
+        .withColumn("a", F.col("lon") > 100)
+        .withColumn("b", F.col("lat") > 50)
+        .withColumn("dt_us", dt)
+    )
+
+    def dur(cond):
+        return F.coalesce(F.sum(F.when(cond, F.col("dt_us"))), F.lit(0)).cast("bigint")
+
+    return p.groupBy("mmsi").agg(
+        dur(F.col("a") & F.col("b")).alias("and_us"),
+        dur(F.col("a") | F.col("b")).alias("or_us"),
+        dur(~F.col("a")).alias("not_a_us"),
+        dur(F.col("a") != F.col("b")).alias("xor_us"),
+    )

@@ -1594,3 +1594,45 @@ def traj_speed_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count(F.lit(1)) - F.sum("is_outlier")).cast("bigint").alias("n_kept"),
         )
     )
+
+
+# --- L2a accessor: cumulative length along the trajectory --------------------
+
+
+@register(
+    "traj_cumulative_length",
+    oracle=f"""
+WITH {POSITS_CTE},
+segs AS (
+  SELECT mmsi, ts, event_id,
+         ROUND(sqrt( (lon - lag(lon) OVER w) * (lon - lag(lon) OVER w)
+                   + (lat - lag(lat) OVER w) * (lat - lag(lat) OVER w) ), 6) AS seg_len
+  FROM posits WINDOW w AS (PARTITION BY mmsi ORDER BY ts, event_id)
+)
+SELECT mmsi, event_id,
+       CAST(COALESCE(SUM(CAST(seg_len AS DECIMAL(28,6)))
+            OVER (PARTITION BY mmsi ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS DOUBLE) AS cum_len
+FROM segs
+""",
+    tags=("L2a", "L2d"),
+    doc="cumulative length accessor (MEOS tpoint cumulative_length): running "
+    "planar distance travelled at every instant — per-segment lengths rounded "
+    "to 6 decimals then folded in exact DECIMAL so the running sum is "
+    "prefix-order-only (window partitions by vessel; no global state)",
+)
+def traj_cumulative_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("mmsi").orderBy("ts", "event_id")
+    dlon = F.col("lon") - F.lag("lon").over(w)
+    dlat = F.col("lat") - F.lag("lat").over(w)
+    seg = F.round(F.sqrt(dlon * dlon + dlat * dlat), 6).cast("decimal(28,6)")
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        posits(spark, sf_dir)
+        .withColumn("__seg", seg)
+        .select(
+            "mmsi",
+            "event_id",
+            F.coalesce(F.sum("__seg").over(wrun), F.lit(0)).cast("double").alias("cum_len"),
+        )
+    )

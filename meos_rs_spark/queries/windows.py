@@ -244,3 +244,39 @@ def win_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(wo).alias("cume"),
         F.count(F.lit(1)).over(wp).cast("bigint").alias("n_in_group"),
     )
+
+
+# --- time-based RANGE frame --------------------------------------------------
+
+
+@register(
+    "win_range_interval",
+    oracle="""
+SELECT user_id, event_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,2)))
+            OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_1h,
+       count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS n_1h
+FROM events
+""",
+    tags=("W",),
+    doc="time-based RANGE frame: per user, the trailing 1-hour sum/count at "
+    "every event — the frame is defined by the ORDER value (epoch micros), "
+    "not row position, so peers at the same instant are included identically "
+    "in both engines and late-arriving density changes the frame width, not "
+    "the semantics; exact-decimal sums keep the fold associative",
+)
+def win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    us = F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us.alias("__us"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return _events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("sum_1h"),
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+    )
