@@ -413,3 +413,68 @@ def serde_wkt_seqset(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_sequences"),
         )
     )
+
+
+# --- E2 end-to-end: posit → EWKT → parse → assemble → sequence WKT ----------
+
+from meos_rs_spark.queries.trajectory import (  # noqa: E402
+    _ASSEMBLED_CTE as _E2_CTE,
+    MAX_TRIP as _E2_MAX,
+    MIN_TRIP as _E2_MIN,
+)
+from meos_rs_spark.functions.trajectory import point_wkt_duck as _pw_duck  # noqa: E402
+
+
+@register(
+    "serde_e2e_pipeline",
+    oracle=f"""
+WITH {_E2_CTE}
+SELECT mmsi,
+       count(*) AS n_instants,
+       '[' || string_agg({_pw_duck('lon', 'lat', 'ts')}, ', ' ORDER BY ts) || ']' AS seq_wkt
+FROM trunc
+GROUP BY mmsi
+HAVING count(*) >= {_E2_MIN}
+""",
+    tags=("E2", "F1", "F2", "A5"),
+    doc="the reference's 04_to_file.rs pipeline END-TO-END through our serde "
+    "layer: each posit rendered to EWKT ('SRID=4326;POINT(lon lat)@ts+00', "
+    "make_posit 04_to_file.rs:146-148), parsed BACK through the F1 regex "
+    "parser (tgeompoint_in), monotonic-deduped, truncated, assembled, and "
+    "re-serialized as the linear sequence WKT — identical output to "
+    "traj_assembly proves parse∘render is the identity on the full corpus, "
+    "not just the roundtrip fixtures; all stages are Column expressions, one "
+    "shuffle at the assembly groupBy",
+)
+def serde_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from meos_rs_spark.functions.serde import parse_point_wkt
+    from meos_rs_spark.functions.trajectory import dedup_monotonic, point_wkt, posits
+
+    p = posits(spark, sf_dir)
+    ewkt = F.concat(F.lit("SRID=4326;"), point_wkt("lon", "lat", "ts"))
+    parsed = parse_point_wkt(F.regexp_replace(ewkt, "^SRID=4326;", ""))
+    p = p.select("mmsi", "event_id", parsed.alias("pt")).select(
+        "mmsi", "event_id", F.col("pt.lon").alias("lon"), F.col("pt.lat").alias("lat"),
+        F.col("pt.ts").alias("ts"),
+    )
+    pts = dedup_monotonic(p)
+    w = Window.partitionBy("mmsi").orderBy("ts", "event_id")
+    pts = pts.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= _E2_MAX)
+    return (
+        pts.select("mmsi", "ts", point_wkt("lon", "lat", "ts").alias("pw"))
+        .groupBy("mmsi")
+        .agg(
+            F.count(F.lit(1)).alias("n_instants"),
+            F.concat(
+                F.lit("["),
+                F.array_join(
+                    F.transform(F.array_sort(F.collect_list(F.struct("ts", "pw"))), lambda s: s["pw"]),
+                    ", ",
+                ),
+                F.lit("]"),
+            ).alias("seq_wkt"),
+        )
+        .filter(F.col("n_instants") >= _E2_MIN)
+    )
