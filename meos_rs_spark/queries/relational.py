@@ -816,3 +816,45 @@ def rel_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
     )
+
+
+# --- LATERAL correlated subquery: top-N per group without a window -----------
+
+
+@register(
+    "rel_lateral_topn",
+    oracle="""
+SELECT r.r_name, t.n_name, t.n_customers
+FROM region r,
+LATERAL (
+  SELECT n.n_name, count(*) AS n_customers
+  FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+  WHERE n.n_regionkey = r.r_regionkey
+  GROUP BY n.n_name
+  ORDER BY n_customers DESC, n.n_name
+  LIMIT 2
+) t
+""",
+    tags=("J1", "O3"),
+    doc="LATERAL correlated subquery (Spark 4 SQL): for every region, the two "
+    "nations with the most customers — the top-N-per-group shape expressed as "
+    "a per-row subquery instead of a window; Catalyst decorrelates it into a "
+    "join + per-group TakeOrdered, so the declarative form costs the same as "
+    "the window idiom while reading closer to the business question",
+)
+def rel_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "region").createOrReplaceTempView("__lat_region")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("__lat_nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("__lat_customer")
+    return spark.sql("""
+      SELECT r.r_name, t.n_name, t.n_customers
+      FROM __lat_region r,
+      LATERAL (
+        SELECT n.n_name, count(*) AS n_customers
+        FROM __lat_nation n JOIN __lat_customer c ON c.c_nationkey = n.n_nationkey
+        WHERE n.n_regionkey = r.r_regionkey
+        GROUP BY n.n_name
+        ORDER BY n_customers DESC, n.n_name
+        LIMIT 2
+      ) t
+    """)
