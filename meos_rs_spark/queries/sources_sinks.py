@@ -449,3 +449,46 @@ def src_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("_corrupt").isNull(), 1).otherwise(0)).cast("bigint").alias("n_good"),
         money_sum(F.when(F.col("_corrupt").isNull(), F.col("value"))).alias("sum_good_value"),
     )
+
+
+# --- S-family: custom Python DataSource (Spark 4 connector API) --------------
+
+
+@register(
+    "src_python_datasource",
+    oracle=f"""
+WITH {POSITS_CTE}
+SELECT mmsi,
+       count(*) AS n_posits,
+       min(ts) AS t_first,
+       CAST(SUM(CAST(lon AS DECIMAL(18,2))) AS DOUBLE) AS sum_lon
+FROM posits GROUP BY mmsi
+""",
+    tags=("S1", "F1"),
+    doc="custom connector via the Spark 4 Python DataSource API: posits are "
+    "serialized as 'mmsi;POINT(lon lat)@ts+00' text lines (the reference's "
+    "EWKT ingest grammar, 04_to_file.rs:146-148), then re-read with "
+    "spark.read.format('wktposits') — a registered first-class source whose "
+    "partitions() yields one InputPartition per file, so the scan "
+    "parallelizes across executors like any built-in format; the per-vessel "
+    "summary must equal the parquet source exactly",
+)
+def src_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meos_rs_spark.functions.determinism import money_sum
+    from meos_rs_spark.functions.trajectory import point_wkt, posits
+    from meos_rs_spark.sources.wkt_source import register_wkt_source
+
+    path = _scratch(sf_dir, "posits_wkt")
+    lines = posits(spark, sf_dir).select(
+        F.concat(
+            F.col("mmsi").cast("string"), F.lit(";"), point_wkt("lon", "lat", "ts")
+        ).alias("value")
+    )
+    lines.repartition(4).write.mode("overwrite").text(path)
+    register_wkt_source(spark)
+    back = spark.read.format("wktposits").option("path", path).load()
+    return back.groupBy("mmsi").agg(
+        F.count(F.lit(1)).alias("n_posits"),
+        F.min("ts").alias("t_first"),
+        money_sum("lon").alias("sum_lon"),
+    )

@@ -1,0 +1,98 @@
+"""Custom Python DataSource (Spark 4 DataSource API): a WKT posit reader.
+
+The reference ingests text-serialized temporal points (EWKT lines,
+``meos/examples/04_to_file.rs:146-148``; WKB via ``tgeompointFromBinary``,
+``meos-polars/examples/ais_to_db.rs:160``). This connector is the
+Spark-native equivalent of "a file format the engine doesn't know": it
+registers a first-class ``spark.read.format("wktposits")`` source that
+scans a directory of ``mmsi;POINT(lon lat)@ts+00`` lines.
+
+Scale shape: ``partitions()`` returns one InputPartition per file, so the
+scan parallelizes across executors exactly like a built-in file source —
+each Python worker reads only its file. (Arrow-batched output; the regex
+parse is the same F1 grammar as ``functions/serde.py``.)
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from datetime import datetime
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+)
+
+_LINE_RE = re.compile(
+    r"^(\d+);POINT\(([-0-9.]+) ([-0-9.]+)\)@"
+    r"(\d{4}-\d{2}-\d{2} [0-9:.]+)\+00$"
+)
+
+SCHEMA = StructType(
+    [
+        StructField("mmsi", LongType()),
+        StructField("lon", DoubleType()),
+        StructField("lat", DoubleType()),
+        StructField("ts", TimestampNTZType()),
+        StructField("src_file", StringType()),
+    ]
+)
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str) -> None:
+        self.path = path
+
+
+class WktPositsReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        self._dir = options["path"]
+
+    def partitions(self):  # one partition per file → executor-parallel scan
+        files = sorted(
+            os.path.join(self._dir, f)
+            for f in os.listdir(self._dir)
+            if f.endswith(".txt")
+        )
+        return [_FilePartition(p) for p in files]
+
+    def read(self, partition: _FilePartition):
+        base = os.path.basename(partition.path)
+        with open(partition.path, encoding="utf-8") as fh:
+            for line in fh:
+                m = _LINE_RE.match(line.strip())
+                if not m:
+                    continue  # malformed lines are skipped, not fatal
+                yield (
+                    int(m.group(1)),
+                    float(m.group(2)),
+                    float(m.group(3)),
+                    datetime.strptime(m.group(4), "%Y-%m-%d %H:%M:%S.%f"),
+                    base,
+                )
+
+
+class WktPositsDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "wktposits"
+
+    def schema(self) -> StructType:
+        return SCHEMA
+
+    def reader(self, schema: StructType) -> WktPositsReader:
+        return WktPositsReader(self.options)
+
+
+def register_wkt_source(spark) -> None:
+    """Idempotently register the format with the session."""
+    try:
+        spark.dataSource.register(WktPositsDataSource)
+    except Exception:
+        pass  # already registered in this session
