@@ -628,3 +628,53 @@ def dedup_chunk_level(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_shared.cast("bigint").alias("n_shared"),
         (n_shared.cast("double") / F.count(F.lit(1))).alias("shared_ratio"),
     )
+
+
+# --- character-entropy quality signal ----------------------------------------
+
+
+@register(
+    "text_entropy",
+    oracle="""
+WITH chars AS (
+  SELECT doc_id, unnest(string_split_regex(text, '')) AS ch FROM documents
+),
+freq AS (
+  SELECT doc_id, ch, count(*) AS c FROM chars WHERE ch != '' GROUP BY doc_id, ch
+),
+tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM freq GROUP BY doc_id),
+terms AS (
+  SELECT f.doc_id, t.n,
+         CAST(ROUND(-(CAST(f.c AS DOUBLE) / t.n) * LN(CAST(f.c AS DOUBLE) / t.n), 9)
+              AS DECIMAL(18,9)) AS term
+  FROM freq f JOIN tot t ON t.doc_id = f.doc_id
+)
+SELECT doc_id, max(n) AS n_chars_counted,
+       count(*) AS n_distinct_chars,
+       CAST(CAST(SUM(term) AS DOUBLE) AS DOUBLE) AS entropy_nats
+FROM terms GROUP BY doc_id
+""",
+    tags=("text",),
+    doc="character-level Shannon entropy per document (nats) — the classic "
+    "gibberish/compression-artifact detector next to TTR and repetition: "
+    "near-zero entropy is a repeated-character page, abnormally high is "
+    "random bytes. Each -(p·ln p) term is rounded to 9 decimals then summed "
+    "in exact DECIMAL so LN() engine-ulp cannot reach the hash; the char "
+    "histogram never leaves the (doc, char) aggregation",
+)
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    chars = d.select("doc_id", F.explode(F.split("text", "")).alias("ch")).filter(
+        F.col("ch") != ""
+    )
+    freq = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    tot = freq.groupBy("doc_id").agg(F.sum("c").cast("bigint").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    terms = freq.join(tot, "doc_id").select(
+        "doc_id", "n", F.round(-p * F.log(p), 9).cast("decimal(18,9)").alias("term")
+    )
+    return terms.groupBy("doc_id").agg(
+        F.max("n").alias("n_chars_counted"),
+        F.count(F.lit(1)).alias("n_distinct_chars"),
+        F.sum("term").cast("double").alias("entropy_nats"),
+    )
