@@ -457,3 +457,49 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("jaccard") - est).alias("abs_err"),
         )
     )
+
+
+# --- normalized-text ("fuzzy-exact") dedup -----------------------------------
+
+
+@register(
+    "dedup_normalized",
+    oracle="""
+WITH norm AS (
+  SELECT doc_id, lang,
+         md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS nh
+  FROM documents
+),
+firsts AS (
+  SELECT doc_id, lang, nh,
+         row_number() OVER (PARTITION BY nh ORDER BY doc_id) AS rn,
+         count(*) OVER (PARTITION BY nh) AS n_copies
+  FROM norm
+)
+SELECT doc_id, lang, nh, CAST(n_copies AS BIGINT) AS n_copies,
+       CAST(rn = 1 AS INT) AS is_canonical
+FROM firsts
+""",
+    tags=("dedup",),
+    doc="normalization-then-hash dedup (the fuzzy-exact middle ground between "
+    "raw-md5 dedup_exact and MinHash): lowercase, collapse runs of spaces, "
+    "trim, THEN hash — catches re-encoded/re-wrapped copies that byte "
+    "hashing misses while staying one shuffle on the normalized digest; "
+    "first-doc-id canonical, copies counted per class",
+)
+def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meos_rs_spark.sources.tables import load_table
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    nh = F.md5(F.trim(F.regexp_replace(F.lower("text"), " +", " ")))
+    d = d.select("doc_id", "lang", nh.alias("nh"))
+    wn = Window.partitionBy("nh")
+    wr = Window.partitionBy("nh").orderBy("doc_id")
+    return d.select(
+        "doc_id",
+        "lang",
+        "nh",
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("n_copies"),
+        (F.row_number().over(wr) == 1).cast("int").alias("is_canonical"),
+    )

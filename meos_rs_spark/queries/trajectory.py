@@ -1636,3 +1636,55 @@ def traj_cumulative_length(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum("__seg").over(wrun), F.lit(0)).cast("double").alias("cum_len"),
         )
     )
+
+
+# --- geofencing: box entry/exit event detection ------------------------------
+
+_GF_XMIN, _GF_XMAX, _GF_YMIN, _GF_YMAX = 40.0, 120.0, 20.0, 80.0
+
+
+@register(
+    "traj_geofence_events",
+    oracle=f"""
+WITH {POSITS_CTE},
+flagged AS (
+  SELECT mmsi, ts, event_id,
+         CASE WHEN lon >= {_GF_XMIN} AND lon <= {_GF_XMAX}
+               AND lat >= {_GF_YMIN} AND lat <= {_GF_YMAX} THEN 1 ELSE 0 END AS inside,
+         lag(CASE WHEN lon >= {_GF_XMIN} AND lon <= {_GF_XMAX}
+                   AND lat >= {_GF_YMIN} AND lat <= {_GF_YMAX} THEN 1 ELSE 0 END)
+             OVER (PARTITION BY mmsi ORDER BY ts, event_id) AS prev_inside
+  FROM posits
+)
+SELECT mmsi, ts, event_id,
+       CASE WHEN inside = 1 THEN 'enter' ELSE 'exit' END AS event
+FROM flagged
+WHERE prev_inside IS NOT NULL AND inside != prev_inside
+""",
+    tags=("L2b", "F8", "ST"),
+    doc="geofencing (the event-detection face of the F8 box predicates): emit "
+    "an enter/exit event whenever a vessel's inside-the-STBox flag flips "
+    "between consecutive posits — one lag window per vessel, output "
+    "cardinality is the transition count, not the posit count; the batch twin "
+    "of a streaming alert pipeline (the stream version is the same expression "
+    "under applyInPandasWithState)",
+)
+def traj_geofence_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("mmsi").orderBy("ts", "event_id")
+    inside = (
+        (F.col("lon") >= _GF_XMIN) & (F.col("lon") <= _GF_XMAX)
+        & (F.col("lat") >= _GF_YMIN) & (F.col("lat") <= _GF_YMAX)
+    ).cast("int")
+    p = (
+        posits(spark, sf_dir)
+        .withColumn("inside", inside)
+        .withColumn("prev_inside", F.lag("inside").over(w))
+    )
+    return p.filter(
+        F.col("prev_inside").isNotNull() & (F.col("inside") != F.col("prev_inside"))
+    ).select(
+        "mmsi",
+        "ts",
+        "event_id",
+        F.when(F.col("inside") == 1, "enter").otherwise("exit").alias("event"),
+    )

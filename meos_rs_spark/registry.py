@@ -127,7 +127,7 @@ VERIFY_ORDER_HEAD: tuple[str, ...] = (
 
 
 # ROUND-4 ROTATION (do this FIRST in the r4 session): replace
-# VERIFY_ORDER_HEAD with the 61 queries that have no driver row yet
+# VERIFY_ORDER_HEAD with the 63 queries that have no driver row yet
 # (51 > 50: drop the lowest-risk names — e.g. the win_*/scalar_* style
 # batteries already twice-proven locally — to fit the 50-entry window) —
 #   box_stbox_z serde_wkb_roundtrip serde_mfjson_ingest dedup_components
@@ -147,6 +147,7 @@ VERIFY_ORDER_HEAD: tuple[str, ...] = (
 #   src_csv_malformed sim_knn_graph win_range_interval
 #   traj_cumulative_length ttype_tbool_algebra serde_e2e_pipeline
 #   rel_lateral_topn src_python_datasource text_entropy
+#   traj_geofence_events dedup_normalized
 # plus any r4 additions, backfilled to 50 with r2-green names; update
 # tests/test_registry_order.py to match.
 
