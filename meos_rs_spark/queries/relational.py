@@ -858,3 +858,52 @@ def rel_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 2
       ) t
     """)
+
+
+# --- approximate-distinct sketch (HLL++ fidelity gate) ----------------------
+
+_HLL_TOL = 0.15  # 3x the default rsd=0.05 -- observed max rel err 8.6% across sf0.001/0.01/0.1
+
+
+@register(
+    "rel_approx_distinct",
+    oracle=f"""
+SELECT l.l_returnflag,
+       count(DISTINCT l.l_orderkey) AS exact_orders,
+       count(DISTINCT l.l_partkey)  AS exact_parts,
+       TRUE AS orders_within_tol,
+       TRUE AS parts_within_tol
+FROM lineitem l
+GROUP BY l.l_returnflag
+""",
+    tags=("A8", "sketch"),
+    doc="HyperLogLog++ sketch fidelity (the cardinality twin of "
+    "dedup_minhash_estimate): approx_count_distinct per group vs the exact "
+    "count, asserting relative error within 3x rsd. HLL register maxima are "
+    "order/partition independent, so the estimate is deterministic for a "
+    "fixed input set; the sketch internals differ from DuckDB's, so the "
+    "oracle pins the EXACT counts plus the tolerance verdict (a FALSE would "
+    "hash-mismatch). At 100 TB this is THE distinct-count plan: sketches "
+    "merge map-side, one tiny row per group crosses the wire, vs an exact "
+    "count's full-width shuffle of every (group, key) pair.",
+)
+def rel_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+    def within(approx: str, exact: str):
+        err = F.abs(F.col(approx) - F.col(exact)) / F.col(exact)
+        return err <= _HLL_TOL
+
+    return agg.select(
+        "l_returnflag",
+        "exact_orders",
+        "exact_parts",
+        within("approx_orders", "exact_orders").alias("orders_within_tol"),
+        within("approx_parts", "exact_parts").alias("parts_within_tol"),
+    )

@@ -307,3 +307,38 @@ def scalar_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("try_cast(get_json_object(props, '$.k') AS BIGINT)").alias("k_num"),
         F.coalesce(F.expr("try_cast(event_type AS DOUBLE)"), F.lit(-1.0)).alias("et_num_or_default"),
     )
+
+
+# --- bitwise battery --------------------------------------------------------
+
+
+@register(
+    "scalar_bitwise",
+    oracle="""
+SELECT e.event_type,
+       bit_and(e.event_id) AS all_and,
+       bit_or(e.event_id)  AS any_or,
+       bit_xor(e.event_id) AS parity_xor,
+       CAST(sum(bit_count(e.event_id)) AS BIGINT) AS popcount_total,
+       CAST(sum(CASE WHEN (e.event_id & 7) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS aligned8,
+       max(((e.event_id & 255) << 8) | ((e.event_id >> 8) & 255)) AS swapped_max
+FROM events e
+GROUP BY e.event_type
+""",
+    tags=("scalar",),
+    doc="bitwise battery: per-type AND/OR/XOR fold aggregates, popcount sum, "
+    "8-alignment predicate via mask, and a byte-swap shift expression — the "
+    "bit-twiddling toolkit behind flag columns, bloom-style masks, and packed "
+    "ids; all fold aggregates are order-independent so no decimal canon needed",
+)
+def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    return ev.groupBy("event_type").agg(
+        F.bit_and(eid).alias("all_and"),
+        F.bit_or(eid).alias("any_or"),
+        F.bit_xor(eid).alias("parity_xor"),
+        F.sum(F.bit_count(eid)).cast("bigint").alias("popcount_total"),
+        F.sum(F.when(eid.bitwiseAND(7) == 0, 1).otherwise(0)).cast("bigint").alias("aligned8"),
+        F.max(F.shiftleft(eid.bitwiseAND(255), 8).bitwiseOR(F.shiftright(eid, 8).bitwiseAND(255))).alias("swapped_max"),
+    )

@@ -1688,3 +1688,80 @@ def traj_geofence_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.when(F.col("inside") == 1, "enter").otherwise("exit").alias("event"),
     )
+
+
+# --- L2d: turning-point detection (heading-change segmentation) -------------
+
+_TWO_PI = 6.283185307179586
+_TURN_THRESH = 0.7853981633974483  # pi/4 -- strictly between 6-decimal grid points
+
+
+@register(
+    "traj_turning_points",
+    oracle=f"""
+WITH {POSITS_CTE},
+segs AS (
+  SELECT mmsi, event_id, ts,
+         lead(lon) OVER w - lon AS dx,
+         lead(lat) OVER w - lat AS dy
+  FROM posits WINDOW w AS (PARTITION BY mmsi ORDER BY ts, event_id)
+),
+az AS (
+  SELECT mmsi, event_id, ts, round(atan2(dy, dx), 6) AS az
+  FROM segs WHERE dx IS NOT NULL
+),
+turns AS (
+  SELECT mmsi, event_id,
+         az - lag(az) OVER (PARTITION BY mmsi ORDER BY ts, event_id) AS raw_turn
+  FROM az
+),
+norm AS (
+  SELECT mmsi, event_id,
+         CASE WHEN raw_turn > {_TWO_PI} / 2 THEN raw_turn - {_TWO_PI}
+              WHEN raw_turn < -{_TWO_PI} / 2 THEN raw_turn + {_TWO_PI}
+              ELSE raw_turn END AS turn
+  FROM turns WHERE raw_turn IS NOT NULL
+)
+SELECT mmsi,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(CASE WHEN abs(turn) >= {_TURN_THRESH} THEN 1 ELSE 0 END) AS BIGINT) AS n_sharp,
+       max(abs(turn)) AS max_abs_turn,
+       min(CASE WHEN abs(turn) >= {_TURN_THRESH} THEN event_id END) AS first_sharp_event
+FROM norm GROUP BY mmsi
+""",
+    tags=("L2d",),
+    doc="turning-point detection (heading-change segmentation, the AIS "
+    "maneuver-mining op built on L2 tpoint_azimuth): per-segment heading via "
+    "round(atan2,6) (the proven cross-engine form), consecutive-heading delta "
+    "normalized into (-pi, pi] with identically-parsed double constants, "
+    "sharp-turn threshold pi/4 (strictly between 6-decimal grid points, so no "
+    "boundary straddle). Two windows over one (mmsi, ts) sort -- Catalyst "
+    "plans a single sort+exchange; scales as one shuffle of the posit fact.",
+)
+def traj_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("mmsi").orderBy("ts", "event_id")
+    segs = (
+        posits(spark, sf_dir)
+        .withColumn("dx", F.lead("lon").over(w) - F.col("lon"))
+        .withColumn("dy", F.lead("lat").over(w) - F.col("lat"))
+        .filter(F.col("dx").isNotNull())
+        .withColumn("az", F.round(F.atan2("dy", "dx"), 6))
+    )
+    raw = F.col("az") - F.lag("az").over(w)
+    turn = (
+        F.when(raw > _TWO_PI / 2, raw - _TWO_PI)
+        .when(raw < -_TWO_PI / 2, raw + _TWO_PI)
+        .otherwise(raw)
+    )
+    sharp = F.abs(F.col("turn")) >= _TURN_THRESH
+    return (
+        segs.withColumn("turn", turn)
+        .filter(F.col("turn").isNotNull())
+        .groupBy("mmsi")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum(sharp.cast("int")).cast("bigint").alias("n_sharp"),
+            F.max(F.abs(F.col("turn"))).alias("max_abs_turn"),
+            F.min(F.when(sharp, F.col("event_id"))).alias("first_sharp_event"),
+        )
+    )
