@@ -89,3 +89,15 @@ def make_lsh_bucket_udf(n_planes: int, dim: int):
         return pd.Series(bucket.astype(np.int32))
 
     return lsh_bucket
+
+
+@pandas_udf(DoubleType())
+def seq_sqdist(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Squared L2 distance in dot-product form: dot(a,a) + dot(b,b) -
+    2*dot(a,b), each dot a sequential per-dimension fold and the three terms
+    combined left-to-right — bit-identical to the oracle's
+    ``list_dot_product(a,a) + list_dot_product(b,b) -
+    2*list_dot_product(a,b)`` (the expanded form avoids the (x-y)^2 fold,
+    whose association differs)."""
+    va, vb = _stack(a), _stack(b)
+    return pd.Series(_seq_dot(va, va) + _seq_dot(vb, vb) - 2.0 * _seq_dot(va, vb))

@@ -523,3 +523,212 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("nbr_rank") <= _KNN_K)
         .select("src", "dst", "dst_label", "cosine", "nbr_rank")
     )
+
+
+# --- product quantization ANN (ADC scan) ------------------------------------
+
+PQ_M = 4          # subspaces
+PQ_SUBDIM = DIM // PQ_M
+PQ_K = 16         # centroids per subspace: the subvectors of vec_id 0..15
+
+_D2_DUCK = (
+    "(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[]))"
+    " + list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+    " - 2 * list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])))"
+)
+
+
+@register(
+    "sim_pq_ann",
+    oracle=f"""
+WITH sub AS (
+  SELECT e.vec_id, t.m,
+         list_slice(e.embedding, t.m * {PQ_SUBDIM} + 1, t.m * {PQ_SUBDIM} + {PQ_SUBDIM}) AS sv
+  FROM embeddings e CROSS JOIN range({PQ_M}) t(m)
+),
+cb AS (SELECT vec_id AS k, m, sv AS cv FROM sub WHERE vec_id < {PQ_K}),
+enc AS (
+  SELECT vec_id, m, k AS code FROM (
+    SELECT s.vec_id, s.m, c.k,
+           row_number() OVER (
+             PARTITION BY s.vec_id, s.m
+             ORDER BY {_D2_DUCK.format(a='s.sv', b='c.cv')}, c.k) AS rn
+    FROM sub s JOIN cb c ON c.m = s.m
+  ) WHERE rn = 1
+),
+enc_wide AS (
+  SELECT vec_id,
+         max(CASE WHEN m = 0 THEN code END) AS c0,
+         max(CASE WHEN m = 1 THEN code END) AS c1,
+         max(CASE WHEN m = 2 THEN code END) AS c2,
+         max(CASE WHEN m = 3 THEN code END) AS c3
+  FROM enc GROUP BY vec_id
+),
+pd AS (
+  SELECT s.vec_id AS probe_id, c.m, c.k,
+         {_D2_DUCK.format(a='s.sv', b='c.cv')} AS pd2
+  FROM sub s JOIN cb c ON c.m = s.m
+  WHERE s.vec_id < {N_PROBES}
+),
+scored AS (
+  SELECT p0.probe_id, w.vec_id,
+         p0.pd2 + p1.pd2 + p2.pd2 + p3.pd2 AS approx_d2
+  FROM enc_wide w
+  JOIN pd p0 ON p0.m = 0 AND p0.k = w.c0
+  JOIN pd p1 ON p1.m = 1 AND p1.k = w.c1 AND p1.probe_id = p0.probe_id
+  JOIN pd p2 ON p2.m = 2 AND p2.k = w.c2 AND p2.probe_id = p0.probe_id
+  JOIN pd p3 ON p3.m = 3 AND p3.k = w.c3 AND p3.probe_id = p0.probe_id
+  WHERE w.vec_id != p0.probe_id
+)
+SELECT probe_id, vec_id, approx_d2
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY approx_d2, vec_id) <= {TOP_K}
+""",
+    tags=("sim", "ann"),
+    doc=f"product-quantization ANN (the FAISS-style codebook path, completing "
+    f"the ANN triad with sign-LSH and IVF): {PQ_M}x{PQ_SUBDIM}-dim subspaces, "
+    f"{PQ_K} deterministic centroids per subspace (the first {PQ_K} vectors' "
+    f"subvectors), asymmetric-distance scan via per-probe lookup tables. "
+    f"Encode = corpus x broadcast codebook (linear, one pass); the ADC scan "
+    f"joins 4 tiny lookup tables code-wise (all broadcast) and sums the 4 "
+    f"terms in fixed order (bit-exact, no decimal canon needed). At 100 TB "
+    f"codes are {PQ_M} bytes/vector vs {DIM * 4} for raw floats -- the scan "
+    f"touches 64x less data; squared distances stay in dot-product form so "
+    f"both engines fold identically.",
+)
+def sim_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meos_rs_spark.functions.embeddings import seq_sqdist
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ms = F.explode(F.array(*[F.lit(m) for m in range(PQ_M)])).alias("m")
+    sub = emb.select("vec_id", "embedding", ms).select(
+        "vec_id", "m", F.expr(f"slice(embedding, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM})").alias("sv")
+    )
+    cb = sub.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("k"), F.col("m").alias("cm"), F.col("sv").alias("cv")
+    )
+    # encode: corpus x broadcast codebook, argmin d2 per (vector, subspace)
+    win = Window.partitionBy("vec_id", "m").orderBy("d2", "k")
+    enc = (
+        sub.join(broadcast(cb), F.col("cm") == F.col("m"))
+        .withColumn("d2", seq_sqdist("sv", "cv"))
+        .withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", F.col("k").alias("code"))
+    )
+    enc_wide = enc.groupBy("vec_id").agg(
+        *[F.max(F.when(F.col("m") == m, F.col("code"))).alias(f"c{m}") for m in range(PQ_M)]
+    )
+    # per-probe lookup tables: N_PROBES x M x K rows — broadcast side
+    pd_tab = (
+        sub.filter(F.col("vec_id") < N_PROBES)
+        .select(F.col("vec_id").alias("probe_id"), F.col("m").alias("pm"), "sv")
+        .join(broadcast(cb), F.col("cm") == F.col("pm"))
+        .select("probe_id", "pm", "k", seq_sqdist("sv", "cv").alias("pd2"))
+    )
+    scored = enc_wide
+    for m in range(PQ_M):
+        t = pd_tab.filter(F.col("pm") == m).select(
+            F.col("probe_id").alias(f"probe_{m}"), F.col("k").alias(f"k{m}"), F.col("pd2").alias(f"pd2_{m}")
+        )
+        cond = F.col(f"k{m}") == F.col(f"c{m}")
+        if m > 0:
+            cond = cond & (F.col(f"probe_{m}") == F.col("probe_0"))
+        scored = scored.join(broadcast(t), cond)
+    approx = F.col("pd2_0") + F.col("pd2_1") + F.col("pd2_2") + F.col("pd2_3")
+    topw = Window.partitionBy("probe_id").orderBy("approx_d2", "vec_id")
+    return (
+        scored.filter(F.col("vec_id") != F.col("probe_0"))
+        .select(F.col("probe_0").alias("probe_id"), "vec_id", approx.alias("approx_d2"))
+        .withColumn("__rn", F.row_number().over(topw))
+        .filter(F.col("__rn") <= TOP_K)
+        .select("probe_id", "vec_id", "approx_d2")
+    )
+
+
+# --- PageRank over the kNN graph (iterative power method) -------------------
+
+PR_DAMP = 0.85
+PR_ITERS = 3
+
+
+def _pr_iter_sql(prev: str, cur: str) -> str:
+    """One unrolled power-iteration CTE (DuckDB side)."""
+    return f"""{cur} AS (
+  SELECT n.node,
+         0.15 / nn.n + {PR_DAMP} * CAST(COALESCE(s.acc, 0) AS DOUBLE) AS pr
+  FROM nodes n CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst, SUM(CAST(ROUND(p.pr / d.outdeg, 12) AS DECIMAL(28,12))) AS acc
+    FROM edges e JOIN {prev} p ON p.node = e.src JOIN deg d ON d.src = e.src
+    GROUP BY e.dst
+  ) s ON s.dst = n.node
+)"""
+
+
+_PR_ORACLE = f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, {_bucket_expr_duck('embedding')} AS bucket FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         {_duck_cosine('a.embedding', 'b.embedding')} AS cosine
+  FROM bucketed a JOIN bucketed b
+    ON b.bucket = a.bucket AND b.vec_id != a.vec_id
+),
+edges AS (
+  SELECT src, dst FROM (
+    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rn
+    FROM pairs
+  ) WHERE rn <= {_KNN_K}
+),
+nodes AS (SELECT vec_id AS node FROM embeddings),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg FROM edges GROUP BY src),
+pr0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn),
+{",".join(_pr_iter_sql(f"pr{i}", f"pr{i + 1}") for i in range(PR_ITERS))}
+SELECT node, pr FROM pr{PR_ITERS}
+"""
+
+
+@register(
+    "sim_pagerank",
+    oracle=_PR_ORACLE,
+    tags=("sim", "graph", "iterative"),
+    doc=f"PageRank over the kNN graph ({PR_ITERS} power iterations, d={PR_DAMP}): "
+    "the canonical iterative distributed graph algorithm, here as a "
+    "deterministic fixed-unroll so DuckDB can oracle it via chained CTEs. "
+    "Per-iteration contributions pr(u)/outdeg(u) are rounded to 1e-12 and "
+    "decimal-summed per target (order-independent across the shuffle), then "
+    "widened back to DOUBLE for the damping blend -- the same "
+    "round-then-decimal-sum canon every money aggregate here uses. Scale "
+    "shape: each iteration is one shuffle of the edge fact on dst (edges "
+    "stay partition-stable and cached); node vector joins are broadcast. "
+    "Dangling-node mass is dropped (standard simplification), noted here "
+    "for parity with the oracle.",
+)
+def sim_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = sim_knn_graph(spark, sf_dir).select("src", "dst").cache()
+    nodes = emb.select(F.col("vec_id").alias("node"))
+    nn = nodes.agg(F.count("*").cast("double").alias("n"))
+    deg = edges.groupBy("src").agg(F.count("*").cast("double").alias("outdeg"))
+    pr = nodes.crossJoin(broadcast(nn)).select("node", (F.lit(1.0) / F.col("n")).alias("pr"))
+    zero = F.lit(0).cast("decimal(38,12)")
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(pr.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .select("dst", F.round(F.col("pr") / F.col("outdeg"), 12).cast("decimal(28,12)").alias("c"))
+        )
+        summed = contrib.groupBy("dst").agg(F.sum("c").alias("acc"))
+        pr = (
+            nodes.crossJoin(broadcast(nn))
+            .join(summed, F.col("node") == F.col("dst"), "left")
+            .select(
+                "node",
+                (F.lit(0.15) / F.col("n")
+                 + F.lit(PR_DAMP) * F.coalesce(F.col("acc"), zero).cast("double")).alias("pr"),
+            )
+        )
+    return pr
