@@ -147,7 +147,8 @@ VERIFY_ORDER_HEAD: tuple[str, ...] = (
 #   src_csv_malformed sim_knn_graph win_range_interval
 #   traj_cumulative_length ttype_tbool_algebra serde_e2e_pipeline
 #   rel_lateral_topn src_python_datasource text_entropy
-#   traj_geofence_events dedup_normalized
+#   traj_geofence_events dedup_normalized scalar_bitwise rel_approx_distinct
+#   traj_turning_points sim_pq_ann sim_pagerank trajsim_lcss_erp
 # plus any r4 additions, backfilled to 50 with r2-green names; update
 # tests/test_registry_order.py to match.
 

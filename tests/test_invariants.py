@@ -160,3 +160,33 @@ def test_knn_graph_shape(spark):
 def test_unigram_logprob_positive(spark):
     s = _q(spark, "text_unigram_logprob")
     assert s.filter(F.col("mean_nll") <= 0).count() == 0
+
+
+def test_turning_points_bounded(spark):
+    import math
+
+    df = _q(spark, "traj_turning_points")
+    bad = df.filter(
+        (F.col("max_abs_turn") > math.pi + 1e-6)
+        | (F.col("n_sharp") > F.col("n_turns"))
+        | ((F.col("n_sharp") > 0) & F.col("first_sharp_event").isNull())
+    )
+    assert bad.count() == 0
+
+
+def test_pagerank_mass_conserved(spark):
+    # with dangling mass dropped: base mass 0.15 <= total <= 1 (+eps); pr > 0
+    df = _q(spark, "sim_pagerank")
+    assert df.filter(F.col("pr") <= 0).count() == 0
+    total = df.agg(F.sum("pr")).first()[0]
+    assert 0.15 - 1e-9 <= total <= 1.0 + 1e-9, total
+
+
+def test_pq_codes_approximate_exact_topk(spark):
+    # PQ is lossy, but the ADC ranking must still recover a chunk of the
+    # exact cosine top-k (same probes, k=10): recall@10 >= 0.2 on the fixture
+    pq = _q(spark, "sim_pq_ann").select("probe_id", "vec_id")
+    exact = _q(spark, "sim_cosine_topk").select("probe_id", "vec_id")
+    n_probe = exact.select("probe_id").distinct().count()
+    hits = pq.intersect(exact).count()
+    assert hits / (10 * n_probe) >= 0.2, hits

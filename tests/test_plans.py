@@ -187,3 +187,27 @@ def test_knn_graph_join_is_bucket_equi(spark):
     plan = _plan(spark, "sim_knn_graph")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+
+
+def test_pq_ann_is_all_broadcast(spark):
+    # codebook + per-probe lookup tables are tiny: every join must broadcast;
+    # the ADC scan stays linear in the corpus (no SMJ shuffle, no cartesian)
+    plan = _plan(spark, "sim_pq_ann")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert plan.count("BroadcastHashJoin") >= 5, plan[:2000]
+
+
+def test_turning_points_single_exchange(spark):
+    # two stacked windows + final agg all share one (mmsi) partitioning:
+    # exactly one shuffle of the posit fact
+    plan = _plan(spark, "traj_turning_points")
+    n_exch = plan.count("Exchange hashpartitioning") + plan.count("Exchange rangepartitioning")
+    assert n_exch == 1, plan[:3000]
+
+
+def test_pagerank_no_cartesian(spark):
+    # iterative fan-out must stay equi-join shaped; the 1-row count joins
+    # broadcast (BNLJ on a single-row side is fine, cartesian blowup is not)
+    plan = _plan(spark, "sim_pagerank")
+    assert "CartesianProduct" not in plan
