@@ -50,3 +50,44 @@ def hausdorff_distance(a: np.ndarray, b: np.ndarray) -> float:
     """Symmetric Hausdorff (reference twin of the SQL/max-min-join form)."""
     d = np.sqrt(((a[:, None, :] - b[None, :, :]) ** 2).sum(axis=2))
     return float(max(d.min(axis=1).max(), d.min(axis=0).max()))
+
+
+def lcss_similarity(a: np.ndarray, b: np.ndarray, eps: float) -> float:
+    """Longest-common-subsequence similarity: fraction of the shorter curve
+    matchable within ground distance ``eps`` while preserving order —
+    robust to outlier points (unlike DTW, which must pay for them).
+    Returns LCSS length / min(n, m) in [0, 1]."""
+    n, m = len(a), len(b)
+    d = np.sqrt(((a[:, None, :] - b[None, :, :]) ** 2).sum(axis=2))
+    L = np.zeros((n + 1, m + 1), dtype=np.int64)
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            if d[i - 1, j - 1] <= eps:
+                L[i, j] = L[i - 1, j - 1] + 1
+            else:
+                L[i, j] = max(L[i - 1, j], L[i, j - 1])
+    return float(L[n, m]) / float(min(n, m))
+
+
+def erp_distance(a: np.ndarray, b: np.ndarray, g: np.ndarray) -> float:
+    """Edit distance with Real Penalty: L1-style alignment cost where a
+    skipped point pays its distance to the constant gap point ``g`` — a
+    metric (triangle inequality holds), unlike DTW/LCSS."""
+    n, m = len(a), len(b)
+    d = np.sqrt(((a[:, None, :] - b[None, :, :]) ** 2).sum(axis=2))
+    ga = np.sqrt(((a - g) ** 2).sum(axis=1))
+    gb = np.sqrt(((b - g) ** 2).sum(axis=1))
+    acc = np.full((n + 1, m + 1), np.inf)
+    acc[0, 0] = 0.0
+    for i in range(1, n + 1):
+        acc[i, 0] = acc[i - 1, 0] + ga[i - 1]
+    for j in range(1, m + 1):
+        acc[0, j] = acc[0, j - 1] + gb[j - 1]
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            acc[i, j] = min(
+                acc[i - 1, j - 1] + d[i - 1, j - 1],
+                acc[i - 1, j] + ga[i - 1],
+                acc[i, j - 1] + gb[j - 1],
+            )
+    return float(acc[n, m])

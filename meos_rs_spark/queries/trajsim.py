@@ -17,7 +17,12 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from meos_rs_spark.functions.similarity import dtw_distance, frechet_distance
+from meos_rs_spark.functions.similarity import (
+    dtw_distance,
+    erp_distance,
+    frechet_distance,
+    lcss_similarity,
+)
 from meos_rs_spark.functions.trajectory import POSITS_CTE, posits
 from meos_rs_spark.registry import register
 
@@ -368,3 +373,58 @@ def trajsim_tdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dist"),
         )
     )
+
+
+# --- LCSS / ERP via grouped DP ----------------------------------------------
+
+LCSS_EPS = 25.0  # ground-distance match radius (posit lon spans ~0-330, lat 0-99)
+
+_LCSS_SCHEMA = "id_a long, id_b long, n_a long, n_b long, lcss_sim double, erp double"
+
+
+def _pair_lcss_erp(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    a = pdf[pdf["side"] == 0].sort_values("ts")[["lon", "lat"]].to_numpy(dtype=float)
+    b = pdf[pdf["side"] == 1].sort_values("ts")[["lon", "lat"]].to_numpy(dtype=float)
+    if len(a) == 0 or len(b) == 0:
+        return pd.DataFrame(
+            {"id_a": [key[0]], "id_b": [key[1]], "n_a": [len(a)], "n_b": [len(b)],
+             "lcss_sim": [np.nan], "erp": [np.nan]}
+        )
+    return pd.DataFrame(
+        {
+            "id_a": [key[0]],
+            "id_b": [key[1]],
+            "n_a": [len(a)],
+            "n_b": [len(b)],
+            "lcss_sim": [lcss_similarity(a, b, LCSS_EPS)],
+            "erp": [erp_distance(a, b, np.zeros(2))],
+        }
+    )
+
+
+@register(
+    "trajsim_lcss_erp",
+    oracle=None,  # O(n·m) dynamic programs — iterative, not SQL-expressible; golden tests pin values
+    tags=("L2g",),
+    doc=f"LCSS similarity (eps={LCSS_EPS}, outlier-robust) + ERP distance "
+    "(gap-point origin; a true metric, so it can power metric-tree pruning) "
+    "per vessel pair — completes the DP similarity family next to "
+    "DTW/Fréchet; same bounded-pair-list equi-join shape + applyInPandas "
+    "(numpy DP per pair group), so the shuffle is K² pair tags of the "
+    "bounded vessel subset, never an all-points nested loop",
+)
+def trajsim_lcss_erp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sel = posits(spark, sf_dir).filter(F.col("mmsi") < K_VESSELS).select("mmsi", "ts", "lon", "lat")
+    ids = sel.select("mmsi").distinct()
+    pairs = (
+        ids.select(F.col("mmsi").alias("id_a"))
+        .join(ids.select(F.col("mmsi").alias("id_b")), F.col("id_a") < F.col("id_b"))
+    )
+    side_a = pairs.join(sel, pairs.id_a == sel.mmsi).select(
+        "id_a", "id_b", F.lit(0).alias("side"), "ts", "lon", "lat"
+    )
+    side_b = pairs.join(sel, pairs.id_b == sel.mmsi).select(
+        "id_a", "id_b", F.lit(1).alias("side"), "ts", "lon", "lat"
+    )
+    tagged = side_a.unionByName(side_b)
+    return tagged.groupBy("id_a", "id_b").applyInPandas(_pair_lcss_erp, schema=_LCSS_SCHEMA)

@@ -57,3 +57,41 @@ def test_spark_pairs_match_local(spark):
         b = np.array(by_id[r.id_b])
         assert r.dtw == pytest.approx(dtw_distance(a, b))
         assert r.frechet == pytest.approx(frechet_distance(a, b))
+
+
+def test_lcss_golden():
+    from meos_rs_spark.functions.similarity import lcss_similarity
+
+    A = np.array([[0.0, 0.0], [1.0, 0.0], [2.0, 0.0], [3.0, 0.0]])
+    B = np.array([[0.0, 0.9], [1.0, 0.9], [2.0, 0.9], [3.0, 0.9]])
+    assert lcss_similarity(A, B, 1.0) == pytest.approx(1.0)   # every point pairs within eps
+    assert lcss_similarity(A, B, 0.5) == 0.0                  # nothing within eps
+    # one outlier costs exactly one match, not its full distance (vs DTW)
+    C = np.array([[0.0, 0.0], [1.0, 50.0], [2.0, 0.0], [3.0, 0.0]])
+    assert lcss_similarity(A, C, 0.5) == pytest.approx(0.75)
+
+
+def test_erp_golden():
+    from meos_rs_spark.functions.similarity import erp_distance
+
+    g = np.zeros(2)
+    A = np.array([[0.0, 0.0], [1.0, 0.0], [2.0, 0.0], [3.0, 0.0]])
+    assert erp_distance(A, A, g) == 0.0
+    # dropping the last two points pays their distance to the gap point
+    assert erp_distance(A, A[:2], g) == pytest.approx(5.0)
+    # identity of indiscernibles + symmetry (metric properties)
+    B = A + np.array([0.0, 1.0])
+    assert erp_distance(A, B, g) == pytest.approx(erp_distance(B, A, g))
+    assert erp_distance(A, B, g) > 0.0
+
+
+def test_lcss_erp_query_shape(spark):
+    from meos_rs_spark.registry import load_registry
+    from tests.conftest import SF_SMOKE
+
+    df = load_registry()["trajsim_lcss_erp"].fn(spark, SF_SMOKE)
+    rows = df.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0.0 <= r.lcss_sim <= 1.0
+        assert r.erp >= 0.0
