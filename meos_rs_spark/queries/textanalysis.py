@@ -678,3 +678,78 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_distinct_chars"),
         F.sum("term").cast("double").alias("entropy_nats"),
     )
+
+
+# --- PII scrubbing (regex redaction pass) -----------------------------------
+
+_RE_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_RE_PHONE = "\\+\\d{7,15}"
+_RE_IPV4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example.com or +1415555' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) AS t
+  FROM documents
+),
+counted AS (
+  SELECT doc_id, t,
+         CAST(len(regexp_extract_all(t, '{_RE_EMAIL}')) AS BIGINT) AS n_emails,
+         CAST(len(regexp_extract_all(t, '{_RE_PHONE}')) AS BIGINT) AS n_phones,
+         CAST(len(regexp_extract_all(t, '{_RE_IPV4}')) AS BIGINT)  AS n_ips
+  FROM aug
+),
+scrubbed AS (
+  SELECT doc_id, n_emails, n_phones, n_ips,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(t, '{_RE_EMAIL}', '<EMAIL>', 'g'),
+             '{_RE_PHONE}', '<PHONE>', 'g'),
+           '{_RE_IPV4}', '<IP>', 'g') AS clean
+  FROM counted
+)
+SELECT doc_id, n_emails, n_phones, n_ips,
+       right(clean, 80) AS clean_tail,
+       CAST(length(clean) AS BIGINT) AS clean_len
+FROM scrubbed
+""",
+    tags=("text", "llm"),
+    doc="PII scrubbing (the redaction pass every training-data pipeline runs "
+    "before tokenization): email/phone/IPv4 regex redaction with per-class "
+    "hit counts. The fixture text is PII-free, so deterministic PII derived "
+    "from doc_id is injected first and the scrubber is verified to remove "
+    "exactly it (counts + scrubbed tail + length all hash-checked). Regexes "
+    "stay in the Java-regex/RE2 common subset so both engines match "
+    "identically. Pure row-local column expressions: codegen, zero shuffle, "
+    "scales as a map-only pass.",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or +1415555"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"),
+        F.lit("."), ((F.col("doc_id") * 7) % 256).cast("string"),
+    )
+    t = d.select("doc_id", aug.alias("t"))
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), _RE_EMAIL, "<EMAIL>"),
+            _RE_PHONE, "<PHONE>"),
+        _RE_IPV4, "<IP>")
+    return t.select(
+        "doc_id",
+        F.regexp_count(F.col("t"), F.lit(_RE_EMAIL)).cast("bigint").alias("n_emails"),
+        F.regexp_count(F.col("t"), F.lit(_RE_PHONE)).cast("bigint").alias("n_phones"),
+        F.regexp_count(F.col("t"), F.lit(_RE_IPV4)).cast("bigint").alias("n_ips"),
+        F.right(clean, F.lit(80)).alias("clean_tail"),
+        F.length(clean).cast("bigint").alias("clean_len"),
+    )
