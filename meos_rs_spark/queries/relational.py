@@ -907,3 +907,69 @@ def rel_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         within("approx_orders", "exact_orders").alias("orders_within_tol"),
         within("approx_parts", "exact_parts").alias("parts_within_tol"),
     )
+
+
+# --- as-of join, forward / nearest directions (J6 completion) ---------------
+
+
+@register(
+    "rel_join_asof_nearest",
+    oracle="""
+WITH probes AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) + INTERVAL 1 DAY AS pts FROM events
+),
+agg AS (
+  SELECT p.user_id, p.pts,
+         max(e.ts)            FILTER (WHERE e.ts <= p.pts) AS back_ts,
+         arg_max(e.value, e.ts) FILTER (WHERE e.ts <= p.pts) AS back_value,
+         min(e.ts)            FILTER (WHERE e.ts >= p.pts) AS fwd_ts,
+         arg_min(e.value, e.ts) FILTER (WHERE e.ts >= p.pts) AS fwd_value
+  FROM probes p JOIN events e ON e.user_id = p.user_id
+  GROUP BY p.user_id, p.pts
+)
+SELECT user_id, pts, back_ts, back_value, fwd_ts, fwd_value,
+       CASE WHEN back_ts IS NULL THEN fwd_value
+            WHEN fwd_ts IS NULL THEN back_value
+            WHEN epoch_us(pts) - epoch_us(back_ts) <= epoch_us(fwd_ts) - epoch_us(pts)
+              THEN back_value
+            ELSE fwd_value END AS nearest_value
+FROM agg
+""",
+    tags=("J6",),
+    doc="as-of join, forward and nearest directions (completes J6 next to the "
+    "backward rel_join_asof — the pandas merge_asof direction trio): one "
+    "user-key equi-join + conditional min/max/arg-extremes per probe; "
+    "'nearest' picks between the two directional candidates in integer epoch "
+    "micros with ties to the earlier event, so no interval division and no "
+    "second pass. Same shape at 100 TB: probes shuffle with the event fact "
+    "on user_id once; everything after is map-side aggregation.",
+)
+def rel_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    probes = ev.select(
+        "user_id", F.expr("date_trunc('day', ts) + INTERVAL 1 DAY").alias("pts")
+    ).distinct()
+    e = ev.select(F.col("user_id").alias("euid"), "ts", "value")
+    back = F.col("ts") <= F.col("pts")
+    fwd = F.col("ts") >= F.col("pts")
+    agg = (
+        probes.join(e, F.col("euid") == F.col("user_id"))
+        .groupBy("user_id", "pts")
+        .agg(
+            F.max(F.when(back, F.col("ts"))).alias("back_ts"),
+            F.max_by(F.when(back, F.col("value")), F.when(back, F.col("ts"))).alias("back_value"),
+            F.min(F.when(fwd, F.col("ts"))).alias("fwd_ts"),
+            F.min_by(F.when(fwd, F.col("value")), F.when(fwd, F.col("ts"))).alias("fwd_value"),
+        )
+    )
+    us = lambda c: F.expr(f"unix_micros(CAST({c} AS TIMESTAMP))")  # noqa: E731
+    nearest = (
+        F.when(F.col("back_ts").isNull(), F.col("fwd_value"))
+        .when(F.col("fwd_ts").isNull(), F.col("back_value"))
+        .when(us("pts") - us("back_ts") <= us("fwd_ts") - us("pts"), F.col("back_value"))
+        .otherwise(F.col("fwd_value"))
+    )
+    return agg.select(
+        "user_id", "pts", "back_ts", "back_value", "fwd_ts", "fwd_value",
+        nearest.alias("nearest_value"),
+    )
