@@ -168,3 +168,27 @@ def stbox_contains_point(box: Column, lon: Column, lat: Column, ts: Column) -> C
         & (box["tmin"] <= ts)
         & (ts <= box["tmax"])
     )
+
+
+def tbox_union(a: Column, b: Column) -> Column:
+    """Bounding union (union_tbox_tbox semantics: smallest box containing
+    both — MEOS requires overlap for the exact union; the bounding form is
+    total and is what an extent aggregate folds with)."""
+    return F.struct(
+        F.least(a["xmin"], b["xmin"]).alias("xmin"),
+        F.greatest(a["xmax"], b["xmax"]).alias("xmax"),
+        F.least(a["tmin"], b["tmin"]).alias("tmin"),
+        F.greatest(a["tmax"], b["tmax"]).alias("tmax"),
+    )
+
+
+def tbox_intersection(a: Column, b: Column) -> Column:
+    """intersection_tbox_tbox: overlap region, NULL when disjoint on any
+    axis (closed bounds: touching boxes intersect in a degenerate box)."""
+    inter = F.struct(
+        F.greatest(a["xmin"], b["xmin"]).alias("xmin"),
+        F.least(a["xmax"], b["xmax"]).alias("xmax"),
+        F.greatest(a["tmin"], b["tmin"]).alias("tmin"),
+        F.least(a["tmax"], b["tmax"]).alias("tmax"),
+    )
+    return F.when(tbox_overlaps(a, b), inter)

@@ -24,7 +24,9 @@ from meos_rs_spark.functions.boxes import (
     tbox_contains,
     tbox_overlaps,
     tbox_pred_sql,
+    tbox_intersection,
     tbox_same,
+    tbox_union,
 )
 from meos_rs_spark.functions.trajectory import POSITS_CTE, posits
 from meos_rs_spark.registry import register
@@ -293,4 +295,62 @@ def box_stbox_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((exmin <= 120.0) & (F.lit(20.0) <= exmax) & (eymin <= 80.0) & (F.lit(10.0) <= eymax))
         .cast("int")
         .alias("overlaps_region_after"),
+    )
+
+
+# --- TBox set algebra (union / intersection) --------------------------------
+
+
+@register(
+    "box_tbox_algebra",
+    oracle=f"""
+WITH {_TYPE_BOX_CTE}
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       LEAST(a.xmin, b.xmin)    AS u_xmin,
+       GREATEST(a.xmax, b.xmax) AS u_xmax,
+       LEAST(a.tmin, b.tmin)    AS u_tmin,
+       GREATEST(a.tmax, b.tmax) AS u_tmax,
+       CAST(({_PRED['overlaps']}) AS INT) AS has_inter,
+       CASE WHEN {_PRED['overlaps']} THEN GREATEST(a.xmin, b.xmin) END AS i_xmin,
+       CASE WHEN {_PRED['overlaps']} THEN LEAST(a.xmax, b.xmax) END    AS i_xmax,
+       CASE WHEN {_PRED['overlaps']} THEN GREATEST(a.tmin, b.tmin) END AS i_tmin,
+       CASE WHEN {_PRED['overlaps']} THEN LEAST(a.tmax, b.tmax) END    AS i_tmax
+FROM boxes a CROSS JOIN boxes b
+""",
+    tags=("F8",),
+    doc="TBox set algebra (union_tbox_tbox / intersection_tbox_tbox, "
+    "tbox.rs box ops family): bounding union is total; intersection is the "
+    "overlap region with NULL components when disjoint on any axis (closed "
+    "bounds — touching boxes meet in a degenerate box). Flattened to scalar "
+    "columns for the canonicalizer. Same bounded 8x8 event-type domain as "
+    "the predicate matrix; at any scale the box list is a broadcast-size "
+    "aggregate of the fact, so the pairwise algebra never touches raw rows.",
+)
+def box_tbox_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    boxes = ev.groupBy("event_type").agg(
+        F.min("value").alias("xmin"),
+        F.max("value").alias("xmax"),
+        F.min("ts").alias("tmin"),
+        F.max("ts").alias("tmax"),
+    )
+    a = boxes.select(F.col("event_type").alias("type_a"), tbox(
+        F.col("xmin"), F.col("xmax"), F.col("tmin"), F.col("tmax")).alias("a"))
+    b = boxes.select(F.col("event_type").alias("type_b"), tbox(
+        F.col("xmin"), F.col("xmax"), F.col("tmin"), F.col("tmax")).alias("b"))
+    ca, cb = F.col("a"), F.col("b")
+    u = tbox_union(ca, cb)
+    i = tbox_intersection(ca, cb)
+    return a.crossJoin(F.broadcast(b)).select(
+        "type_a",
+        "type_b",
+        u["xmin"].alias("u_xmin"),
+        u["xmax"].alias("u_xmax"),
+        u["tmin"].alias("u_tmin"),
+        u["tmax"].alias("u_tmax"),
+        tbox_overlaps(ca, cb).cast("int").alias("has_inter"),
+        i["xmin"].alias("i_xmin"),
+        i["xmax"].alias("i_xmax"),
+        i["tmin"].alias("i_tmin"),
+        i["tmax"].alias("i_tmax"),
     )
