@@ -478,3 +478,64 @@ def serde_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_instants") >= _E2_MIN)
     )
+
+
+# --- F1 robustness: tolerant parse of malformed WKT -------------------------
+
+
+@register(
+    "serde_wkt_malformed",
+    oracle=f"""
+WITH {POSITS_CTE},
+rendered AS (
+  SELECT mmsi, event_id, lon,
+         CASE WHEN event_id % 7 = 0
+              THEN replace({point_wkt_duck('lon', 'lat', 'ts')}, '@', '#')
+              WHEN event_id % 11 = 0
+              THEN substr({point_wkt_duck('lon', 'lat', 'ts')}, 1, 10)
+              ELSE {point_wkt_duck('lon', 'lat', 'ts')} END AS wkt
+  FROM posits
+),
+parsed AS (
+  SELECT mmsi, event_id, lon, wkt,
+         CASE WHEN regexp_matches(wkt, '^POINT\\(([-0-9.]+) ([-0-9.]+)\\)@[0-9]{{4}}-[0-9]{{2}}-[0-9]{{2}} [0-9:.]+\\+00$')
+              THEN {PARSE_WKT_DUCK['lon'].format(c='wkt')} END AS lon_p
+  FROM rendered
+)
+SELECT mmsi,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN lon_p IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_rejected,
+       CAST(SUM(CAST(lon_p AS DECIMAL(18,2))) AS DOUBLE) AS lon_checksum
+FROM parsed GROUP BY mmsi
+""",
+    tags=("F1",),
+    doc="tolerant WKT ingestion (the serde twin of src_csv_malformed): "
+    "deterministically corrupt ~1 in 7 rendered instants (separator mangled) "
+    "and ~1 in 11 (truncated), then try-parse — full-pattern anchor gate "
+    "first, so bad rows yield NULL instead of garbage or a throw; per-vessel "
+    "admitted/rejected counts plus an exact-decimal checksum of admitted "
+    "lons prove the filter admits exactly the well-formed rows. Row-local "
+    "regex work, codegen, one final shuffle for the per-vessel rollup.",
+)
+def serde_wkt_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = posits(spark, sf_dir)
+    wkt_ok = point_wkt("lon", "lat", "ts")
+    wkt = (
+        F.when(F.col("event_id") % 7 == 0, F.replace(wkt_ok, F.lit("@"), F.lit("#")))
+        .when(F.col("event_id") % 11 == 0, F.substring(wkt_ok, 1, 10))
+        .otherwise(wkt_ok)
+    )
+    rendered = pts.select("mmsi", "event_id", "lon", wkt.alias("wkt"))
+    well_formed = F.col("wkt").rlike(
+        r"^POINT\(([-0-9.]+) ([-0-9.]+)\)@[0-9]{4}-[0-9]{2}-[0-9]{2} [0-9:.]+\+00$"
+    )
+    lon_p = F.when(well_formed, parse_point_wkt(F.col("wkt"))["lon"])
+    return (
+        rendered.select("mmsi", lon_p.alias("lon_p"))
+        .groupBy("mmsi")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("lon_p").isNull().cast("int")).cast("bigint").alias("n_rejected"),
+            F.sum(F.col("lon_p").cast("decimal(18,2)")).cast("double").alias("lon_checksum"),
+        )
+    )
