@@ -38,6 +38,11 @@ BENCH_QUERIES = [
     # already benched individually, not a new hot path.)
     "traj_resample_linear",
     "sim_ann_ivf",
+    # round-3 session-4 additions: the PQ codebook ANN path (the third ANN
+    # family — codes are 64x smaller than raw vectors, the true 100 TB scan)
+    # and the map-only PII redaction pass (regex-heavy codegen throughput).
+    "sim_pq_ann",
+    "text_pii_scrub",
 ]
 
 
