@@ -65,3 +65,31 @@ def test_dp_error_guarantee(pts, eps):
     for lo, hi in zip(kept_idx, kept_idx[1:]):
         for m in range(lo + 1, hi):
             assert _perp(pts[m], pts[lo], pts[hi]) <= eps + 1e-9
+
+
+@settings(max_examples=50, deadline=None)
+@given(curve, curve, st.floats(min_value=0.1, max_value=50, allow_nan=False))
+def test_lcss_symmetry_and_bounds(a, b, eps):
+    from meos_rs_spark.functions.similarity import lcss_similarity
+
+    s = lcss_similarity(a, b, eps)
+    assert 0.0 <= s <= 1.0
+    assert s == lcss_similarity(b, a, eps)
+    assert lcss_similarity(a, a, eps) == 1.0
+
+
+@settings(max_examples=50, deadline=None)
+@given(curve, curve)
+def test_erp_metric_properties(a, b):
+    from meos_rs_spark.functions.similarity import erp_distance
+
+    g = np.zeros(2)
+    d = erp_distance(a, b, g)
+    assert d >= 0.0
+    assert d == erp_distance(b, a, g)                    # symmetry
+    assert erp_distance(a, a, g) == 0.0                  # identity
+    # triangle inequality through a third curve (ERP is a true metric)
+    c = a[: max(1, len(a) // 2)]
+    lhs = erp_distance(a, b, g)
+    rhs = erp_distance(a, c, g) + erp_distance(c, b, g)
+    assert lhs <= rhs + 1e-9
