@@ -1765,3 +1765,86 @@ def traj_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.when(sharp, F.col("event_id"))).alias("first_sharp_event"),
         )
     )
+
+
+# --- L2b: value-at-time honoring the per-sequence interpolation flag --------
+
+
+@register(
+    "traj_interp_mixed",
+    oracle=f"""
+WITH {POSITS_CTE},
+probe AS (
+  SELECT mmsi,
+         CASE WHEN mmsi % 2 = 0 THEN 'linear' ELSE 'step' END AS interp,
+         min(ts) + to_microseconds((epoch_us(max(ts)) - epoch_us(min(ts))) // 2) AS pt
+  FROM posits GROUP BY mmsi
+),
+below AS (
+  SELECT p.mmsi, p.interp, p.pt,
+         arg_max(e.lon, e.ts) AS lon0, arg_max(e.lat, e.ts) AS lat0, max(e.ts) AS t0
+  FROM probe p JOIN posits e ON e.mmsi = p.mmsi AND e.ts <= p.pt
+  GROUP BY p.mmsi, p.interp, p.pt
+),
+above AS (
+  SELECT p.mmsi, arg_min(e.lon, e.ts) AS lon1, arg_min(e.lat, e.ts) AS lat1, min(e.ts) AS t1
+  FROM probe p JOIN posits e ON e.mmsi = p.mmsi AND e.ts > p.pt GROUP BY p.mmsi
+)
+SELECT b.mmsi, b.interp, b.pt,
+       CASE WHEN b.interp = 'step' OR a.t1 IS NULL THEN b.lon0
+            ELSE b.lon0 + (a.lon1 - b.lon0) * (CAST(epoch_us(b.pt) - epoch_us(b.t0) AS DOUBLE)
+                                               / CAST(epoch_us(a.t1) - epoch_us(b.t0) AS DOUBLE)) END AS lon_at,
+       CASE WHEN b.interp = 'step' OR a.t1 IS NULL THEN b.lat0
+            ELSE b.lat0 + (a.lat1 - b.lat0) * (CAST(epoch_us(b.pt) - epoch_us(b.t0) AS DOUBLE)
+                                               / CAST(epoch_us(a.t1) - epoch_us(b.t0) AS DOUBLE)) END AS lat_at
+FROM below b LEFT JOIN above a ON a.mmsi = b.mmsi
+""",
+    tags=("L2b",),
+    doc="value_at_timestamp honoring each sequence's interpolation flag "
+    "(tseq.rs interp modes: LINEAR lerps between the bracketing instants, "
+    "STEP holds the last value — assigned per vessel here to exercise both "
+    "branches in one plan). Same bracketing-aggregate shape as "
+    "traj_value_at_time: one probe row per vessel, two conditional "
+    "arg-extreme aggregations, no per-probe sort.",
+)
+def traj_interp_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = posits(spark, sf_dir)
+    probe = pts.groupBy("mmsi").agg(
+        F.expr(
+            "timestampadd(MICROSECOND, (unix_micros(CAST(max(ts) AS TIMESTAMP)) "
+            "- unix_micros(CAST(min(ts) AS TIMESTAMP))) div 2, min(ts))"
+        ).alias("pt"),
+    ).withColumn("interp", F.when(F.col("mmsi") % 2 == 0, "linear").otherwise("step"))
+    e = pts.select(F.col("mmsi").alias("e_mmsi"), "ts", "lon", "lat")
+    below = (
+        probe.join(e, (e.e_mmsi == probe.mmsi) & (e.ts <= probe.pt))
+        .groupBy("mmsi", "interp", "pt")
+        .agg(
+            F.max_by("lon", "ts").alias("lon0"),
+            F.max_by("lat", "ts").alias("lat0"),
+            F.max("ts").alias("t0"),
+        )
+    )
+    above = (
+        probe.join(e, (e.e_mmsi == probe.mmsi) & (e.ts > probe.pt))
+        .groupBy("mmsi")
+        .agg(
+            F.min_by("lon", "ts").alias("lon1"),
+            F.min_by("lat", "ts").alias("lat1"),
+            F.min("ts").alias("t1"),
+        )
+        .withColumnRenamed("mmsi", "a_mmsi")
+    )
+    us = lambda c: F.expr(f"unix_micros(CAST({c} AS TIMESTAMP))")  # noqa: E731
+    frac = (us("pt") - us("t0")).cast("double") / (us("t1") - us("t0")).cast("double")
+
+    def at(v0: str, v1: str):
+        return (
+            F.when((F.col("interp") == "step") | F.col("t1").isNull(), F.col(v0))
+            .otherwise(F.col(v0) + (F.col(v1) - F.col(v0)) * frac)
+        )
+
+    return (
+        below.join(above, F.col("a_mmsi") == F.col("mmsi"), "left")
+        .select("mmsi", "interp", "pt", at("lon0", "lon1").alias("lon_at"), at("lat0", "lat1").alias("lat_at"))
+    )
