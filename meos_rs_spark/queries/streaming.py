@@ -464,3 +464,56 @@ def stream_doc_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
     )
     return _run_to_table(agg, spark)
+
+
+# --- streaming content-fingerprint dedup (dedup family x streaming) ---------
+
+
+@register(
+    "stream_fingerprint_dedup",
+    oracle="""
+WITH norm AS (
+  SELECT DISTINCT trim(regexp_replace(lower(text), ' +', ' ', 'g')) AS nt
+  FROM documents
+)
+SELECT CAST(count(*) AS BIGINT) AS n_unique,
+       CAST(sum(len(nt)) AS BIGINT) AS total_norm_chars
+FROM norm
+""",
+    tags=("ST", "dedup"),
+    doc="streaming content-fingerprint dedup: normalize (lowercase / collapse "
+    "spaces / trim), md5-fingerprint, dropDuplicatesWithinWatermark on the "
+    "fingerprint as documents stream in — the exact-dedup admission gate of "
+    "a continuously-fed corpus. Aggregates only fingerprint-invariant "
+    "quantities (unique-class count, normalized length sum) so the result "
+    "is independent of WHICH duplicate arrives first; the oracle is the "
+    "batch distinct over normalized text. State = one fingerprint row per "
+    "unique class within the watermark horizon, evicted past it.",
+)
+def stream_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meos_rs_spark.session import prepare_session
+
+    prepare_session(spark)
+    raw = (
+        spark.readStream.schema(_DOCS_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    nt = F.trim(F.regexp_replace(F.lower("text"), " +", " "))
+    # synthesized deterministic event time (documents carry none): doc_id
+    # seconds past a fixed epoch — the watermark column the state store
+    # evicts on
+    # offset past epoch: the initial watermark is 1970-01-01, and a row
+    # whose event time equals it is dropped as late (bit us: doc_id 0)
+    ev = F.expr("timestamp_micros((86400 + doc_id) * 1000000)")
+    deduped = (
+        raw.select(nt.alias("nt"), ev.alias("ev"))
+        .withColumn("fp", F.md5("nt"))
+        .withWatermark("ev", "3650 days")
+        .dropDuplicatesWithinWatermark(["fp"])
+    )
+    agg = deduped.agg(
+        F.count(F.lit(1)).alias("n_unique"),
+        F.sum(F.length("nt")).alias("total_norm_chars"),
+    )
+    return _run_to_table(agg, spark)
