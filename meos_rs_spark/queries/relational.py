@@ -973,3 +973,80 @@ def rel_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "pts", "back_ts", "back_value", "fwd_ts", "fwd_value",
         nearest.alias("nearest_value"),
     )
+
+
+# --- behavioral funnel (sequence matching, MATCH_RECOGNIZE territory) -------
+
+
+@register(
+    "rel_funnel_steps",
+    oracle="""
+WITH v AS (
+  SELECT user_id, min(ts) AS t_view FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t_purch
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+  GROUP BY e.user_id
+),
+conv AS (
+  SELECT p.user_id, epoch_us(p.t_purch) - epoch_us(v.t_view) AS d_us
+  FROM p JOIN v ON v.user_id = p.user_id
+)
+SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_viewed,
+       CAST((SELECT count(*) FROM c) AS BIGINT) AS n_clicked,
+       CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchased,
+       CAST((SELECT sum(d_us) FROM conv) AS BIGINT) AS sum_conv_us,
+       CAST((SELECT sum(d_us) FROM conv) AS DOUBLE)
+         / (SELECT count(*) FROM p) / 1000000.0 AS avg_conv_sec
+""",
+    tags=("A1", "behavioral"),
+    doc="ordered-funnel analysis (view -> first click strictly after -> first "
+    "purchase strictly after; the MATCH_RECOGNIZE shape): the Spark side runs "
+    "the funnel as a state-machine fold over each user's time-sorted event "
+    "array — ONE shuffle of the fact, one pass, any funnel depth — while the "
+    "oracle spells the same semantics as three chained conditional "
+    "aggregations. Conversion time summed in exact integer micros; the "
+    "average is one double division of identical integers on both engines.",
+)
+def rel_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (
+        ev.select(
+            "user_id",
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("us"),
+            "event_id",
+            F.col("event_type").alias("et"),
+        )
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list(F.struct("us", "event_id", "et"))).alias("arr"))
+        .select(
+            "user_id",
+            F.expr("""
+              aggregate(arr, named_struct('v', -1L, 'c', -1L, 'p', -1L),
+                (s, x) -> named_struct(
+                  'v', CASE WHEN s.v < 0 AND x.et = 'view' THEN x.us ELSE s.v END,
+                  'c', CASE WHEN s.c < 0 AND s.v >= 0 AND x.et = 'click'
+                             AND x.us > s.v THEN x.us ELSE s.c END,
+                  'p', CASE WHEN s.p < 0 AND s.c >= 0 AND x.et = 'purchase'
+                             AND x.us > s.c THEN x.us ELSE s.p END))
+            """).alias("st"),
+        )
+    )
+    return per_user.agg(
+        F.sum((F.col("st.v") >= 0).cast("int")).cast("bigint").alias("n_viewed"),
+        F.sum((F.col("st.c") >= 0).cast("int")).cast("bigint").alias("n_clicked"),
+        F.sum((F.col("st.p") >= 0).cast("int")).cast("bigint").alias("n_purchased"),
+        F.sum(F.when(F.col("st.p") >= 0, F.col("st.p") - F.col("st.v"))).cast("bigint").alias("sum_conv_us"),
+        (
+            F.sum(F.when(F.col("st.p") >= 0, F.col("st.p") - F.col("st.v"))).cast("double")
+            / F.sum((F.col("st.p") >= 0).cast("int")) / F.lit(1000000.0)
+        ).alias("avg_conv_sec"),
+    )
