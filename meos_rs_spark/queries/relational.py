@@ -1050,3 +1050,55 @@ def rel_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum((F.col("st.p") >= 0).cast("int")) / F.lit(1000000.0)
         ).alias("avg_conv_sec"),
     )
+
+
+# --- cohort retention (weekly cohorts x activity-week offsets) --------------
+
+
+@register(
+    "rel_cohort_retention",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort FROM events GROUP BY user_id
+),
+sizes AS (SELECT cohort, count(*) AS cohort_size FROM firsts GROUP BY cohort),
+activity AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events)
+SELECT f.cohort,
+       CAST((epoch_us(a.wk) - epoch_us(f.cohort)) // 604800000000 AS BIGINT) AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_active,
+       CAST(s.cohort_size AS BIGINT) AS cohort_size,
+       CAST(count(*) AS DOUBLE) / s.cohort_size AS retention
+FROM activity a
+JOIN firsts f ON f.user_id = a.user_id
+JOIN sizes s ON s.cohort = f.cohort
+GROUP BY f.cohort, week_offset, s.cohort_size
+""",
+    tags=("A1", "behavioral"),
+    doc="weekly cohort retention (the canonical engagement rollup next to "
+    "rel_funnel_steps): users bucketed by first-activity week, per-(cohort, "
+    "week-offset) active counts and retention ratio. Week offsets computed "
+    "by integer-micros floor division (both engines' date_trunc('week') "
+    "lands on Monday); retention is one double division of identical "
+    "integers. Scale shape: one user-key aggregate for cohorts (broadcast "
+    "back), one distinct over (user, week) — both map-side combinable.",
+)
+def rel_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(F.date_trunc("week", F.min("ts")).alias("cohort"))
+    sizes = firsts.groupBy("cohort").agg(F.count("*").alias("cohort_size"))
+    activity = ev.select("user_id", F.date_trunc("week", "ts").alias("wk")).distinct()
+    us = lambda c: F.expr(f"unix_micros(CAST({c} AS TIMESTAMP))")  # noqa: E731
+    week_off = ((us("wk") - us("cohort")) / F.lit(7 * 86400 * 1000000)).cast("bigint")
+    return (
+        activity.join(firsts, "user_id")
+        .join(broadcast(sizes), "cohort")
+        .groupBy("cohort", week_off.alias("week_offset"), "cohort_size")
+        .agg(F.count("*").alias("n_active"))
+        .select(
+            "cohort",
+            "week_offset",
+            F.col("n_active").cast("bigint").alias("n_active"),
+            F.col("cohort_size").cast("bigint").alias("cohort_size"),
+            (F.col("n_active").cast("double") / F.col("cohort_size")).alias("retention"),
+        )
+    )
