@@ -211,3 +211,18 @@ def test_pagerank_no_cartesian(spark):
     # broadcast (BNLJ on a single-row side is fine, cartesian blowup is not)
     plan = _plan(spark, "sim_pagerank")
     assert "CartesianProduct" not in plan
+
+
+def test_funnel_fold_is_two_exchanges(spark):
+    # state-machine fold: one user-key shuffle + the global one-row agg —
+    # the funnel must NOT plan per-step joins back to the fact
+    plan = _plan(spark, "rel_funnel_steps")
+    n_exch = plan.count("Exchange hashpartitioning") + plan.count("Exchange SinglePartition")
+    assert n_exch <= 2, plan[:3000]
+    assert "Join" not in plan, plan[:3000]
+
+
+def test_cohort_sizes_broadcast(spark):
+    plan = _plan(spark, "rel_cohort_retention")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan, plan[:3000]
