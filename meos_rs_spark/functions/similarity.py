@@ -91,3 +91,35 @@ def erp_distance(a: np.ndarray, b: np.ndarray, g: np.ndarray) -> float:
                 acc[i, j - 1] + gb[j - 1],
             )
     return float(acc[n, m])
+
+
+def convex_hull(pts: np.ndarray) -> np.ndarray:
+    """Andrew's monotone chain. pts: (n, 2) -> hull vertices in CCW order
+    (first vertex = lexicographically smallest), degenerate inputs returned
+    as-is (deduplicated, sorted)."""
+    p = np.unique(pts, axis=0)  # sorts lexicographically (x, then y)
+    if len(p) <= 2:
+        return p
+
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    lower: list[np.ndarray] = []
+    for q in p:
+        while len(lower) >= 2 and cross(lower[-2], lower[-1], q) <= 0:
+            lower.pop()
+        lower.append(q)
+    upper: list[np.ndarray] = []
+    for q in p[::-1]:
+        while len(upper) >= 2 and cross(upper[-2], upper[-1], q) <= 0:
+            upper.pop()
+        upper.append(q)
+    return np.array(lower[:-1] + upper[:-1])
+
+
+def polygon_area(hull: np.ndarray) -> float:
+    """Shoelace area of a CCW vertex ring (0.0 for degenerate hulls)."""
+    if len(hull) < 3:
+        return 0.0
+    x, y = hull[:, 0], hull[:, 1]
+    return float(0.5 * abs(np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y)))

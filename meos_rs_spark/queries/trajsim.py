@@ -18,10 +18,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from meos_rs_spark.functions.similarity import (
+    convex_hull,
     dtw_distance,
     erp_distance,
     frechet_distance,
     lcss_similarity,
+    polygon_area,
 )
 from meos_rs_spark.functions.trajectory import POSITS_CTE, posits
 from meos_rs_spark.registry import register
@@ -428,3 +430,45 @@ def trajsim_lcss_erp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tagged = side_a.unionByName(side_b)
     return tagged.groupBy("id_a", "id_b").applyInPandas(_pair_lcss_erp, schema=_LCSS_SCHEMA)
+
+
+# --- traversed-area convex hull (grouped geometry DP) -----------------------
+
+_HULL_SCHEMA = "mmsi long, n_points long, n_hull_vertices long, hull_area double, hull_wkt string"
+
+
+def _vessel_hull(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    pts = pdf[["lon", "lat"]].to_numpy(dtype=float)
+    h = convex_hull(pts)
+    area = polygon_area(h)
+    ring = ", ".join(f"{x:.6f} {y:.6f}" for x, y in h)
+    closing = f", {h[0][0]:.6f} {h[0][1]:.6f}" if len(h) >= 3 else ""
+    return pd.DataFrame(
+        {
+            "mmsi": [key[0]],
+            "n_points": [len(pts)],
+            "n_hull_vertices": [len(h)],
+            "hull_area": [area],
+            "hull_wkt": [f"POLYGON(({ring}{closing}))"],
+        }
+    )
+
+
+@register(
+    "traj_convex_hull",
+    oracle=None,  # iterative geometry (monotone chain) — golden tests pin exact hulls
+    tags=("L2d",),
+    doc="traversed-area convex hull per vessel (the tpoint traversed-area / "
+    "ST_ConvexHull analog): Andrew's monotone chain + shoelace area in a "
+    "grouped applyInPandas — per-vessel point sets are bounded, so the DP "
+    "family's bucketed-group shape applies; hull rendered as POLYGON WKT "
+    "with 6-digit vertices. Golden tests pin square/triangle/collinear "
+    "hulls; invariants check hull area <= bbox area and vertex bounds.",
+)
+def traj_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        posits(spark, sf_dir)
+        .select("mmsi", "lon", "lat")
+        .groupBy("mmsi")
+        .applyInPandas(_vessel_hull, schema=_HULL_SCHEMA)
+    )

@@ -95,3 +95,37 @@ def test_lcss_erp_query_shape(spark):
     for r in rows:
         assert 0.0 <= r.lcss_sim <= 1.0
         assert r.erp >= 0.0
+
+
+def test_convex_hull_golden():
+    from meos_rs_spark.functions.similarity import convex_hull, polygon_area
+
+    sq = np.array([[0, 0], [1, 0], [1, 1], [0, 1], [0.5, 0.5], [0.2, 0.8]], dtype=float)
+    h = convex_hull(sq)
+    assert h.tolist() == [[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]]
+    assert polygon_area(h) == pytest.approx(1.0)
+    tri = np.array([[0, 0], [4, 0], [0, 3], [1, 1]], dtype=float)
+    assert polygon_area(convex_hull(tri)) == pytest.approx(6.0)
+    line = np.array([[0, 0], [1, 1], [2, 2]], dtype=float)
+    assert polygon_area(convex_hull(line)) == 0.0
+
+
+def test_convex_hull_query_invariants(spark):
+    from meos_rs_spark.registry import load_registry
+    from tests.conftest import SF_SMOKE
+    from pyspark.sql import functions as F
+    from meos_rs_spark.functions.trajectory import posits
+
+    df = load_registry()["traj_convex_hull"].fn(spark, SF_SMOKE)
+    bbox = (
+        posits(spark, SF_SMOKE)
+        .groupBy("mmsi")
+        .agg(((F.max("lon") - F.min("lon")) * (F.max("lat") - F.min("lat"))).alias("bbox_area"))
+    )
+    joined = df.join(bbox, "mmsi")
+    bad = joined.filter(
+        (F.col("hull_area") > F.col("bbox_area") + 1e-9)
+        | (F.col("n_hull_vertices") > F.col("n_points"))
+        | ~F.col("hull_wkt").startswith("POLYGON((")
+    )
+    assert bad.count() == 0
