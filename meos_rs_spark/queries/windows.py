@@ -280,3 +280,83 @@ def win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("sum_1h"),
         F.count(F.lit(1)).over(w).alias("n_1h"),
     )
+
+
+# --- event-transition matrix (first-order Markov counts) --------------------
+
+
+@register(
+    "win_event_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+)
+SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
+FROM seq WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+""",
+    tags=("W", "behavioral"),
+    doc="first-order transition matrix (the Markov-chain counts behind "
+    "next-action prediction and session modeling): lead() over each user's "
+    "event sequence, then a global (from, to) rollup — one user-key shuffle "
+    "for the window plus one bounded |types|^2 aggregate",
+)
+def win_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        _events(spark, sf_dir)
+        .select("user_id", "event_type", F.lead("event_type").over(w).alias("next_type"))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# --- running distinct count (first-occurrence flag + running sum) -----------
+
+
+@register(
+    "win_running_distinct",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id) = 1
+              THEN 1 ELSE 0 END AS first_seen
+  FROM events
+)
+SELECT user_id, event_id,
+       CAST(sum(first_seen) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS n_distinct_types_so_far
+FROM flagged
+""",
+    tags=("W",),
+    doc="running COUNT(DISTINCT) over a window — not directly expressible "
+    "(DISTINCT aggregates are illegal in window frames in both engines), so "
+    "it's decomposed into the scalable idiom: flag each (user, type)'s first "
+    "occurrence with row_number, then running-sum the flags. Two windows "
+    "over the same user-key shuffle, O(1) state per row vs the naive "
+    "collect_set's O(distinct) — the difference between a window that runs "
+    "at 100 TB and one that OOMs.",
+)
+def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wf = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        _events(spark, sf_dir)
+        .select(
+            "user_id", "ts", "event_id",
+            F.when(F.row_number().over(wf) == 1, 1).otherwise(0).alias("first_seen"),
+        )
+        .select(
+            "user_id", "event_id",
+            F.sum("first_seen").over(wr).cast("bigint").alias("n_distinct_types_so_far"),
+        )
+    )
