@@ -207,3 +207,62 @@ def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("bin_tokens"),
     )
+
+
+# --- domain mixture reweighting --------------------------------------------
+
+
+@register(
+    "text_mixture_weights",
+    oracle="""
+WITH d AS (
+  SELECT lang, source,
+         count(*) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang, source
+),
+t AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens, count(*) AS n_domains
+  FROM d
+)
+SELECT lang, source, n_docs, n_tokens,
+       CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS token_share,
+       CAST(total_tokens AS DOUBLE) / CAST(n_domains * n_tokens AS DOUBLE) AS mix_weight
+FROM d CROSS JOIN t
+""",
+    tags=("text", "sampling", "mixture"),
+    doc="training-mixture reweighting: per-(lang, source) domain token "
+    "shares and the per-domain sampling weight that equalizes the mixture "
+    "(weight = uniform_target / actual_share, the DoReMi-style static "
+    "baseline). Shares and weights are each ONE double division of exact "
+    "integer token counts -- bit-exact across engines, no decimal canon. "
+    "Scale shape: one partial-aggregated shuffle on the (lang, source) key; "
+    "the totals are a 1-row aggregate of the tiny domain table broadcast "
+    "back -- no second pass over the corpus, no driver collect.",
+)
+def text_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    d = (
+        _doc_tokens(spark, sf_dir)
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+    )
+    t = d.agg(
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_domains"),
+    )
+    return d.crossJoin(broadcast(t)).select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / F.col("total_tokens").cast("double")).alias("token_share"),
+        (
+            F.col("total_tokens").cast("double")
+            / (F.col("n_domains") * F.col("n_tokens")).cast("double")
+        ).alias("mix_weight"),
+    )

@@ -732,3 +732,129 @@ def sim_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return pr
+
+
+# --- semantic deduplication (SemDeDup) --------------------------------------
+
+SEMDEDUP_TAU = 0.35  # cosine threshold; fixture embeddings are near-random
+                     # (max within-cluster cosine ~0.49), so 0.35 prunes a
+                     # non-trivial but minority subset
+
+
+@register(
+    "dedup_semantic",
+    oracle=f"""
+WITH cents AS (
+  SELECT vec_id AS cent_id, embedding AS ce,
+         {_DOT_DUCK.format(a='embedding', b='embedding')} AS cn2
+  FROM embeddings WHERE vec_id < {_KM_K}
+),
+vecs AS (
+  SELECT vec_id, embedding,
+         {_DOT_DUCK.format(a='embedding', b='embedding')} AS vn2
+  FROM embeddings
+),
+assign AS (
+  SELECT v.vec_id, v.embedding, v.vn2, c.cent_id,
+         v.vn2 + c.cn2 - 2 * {_DOT_DUCK.format(a='v.embedding', b='c.ce')} AS d2
+  FROM vecs v CROSS JOIN cents c
+),
+cells AS (
+  SELECT vec_id, embedding, vn2, cent_id AS cluster_id FROM assign
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) = 1
+),
+pairs AS (
+  SELECT a.cluster_id, b.vec_id AS vb,
+         {_DOT_DUCK.format(a='a.embedding', b='b.embedding')} AS dot,
+         a.vn2 AS na, b.vn2 AS nb
+  FROM cells a JOIN cells b
+    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+),
+dup AS (
+  SELECT cluster_id, vb FROM pairs
+  WHERE dot > 0
+    AND dot * dot > CAST({SEMDEDUP_TAU} AS DOUBLE) * CAST({SEMDEDUP_TAU} AS DOUBLE) * na * nb
+),
+members AS (SELECT cluster_id, count(*) AS n_members FROM cells GROUP BY cluster_id),
+dstats AS (
+  SELECT cluster_id, count(*) AS n_dup_pairs, count(DISTINCT vb) AS n_removed
+  FROM dup GROUP BY cluster_id
+)
+SELECT m.cluster_id, m.n_members,
+       COALESCE(d.n_dup_pairs, 0) AS n_dup_pairs,
+       COALESCE(d.n_removed, 0) AS n_removed,
+       m.n_members - COALESCE(d.n_removed, 0) AS n_kept
+FROM members m LEFT JOIN dstats d USING (cluster_id)
+""",
+    tags=("dedup", "sim", "semdedup"),
+    doc=f"semantic deduplication (SemDeDup, Abbas et al. 2023): cluster the "
+    f"corpus into {_KM_K} k-means cells (broadcast seed centroids, squared-L2 "
+    "assignment from precomputed self-dots), then prune within-cluster pairs "
+    f"whose cosine exceeds {SEMDEDUP_TAU} keeping the lowest vec_id. The "
+    "threshold compare stays in sqrt-free dot-product form (dot^2 > tau^2 * "
+    "|a|^2 * |b|^2), bit-exact across engines, so the per-cluster prune "
+    "counts need no decimal canon. Scale shape: clustering makes the "
+    "pairwise step embarrassingly parallel per cell -- one shuffle on "
+    "cluster_id, pairs never cross cells; at 100 TB cap or subsample cells "
+    "above a size bound (the paper's own mitigation) exactly like the LSH "
+    "hot-bucket cap in dedup_minhash_lsh.",
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", "embedding", seq_dot("embedding", "embedding").alias("vn2")
+    )
+    cents = emb.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("ce"),
+        seq_dot("embedding", "embedding").alias("cn2"),
+    )
+    assign = vecs.crossJoin(broadcast(cents)).withColumn(
+        "d2",
+        F.col("vn2") + F.col("cn2") - 2 * seq_dot(F.col("embedding"), F.col("ce")),
+    )
+    wv = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cent_id").asc())
+    cells = (
+        assign.withColumn("__rn", F.row_number().over(wv))
+        .filter(F.col("__rn") == 1)
+        .select("vec_id", "embedding", "vn2", F.col("cent_id").alias("cluster_id"))
+        .cache()
+    )
+    a = cells.select(
+        F.col("cluster_id"),
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("ea"),
+        F.col("vn2").alias("na"),
+    )
+    b = cells.select(
+        F.col("cluster_id"),
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("eb"),
+        F.col("vn2").alias("nb"),
+    )
+    tau = F.lit(SEMDEDUP_TAU).cast("double")
+    dup = (
+        a.join(b, ["cluster_id"])
+        .filter(F.col("va") < F.col("vb"))
+        .withColumn("dot", seq_dot(F.col("ea"), F.col("eb")))
+        .filter(
+            (F.col("dot") > 0)
+            & (F.col("dot") * F.col("dot") > tau * tau * F.col("na") * F.col("nb"))
+        )
+        .select("cluster_id", "vb")
+    )
+    members = cells.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_members"))
+    dstats = dup.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_dup_pairs"),
+        F.countDistinct("vb").alias("n_removed"),
+    )
+    return (
+        members.join(dstats, ["cluster_id"], "left")
+        .select(
+            "cluster_id",
+            "n_members",
+            F.coalesce("n_dup_pairs", F.lit(0).cast("bigint")).alias("n_dup_pairs"),
+            F.coalesce("n_removed", F.lit(0).cast("bigint")).alias("n_removed"),
+            (F.col("n_members") - F.coalesce("n_removed", F.lit(0).cast("bigint"))).alias("n_kept"),
+        )
+    )

@@ -1848,3 +1848,70 @@ def traj_interp_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         below.join(above, F.col("a_mmsi") == F.col("mmsi"), "left")
         .select("mmsi", "interp", "pt", at("lon0", "lon1").alias("lon_at"), at("lat0", "lat1").alias("lat_at"))
     )
+
+
+# --- origin-destination flow matrix ----------------------------------------
+
+OD_CELL_DEG = 20.0  # coarse grid: fixture lon spans ~0..200, lat ~0..99
+
+
+@register(
+    "traj_od_matrix",
+    oracle=f"""
+WITH {POSITS_CTE},
+ranked AS (
+  SELECT mmsi, lon, lat,
+         row_number() OVER (PARTITION BY mmsi ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY mmsi ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM posits
+),
+od AS (
+  SELECT f.mmsi, f.lon AS o_lon, f.lat AS o_lat, l.lon AS d_lon, l.lat AS d_lat
+  FROM (SELECT * FROM ranked WHERE rn_a = 1) f
+  JOIN (SELECT * FROM ranked WHERE rn_d = 1) l USING (mmsi)
+),
+cellified AS (
+  SELECT CAST(floor(o_lon / {OD_CELL_DEG}) AS INT) AS o_x,
+         CAST(floor(o_lat / {OD_CELL_DEG}) AS INT) AS o_y,
+         CAST(floor(d_lon / {OD_CELL_DEG}) AS INT) AS d_x,
+         CAST(floor(d_lat / {OD_CELL_DEG}) AS INT) AS d_y,
+         CAST(ROUND((d_lon - o_lon) * (d_lon - o_lon)
+                    + (d_lat - o_lat) * (d_lat - o_lat), 6) AS DECIMAL(28,6)) AS disp2
+  FROM od
+)
+SELECT o_x, o_y, d_x, d_y,
+       count(*) AS n_trips,
+       CAST(CAST(SUM(disp2) AS DOUBLE) / count(*) AS DOUBLE) AS avg_disp2
+FROM cellified
+GROUP BY o_x, o_y, d_x, d_y
+""",
+    tags=("traj", "analytics", "A2"),
+    doc="origin-destination flow matrix: each vessel's first and last posit "
+    "(total order ts, event_id) snapped to a coarse lon/lat grid, then trip "
+    "counts and mean squared displacement per OD cell pair. The endpoints "
+    "come from ONE aggregation -- min/max over struct(ts, event_id, lon, lat) "
+    "is the distributed argmin/argmax, no window, no second shuffle -- so at "
+    "100 TB this is a single partial-aggregated pass over the posit fact "
+    "plus a tiny grid-cell rollup. Displacement squares are rounded and "
+    "decimal-summed per the repo's shuffle-order-independence canon.",
+)
+def traj_od_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = posits(spark, sf_dir)
+    od = pts.groupBy("mmsi").agg(
+        F.min(F.struct("ts", "event_id", "lon", "lat")).alias("o"),
+        F.max(F.struct("ts", "event_id", "lon", "lat")).alias("d"),
+    )
+    cell = lambda c: F.floor(c / F.lit(OD_CELL_DEG)).cast("int")  # noqa: E731
+    dx = F.col("d.lon") - F.col("o.lon")
+    dy = F.col("d.lat") - F.col("o.lat")
+    cellified = od.select(
+        cell(F.col("o.lon")).alias("o_x"),
+        cell(F.col("o.lat")).alias("o_y"),
+        cell(F.col("d.lon")).alias("d_x"),
+        cell(F.col("d.lat")).alias("d_y"),
+        F.round(dx * dx + dy * dy, 6).cast("decimal(28,6)").alias("disp2"),
+    )
+    return cellified.groupBy("o_x", "o_y", "d_x", "d_y").agg(
+        F.count(F.lit(1)).alias("n_trips"),
+        (F.sum("disp2").cast("double") / F.count(F.lit(1))).cast("double").alias("avg_disp2"),
+    )

@@ -226,3 +226,28 @@ def test_cohort_sizes_broadcast(spark):
     plan = _plan(spark, "rel_cohort_retention")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan, plan[:3000]
+
+
+def test_semdedup_pair_join_is_equi(spark):
+    # the only nested-loop joins are the 8-row centroid broadcasts; the
+    # within-cluster pair generation must equi-join on cluster_id
+    plan = _plan(spark, "dedup_semantic")
+    assert "CartesianProduct" not in plan
+    equi = sum(plan.count(j) for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"))
+    assert equi >= 1, plan[:2000]
+
+
+def test_od_matrix_is_two_stage_agg(spark):
+    # endpoint argmin/argmax via struct min/max: no window, no join, exactly
+    # the mmsi aggregation + the tiny grid-cell rollup
+    plan = _plan(spark, "traj_od_matrix")
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan[:2000]
+
+
+def test_mixture_weights_broadcasts_totals(spark):
+    # the 1-row totals frame joins back as a broadcast; nothing quadratic
+    plan = _plan(spark, "text_mixture_weights")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan[:2000]
