@@ -753,3 +753,76 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.right(clean, F.lit(80)).alias("clean_tail"),
         F.length(clean).cast("bigint").alias("clean_len"),
     )
+
+
+# --- Gopher quality rules ---------------------------------------------------
+
+_G_MIN_TOK, _G_MAX_TOK = 50, 100_000
+_G_MWL_LO, _G_MWL_HI = 3, 10
+_G_MIN_STOP = 2
+# every gate is an INTEGER comparison (mean-word-length bounds are cleared of
+# the division: sum_len >= 3*n  <=>  mwl >= 3), so pass/fail can never sit on
+# a float boundary; the reported ratios are single double divisions of exact
+# integers (bit-exact across engines)
+
+
+@register(
+    "text_gopher_rules",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         n_chars - len(toks) + 1 AS sum_tok_len,
+         len(list_distinct(toks)) AS n_distinct,
+         len(list_filter(toks, x -> x IN ({_sql_in(_EN)}))) AS n_stop
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       CAST(sum_tok_len AS DOUBLE) / n_tokens AS mean_word_len,
+       n_stop,
+       CAST(n_tokens - n_distinct AS DOUBLE) / n_tokens AS dup_frac,
+       CAST(n_tokens >= {_G_MIN_TOK} AND n_tokens <= {_G_MAX_TOK} AS INT) AS g_len,
+       CAST(sum_tok_len >= {_G_MWL_LO} * n_tokens AND sum_tok_len <= {_G_MWL_HI} * n_tokens AS INT) AS g_mwl,
+       CAST(n_stop >= {_G_MIN_STOP} AS INT) AS g_stop,
+       CAST(2 * n_distinct >= n_tokens AS INT) AS g_dup,
+       CAST(n_tokens >= {_G_MIN_TOK} AND n_tokens <= {_G_MAX_TOK}
+            AND sum_tok_len >= {_G_MWL_LO} * n_tokens AND sum_tok_len <= {_G_MWL_HI} * n_tokens
+            AND n_stop >= {_G_MIN_STOP}
+            AND 2 * n_distinct >= n_tokens AS INT) AS passes_gopher
+FROM m
+""",
+    tags=("text", "quality", "gopher"),
+    doc="Gopher-style quality gates (Rae et al. 2021 rule battery re-expressed "
+    "on this fixture): token-count bounds, mean-word-length bounds, minimum "
+    "stopword evidence, duplicate-token ceiling, and the conjunctive verdict. "
+    "All gates are pure integer comparisons (the mean-word-length bound is "
+    "multiplied through rather than divided), so no verdict can straddle a "
+    "float boundary; per-row map with no shuffle at all -- at 100 TB this is "
+    "a scan-speed filter that fuses into whole-stage codegen.",
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    sum_len = F.col("n_chars") - n + F.lit(1)
+    nd = F.size(F.array_distinct(toks))
+    nstop = F.size(F.filter(toks, lambda x: x.isin(*_EN)))
+    g_len = (n >= _G_MIN_TOK) & (n <= _G_MAX_TOK)
+    g_mwl = (sum_len >= _G_MWL_LO * n) & (sum_len <= _G_MWL_HI * n)
+    g_stop = nstop >= _G_MIN_STOP
+    g_dup = (F.lit(2) * nd) >= n
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        (sum_len.cast("double") / n).alias("mean_word_len"),
+        nstop.alias("n_stop"),
+        ((n - nd).cast("double") / n).alias("dup_frac"),
+        g_len.cast("int").alias("g_len"),
+        g_mwl.cast("int").alias("g_mwl"),
+        g_stop.cast("int").alias("g_stop"),
+        g_dup.cast("int").alias("g_dup"),
+        (g_len & g_mwl & g_stop & g_dup).cast("int").alias("passes_gopher"),
+    )

@@ -190,3 +190,67 @@ def test_pq_codes_approximate_exact_topk(spark):
     n_probe = exact.select("probe_id").distinct().count()
     hits = pq.intersect(exact).count()
     assert hits / (10 * n_probe) >= 0.2, hits
+
+
+def test_semdedup_accounting(spark):
+    rows = _q(spark, "dedup_semantic").collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.n_kept + r.n_removed == r.n_members
+        assert 0 <= r.n_removed <= r.n_dup_pairs  # each removed doc has >=1 pair
+        assert r.n_kept >= 1  # a cluster can never dedup away entirely
+    # membership partitions the corpus
+    emb_n = _q(spark, "dedup_semantic").agg(F.sum("n_members")).collect()[0][0]
+    from meos_rs_spark.sources.tables import load_table
+    assert emb_n == load_table(spark, SF_SMOKE, "embeddings").count()
+
+
+def test_od_matrix_conserves_trips(spark):
+    od = _q(spark, "traj_od_matrix")
+    n_trips = od.agg(F.sum("n_trips")).collect()[0][0]
+    n_vessels = posits(spark, SF_SMOKE).select("mmsi").distinct().count()
+    assert n_trips == n_vessels  # exactly one OD pair per vessel
+    assert od.filter(F.col("avg_disp2") < 0).count() == 0
+
+
+def test_mixture_weights_normalize(spark):
+    rows = _q(spark, "text_mixture_weights").collect()
+    assert abs(sum(r.token_share for r in rows) - 1.0) < 1e-9
+    # resampling at mix_weight equalizes: each domain's weighted share is 1/D
+    d = len(rows)
+    for r in rows:
+        assert abs(r.mix_weight * r.token_share - 1.0 / d) < 1e-9
+
+
+def test_gopher_verdict_is_conjunction(spark):
+    g = _q(spark, "text_gopher_rules")
+    bad = g.filter(
+        F.col("passes_gopher")
+        != (F.col("g_len") * F.col("g_mwl") * F.col("g_stop") * F.col("g_dup"))
+    )
+    assert bad.count() == 0
+    # rules actually discriminate on this fixture
+    n = g.count()
+    npass = g.filter(F.col("passes_gopher") == 1).count()
+    assert 0 < npass < n
+
+
+def test_zorder_key_locality(spark):
+    z = _q(spark, "traj_zorder_key")
+    assert z.filter(F.col("z_min") < 0).count() == 0
+    assert z.filter(F.col("z_max") >= (1 << 32)).count() == 0  # 2x16-bit lanes
+    assert z.filter(F.col("n_cells") > F.col("n_points")).count() == 0
+    # morton preserves the quantized point: interleave is a bijection
+    from meos_rs_spark.queries.trajectory import _morton_spark
+    pts = posits(spark, SF_SMOKE).limit(200).select(
+        F.round(F.col("lon") * 100, 0).cast("bigint").alias("qx"),
+        F.round(F.col("lat") * 100, 0).cast("bigint").alias("qy"),
+    )
+    zz = pts.select("qx", "qy", _morton_spark(F.col("qx"), F.col("qy")).alias("z"))
+    # de-interleave and compare
+    back = zz.select(
+        "qx", "qy",
+        sum(F.shiftleft(F.shiftright(F.col("z"), 2 * i + 1).bitwiseAND(F.lit(1)), i) for i in range(16)).alias("rx"),
+        sum(F.shiftleft(F.shiftright(F.col("z"), 2 * i).bitwiseAND(F.lit(1)), i) for i in range(16)).alias("ry"),
+    )
+    assert back.filter((F.col("rx") != F.col("qx")) | (F.col("ry") != F.col("qy"))).count() == 0
