@@ -43,6 +43,10 @@ BENCH_QUERIES = [
     # and the map-only PII redaction pass (regex-heavy codegen throughput).
     "sim_pq_ann",
     "text_pii_scrub",
+    # round-3 session-5 addition: the SemDeDup path (cluster-then-prune
+    # semantic dedup — the embedding-space answer to MinHash; pair work is
+    # confined to k-means cells so the hot loop is cell-local)
+    "dedup_semantic",
 ]
 
 
