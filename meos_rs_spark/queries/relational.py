@@ -1102,3 +1102,127 @@ def rel_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_active").cast("double") / F.col("cohort_size")).alias("retention"),
         )
     )
+
+
+# --- SCD2: change-log -> validity intervals ---------------------------------
+
+
+@register(
+    "rel_scd2_intervals",
+    oracle="""
+WITH m AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+c AS (
+  SELECT user_id, event_type, ts AS valid_from, event_id FROM m
+  WHERE prev_type IS NULL OR prev_type != event_type
+),
+v AS (
+  SELECT user_id, event_type, valid_from,
+         row_number() OVER (PARTITION BY user_id ORDER BY valid_from, event_id) AS version,
+         lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id) AS valid_to
+  FROM c
+)
+SELECT user_id, version, event_type, valid_from, valid_to,
+       CAST(valid_to IS NULL AS INT) AS is_current
+FROM v
+""",
+    tags=("rel", "temporal", "scd2"),
+    doc="SCD2 dimension build from a change log: consecutive-duplicate "
+    "suppression (lag) finds version starts, lead() closes each validity "
+    "interval, the open interval is the current version -- the half-open "
+    "[valid_from, valid_to) temporal-table layout every warehouse upsert "
+    "loop maintains (the batch face of snk_upsert_merge's temporal merge). "
+    "Both windows share one hash partitioning on user_id, so the whole "
+    "build is a single shuffle at any scale; ties broken by event_id for a "
+    "total order.",
+)
+def rel_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    m = ev.withColumn("prev_type", F.lag("event_type").over(w))
+    c = m.filter(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    ).select("user_id", "event_type", F.col("ts").alias("valid_from"), "event_id")
+    wv = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    return c.select(
+        "user_id",
+        F.row_number().over(wv).alias("version"),
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull().cast("int"))
+
+
+# --- approx-percentile sketch fidelity gate ---------------------------------
+
+_AP_ACC = 1000  # GK sketch accuracy: rank error <= n / _AP_ACC
+
+# (p_num, lo/hi numerators over denominator 1000). The window is p +/- 4 eps:
+# one merged GK summary guarantees <= 2 eps rank error (eps per input sketch,
+# additive under merge), observed worst at sf0.1 is 1.005 eps -- 4 eps is the
+# same safety-factor policy as rel_approx_distinct's 3x rsd
+_AP_PROBS = (("p50", 500, 496, 504), ("p90", 900, 896, 904), ("p99", 990, 986, 994))
+
+
+@register(
+    "rel_approx_percentiles",
+    oracle=f"""
+WITH r AS (
+  SELECT event_type, value, event_id,
+         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn
+  FROM events
+),
+n AS (SELECT event_type, count(*) AS n_rows FROM events GROUP BY event_type),
+picks AS (
+  SELECT n.event_type, n.n_rows,
+         {", ".join(
+             f"max(CASE WHEN r.rn = ((n.n_rows * {num} + 999) // 1000) THEN r.value END) AS exact_{k}"
+             for k, num, _, _ in _AP_PROBS
+         )}
+  FROM n JOIN r ON r.event_type = n.event_type
+  GROUP BY n.event_type, n.n_rows
+)
+SELECT event_type, n_rows,
+       {", ".join(f"exact_{k}" for k, _, _, _ in _AP_PROBS)},
+       {", ".join(f"1 AS ok_{k}" for k, _, _, _ in _AP_PROBS)}
+FROM picks
+""",
+    tags=("rel", "sketch", "A1"),
+    doc=f"approx_percentile (Greenwald-Khanna sketch, accuracy {_AP_ACC}) "
+    "fidelity gate, the quantile analog of rel_approx_distinct: the oracle "
+    "pins the EXACT discrete quantiles (rank ceil(p*n) under the total order "
+    "(value, event_id), computed with pure integer rank arithmetic so no "
+    "float boundary exists) plus literal-TRUE verdicts; the Spark leg "
+    "computes the sketch for real and asserts its value lands between the "
+    "rank-(p-eps) and rank-(p+eps) exact order statistics -- the GK "
+    "guarantee. Sketches are the 100 TB path (mergeable, bounded memory); "
+    "the exact leg sorts per group and exists to gate them.",
+)
+def rel_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value", "event_id")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sort_array(F.collect_list(F.struct("value", "event_id"))).alias("vals"),
+        F.percentile_approx(
+            "value", [num / 1000 for _, num, _, _ in _AP_PROBS], _AP_ACC
+        ).alias("ap"),
+    )
+    # integer rank arithmetic: ceil(a/1000) == (a + 999) div 1000, clamped to [1, n]
+    rank = lambda num: F.greatest(  # noqa: E731
+        F.lit(1), F.least(F.col("n_rows"), F.expr(f"(n_rows * {num} + 999) div 1000"))
+    )
+    at = lambda r: F.element_at("vals", r.cast("int")).getField("value")  # noqa: E731
+    cols = [F.col("event_type"), F.col("n_rows")]
+    for k, num, _, _ in _AP_PROBS:
+        cols.append(at(rank(num)).alias(f"exact_{k}"))
+    for i, (k, _, lo, hi) in enumerate(_AP_PROBS):
+        apv = F.element_at("ap", i + 1)
+        cols.append(
+            ((apv >= at(rank(lo))) & (apv <= at(rank(hi)))).cast("int").alias(f"ok_{k}")
+        )
+    return g.select(*cols)

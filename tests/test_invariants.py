@@ -254,3 +254,25 @@ def test_zorder_key_locality(spark):
         sum(F.shiftleft(F.shiftright(F.col("z"), 2 * i).bitwiseAND(F.lit(1)), i) for i in range(16)).alias("ry"),
     )
     assert back.filter((F.col("rx") != F.col("qx")) | (F.col("ry") != F.col("qy"))).count() == 0
+
+
+def test_scd2_intervals_partition_timeline(spark):
+    v = _q(spark, "rel_scd2_intervals")
+    # exactly one open (current) version per user
+    cur = v.groupBy("user_id").agg(F.sum("is_current").alias("nc"))
+    assert cur.filter(F.col("nc") != 1).count() == 0
+    # versions chain: valid_to of version k equals valid_from of version k+1
+    a = v.select("user_id", "version", "valid_to")
+    b = v.select("user_id", (F.col("version") - 1).alias("version"), F.col("valid_from").alias("nxt"))
+    chained = a.join(b, ["user_id", "version"])
+    assert chained.filter(F.col("valid_to") != F.col("nxt")).count() == 0
+    # no zero-length or inverted intervals
+    assert v.filter(F.col("valid_to") <= F.col("valid_from")).count() == 0
+
+
+def test_approx_percentiles_gate_and_monotone(spark):
+    rows = _q(spark, "rel_approx_percentiles").collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.ok_p50 == 1 and r.ok_p90 == 1 and r.ok_p99 == 1
+        assert r.exact_p50 <= r.exact_p90 <= r.exact_p99
