@@ -858,3 +858,147 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_members") - F.coalesce("n_removed", F.lit(0).cast("bigint"))).alias("n_kept"),
         )
     )
+
+
+# --- MMR diversified re-ranking ---------------------------------------------
+
+MMR_K = 3       # selections per probe
+MMR_POOL = 10   # candidate pool = the exact top-10
+# lambda = 0.5: halving a double is exact, so every MMR score is one exact
+# multiply + one subtract over bit-exact cosines -- no decimal canon needed
+
+_MMR_CAND = f"""
+probes AS (
+  SELECT vec_id AS probe_id, embedding AS pe,
+         {_DOT_DUCK.format(a='embedding', b='embedding')} AS pn2
+  FROM embeddings WHERE vec_id < {N_PROBES}
+),
+cand AS (
+  SELECT p.probe_id, p.pe, p.pn2, e.vec_id, e.embedding AS ce,
+         {_DOT_DUCK.format(a='e.embedding', b='e.embedding')} AS cn2,
+         {_DOT_DUCK.format(a='p.pe', b='e.embedding')}
+           / (sqrt(p.pn2) * sqrt({_DOT_DUCK.format(a='e.embedding', b='e.embedding')})) AS rel
+  FROM probes p JOIN embeddings e ON e.vec_id != p.probe_id
+  QUALIFY row_number() OVER (PARTITION BY p.probe_id ORDER BY rel DESC, e.vec_id) <= {MMR_POOL}
+)
+"""
+
+
+def _duck_pairsim(a_emb: str, a_n2: str, b_emb: str, b_n2: str) -> str:
+    return (
+        f"{_DOT_DUCK.format(a=a_emb, b=b_emb)} / (sqrt({a_n2}) * sqrt({b_n2}))"
+    )
+
+
+@register(
+    "sim_mmr_rerank",
+    oracle=f"""
+WITH {_MMR_CAND},
+s1 AS (
+  SELECT probe_id, vec_id, ce, cn2, rel, rel AS mmr FROM cand
+  QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY rel DESC, vec_id) = 1
+),
+r2 AS (
+  SELECT c.probe_id, c.vec_id, c.ce, c.cn2, c.rel,
+         0.5 * c.rel - 0.5 * ({_duck_pairsim('c.ce', 'c.cn2', 's.ce', 's.cn2')}) AS mmr
+  FROM cand c JOIN s1 s ON s.probe_id = c.probe_id AND c.vec_id != s.vec_id
+),
+s2 AS (
+  SELECT * FROM r2
+  QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY mmr DESC, vec_id) = 1
+),
+r3 AS (
+  SELECT c.probe_id, c.vec_id, c.rel,
+         0.5 * c.rel - 0.5 * greatest(
+           {_duck_pairsim('c.ce', 'c.cn2', 'a.ce', 'a.cn2')},
+           {_duck_pairsim('c.ce', 'c.cn2', 'b.ce', 'b.cn2')}) AS mmr
+  FROM cand c
+  JOIN s1 a ON a.probe_id = c.probe_id
+  JOIN s2 b ON b.probe_id = c.probe_id
+  WHERE c.vec_id != a.vec_id AND c.vec_id != b.vec_id
+),
+s3 AS (
+  SELECT probe_id, vec_id, rel, mmr FROM r3
+  QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY mmr DESC, vec_id) = 1
+)
+SELECT probe_id, 1 AS sel_rank, vec_id, rel, mmr FROM s1
+UNION ALL SELECT probe_id, 2, vec_id, rel, mmr FROM s2
+UNION ALL SELECT probe_id, 3, vec_id, rel, mmr FROM s3
+""",
+    tags=("sim", "rerank", "iterative"),
+    doc=f"Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998): "
+    f"greedy diversity-aware selection of {MMR_K} results from each probe's "
+    f"exact top-{MMR_POOL} pool, score = 0.5*relevance - 0.5*max-similarity-"
+    "to-already-selected, unrolled selection steps exactly like "
+    "sim_pagerank's power iterations. Every score is exact-halved bit-exact "
+    "cosine arithmetic (ties broken by vec_id), so no decimal canon is "
+    "needed. Scale shape: the pool is top-k-bounded per probe (TakeOrdered), "
+    "each greedy step is a per-probe equi-join against a 1-row selected set "
+    "-- work is O(probes x pool x k), never corpus-quadratic.",
+)
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = (
+        emb.filter(F.col("vec_id") < N_PROBES)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("embedding").alias("pe"),
+            seq_dot("embedding", "embedding").alias("pn2"),
+        )
+    )
+    corpus = emb.select(
+        "vec_id", F.col("embedding").alias("ce"), seq_dot("embedding", "embedding").alias("cn2")
+    )
+    scored = (
+        corpus.join(broadcast(probes), F.col("vec_id") != F.col("probe_id"))
+        .withColumn(
+            "rel",
+            seq_dot(F.col("pe"), F.col("ce")) / (F.sqrt("pn2") * F.sqrt("cn2")),
+        )
+    )
+    wp = Window.partitionBy("probe_id").orderBy(F.col("rel").desc(), F.col("vec_id").asc())
+    cand = (
+        scored.withColumn("__rn", F.row_number().over(wp))
+        .filter(F.col("__rn") <= MMR_POOL)
+        .select("probe_id", "vec_id", "ce", "cn2", "rel")
+        .cache()
+    )
+
+    def pick(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("probe_id").orderBy(F.col("mmr").desc(), F.col("vec_id").asc())
+        return df.withColumn("__rk", F.row_number().over(w)).filter(F.col("__rk") == 1)
+
+    def pairsim(e_other, n_other):
+        return seq_dot(F.col("ce"), e_other) / (F.sqrt("cn2") * F.sqrt(n_other))
+
+    s1 = pick(cand.withColumn("mmr", F.col("rel"))).select(
+        "probe_id", "vec_id", "ce", "cn2", "rel", "mmr"
+    )
+    sel1 = s1.select(
+        "probe_id", F.col("vec_id").alias("v1"), F.col("ce").alias("e1"), F.col("cn2").alias("n1")
+    )
+    r2 = (
+        cand.join(broadcast(sel1), "probe_id")
+        .filter(F.col("vec_id") != F.col("v1"))
+        .withColumn("mmr", F.lit(0.5) * F.col("rel") - F.lit(0.5) * pairsim(F.col("e1"), "n1"))
+    )
+    s2 = pick(r2).select("probe_id", "vec_id", "ce", "cn2", "rel", "mmr")
+    sel2 = s2.select(
+        "probe_id", F.col("vec_id").alias("v2"), F.col("ce").alias("e2"), F.col("cn2").alias("n2")
+    )
+    r3 = (
+        cand.join(broadcast(sel1), "probe_id")
+        .join(broadcast(sel2), "probe_id")
+        .filter((F.col("vec_id") != F.col("v1")) & (F.col("vec_id") != F.col("v2")))
+        .withColumn(
+            "mmr",
+            F.lit(0.5) * F.col("rel")
+            - F.lit(0.5) * F.greatest(pairsim(F.col("e1"), "n1"), pairsim(F.col("e2"), "n2")),
+        )
+    )
+    s3 = pick(r3).select("probe_id", "vec_id", "ce", "cn2", "rel", "mmr")
+    out = None
+    for i, s in enumerate((s1, s2, s3), start=1):
+        part = s.select("probe_id", F.lit(i).alias("sel_rank"), "vec_id", "rel", "mmr")
+        out = part if out is None else out.unionAll(part)
+    return out

@@ -276,3 +276,19 @@ def test_approx_percentiles_gate_and_monotone(spark):
     for r in rows:
         assert r.ok_p50 == 1 and r.ok_p90 == 1 and r.ok_p99 == 1
         assert r.exact_p50 <= r.exact_p90 <= r.exact_p99
+
+
+def test_mmr_diversity_tradeoff(spark):
+    rows = _q(spark, "sim_mmr_rerank").collect()
+    by_probe = {}
+    for r in rows:
+        by_probe.setdefault(r.probe_id, {})[r.sel_rank] = r
+    for probe, sel in by_probe.items():
+        assert set(sel) == {1, 2, 3}
+        assert len({sel[k].vec_id for k in sel}) == 3  # no repeats
+        # rank-1 is the pure-relevance argmax: its rel bounds the others
+        assert sel[1].rel >= sel[2].rel - 1e-12
+        assert sel[1].rel >= sel[3].rel - 1e-12
+        # mmr score of a later pick never exceeds the earlier pick's score
+        # at the same step semantics: s1.mmr = rel >= 0.5*rel >= s2.mmr bound
+        assert sel[2].mmr <= sel[1].mmr + 1e-12
