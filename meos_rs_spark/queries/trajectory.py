@@ -1985,3 +1985,57 @@ def traj_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("zkey").alias("z_max"),
         (F.countDistinct("zkey").cast("double") / F.count(F.lit(1))).alias("cell_ratio"),
     )
+
+
+# --- EWMA smoothing as a sequential array fold ------------------------------
+
+
+@register(
+    "traj_ewma",
+    oracle=f"""
+WITH {POSITS_CTE},
+seq AS (
+  SELECT mmsi,
+         count(*) AS n_posits,
+         list(lon ORDER BY ts, event_id) AS lons
+  FROM posits GROUP BY mmsi
+)
+SELECT mmsi, n_posits,
+       lons[1] AS first_lon,
+       list_reduce(lons, (acc, x) -> 0.5 * acc + 0.5 * x) AS ewma_lon
+FROM seq
+""",
+    tags=("traj", "L2c", "smoothing"),
+    doc="exponential moving average (alpha = 1/2) of each vessel's lon "
+    "track, expressed as a sequential fold over the ts-ordered value array "
+    "-- the declarative form of a recursive stateful smoother no plain "
+    "window function can express. alpha = 0.5 makes every step one exact "
+    "halving plus one add, so Spark's aggregate() fold and DuckDB's "
+    "list_reduce (both strict left folds seeded by the first element) are "
+    "bit-identical with no decimal canon. Scale shape: one groupBy shuffle "
+    "on the vessel key, fold runs inside the executor over the bounded "
+    "per-vessel array -- the same shape as trajectory assembly.",
+)
+def traj_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = posits(spark, sf_dir)
+    seq = (
+        pts.groupBy("mmsi")
+        .agg(
+            F.count(F.lit(1)).alias("n_posits"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "lon"))),
+                lambda s: s.getField("lon"),
+            ).alias("lons"),
+        )
+    )
+    half = F.lit(0.5)
+    return seq.select(
+        "mmsi",
+        "n_posits",
+        F.element_at("lons", 1).alias("first_lon"),
+        F.aggregate(
+            F.slice("lons", 2, F.size("lons") - 1),
+            F.element_at("lons", 1),
+            lambda acc, x: half * acc + half * x,
+        ).alias("ewma_lon"),
+    )

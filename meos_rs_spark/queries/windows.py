@@ -360,3 +360,50 @@ def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("first_seen").over(wr).cast("bigint").alias("n_distinct_types_so_far"),
         )
     )
+
+
+# --- frames: rolling median (order statistic over a bounded frame) ----------
+
+
+@register(
+    "win_rolling_median",
+    oracle="""
+WITH framed AS (
+  SELECT user_id, event_id, value,
+         list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 8 PRECEDING AND CURRENT ROW) AS frame
+  FROM events
+)
+SELECT user_id, event_id, value,
+       len(frame) AS frame_n,
+       list_sort(frame)[(len(frame) + 1) // 2] AS med9
+FROM framed
+""",
+    tags=("W", "robust"),
+    doc="rolling median over a trailing 9-row frame — the robust-smoothing "
+    "order statistic a rolling mean can't give you (sensor despiking, "
+    "anomaly baselines). The frame is collected as a bounded list, sorted, "
+    "and indexed at the lower median rank ((n+1) div 2, pure integer "
+    "arithmetic, exact for partial frames at partition starts) — the median "
+    "is always an observed data value, so no interpolation arithmetic can "
+    "diverge between engines. O(frame) state per row at any scale; one "
+    "shuffle on user_id shared with the whole window battery.",
+)
+def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-8, Window.currentRow)
+    )
+    framed = ev.select(
+        "user_id", "event_id", "value", F.collect_list("value").over(w).alias("frame")
+    )
+    n = F.size("frame")
+    return framed.select(
+        "user_id",
+        "event_id",
+        "value",
+        n.cast("bigint").alias("frame_n"),
+        F.element_at(F.array_sort("frame"), ((n + 1) / 2).cast("int")).alias("med9"),
+    )

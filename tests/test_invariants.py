@@ -292,3 +292,26 @@ def test_mmr_diversity_tradeoff(spark):
         # mmr score of a later pick never exceeds the earlier pick's score
         # at the same step semantics: s1.mmr = rel >= 0.5*rel >= s2.mmr bound
         assert sel[2].mmr <= sel[1].mmr + 1e-12
+
+
+def test_rolling_median_within_frame_bounds(spark):
+    m = _q(spark, "win_rolling_median")
+    # median of a trailing frame that includes the current row can never
+    # stray outside the global per-user envelope
+    env = _q(spark, "win_rolling_median").groupBy("user_id").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    bad = m.join(env, "user_id").filter((F.col("med9") < F.col("lo")) | (F.col("med9") > F.col("hi")))
+    assert bad.count() == 0
+    assert m.filter((F.col("frame_n") < 1) | (F.col("frame_n") > 9)).count() == 0
+
+
+def test_ewma_bounded_by_track_envelope(spark):
+    e = _q(spark, "traj_ewma")
+    ext = posits(spark, SF_SMOKE).groupBy("mmsi").agg(
+        F.min("lon").alias("lo"), F.max("lon").alias("hi")
+    )
+    bad = e.join(ext, "mmsi").filter(
+        (F.col("ewma_lon") < F.col("lo") - 1e-9) | (F.col("ewma_lon") > F.col("hi") + 1e-9)
+    )
+    assert bad.count() == 0
