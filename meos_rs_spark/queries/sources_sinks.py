@@ -492,3 +492,44 @@ def src_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("t_first"),
         money_sum("lon").alias("sum_lon"),
     )
+
+
+# --- S-family: binaryFile source (the multimodal ingest path) ----------------
+
+
+@register(
+    "src_binaryfile_ingest",
+    oracle="""
+SELECT doc_id,
+       CAST(length(text) + 1 AS BIGINT) AS n_bytes,
+       md5(text || chr(10)) AS digest
+FROM documents WHERE doc_id < 200
+""",
+    tags=("S1", "mm"),
+    doc="whole-file binary ingest via the binaryFile source -- the scan that "
+    "feeds every image/audio pipeline (one row per file: path, length, raw "
+    "bytes). Documents are materialized one file each (partitioned text "
+    "write), re-read as opaque binary, the key recovered from the file path "
+    "(regexp on the partition dir), and the payload fingerprinted with md5 "
+    "over the raw bytes -- proving bytes survive the file boundary intact. "
+    "Bounded to 200 files here; at 100 TB the source lists files in "
+    "parallel and assigns whole files to tasks (no splitting), which is "
+    "exactly what opaque media blobs need.",
+)
+def src_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _scratch(sf_dir, "docs_bin")
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    d.select("doc_id", F.col("text").alias("value")).write.mode("overwrite").partitionBy(
+        "doc_id"
+    ).text(path)
+    back = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.txt")
+        .option("recursiveFileLookup", "false")
+        .load(path + "/doc_id=*")
+    )
+    return back.select(
+        F.regexp_extract(F.col("path"), r"doc_id=(\d+)", 1).cast("bigint").alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5(F.col("content")).alias("digest"),
+    )

@@ -152,7 +152,7 @@ VERIFY_ORDER_HEAD: tuple[str, ...] = (
 #   text_pii_scrub rel_join_asof_nearest box_tbox_algebra serde_wkt_malformed traj_interp_mixed stream_fingerprint_dedup rel_funnel_steps rel_cohort_retention traj_convex_hull win_event_transitions win_running_distinct
 #   dedup_semantic traj_od_matrix text_mixture_weights text_gopher_rules
 #   traj_zorder_key rel_scd2_intervals rel_approx_percentiles sim_mmr_rerank
-#   win_rolling_median traj_ewma
+#   win_rolling_median traj_ewma src_binaryfile_ingest
 # plus any r4 additions, backfilled to 50 with r2-green names; update
 # tests/test_registry_order.py to match.
 
