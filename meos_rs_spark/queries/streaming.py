@@ -20,7 +20,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from meos_rs_spark.registry import register
-from pyspark.sql.types import DoubleType
 
 # dropDuplicatesWithinWatermark only guarantees dedup of duplicates whose
 # arrivals fall within the delay; the fixture's event span is ~30 days
@@ -29,33 +28,28 @@ from pyspark.sql.types import DoubleType
 # micro-batch split of the input
 DEDUP_WATERMARK = "45 days"
 
-# streaming readers need an explicit schema; with nanosAsLong the parquet
-# TIMESTAMP(NANOS) column arrives as int64
-_EVENTS_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
-
-
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
     from meos_rs_spark.session import prepare_session
 
     prepare_session(spark)
+    # Streaming readers need an explicit schema; probe the parquet footer via
+    # the batch reader so both fixture generations work (TIMESTAMP(NANOS)
+    # surfacing as int64 under nanosAsLong, vs timestamp[us] → TIMESTAMP_NTZ).
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     # file streams take a directory; glob-filter down to the events parquet
     raw = (
-        spark.readStream.schema(_EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
     # watermarks require TIMESTAMP (not NTZ); session TZ is pinned UTC so the
     # instant equals the NTZ wall-clock the batch loaders produce
-    instant = F.expr("timestamp_micros(ts div 1000)")
+    if isinstance(schema["ts"].dataType, LongType):
+        instant = F.expr("timestamp_micros(ts div 1000)")
+    else:
+        instant = F.col("ts").cast("timestamp")
     return raw.select("event_id", instant.alias("ts"), "user_id", "event_type", "value")
 
 

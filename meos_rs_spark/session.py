@@ -12,9 +12,10 @@ Scale notes (local[32] here, 1000-executor cluster in spirit):
   * session TZ pinned UTC — the reference always works in UTC
     (``meos/examples/04_to_file.rs:147`` appends ``+00``); SURVEY §7
     known-hard (d).
-  * legacy nanosAsLong — the ``events`` fixture stores TIMESTAMP(NANOS)
-    which Spark's parquet reader otherwise rejects; we read the raw int64
-    nanos and normalize in sources.tables.
+  * legacy nanosAsLong — earlier fixture generations stored ``events.ts`` as
+    TIMESTAMP(NANOS), which Spark's parquet reader otherwise rejects; kept on
+    so those files read as int64 nanos (sources.tables normalizes either
+    generation). Harmless for the current timestamp[us] fixtures.
 """
 
 from __future__ import annotations
@@ -35,9 +36,11 @@ RUNTIME_CONFS: dict[str, str] = {
 
 
 # Confs whose failure to apply breaks queries outright (vs. merely degrading
-# performance): nanosAsLong gates reading the events parquet at all, and the
-# UTC pin gates every timestamp comparison against the naive-UTC oracle.
-_REQUIRED_CONFS = ("spark.sql.legacy.parquet.nanosAsLong", "spark.sql.session.timeZone")
+# performance): the UTC pin gates every timestamp comparison against the
+# naive-UTC oracle. (nanosAsLong is compat-only now — the current fixtures
+# are timestamp[us]; if a nanos-generation file reappears without the conf,
+# the parquet reader fails loudly on its own.)
+_REQUIRED_CONFS = ("spark.sql.session.timeZone",)
 
 
 def prepare_session(spark: SparkSession) -> SparkSession:

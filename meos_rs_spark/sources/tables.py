@@ -6,15 +6,17 @@ The reference scans CSV two ways — serde row-typed
 parquet fixtures; `spark.read.parquet` gives the same capability surface
 (explicit schema, globbing, column pruning + predicate pushdown for free).
 
-``events.ts`` is parquet TIMESTAMP(NANOS,false), which Spark rejects unless
-``spark.sql.legacy.parquet.nanosAsLong=true`` (set by session.prepare_session)
-— the raw int64 nanos then surface as BIGINT and we normalize:
+``events.ts`` normalization is schema-adaptive because the driver has shipped
+two fixture generations: TIMESTAMP(NANOS,false) (readable only via
+``spark.sql.legacy.parquet.nanosAsLong=true``, surfacing int64 nanos) and
+plain ``timestamp[us]`` (read as TIMESTAMP_NTZ). Either way the loader emits:
 
-  * ``ts``     TIMESTAMP_NTZ at microsecond precision (truncated, matching
-               DuckDB ``epoch_ns(ts)//1000``) — built TZ-independently from
-               epoch-day arithmetic so a non-UTC driver session cannot skew it
-  * ``ts_ns``  the original int64 epoch nanos (strict-ordering column for the
-               monotonic dedup filter, reference 04_to_file.rs:92-96)
+  * ``ts``     TIMESTAMP_NTZ at microsecond precision (the nanos generation is
+               truncated, matching DuckDB's nanos→micros parquet truncation) —
+               built TZ-independently so a non-UTC driver session cannot skew it
+  * ``ts_ns``  int64 epoch nanos (strict-ordering column for the monotonic
+               dedup filter, reference 04_to_file.rs:92-96; derived micros*1000
+               under the micros generation)
 """
 
 from __future__ import annotations
@@ -43,21 +45,37 @@ MICROS_PER_DAY = 86_400_000_000
 
 
 def _normalize_events(df: DataFrame) -> DataFrame:
-    # int64 nanos -> TIMESTAMP_NTZ(micros), without going through a double
-    # (1.7e18 exceeds 2^53) and without session-TZ-dependent casts.
-    # `div 1000` truncates toward zero; DuckDB's parquet reader truncates
-    # nanos to micros the same way for the post-epoch timestamps in the
-    # fixtures (all 2024; asserted in tests/test_sources.py), so the oracle
-    # side (`events` registered directly on the parquet) sees identical ts.
-    ntz = F.expr(
-        f"timestampadd(MICROSECOND, (ts div 1000) % {MICROS_PER_DAY}, "
-        f"CAST(date_add(DATE '1970-01-01', CAST((ts div 1000) div {MICROS_PER_DAY} AS INT)) "
-        f"AS TIMESTAMP_NTZ))"
-    )
+    from pyspark.sql.types import LongType
+
+    if isinstance(df.schema["ts"].dataType, LongType):
+        # nanos fixture generation: int64 nanos -> TIMESTAMP_NTZ(micros),
+        # without going through a double (1.7e18 exceeds 2^53) and without
+        # session-TZ-dependent casts. `div 1000` truncates toward zero;
+        # DuckDB's parquet reader truncates nanos to micros the same way for
+        # the post-epoch timestamps in the fixtures (all 2024), so the oracle
+        # side (`events` registered directly on the parquet) sees identical ts.
+        ntz = F.expr(
+            f"timestampadd(MICROSECOND, (ts div 1000) % {MICROS_PER_DAY}, "
+            f"CAST(date_add(DATE '1970-01-01', CAST((ts div 1000) div {MICROS_PER_DAY} AS INT)) "
+            f"AS TIMESTAMP_NTZ))"
+        )
+        ts_ns = F.col("ts")
+    else:
+        # micros fixture generation: parquet timestamp[us] (isAdjustedToUTC =
+        # false) arrives as TIMESTAMP_NTZ (inferTimestampNTZ default) or, if a
+        # driver session disables that, TIMESTAMP under the UTC session pin —
+        # both cast losslessly to TIMESTAMP_NTZ. Epoch-day arithmetic keeps
+        # ts_ns TZ-independent of the session like the nanos branch.
+        ntz = F.col("ts").cast("timestamp_ntz")
+        ts_ns = (
+            F.datediff(F.to_date(ntz), F.lit("1970-01-01")).cast("long")
+            * F.lit(MICROS_PER_DAY)
+            + F.expr("timestampdiff(MICROSECOND, CAST(CAST(ts AS DATE) AS TIMESTAMP_NTZ), CAST(ts AS TIMESTAMP_NTZ))")
+        ) * F.lit(1000)
     return df.select(
         "event_id",
         ntz.alias("ts"),
-        F.col("ts").alias("ts_ns"),
+        ts_ns.alias("ts_ns"),
         "user_id",
         "event_type",
         "value",
