@@ -1226,3 +1226,82 @@ def rel_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((apv >= at(rank(lo))) & (apv <= at(rank(hi)))).cast("int").alias(f"ok_{k}")
         )
     return g.select(*cols)
+
+
+# --- Bloom-filter pre-filtered semi-join (the runtime-filter pattern) -------
+
+_BLOOM_BITS = 1 << 16  # 65,536 bits = 1,024 longs (~8 KB broadcast)
+_BLOOM_K = 3  # hash functions (Kirsch-Mitzenmacher double hashing)
+
+
+def _bloom_probe(key: str):
+    """k bit positions for a key column: g_i = h1 + i*h2 mod m."""
+    h1 = F.xxhash64(key)
+    h2 = F.hash(key).cast("long")
+    return [F.pmod(h1 + F.lit(i) * h2, F.lit(_BLOOM_BITS)) for i in range(_BLOOM_K)]
+
+
+@register(
+    "rel_bloom_join",
+    oracle=f"""
+SELECT l.l_suppkey,
+       count(*) AS n_lines,
+       {money_sum_sql('l.l_quantity')} AS sum_qty
+FROM lineitem l
+WHERE EXISTS (SELECT 1 FROM supplier s
+              WHERE s.s_suppkey = l.l_suppkey AND s.s_acctbal > 5000)
+GROUP BY l.l_suppkey
+""",
+    tags=("J3", "scale"),
+    doc="Bloom-filter pre-filtered semi-join — the runtime-filter pattern "
+    "(Spark's own InjectRuntimeFilter/BloomFilterAggregate does this "
+    "implicitly; here it is explicit and engine-independent): the dim-side "
+    "key set folds into a ~8 KB bitmap (explode k bit positions → one "
+    "bit_or aggregate), broadcast as a single map row; the fact side tests "
+    "k bits in pure Column space and only surviving rows reach the exact "
+    "semi-join that removes Bloom false positives. Result is bit-identical "
+    "to the plain semi-join (the oracle). At 100 TB this is the shape that "
+    "matters when the dim is too big to broadcast but its Bloom is not: "
+    "the bitmap prunes the fact before the shuffle, so shuffle bytes scale "
+    "with the match rate, not the fact size.",
+)
+def rel_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meos_rs_spark.functions.determinism import money_sum
+
+    dim = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 5000)
+        .select("s_suppkey")
+    )
+    # build: each key sets k bits; word index + single-bit mask, OR-folded
+    words = (
+        dim.select(F.explode(F.array(*_bloom_probe("s_suppkey"))).alias("bit"))
+        .select(
+            F.expr("CAST(bit DIV 64 AS INT)").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit % 64 AS INT))").alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bm"))
+    )
+    bloom = words.agg(
+        F.map_from_arrays(F.collect_list("word"), F.collect_list("bm")).alias("bloom")
+    )
+    fact = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_quantity")
+    probed = fact.join(F.broadcast(bloom))
+    for i, bit in enumerate(_bloom_probe("l_suppkey")):
+        probed = probed.withColumn(f"__b{i}", bit)
+    cond = F.lit(True)
+    for i in range(_BLOOM_K):
+        hit = F.expr(
+            f"(coalesce(element_at(bloom, CAST(__b{i} DIV 64 AS INT)), CAST(0 AS BIGINT))"
+            f" & shiftleft(CAST(1 AS BIGINT), CAST(__b{i} % 64 AS INT))) != 0"
+        )
+        cond = cond & hit
+    candidates = probed.filter(cond).drop("bloom", *[f"__b{i}" for i in range(_BLOOM_K)])
+    exact = candidates.join(
+        F.broadcast(dim), candidates.l_suppkey == dim.s_suppkey, "left_semi"
+    )
+    return exact.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        money_sum("l_quantity").alias("sum_qty"),
+    )

@@ -195,3 +195,132 @@ def ttype_tbool_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         dur(~F.col("a")).alias("not_a_us"),
         dur(F.col("a") != F.col("b")).alias("xor_us"),
     )
+
+
+# --- L2f: synchronized arithmetic between two tfloats ------------------------
+
+# vessels 0..7 paired (0,1),(2,3),(4,5),(6,7): each pair is two tfloats with
+# DIFFERENT timestamp sets that must be synchronized before arithmetic
+_K_SYNC_VESSELS = 8
+
+
+@register(
+    "ttype_tfloat_sync_arith",
+    oracle=f"""
+WITH {POSITS_CTE},
+dedup AS (
+  SELECT * FROM posits WHERE mmsi < {_K_SYNC_VESSELS}
+  QUALIFY row_number() OVER (PARTITION BY mmsi, ts ORDER BY event_id) = 1
+),
+merged AS (
+  SELECT CAST(mmsi // 2 AS BIGINT) AS pair_id, ts,
+         max(CASE WHEN mmsi % 2 = 0 THEN lon END) AS va,
+         max(CASE WHEN mmsi % 2 = 1 THEN lon END) AS vb
+  FROM dedup GROUP BY 1, 2
+),
+synced AS (
+  SELECT pair_id, ts,
+         last_value(va IGNORE NULLS) OVER wp AS p_va,
+         last_value(CASE WHEN va IS NOT NULL THEN ts END IGNORE NULLS) OVER wp AS p_ta,
+         first_value(va IGNORE NULLS) OVER wf AS n_va,
+         first_value(CASE WHEN va IS NOT NULL THEN ts END IGNORE NULLS) OVER wf AS n_ta,
+         last_value(vb IGNORE NULLS) OVER wp AS p_vb,
+         last_value(CASE WHEN vb IS NOT NULL THEN ts END IGNORE NULLS) OVER wp AS p_tb,
+         first_value(vb IGNORE NULLS) OVER wf AS n_vb,
+         first_value(CASE WHEN vb IS NOT NULL THEN ts END IGNORE NULLS) OVER wf AS n_tb
+  FROM merged
+  WINDOW wp AS (PARTITION BY pair_id ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY pair_id ORDER BY ts
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+),
+interp AS (
+  SELECT pair_id, ts,
+         CASE WHEN epoch_us(n_ta) = epoch_us(p_ta) THEN p_va
+              ELSE p_va + (n_va - p_va)
+                   * (CAST(epoch_us(ts) - epoch_us(p_ta) AS DOUBLE)
+                      / CAST(epoch_us(n_ta) - epoch_us(p_ta) AS DOUBLE)) END AS a_i,
+         CASE WHEN epoch_us(n_tb) = epoch_us(p_tb) THEN p_vb
+              ELSE p_vb + (n_vb - p_vb)
+                   * (CAST(epoch_us(ts) - epoch_us(p_tb) AS DOUBLE)
+                      / CAST(epoch_us(n_tb) - epoch_us(p_tb) AS DOUBLE)) END AS b_i
+  FROM synced
+  WHERE p_ta IS NOT NULL AND n_ta IS NOT NULL
+    AND p_tb IS NOT NULL AND n_tb IS NOT NULL
+)
+SELECT pair_id, ts, a_i, b_i,
+       a_i + b_i AS t_add, a_i - b_i AS t_sub, a_i * b_i AS t_mul
+FROM interp
+""",
+    tags=("L2f", "tfloat"),
+    doc="synchronized tfloat arithmetic (L2 add/sub/mult_tfloat_tfloat, the "
+    "temporal-algebra core: MEOS synchronizes both operands over the UNION of "
+    "their timestamps with linear interpolation before combining — "
+    "meos/src/lib.rs:29-34 algebra over tseq.rs:50-64 sequences): each vessel "
+    "pair's lon series are merged per instant, surrounding observations found "
+    "by ignore-nulls running windows (one pair-key shuffle, never a per-instant "
+    "join), each side lerped in exact epoch micros, then combined pointwise "
+    "over the overlap span. The union+window shape is the same one "
+    "traj_resample_linear proves out — it scales to arbitrarily long "
+    "sequences because synchronization never leaves the pair's partition",
+)
+def ttype_tfloat_sync_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = dedup_monotonic(posits(spark, sf_dir).filter(F.col("mmsi") < _K_SYNC_VESSELS))
+    merged = (
+        pts.select(
+            (F.col("mmsi") / 2).cast("bigint").alias("pair_id"),
+            "ts",
+            F.when(F.col("mmsi") % 2 == 0, F.col("lon")).alias("va_raw"),
+            F.when(F.col("mmsi") % 2 == 1, F.col("lon")).alias("vb_raw"),
+        )
+        .groupBy("pair_id", "ts")
+        .agg(F.max("va_raw").alias("va"), F.max("vb_raw").alias("vb"))
+    )
+    wp = Window.partitionBy("pair_id").orderBy("ts").rowsBetween(Window.unboundedPreceding, 0)
+    wf = Window.partitionBy("pair_id").orderBy("ts").rowsBetween(0, Window.unboundedFollowing)
+    ts_of = lambda v: F.when(F.col(v).isNotNull(), F.col("ts"))  # noqa: E731
+    synced = merged.select(
+        "pair_id",
+        "ts",
+        F.last("va", ignorenulls=True).over(wp).alias("p_va"),
+        F.last(ts_of("va"), ignorenulls=True).over(wp).alias("p_ta"),
+        F.first("va", ignorenulls=True).over(wf).alias("n_va"),
+        F.first(ts_of("va"), ignorenulls=True).over(wf).alias("n_ta"),
+        F.last("vb", ignorenulls=True).over(wp).alias("p_vb"),
+        F.last(ts_of("vb"), ignorenulls=True).over(wp).alias("p_tb"),
+        F.first("vb", ignorenulls=True).over(wf).alias("n_vb"),
+        F.first(ts_of("vb"), ignorenulls=True).over(wf).alias("n_tb"),
+    )
+    us = "unix_micros(CAST({c} AS TIMESTAMP))"
+    g_us = F.expr(us.format(c="ts"))
+
+    def lerp(pv: str, nv: str, pt: str, nt: str):
+        p_us, n_us = F.expr(us.format(c=pt)), F.expr(us.format(c=nt))
+        frac = (g_us - p_us).cast("double") / (n_us - p_us).cast("double")
+        return F.when(n_us == p_us, F.col(pv)).otherwise(
+            F.col(pv) + (F.col(nv) - F.col(pv)) * frac
+        )
+
+    return (
+        synced.filter(
+            F.col("p_ta").isNotNull()
+            & F.col("n_ta").isNotNull()
+            & F.col("p_tb").isNotNull()
+            & F.col("n_tb").isNotNull()
+        )
+        .select(
+            "pair_id",
+            "ts",
+            lerp("p_va", "n_va", "p_ta", "n_ta").alias("a_i"),
+            lerp("p_vb", "n_vb", "p_tb", "n_tb").alias("b_i"),
+        )
+        .select(
+            "pair_id",
+            "ts",
+            "a_i",
+            "b_i",
+            (F.col("a_i") + F.col("b_i")).alias("t_add"),
+            (F.col("a_i") - F.col("b_i")).alias("t_sub"),
+            (F.col("a_i") * F.col("b_i")).alias("t_mul"),
+        )
+    )
