@@ -208,15 +208,13 @@ _K_SYNC_VESSELS = 8
     "ttype_tfloat_sync_arith",
     oracle=f"""
 WITH {POSITS_CTE},
-dedup AS (
-  SELECT * FROM posits WHERE mmsi < {_K_SYNC_VESSELS}
-  QUALIFY row_number() OVER (PARTITION BY mmsi, ts ORDER BY event_id) = 1
-),
 merged AS (
+  -- arg_min(..., event_id) per side IS the monotonic dedup (first posit at a
+  -- duplicated timestamp wins, 04_to_file.rs:92-96) fused into the merge agg
   SELECT CAST(mmsi // 2 AS BIGINT) AS pair_id, ts,
-         max(CASE WHEN mmsi % 2 = 0 THEN lon END) AS va,
-         max(CASE WHEN mmsi % 2 = 1 THEN lon END) AS vb
-  FROM dedup GROUP BY 1, 2
+         arg_min(lon, event_id) FILTER (WHERE mmsi % 2 = 0) AS va,
+         arg_min(lon, event_id) FILTER (WHERE mmsi % 2 = 1) AS vb
+  FROM posits WHERE mmsi < {_K_SYNC_VESSELS} GROUP BY 1, 2
 ),
 synced AS (
   SELECT pair_id, ts,
@@ -265,16 +263,24 @@ FROM interp
     "sequences because synchronization never leaves the pair's partition",
 )
 def ttype_tfloat_sync_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pts = dedup_monotonic(posits(spark, sf_dir).filter(F.col("mmsi") < _K_SYNC_VESSELS))
+    pts = posits(spark, sf_dir).filter(F.col("mmsi") < _K_SYNC_VESSELS)
+    # min_by(lon, event_id) per side fuses the monotonic dedup (first posit at
+    # a duplicated timestamp wins) into the merge agg — no separate per-vessel
+    # window pass, so the whole sync is two exchanges: (pair, ts) agg + pair
+    # window
     merged = (
         pts.select(
             (F.col("mmsi") / 2).cast("bigint").alias("pair_id"),
             "ts",
-            F.when(F.col("mmsi") % 2 == 0, F.col("lon")).alias("va_raw"),
-            F.when(F.col("mmsi") % 2 == 1, F.col("lon")).alias("vb_raw"),
+            "lon",
+            "event_id",
+            (F.col("mmsi") % 2).alias("side"),
         )
         .groupBy("pair_id", "ts")
-        .agg(F.max("va_raw").alias("va"), F.max("vb_raw").alias("vb"))
+        .agg(
+            F.expr("min_by(lon, event_id) FILTER (WHERE side = 0)").alias("va"),
+            F.expr("min_by(lon, event_id) FILTER (WHERE side = 1)").alias("vb"),
+        )
     )
     wp = Window.partitionBy("pair_id").orderBy("ts").rowsBetween(Window.unboundedPreceding, 0)
     wf = Window.partitionBy("pair_id").orderBy("ts").rowsBetween(0, Window.unboundedFollowing)

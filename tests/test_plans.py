@@ -251,3 +251,23 @@ def test_mixture_weights_broadcasts_totals(spark):
     plan = _plan(spark, "text_mixture_weights")
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1, plan[:2000]
+
+
+def test_bloom_join_prunes_before_exact_semi(spark):
+    # build side folds to one tiny bitmap row (broadcast); the fact-side
+    # probe is pure Column space (no join for the bit tests beyond the 1-row
+    # broadcast), and the exact semi-join broadcasts the dim — no shuffle of
+    # the fact table anywhere
+    plan = _plan(spark, "rel_bloom_join")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert "BroadcastHashJoin" in plan, plan[:2000]  # exact semi-join
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # the 1-row bitmap attach
+
+
+def test_tfloat_sync_single_pair_shuffle(spark):
+    # merge agg + both ignore-nulls windows share the pair_id partitioning:
+    # the synchronization never joins per instant and never goes global
+    plan = _plan(spark, "ttype_tfloat_sync_arith")
+    assert "Join" not in plan, plan[:2000]
+    assert plan.count("Exchange hashpartitioning") <= 2, plan[:3000]
