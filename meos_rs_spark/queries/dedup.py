@@ -503,3 +503,65 @@ def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(wn).cast("bigint").alias("n_copies"),
         (F.row_number().over(wr) == 1).cast("int").alias("is_canonical"),
     )
+
+
+# --- asymmetric shingle containment (sub-document duplication) --------------
+
+_CONTAIN_THRESH = 0.8
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+WITH {_SHINGLES_DUCK},
+small AS (SELECT * FROM shingles WHERE doc_id < 40),
+sizes AS (SELECT doc_id, count(*) AS n FROM small GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM small a JOIN small b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.id_a, i.id_b, i.n_inter,
+       CAST(i.n_inter AS DOUBLE) / za.n AS c_a_in_b,
+       CAST(i.n_inter AS DOUBLE) / zb.n AS c_b_in_a,
+       CAST(CAST(i.n_inter AS DOUBLE) / za.n >= {_CONTAIN_THRESH}
+            OR CAST(i.n_inter AS DOUBLE) / zb.n >= {_CONTAIN_THRESH} AS INT) AS is_subdup
+FROM inter i
+JOIN sizes za ON za.doc_id = i.id_a
+JOIN sizes zb ON zb.doc_id = i.id_b
+""",
+    tags=("dedup",),
+    doc="asymmetric shingle containment C(A in B) = |A∩B|/|A| (Broder's "
+    "containment, the sub-document dup signal): a short doc quoted whole "
+    "inside a long one scores near 1.0 here but low symmetric Jaccard "
+    "because the union is dominated by the long side — exactly the case "
+    "dedup_ngram_jaccard under-ranks. Same shingle equi-join candidate "
+    "shape (pairs exist only on shared shingles, no crossJoin); per-doc "
+    "set sizes attach via two broadcast-size joins",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles(spark, sf_dir).filter(F.col("doc_id") < 40)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = (
+        a.join(b, (a.sh_a == b.sh_b) & (a.id_a < b.id_b))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
+    zb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
+    c_a = F.col("n_inter").cast("double") / F.col("n_a")
+    c_b = F.col("n_inter").cast("double") / F.col("n_b")
+    return (
+        inter.join(F.broadcast(za), "id_a")
+        .join(F.broadcast(zb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_inter",
+            c_a.alias("c_a_in_b"),
+            c_b.alias("c_b_in_a"),
+            ((c_a >= _CONTAIN_THRESH) | (c_b >= _CONTAIN_THRESH)).cast("int").alias("is_subdup"),
+        )
+    )

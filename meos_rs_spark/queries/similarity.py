@@ -1002,3 +1002,62 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         part = s.select("probe_id", F.lit(i).alias("sel_rank"), "vec_id", "rel", "mmr")
         out = part if out is None else out.unionAll(part)
     return out
+
+
+# --- multi-probe sign-LSH ANN (recall-raising scale path) -------------------
+
+# Hamming-1 probing: each probe searches its own bucket plus every bucket one
+# flipped hyperplane away — 1 + N_PLANES buckets total
+_MP_FLIPS = [0] + [1 << p for p in range(N_PLANES)]
+
+
+@register(
+    "sim_ann_multiprobe",
+    oracle=f"""
+WITH bucketed AS (
+  SELECT vec_id, label, embedding, {_bucket_expr_duck('embedding')} AS bucket
+  FROM embeddings
+),
+probes AS (SELECT vec_id AS probe_id, embedding AS pe, bucket AS pb
+           FROM bucketed WHERE vec_id < {N_PROBES}),
+pq AS (
+  SELECT probe_id, pe, xor(pb, m.f) AS qb
+  FROM probes, (SELECT unnest({_MP_FLIPS}) AS f) m
+),
+cand AS (
+  SELECT p.probe_id, e.vec_id, e.label,
+         {_duck_cosine('p.pe', 'e.embedding')} AS cosine
+  FROM pq p JOIN bucketed e ON e.bucket = p.qb AND e.vec_id != p.probe_id
+)
+SELECT probe_id, vec_id, label, cosine
+FROM cand
+QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) <= 3
+""",
+    tags=("sim", "lsh"),
+    doc=f"multi-probe sign-LSH ANN (Lv et al. multi-probe LSH, the standard "
+    "recall-vs-index-size lever): each probe expands to its own bucket plus "
+    f"the {N_PLANES} Hamming-distance-1 buckets (one flipped hyperplane each), "
+    "the probe×bucket fan-out stays a tiny broadcast side, and candidates "
+    "still meet the corpus via the bucket equi-join — ~9× the candidate pool "
+    "of sim_ann_lsh for zero extra corpus passes. The flip set is disjoint, "
+    "so no candidate dedup is needed before the re-rank",
+)
+def sim_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucketed = emb.withColumn("bucket", make_lsh_bucket_udf(N_PLANES, DIM)(F.col("embedding")))
+    probes = bucketed.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe"), F.col("bucket").alias("pb")
+    )
+    flips = F.array(*[F.lit(f) for f in _MP_FLIPS])
+    pq = probes.select(
+        "probe_id", "pe", "pb", F.explode(flips).alias("f")
+    ).select("probe_id", "pe", F.expr("pb ^ f").alias("qb"))
+    cand = bucketed.join(
+        broadcast(pq), (F.col("bucket") == F.col("qb")) & (F.col("vec_id") != F.col("probe_id"))
+    ).withColumn("cosine", cosine(F.col("pe"), F.col("embedding")))
+    w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), "vec_id")
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 3)
+        .select("probe_id", "vec_id", "label", "cosine")
+    )
