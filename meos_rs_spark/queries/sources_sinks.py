@@ -533,3 +533,60 @@ def src_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").alias("n_bytes"),
         F.md5(F.col("content")).alias("digest"),
     )
+
+
+# --- compaction sink (the small-files table service) ------------------------
+
+_COMPACT_TARGET_BYTES = 32 << 20  # target output file size
+
+
+def _part_files(path: str) -> list[str]:
+    import glob as _glob
+
+    return _glob.glob(os.path.join(path, "part-*"))
+
+
+@register(
+    "snk_compaction",
+    oracle="""
+SELECT event_type,
+       count(*) AS n,
+       count(DISTINCT user_id) AS n_users,
+       CAST(sum(event_id) AS BIGINT) AS sum_ids
+FROM events GROUP BY event_type
+""",
+    tags=("S8", "scale"),
+    doc="small-file compaction + clustering — the table-service pass every "
+    "100 TB sink needs (a streaming or over-parallel writer leaves thousands "
+    "of KB-scale files; scans then pay per-file open cost and lose row-group "
+    "stats): deliberately fragment the events table into 64 shards, plan the "
+    "target file count from real file metadata (driver-side listing is "
+    "metadata-only, the same thing an OPTIMIZE job does; a cluster deployment "
+    "swaps the local glob for the Hadoop FileSystem API), then rewrite via "
+    "repartitionByRange(user_id, ts) so output files are both few and "
+    "range-clustered — min/max row-group stats become selective for "
+    "user/time predicates. The oracle proves the rewrite is content-lossless; "
+    "tests/test_invariants.py pins the file-count collapse.",
+)
+def snk_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    frag = _scratch(sf_dir, "events_fragmented")
+    compact = _scratch(sf_dir, "events_compacted")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type")
+    ev.repartition(64).write.mode("overwrite").parquet(frag)
+    small = spark.read.parquet(frag)
+    total = sum(os.path.getsize(f) for f in _part_files(frag))
+    target = max(1, math.ceil(total / _COMPACT_TARGET_BYTES))
+    (
+        small.repartitionByRange(target, "user_id", "ts")
+        .sortWithinPartitions("user_id", "ts")
+        .write.mode("overwrite")
+        .parquet(compact)
+    )
+    back = spark.read.parquet(compact)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("event_id").cast("bigint").alias("sum_ids"),
+    )

@@ -315,3 +315,15 @@ def test_ewma_bounded_by_track_envelope(spark):
         (F.col("ewma_lon") < F.col("lo") - 1e-9) | (F.col("ewma_lon") > F.col("hi") + 1e-9)
     )
     assert bad.count() == 0
+
+
+def test_compaction_collapses_files(spark):
+    from meos_rs_spark.queries.sources_sinks import _part_files, _scratch
+
+    # run the sink, then audit the layout it left behind
+    n_rows = _q(spark, "snk_compaction").count()
+    assert n_rows > 0
+    n_in = len(_part_files(_scratch(SF_SMOKE, "events_fragmented")))
+    n_out = len(_part_files(_scratch(SF_SMOKE, "events_compacted")))
+    assert n_in == 64
+    assert 1 <= n_out < n_in
