@@ -1305,3 +1305,57 @@ def rel_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         money_sum("l_quantity").alias("sum_qty"),
     )
+
+
+# --- exact distinct via bitmap words (the mergeable EXACT counterpart of HLL)
+
+
+@register(
+    "rel_bitmap_distinct",
+    oracle="""
+WITH bm AS (
+  SELECT event_type, user_id // 32 AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INT)) AS bits
+  FROM events GROUP BY 1, 2
+),
+m AS (SELECT event_type, CAST(SUM(bit_count(bits)) AS BIGINT) AS n_bitmap FROM bm GROUP BY 1),
+ex AS (SELECT event_type, count(DISTINCT user_id) AS n_exact FROM events GROUP BY 1)
+SELECT m.event_type, m.n_bitmap, ex.n_exact,
+       CAST(m.n_bitmap = ex.n_exact AS INT) AS ok
+FROM m JOIN ex ON ex.event_type = m.event_type
+""",
+    tags=("A8", "sketch", "scale"),
+    doc="EXACT distinct counting via bitmap words — the roaring-bitmap plan "
+    "shape, the exact counterpart of rel_approx_distinct's HLL: each "
+    "(group, id DIV 32) cell folds to one word with bit_or (32 ids per word so the set bit never reaches the BIGINT sign bit, which DuckDB rejects as shift overflow; fully "
+    "map-side mergeable, commutative), the distinct count is the popcount "
+    "sum — so a 100 TB distinct-count shuffles one long per 32 ids per "
+    "group instead of every id, with NO approximation. Works whenever the "
+    "id domain is dense/boundable (dictionary-encode first otherwise); the "
+    "query carries count(DISTINCT) alongside and pins equality in-row.",
+)
+def rel_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    bm = (
+        ev.groupBy(
+            "event_type", F.expr("CAST(user_id DIV 32 AS BIGINT)").alias("word")
+        )
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT)))"
+            ).alias("bits")
+        )
+    )
+    m = bm.groupBy("event_type").agg(
+        F.sum(F.bit_count("bits")).cast("bigint").alias("n_bitmap")
+    )
+    ex = ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_exact"))
+    return (
+        m.join(ex, "event_type")
+        .select(
+            "event_type",
+            "n_bitmap",
+            "n_exact",
+            (F.col("n_bitmap") == F.col("n_exact")).cast("int").alias("ok"),
+        )
+    )

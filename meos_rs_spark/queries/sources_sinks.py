@@ -590,3 +590,99 @@ def snk_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         F.sum("event_id").cast("bigint").alias("sum_ids"),
     )
+
+
+# --- CDC apply (changelog merge with deletes) -------------------------------
+
+
+@register(
+    "snk_cdc_apply",
+    oracle="""
+WITH chg AS (
+  SELECT 1 AS seq, 'U' AS op, c_custkey AS k, c_name, c_acctbal + 100 AS c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 10 IN (1, 2, 3)
+  UNION ALL
+  SELECT 1, 'D', c_custkey, NULL, NULL, NULL FROM customer WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT 1, 'I', c_custkey + 100000, 'NEW#' || CAST(c_custkey AS VARCHAR), c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 10 = 4
+  UNION ALL
+  SELECT 2, 'U', c_custkey, c_name, c_acctbal + 250, c_mktsegment
+  FROM customer WHERE c_custkey % 10 = 5
+  UNION ALL
+  SELECT 3, 'D', c_custkey, NULL, NULL, NULL FROM customer WHERE c_custkey % 10 = 5
+),
+latest AS (
+  SELECT * FROM chg QUALIFY row_number() OVER (PARTITION BY k ORDER BY seq DESC) = 1
+)
+SELECT COALESCE(l.k, b.c_custkey) AS c_custkey,
+       CASE WHEN l.k IS NULL THEN b.c_name ELSE l.c_name END AS c_name,
+       CASE WHEN l.k IS NULL THEN b.c_acctbal ELSE l.c_acctbal END AS c_acctbal,
+       CASE WHEN l.k IS NULL THEN b.c_mktsegment ELSE l.c_mktsegment END AS c_mktsegment
+FROM customer b FULL JOIN latest l ON l.k = b.c_custkey
+WHERE l.op IS NULL OR l.op != 'D'
+""",
+    tags=("S6", "cdc"),
+    doc="CDC changelog apply — the general form of snk_upsert_merge "
+    "(ais_to_db.rs:156-161 upserts; a real change stream also carries "
+    "DELETEs and multiple ops per key): a 5-batch synthetic changelog "
+    "(updates, deletes, inserts, and an update-then-delete sequence on the "
+    "same keys) collapses to latest-per-key via one windowed pass on the "
+    "change seq, then merges into the stored snapshot with a single full "
+    "outer join — insert/update/delete resolved in pure Column space, no "
+    "per-op passes. Store→apply→store round-trips through parquet like the "
+    "upsert sink. At 100 TB the changelog side is the small one: the full "
+    "join rides the snapshot's key partitioning and AQE broadcasts the "
+    "change batch when it fits.",
+)
+def snk_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    base_path = _scratch(sf_dir, "cdc_base")
+    out_path = _scratch(sf_dir, "cdc_applied")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    c.write.mode("overwrite").parquet(base_path)
+    base = spark.read.parquet(base_path)
+
+    k10 = F.col("c_custkey") % 10
+
+    def batch(seq: int, op: str, cond, key, name, bal, seg):
+        return c.filter(cond).select(
+            F.lit(seq).alias("seq"),
+            F.lit(op).alias("op"),
+            key.alias("k"),
+            name.alias("n_name"),
+            bal.alias("n_acctbal"),
+            seg.alias("n_mktsegment"),
+        )
+
+    null_s = F.lit(None).cast("string")
+    null_d = F.lit(None).cast("double")
+    chg = (
+        batch(1, "U", k10.isin(1, 2, 3), F.col("c_custkey"), F.col("c_name"),
+              F.col("c_acctbal") + 100, F.col("c_mktsegment"))
+        .unionByName(batch(1, "D", k10 == 0, F.col("c_custkey"), null_s, null_d, null_s))
+        .unionByName(batch(1, "I", k10 == 4, F.col("c_custkey") + 100000,
+                           F.concat(F.lit("NEW#"), F.col("c_custkey").cast("string")),
+                           F.col("c_acctbal"), F.col("c_mktsegment")))
+        .unionByName(batch(2, "U", k10 == 5, F.col("c_custkey"), F.col("c_name"),
+                           F.col("c_acctbal") + 250, F.col("c_mktsegment")))
+        .unionByName(batch(3, "D", k10 == 5, F.col("c_custkey"), null_s, null_d, null_s))
+    )
+    w = Window.partitionBy("k").orderBy(F.col("seq").desc())
+    latest = chg.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+    applied = (
+        base.join(latest, base.c_custkey == latest.k, "full")
+        .filter(F.col("op").isNull() | (F.col("op") != "D"))
+        .select(
+            F.coalesce(F.col("k"), F.col("c_custkey")).alias("c_custkey"),
+            F.when(F.col("k").isNull(), F.col("c_name")).otherwise(F.col("n_name")).alias("c_name"),
+            F.when(F.col("k").isNull(), F.col("c_acctbal")).otherwise(F.col("n_acctbal")).alias("c_acctbal"),
+            F.when(F.col("k").isNull(), F.col("c_mktsegment")).otherwise(F.col("n_mktsegment")).alias("c_mktsegment"),
+        )
+    )
+    applied.write.mode("overwrite").parquet(out_path)
+    return spark.read.parquet(out_path)

@@ -407,3 +407,47 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("bigint").alias("frame_n"),
         F.element_at(F.array_sort("frame"), ((n + 1) / 2).cast("int")).alias("med9"),
     )
+
+
+# --- gaps and islands (consecutive-run detection) ---------------------------
+
+
+@register(
+    "win_gap_islands",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d FROM events
+),
+grp AS (
+  SELECT user_id, d,
+         d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d) AS INT) AS island_key
+  FROM days
+)
+SELECT user_id,
+       min(d) AS island_start,
+       max(d) AS island_end,
+       count(*) AS n_days
+FROM grp GROUP BY user_id, island_key
+""",
+    tags=("W",),
+    doc="gaps-and-islands: maximal runs of CONSECUTIVE active days per user "
+    "via the row_number-difference trick (d minus rank is constant exactly "
+    "within a consecutive run — one window plus one groupBy, both sharing "
+    "the user partitioning, detects arbitrarily long runs with O(1) state; "
+    "the set-based dual of time-gap sessionization in traj_sessionize)",
+)
+def win_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    days = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.date_trunc("day", "ts").cast("date").alias("d"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    grp = days.withColumn(
+        "island_key", F.expr("date_sub(d, CAST(row_number() OVER (PARTITION BY user_id ORDER BY d) AS INT))")
+    )
+    return grp.groupBy("user_id", "island_key").agg(
+        F.min("d").alias("island_start"),
+        F.max("d").alias("island_end"),
+        F.count(F.lit(1)).alias("n_days"),
+    ).drop("island_key")

@@ -153,6 +153,9 @@ VERIFY_ORDER_HEAD: tuple[str, ...] = (
 #   dedup_semantic traj_od_matrix text_mixture_weights text_gopher_rules
 #   traj_zorder_key rel_scd2_intervals rel_approx_percentiles sim_mmr_rerank
 #   win_rolling_median traj_ewma src_binaryfile_ingest
+#   ttype_tfloat_sync_arith rel_bloom_join sim_ann_multiprobe
+#   dedup_containment snk_compaction snk_cdc_apply rel_bitmap_distinct
+#   win_gap_islands
 # plus any r4 additions, backfilled to 50 with r2-green names; update
 # tests/test_registry_order.py to match.
 
