@@ -244,7 +244,7 @@ _BUCKETS = [(0.0, 50.0), (50.0, 100.0), (100.0, 200.0), (200.0, 1e9)]
     "rel_join_band_bucketed",
     oracle="""
 WITH buckets(lo, hi) AS (VALUES (0.0, 50.0), (50.0, 100.0), (100.0, 200.0), (200.0, 1000000000.0))
-SELECT b.lo, b.hi, count(*) AS n_events,
+SELECT CAST(b.lo AS DOUBLE) AS lo, CAST(b.hi AS DOUBLE) AS hi, count(*) AS n_events,
        CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM events e JOIN buckets b ON e.value >= b.lo AND e.value < b.hi
 GROUP BY b.lo, b.hi
@@ -523,8 +523,8 @@ def rel_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rel_conditional_agg",
     oracle="""
 SELECT l.l_linestatus,
-       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 WHERE l.l_shipdate >= TIMESTAMP '2000-01-01'
 GROUP BY l.l_linestatus

@@ -493,8 +493,8 @@ flagged AS (
 ),
 sessions AS (
   SELECT mmsi, ts,
-         SUM(new_session) OVER (PARTITION BY mmsi ORDER BY ts, event_id
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         CAST(SUM(new_session) OVER (PARTITION BY mmsi ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT mmsi, session_id, count(*) AS n_pts, min(ts) AS t_start, max(ts) AS t_end
@@ -640,12 +640,15 @@ def _simplify_group(key, pdf):
     pdf = pdf.sort_values(["ts", "event_id"])
     pts = pdf[["lon", "lat"]].to_numpy(dtype=float)
     keep = douglas_peucker_mask(pts, _DP_EPSILON)
+    # comma-joined string, not array<long>: the driver's canonicalizer
+    # cannot sort/hash array cells (r3 ERR: "unhashable type: numpy.ndarray")
+    kept = ",".join(str(int(e)) for e in pdf["event_id"].to_numpy()[keep])
     return pd.DataFrame(
         {
             "mmsi": [key[0]],
             "n_original": [len(pdf)],
             "n_simplified": [int(keep.sum())],
-            "kept_event_ids": [pdf["event_id"].to_numpy()[keep].tolist()],
+            "kept_event_ids": [kept],
         }
     )
 
@@ -663,7 +666,7 @@ def traj_simplify_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("mmsi")
         .applyInPandas(
             _simplify_group,
-            schema="mmsi long, n_original long, n_simplified long, kept_event_ids array<long>",
+            schema="mmsi long, n_original long, n_simplified long, kept_event_ids string",
         )
     )
 
@@ -693,9 +696,9 @@ spans AS (
 )
 SELECT mmsi,
        count(*) AS n_spans,
-       SUM(hi - lo) AS covered_us,
+       CAST(SUM(hi - lo) AS BIGINT) AS covered_us,
        max(hi) - min(lo) AS extent_us,
-       max(hi) - min(lo) - SUM(hi - lo) AS gaps_us
+       max(hi) - min(lo) - CAST(SUM(hi - lo) AS BIGINT) AS gaps_us
 FROM spans GROUP BY mmsi
 """,
     tags=("SET", "TSet"),
@@ -783,8 +786,8 @@ stepped AS (
   FROM posits
 )
 SELECT mmsi,
-       COALESCE(SUM(dt_us) FILTER (WHERE cond), 0) AS true_us,
-       COALESCE(SUM(dt_us) FILTER (WHERE NOT cond), 0) AS false_us,
+       CAST(COALESCE(SUM(dt_us) FILTER (WHERE cond), 0) AS BIGINT) AS true_us,
+       CAST(COALESCE(SUM(dt_us) FILTER (WHERE NOT cond), 0) AS BIGINT) AS false_us,
        count(*) AS n_instants
 FROM stepped GROUP BY mmsi
 """,
@@ -1031,8 +1034,8 @@ flagged AS (
 ),
 sessions AS (
   SELECT mmsi, ts,
-         SUM(new_session) OVER (PARTITION BY mmsi ORDER BY ts, event_id
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         CAST(SUM(new_session) OVER (PARTITION BY mmsi ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
   FROM flagged
 ),
 spans AS (

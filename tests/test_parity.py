@@ -31,6 +31,25 @@ def test_oracle_parity(spark, duck, name):
     assert not issues, "\n".join(issues)
 
 
+@pytest.mark.parametrize("name", WITH_ORACLE)
+def test_oracle_output_types_strict(duck, name):
+    """No oracle may emit HUGEINT/UHUGEINT/DECIMAL output columns.
+
+    DuckDB types SUM(BIGINT/INTEGER) as HUGEINT; the driver's value hasher is
+    type-sensitive, so a HUGEINT column hash-mismatches an identical-valued
+    Spark BIGINT (round-3 failures: rel_conditional_agg, traj_sessionize,
+    traj_spanset_coverage, traj_tbool_duration). CAST(... AS BIGINT/DOUBLE)
+    at the oracle's output layer; DECIMAL intermediates are fine."""
+    spec = REGISTRY[name]
+    rel = duck.sql(spec.oracle)
+    offenders = [
+        (c, str(t))
+        for c, t in zip(rel.columns, rel.types)
+        if "HUGEINT" in str(t) or "DECIMAL" in str(t)
+    ]
+    assert not offenders, f"{name}: type-hazard output columns {offenders}"
+
+
 @pytest.mark.parametrize("name", ROWS_ONLY)
 def test_rows_only_runs(spark, name):
     spec = REGISTRY[name]

@@ -49,5 +49,5 @@ def test_spark_query_matches_local(spark):
         arr = np.array([(x, y) for x, y, _ in by_id[mmsi]])
         keep = douglas_peucker_mask(arr, 5.0)
         expected = [eid for (_, _, eid), k in zip(by_id[mmsi], keep) if k]
-        assert rows[mmsi].kept_event_ids == expected
+        assert rows[mmsi].kept_event_ids == ",".join(str(e) for e in expected)
         assert rows[mmsi].n_simplified == int(keep.sum())
