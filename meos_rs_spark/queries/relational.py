@@ -1235,10 +1235,18 @@ _BLOOM_K = 3  # hash functions (Kirsch-Mitzenmacher double hashing)
 
 
 def _bloom_probe(key: str):
-    """k bit positions for a key column: g_i = h1 + i*h2 mod m."""
-    h1 = F.xxhash64(key)
-    h2 = F.hash(key).cast("long")
-    return [F.pmod(h1 + F.lit(i) * h2, F.lit(_BLOOM_BITS)) for i in range(_BLOOM_K)]
+    """k bit positions for a key column: g_i = xxhash64(i, key) mod m.
+
+    Seeded hashing, not Kirsch-Mitzenmacher h1 + i*h2: Spark 4 runs with ANSI
+    mode on, so the additive combine overflows (ArithmeticException) whenever
+    xxhash64 lands within ~i*2^32 of +/-2^63 — deterministic job failure at
+    scale. Hashing (i, key) tuples keeps every op inside long range on both
+    the build and probe sides; identical expressions on both sides is the
+    only correctness requirement for a Bloom filter."""
+    return [
+        F.pmod(F.xxhash64(F.lit(i), F.col(key)), F.lit(_BLOOM_BITS))
+        for i in range(_BLOOM_K)
+    ]
 
 
 @register(

@@ -540,10 +540,19 @@ def src_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 _COMPACT_TARGET_BYTES = 32 << 20  # target output file size
 
 
-def _part_files(path: str) -> list[str]:
-    import glob as _glob
-
-    return _glob.glob(os.path.join(path, "part-*"))
+def _part_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
+    """(name, size) of the data files under a table path, via the Hadoop
+    FileSystem API — store-agnostic (HDFS/S3A/local all answer the same
+    globStatus call), unlike an ``os.path`` glob which only works when the
+    driver shares a local filesystem with the data. Metadata-only: the same
+    listing an OPTIMIZE table service does to plan its rewrite."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(os.path.join(path, "part-*"))
+    fs = hpath.getFileSystem(hconf)
+    return [
+        (st.getPath().getName(), st.getLen()) for st in fs.globStatus(hpath) or []
+    ]
 
 
 @register(
@@ -560,9 +569,9 @@ FROM events GROUP BY event_type
     "100 TB sink needs (a streaming or over-parallel writer leaves thousands "
     "of KB-scale files; scans then pay per-file open cost and lose row-group "
     "stats): deliberately fragment the events table into 64 shards, plan the "
-    "target file count from real file metadata (driver-side listing is "
-    "metadata-only, the same thing an OPTIMIZE job does; a cluster deployment "
-    "swaps the local glob for the Hadoop FileSystem API), then rewrite via "
+    "target file count from real file metadata (driver-side listing via the "
+    "Hadoop FileSystem API — works against HDFS/S3A/local alike, the same "
+    "metadata-only call an OPTIMIZE job makes), then rewrite via "
     "repartitionByRange(user_id, ts) so output files are both few and "
     "range-clustered — min/max row-group stats become selective for "
     "user/time predicates. The oracle proves the rewrite is content-lossless; "
@@ -576,7 +585,7 @@ def snk_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type")
     ev.repartition(64).write.mode("overwrite").parquet(frag)
     small = spark.read.parquet(frag)
-    total = sum(os.path.getsize(f) for f in _part_files(frag))
+    total = sum(size for _, size in _part_files(spark, frag))
     target = max(1, math.ceil(total / _COMPACT_TARGET_BYTES))
     (
         small.repartitionByRange(target, "user_id", "ts")

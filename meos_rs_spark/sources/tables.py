@@ -63,14 +63,19 @@ def _normalize_events(df: DataFrame) -> DataFrame:
     else:
         # micros fixture generation: parquet timestamp[us] (isAdjustedToUTC =
         # false) arrives as TIMESTAMP_NTZ (inferTimestampNTZ default) or, if a
-        # driver session disables that, TIMESTAMP under the UTC session pin —
-        # both cast losslessly to TIMESTAMP_NTZ. Epoch-day arithmetic keeps
-        # ts_ns TZ-independent of the session like the nanos branch.
+        # driver session disables that, TIMESTAMP — the latter's cast to
+        # TIMESTAMP_NTZ goes through the session TZ, which the UTC session pin
+        # (prepare_session) makes lossless. ts_ns derives from the SAME ntz
+        # expression (not the raw ts column), so ts and ts_ns can never skew
+        # apart regardless of which physical type the fixture surfaced as.
         ntz = F.col("ts").cast("timestamp_ntz")
+        ntz_sql = "CAST(ts AS TIMESTAMP_NTZ)"
         ts_ns = (
             F.datediff(F.to_date(ntz), F.lit("1970-01-01")).cast("long")
             * F.lit(MICROS_PER_DAY)
-            + F.expr("timestampdiff(MICROSECOND, CAST(CAST(ts AS DATE) AS TIMESTAMP_NTZ), CAST(ts AS TIMESTAMP_NTZ))")
+            + F.expr(
+                f"timestampdiff(MICROSECOND, CAST(CAST({ntz_sql} AS DATE) AS TIMESTAMP_NTZ), {ntz_sql})"
+            )
         ) * F.lit(1000)
     return df.select(
         "event_id",

@@ -45,6 +45,16 @@ def test_lsh_has_no_cartesian_product(spark):
         assert "BroadcastNestedLoopJoin" not in plan or name == "box_stbox_overlap_join", name
 
 
+def test_minhash_intermediates_are_staged_not_cached(spark):
+    # the shingle fact table and the bucket table materialize to parquet
+    # staging tables (functions/staging.py) — every consumer is a plain scan,
+    # no executor-memory pin (r3 verdict scale watch-item). The shingle
+    # explode therefore runs exactly once regardless of consumer fan-out.
+    plan = _plan(spark, "dedup_minhash_lsh")
+    assert "InMemoryTableScan" not in plan
+    assert plan.count("meos_rs_staging") >= 3  # buckets x2 sides + shingle rescans
+
+
 def test_nearest_approach_not_point_quadratic(spark):
     # the only nested-loop join allowed is the K²-bounded distinct-id pair
     # build; the point-level joins must be equi-joins on the vessel id
