@@ -179,10 +179,28 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm_decode_features",
-    oracle=None,  # decode is a stubbed binary transform; plumbing asserted in tests/test_multimodal.py
+    # the STUB decode is a deterministic arithmetic function of the payload
+    # bytes, so the oracle reproduces it from the raw table: the fixture text
+    # is pure ASCII (asserted in tests/test_multimodal.py), hence byte length
+    # == char length, first/last byte == ascii() of first/last char.
+    oracle="""
+SELECT doc_id,
+       CAST(length(text) AS INT) AS payload_bytes,
+       CAST(length(text) % 640 AS INT) AS fake_width,
+       CAST(length(text) % 480 AS INT) AS fake_height,
+       CAST((length(text) % 24) + 1 AS INT) AS fake_n_frames,
+       printf('%.1f,%.1f,%.1f,%.1f',
+              CAST(ascii(text) AS DOUBLE),
+              CAST(ascii(right(text, 1)) AS DOUBLE),
+              CAST(length(text) % 256 AS DOUBLE),
+              CAST((ascii(text) + ascii(right(text, 1))) % 256 AS DOUBLE)
+       ) AS feature_csv
+FROM documents
+""",
     tags=("multimodal",),
     doc="mapInPandas decode + feature extraction over binary payloads (Arrow batches; "
-    "decode itself is a deterministic STUB — no codecs in this container)",
+    "decode itself is a deterministic STUB — no codecs in this container — which "
+    "makes it arithmetically oracle-checkable from the raw table)",
 )
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(

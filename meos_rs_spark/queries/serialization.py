@@ -27,6 +27,7 @@ from meos_rs_spark.functions.trajectory import (
     point_wkt_duck,
     posits,
 )
+from meos_rs_spark.golden import GOLDEN
 from meos_rs_spark.registry import register
 
 
@@ -133,14 +134,24 @@ def _mfjson_sql_col():
 # --- F4: WKB / HexWKB (rows-only + golden pytest) --------------------------
 
 
+_HEX_PTS = 4  # posits per vessel (bounded output -> VALUES-literal oracle stays small)
+
+
 @register(
     "serde_hexwkb",
-    oracle=None,  # binary packing is not SQL-expressible; golden bytes in tests/test_serde.py
-    tags=("F4",),
-    doc="point → OGC HexWKB via Arrow-batched pandas_udf (temp.rs:30-38)",
+    # IEEE-754 byte packing is not SQL-expressible, but the output IS pinnable:
+    # tools/gen_golden.py computes the expected hex Spark-free (DuckDB scan +
+    # struct.pack) and embeds it as a VALUES-literal oracle at sf0.01.
+    oracle=GOLDEN.get("serde_hexwkb"),
+    tags=("F4", "golden"),
+    doc="point → OGC HexWKB via Arrow-batched pandas_udf (temp.rs:30-38); "
+    f"first {_HEX_PTS} posits per vessel (bounded, like serde_wkb_roundtrip)",
 )
 def serde_hexwkb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pts = posits(spark, sf_dir)
+    w = Window.partitionBy("mmsi").orderBy("ts", "event_id")
+    pts = posits(spark, sf_dir).withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= _HEX_PTS
+    )
     return pts.select(
         "mmsi", "event_id", point_hexwkb(F.col("lon"), F.col("lat")).alias("hexwkb")
     )

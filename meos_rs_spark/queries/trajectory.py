@@ -34,6 +34,7 @@ from meos_rs_spark.functions.trajectory import (
     start_ts,
     subtype,
 )
+from meos_rs_spark.golden import GOLDEN
 from meos_rs_spark.registry import register
 
 MIN_TRIP, MAX_TRIP = 5, 80
@@ -655,8 +656,10 @@ def _simplify_group(key, pdf):
 
 @register(
     "traj_simplify_dp",
-    oracle=None,  # recursive geometry algorithm — golden tests in tests/test_simplify.py
-    tags=("L2d",),
+    # recursive geometry — not SQL-expressible; the oracle is a VALUES-literal
+    # golden computed Spark-free at sf0.01 (tools/gen_golden.py)
+    oracle=GOLDEN.get("traj_simplify_dp"),
+    tags=("L2d", "golden"),
     doc=f"Douglas-Peucker simplification (L2 temporal_simplify_dp), epsilon={_DP_EPSILON}, "
     "via applyInPandas per vessel (numpy stack implementation, Arrow batches)",
 )

@@ -26,6 +26,7 @@ from meos_rs_spark.functions.similarity import (
     polygon_area,
 )
 from meos_rs_spark.functions.trajectory import POSITS_CTE, posits
+from meos_rs_spark.golden import GOLDEN
 from meos_rs_spark.registry import register
 
 K_VESSELS = 8
@@ -108,8 +109,9 @@ _DP_SCHEMA = "id_a long, id_b long, n_a long, n_b long, dtw double, frechet doub
 
 
 def _pair_dp(key, pdf: pd.DataFrame) -> pd.DataFrame:
-    a = pdf[pdf["side"] == 0].sort_values("ts")[["lon", "lat"]].to_numpy(dtype=float)
-    b = pdf[pdf["side"] == 1].sort_values("ts")[["lon", "lat"]].to_numpy(dtype=float)
+    # full sort key (ts alone would leave equal-ts row order partition-dependent)
+    a = pdf[pdf["side"] == 0].sort_values(["ts", "lon", "lat"])[["lon", "lat"]].to_numpy(dtype=float)
+    b = pdf[pdf["side"] == 1].sort_values(["ts", "lon", "lat"])[["lon", "lat"]].to_numpy(dtype=float)
     if len(a) == 0 or len(b) == 0:
         return pd.DataFrame(
             {"id_a": [key[0]], "id_b": [key[1]], "n_a": [len(a)], "n_b": [len(b)],
@@ -129,8 +131,10 @@ def _pair_dp(key, pdf: pd.DataFrame) -> pd.DataFrame:
 
 @register(
     "trajsim_dtw_frechet",
-    oracle=None,  # O(n·m) dynamic programs — iterative, not SQL-expressible; golden tests pin values
-    tags=("L2g",),
+    # O(n·m) dynamic programs — not SQL-expressible; the oracle is a
+    # VALUES-literal golden computed Spark-free at sf0.01 (tools/gen_golden.py)
+    oracle=GOLDEN.get("trajsim_dtw_frechet"),
+    tags=("L2g", "golden"),
     doc="discrete Fréchet + DTW per vessel pair via applyInPandas (numpy DP per group, "
     "pair-bucketed shuffle — the SURVEY §2.10 grouped-UDAF surface)",
 )
@@ -385,8 +389,9 @@ _LCSS_SCHEMA = "id_a long, id_b long, n_a long, n_b long, lcss_sim double, erp d
 
 
 def _pair_lcss_erp(key, pdf: pd.DataFrame) -> pd.DataFrame:
-    a = pdf[pdf["side"] == 0].sort_values("ts")[["lon", "lat"]].to_numpy(dtype=float)
-    b = pdf[pdf["side"] == 1].sort_values("ts")[["lon", "lat"]].to_numpy(dtype=float)
+    # full sort key (ts alone would leave equal-ts row order partition-dependent)
+    a = pdf[pdf["side"] == 0].sort_values(["ts", "lon", "lat"])[["lon", "lat"]].to_numpy(dtype=float)
+    b = pdf[pdf["side"] == 1].sort_values(["ts", "lon", "lat"])[["lon", "lat"]].to_numpy(dtype=float)
     if len(a) == 0 or len(b) == 0:
         return pd.DataFrame(
             {"id_a": [key[0]], "id_b": [key[1]], "n_a": [len(a)], "n_b": [len(b)],
@@ -406,8 +411,10 @@ def _pair_lcss_erp(key, pdf: pd.DataFrame) -> pd.DataFrame:
 
 @register(
     "trajsim_lcss_erp",
-    oracle=None,  # O(n·m) dynamic programs — iterative, not SQL-expressible; golden tests pin values
-    tags=("L2g",),
+    # O(n·m) dynamic programs — not SQL-expressible; the oracle is a
+    # VALUES-literal golden computed Spark-free at sf0.01 (tools/gen_golden.py)
+    oracle=GOLDEN.get("trajsim_lcss_erp"),
+    tags=("L2g", "golden"),
     doc=f"LCSS similarity (eps={LCSS_EPS}, outlier-robust) + ERP distance "
     "(gap-point origin; a true metric, so it can power metric-tree pruning) "
     "per vessel pair — completes the DP similarity family next to "
@@ -456,8 +463,10 @@ def _vessel_hull(key, pdf: pd.DataFrame) -> pd.DataFrame:
 
 @register(
     "traj_convex_hull",
-    oracle=None,  # iterative geometry (monotone chain) — golden tests pin exact hulls
-    tags=("L2d",),
+    # iterative geometry (monotone chain) — the oracle is a VALUES-literal
+    # golden computed Spark-free at sf0.01 (tools/gen_golden.py)
+    oracle=GOLDEN.get("traj_convex_hull"),
+    tags=("L2d", "golden"),
     doc="traversed-area convex hull per vessel (the tpoint traversed-area / "
     "ST_ConvexHull analog): Andrew's monotone chain + shoelace area in a "
     "grouped applyInPandas — per-vessel point sets are bounded, so the DP "

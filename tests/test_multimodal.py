@@ -28,3 +28,16 @@ def test_feature_dim(spark):
     spec = load_registry()["mm_decode_features"]
     row = spec.fn(spark, SF_SMOKE).limit(1).collect()[0]
     assert len(row.feature_csv.split(",")) == 4
+
+
+def test_documents_text_is_ascii(spark):
+    # the mm_decode_features oracle derives byte values via length()/ascii()
+    # on the VARCHAR — valid only while the fixture text is pure ASCII
+    # (byte length == char length). If the driver ever ships non-ASCII docs,
+    # this fails before the oracle silently diverges.
+    non_ascii = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .filter("octet_length(cast(text as binary)) != length(text) OR length(text) = 0")
+        .count()
+    )
+    assert non_ascii == 0

@@ -11,8 +11,14 @@ from tests.conftest import SF_SMOKE
 from tests.oracle import compare, duck_connection
 
 REGISTRY = load_registry()
-WITH_ORACLE = sorted(n for n, s in REGISTRY.items() if s.oracle)
+# golden-tagged oracles are VALUES literals pinned at sf0.01 (meos_rs_spark/
+# golden.py) — their parity leg must run at that scale, not SF_SMOKE
+GOLDEN_ORACLE = sorted(n for n, s in REGISTRY.items() if s.oracle and "golden" in s.tags)
+WITH_ORACLE = sorted(
+    n for n, s in REGISTRY.items() if s.oracle and "golden" not in s.tags
+)
 ROWS_ONLY = sorted(n for n, s in REGISTRY.items() if not s.oracle)
+SF_GOLDEN = "/root/testdata/sf0.01"
 
 
 @pytest.fixture(scope="module")
@@ -31,7 +37,17 @@ def test_oracle_parity(spark, duck, name):
     assert not issues, "\n".join(issues)
 
 
-@pytest.mark.parametrize("name", WITH_ORACLE)
+@pytest.mark.parametrize("name", GOLDEN_ORACLE)
+def test_golden_oracle_parity(spark, duck, name):
+    """Golden VALUES oracles verify at the scale they were generated for."""
+    spec = REGISTRY[name]
+    sdf = spec.fn(spark, SF_GOLDEN)
+    ddf = duck.sql(spec.oracle).df()  # self-contained VALUES — any connection
+    issues = compare(sdf, ddf, name)
+    assert not issues, "\n".join(issues)
+
+
+@pytest.mark.parametrize("name", WITH_ORACLE + GOLDEN_ORACLE)
 def test_oracle_output_types_strict(duck, name):
     """No oracle may emit HUGEINT/UHUGEINT/DECIMAL output columns.
 
