@@ -1,0 +1,102 @@
+"""General CRS transforms (SURVEY.md §2.8 L2 spatial family).
+
+The reference links PROJ for SRID transforms (``meos-sys/build.rs:6-14``;
+L2 ``tpoint_transform``). This container has no pyproj, so the transform
+kernel is a self-contained WGS84 → UTM transverse-mercator implementation
+(the standard Snyder/Krüger series, public formulas — USGS PP 1395 §8), as a
+numpy-vectorized function wrapped in a pandas_udf. A deployment with pyproj
+swaps ``_utm_numpy`` for ``pyproj.Transformer`` without touching the Spark
+plumbing; results here are series-accurate to ~1 mm inside the zone, which
+tests pin via exactness invariants (central meridian → easting exactly
+500 000, equator → northing exactly 0) and round-trip monotonicity.
+
+Web-mercator (EPSG:3857) stays a pure-Column closed form in
+queries/trajectory.py (``traj_project_mercator``) — it needs no series.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType, IntegerType
+
+# WGS84 ellipsoid
+_A = 6378137.0
+_F = 1.0 / 298.257223563
+_E2 = _F * (2.0 - _F)
+_EP2 = _E2 / (1.0 - _E2)
+_K0 = 0.9996
+_FALSE_E = 500000.0
+
+# meridian-arc series coefficients (Snyder eq. 3-21)
+_M0 = 1.0 - _E2 / 4.0 - 3.0 * _E2**2 / 64.0 - 5.0 * _E2**3 / 256.0
+_M2 = 3.0 * _E2 / 8.0 + 3.0 * _E2**2 / 32.0 + 45.0 * _E2**3 / 1024.0
+_M4 = 15.0 * _E2**2 / 256.0 + 45.0 * _E2**3 / 1024.0
+_M6 = 35.0 * _E2**3 / 3072.0
+
+
+def normalize_lon(lon: np.ndarray) -> np.ndarray:
+    """Wrap arbitrary 'longitude-like' doubles into [-180, 180)."""
+    return (lon + 180.0) % 360.0 - 180.0
+
+
+def utm_zone(lon: np.ndarray) -> np.ndarray:
+    """UTM zone number for a normalized longitude."""
+    return (np.floor((normalize_lon(lon) + 180.0) / 6.0) + 1.0).astype(np.int32)
+
+
+def _utm_numpy(lon: np.ndarray, lat: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(zone, easting, northing) — Snyder 8-9..8-13, northern-hemisphere
+    convention (no 10 000 km false northing; the fixture 'lat' is >= 0)."""
+    lon_n = normalize_lon(np.asarray(lon, dtype=np.float64))
+    lat_c = np.clip(np.asarray(lat, dtype=np.float64), -84.0, 84.0)
+    zone = utm_zone(lon_n)
+    lam0 = np.deg2rad(zone * 6.0 - 183.0)
+    phi = np.deg2rad(lat_c)
+    lam = np.deg2rad(lon_n)
+
+    sin_p, cos_p, tan_p = np.sin(phi), np.cos(phi), np.tan(phi)
+    n = _A / np.sqrt(1.0 - _E2 * sin_p**2)
+    t = tan_p**2
+    c = _EP2 * cos_p**2
+    a_ = (lam - lam0) * cos_p
+    m = _A * (
+        _M0 * phi
+        - _M2 * np.sin(2.0 * phi)
+        + _M4 * np.sin(4.0 * phi)
+        - _M6 * np.sin(6.0 * phi)
+    )
+    easting = _FALSE_E + _K0 * n * (
+        a_
+        + (1.0 - t + c) * a_**3 / 6.0
+        + (5.0 - 18.0 * t + t**2 + 72.0 * c - 58.0 * _EP2) * a_**5 / 120.0
+    )
+    northing = _K0 * (
+        m
+        + n
+        * tan_p
+        * (
+            a_**2 / 2.0
+            + (5.0 - t + 9.0 * c + 4.0 * c**2) * a_**4 / 24.0
+            + (61.0 - 58.0 * t + t**2 + 600.0 * c - 330.0 * _EP2) * a_**6 / 720.0
+        )
+    )
+    return zone, easting, northing
+
+
+@pandas_udf(IntegerType())
+def utm_zone_udf(lon: pd.Series) -> pd.Series:
+    return pd.Series(utm_zone(lon.to_numpy(dtype=np.float64)))
+
+
+@pandas_udf(DoubleType())
+def utm_easting_udf(lon: pd.Series, lat: pd.Series) -> pd.Series:
+    _, e, _ = _utm_numpy(lon.to_numpy(np.float64), lat.to_numpy(np.float64))
+    return pd.Series(e)
+
+
+@pandas_udf(DoubleType())
+def utm_northing_udf(lon: pd.Series, lat: pd.Series) -> pd.Series:
+    _, _, n = _utm_numpy(lon.to_numpy(np.float64), lat.to_numpy(np.float64))
+    return pd.Series(n)

@@ -695,3 +695,163 @@ def snk_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     applied.write.mode("overwrite").parquet(out_path)
     return spark.read.parquet(out_path)
+
+
+# --- S6/S8: database upsert over pooled per-partition connections -----------
+#
+# The reference's production sink is a DATABASE upsert: a prepared
+# ``INSERT INTO ais.trips (MMSI, trip) VALUES ($1, tgeompointFromBinary($2))
+# ON CONFLICT (MMSI) DO UPDATE SET trip = public.update(trips.trip,
+# EXCLUDED.trip, true)`` executed over deadpool-pooled connections, batched
+# 50 instants per statement (ais_to_db.rs:89-98, :57, :156-161, :202-212) —
+# the temporal merge runs INSIDE the DB engine. This sandbox has no Postgres;
+# Python's stdlib sqlite3 supplies the same contract (file-backed store,
+# ON CONFLICT DO UPDATE, registrable engine-side functions), so every piece
+# of executor plumbing is real: foreachPartition opens ONE connection per
+# partition (the pool analog — at 100 TB swap the connect() for a JDBC/psycopg
+# pool acquire, nothing else changes), groups its rows per vessel, chunks
+# them 50 instants per prepared statement, and lets the conflict clause call
+# traj_merge_json() — registered per connection the way public.update() ships
+# with the MobilityDB server — to merge trips keyed by timestamp.
+
+_UPSERT_T0 = "2024-01-15"  # delta batch starts here — overlaps the base batch,
+_UPSERT_T1 = "2024-01-20"  # so the ON CONFLICT merge path genuinely executes
+_UPSERT_BATCH = 50  # instants per prepared statement (ais_to_db.rs:57)
+
+
+def _trip_normalize(points: list) -> list:
+    """Keep, per timestamp, the (priority, event_id)-max point; sort by ts.
+    The merge semantics of public.update(old, new, true): the incoming batch
+    wins where timestamps collide."""
+    best: dict = {}
+    for p in points:  # [ts_us, lon, lat, event_id, pri]
+        b = best.get(p[0])
+        if b is None or (p[4], p[3]) > (b[4], b[3]):
+            best[p[0]] = p
+    return [best[k] for k in sorted(best)]
+
+
+def _trip_merge_json(old: str, new: str) -> str:
+    import json
+
+    return json.dumps(_trip_normalize(json.loads(old) + json.loads(new)))
+
+
+def _upsert_partition(db_path: str, rows) -> None:
+    """Executor-side upsert loop: one pooled connection per partition,
+    per-vessel batches through the prepared conflict-merge statement."""
+    import json
+    import sqlite3
+
+    by_vessel: dict = {}
+    for r in rows:
+        by_vessel.setdefault(r.mmsi, []).append(
+            [r.ts_us, r.lon, r.lat, r.event_id, r.pri]
+        )
+    if not by_vessel:
+        return
+    con = sqlite3.connect(db_path, timeout=120)
+    con.create_function("traj_merge_json", 2, _trip_merge_json, deterministic=True)
+    try:
+        for mmsi in sorted(by_vessel):
+            pts = by_vessel[mmsi]
+            for i in range(0, len(pts), _UPSERT_BATCH):
+                payload = json.dumps(_trip_normalize(pts[i : i + _UPSERT_BATCH]))
+                with con:  # one transaction per statement: locks stay short
+                    con.execute(
+                        "INSERT INTO trips (mmsi, trip) VALUES (?, ?) "
+                        "ON CONFLICT(mmsi) DO UPDATE "
+                        "SET trip = traj_merge_json(trips.trip, excluded.trip)",
+                        (int(mmsi), payload),
+                    )
+    finally:
+        con.close()
+
+
+@register(
+    "snk_jdbc_upsert",
+    oracle=f"""
+WITH {POSITS_CTE},
+tagged AS (
+  SELECT mmsi, ts, lon, lat, event_id, 0 AS pri FROM posits
+  WHERE ts < TIMESTAMP '{_UPSERT_T1}'
+  UNION ALL
+  SELECT mmsi, ts, lon + 0.5, lat, event_id, 1 FROM posits
+  WHERE ts >= TIMESTAMP '{_UPSERT_T0}'
+),
+merged AS (
+  SELECT * FROM tagged
+  QUALIFY row_number() OVER (PARTITION BY mmsi, ts ORDER BY pri DESC, event_id DESC) = 1
+)
+SELECT mmsi, count(*) AS n_points,
+       epoch_us(min(ts)) AS t_start_us, epoch_us(max(ts)) AS t_end_us,
+       arg_min(lon, ts) AS lon_first, arg_max(lon, ts) AS lon_last,
+       min(lat) AS lat_min, max(lat) AS lat_max
+FROM merged GROUP BY mmsi
+""",
+    tags=("S6", "S8", "A6"),
+    doc="database upsert sink over pooled per-partition connections "
+    "(ais_to_db.rs:89-98,156-161,202-212; batch_size=50 per :57): base batch "
+    "then an overlapping delta batch (delta lon shifted +0.5 so conflict "
+    "resolution is observable) upserted into a file-backed sqlite store via "
+    "foreachPartition + prepared INSERT..ON CONFLICT DO UPDATE with an "
+    "engine-registered merge function; the read-back summary must equal the "
+    "newest-wins merge the oracle computes from the raw table",
+)
+def snk_jdbc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+    import sqlite3
+
+    db_dir = _scratch(sf_dir, "trips_db")
+    os.makedirs(db_dir, exist_ok=True)
+    db_path = os.path.join(db_dir, "trips.sqlite")
+    for suffix in ("", "-wal", "-shm"):
+        if os.path.exists(db_path + suffix):
+            os.remove(db_path + suffix)
+    boot = sqlite3.connect(db_path)
+    # bootstrap DDL — the ais_to_db.rs:12-24 schema/table setup step
+    boot.execute("PRAGMA journal_mode=WAL")
+    boot.execute("CREATE TABLE trips (mmsi INTEGER PRIMARY KEY, trip TEXT NOT NULL)")
+    boot.commit()
+    boot.close()
+
+    pts = posits(spark, sf_dir).select(
+        "mmsi",
+        "ts",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("ts_us"),
+        "lon",
+        "lat",
+        "event_id",
+    )
+    base = pts.filter(F.col("ts") < F.lit(_UPSERT_T1).cast("timestamp_ntz")).withColumn(
+        "pri", F.lit(0)
+    )
+    delta = (
+        pts.filter(F.col("ts") >= F.lit(_UPSERT_T0).cast("timestamp_ntz"))
+        .withColumn("lon", F.col("lon") + 0.5)
+        .withColumn("pri", F.lit(1))
+    )
+    for batch in (base, delta):
+        # 8 writer partitions: enough parallelism to exercise concurrent
+        # upserts, few enough that sqlite's file lock isn't the benchmark
+        batch.drop("ts").coalesce(8).foreachPartition(
+            lambda rows, p=db_path: _upsert_partition(p, rows)
+        )
+
+    con = sqlite3.connect(db_path)
+    try:
+        stored = con.execute("SELECT mmsi, trip FROM trips ORDER BY mmsi").fetchall()
+    finally:
+        con.close()
+    out = []
+    for mmsi, trip in stored:
+        p = _trip_normalize(json.loads(trip))
+        lats = [q[2] for q in p]
+        out.append(
+            (mmsi, len(p), p[0][0], p[-1][0], p[0][1], p[-1][1], min(lats), max(lats))
+        )
+    return spark.createDataFrame(
+        out,
+        "mmsi long, n_points long, t_start_us long, t_end_us long, "
+        "lon_first double, lon_last double, lat_min double, lat_max double",
+    )

@@ -123,6 +123,90 @@ def traj_extent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Z dimension: 3D point struct, STBox Z extent, 3D length ----------------
+#
+# The reference's STBox carries an optional Z extent with dedicated 3D WKT
+# forms (``STBOX Z((1,2,3),(4,5,6))`` — meos/src/stbox.rs:16-94, 3D WKT
+# tests :113-124), and tgeompoint generalizes to 3D instants. The events
+# fixture has no altitude channel, so z derives deterministically from
+# event_id (documented synthetic: z = (event_id % 500) / 10 meters-like);
+# the POINT STRUCT itself is extended to (ts, event_id, lon, lat, z) and
+# every output below is computed FROM the assembled struct column — proving
+# the 3D data-model path (assembly → accessors), not just 3D arithmetic.
+
+_Z_EXPR = "CAST(event_id % 500 AS DOUBLE) / 10.0"
+
+
+@register(
+    "traj_stbox_z_path",
+    oracle=f"""
+WITH {POSITS_CTE},
+p3 AS (
+  SELECT mmsi, ts, event_id, lon, lat, {_Z_EXPR} AS z FROM posits
+),
+segs AS (
+  SELECT mmsi,
+         sqrt( (lon - lag(lon) OVER w) * (lon - lag(lon) OVER w)
+             + (lat - lag(lat) OVER w) * (lat - lag(lat) OVER w)
+             + (z   - lag(z)   OVER w) * (z   - lag(z)   OVER w) ) AS seg
+  FROM p3 WINDOW w AS (PARTITION BY mmsi ORDER BY ts, event_id)
+)
+SELECT e.mmsi, e.n_instants,
+       e.xmin, e.xmax, e.ymin, e.ymax, e.zmin, e.zmax, e.tmin_us, e.tmax_us,
+       l.length3d
+FROM (
+  SELECT mmsi, count(*) AS n_instants,
+         min(lon) AS xmin, max(lon) AS xmax,
+         min(lat) AS ymin, max(lat) AS ymax,
+         min(z) AS zmin, max(z) AS zmax,
+         epoch_us(min(ts)) AS tmin_us, epoch_us(max(ts)) AS tmax_us
+  FROM p3 GROUP BY mmsi
+) e
+JOIN (
+  SELECT mmsi,
+         CAST(COALESCE(SUM(CAST(ROUND(seg, 6) AS DECIMAL(28,6))), 0) AS DOUBLE) AS length3d
+  FROM segs GROUP BY mmsi
+) l ON l.mmsi = e.mmsi
+""",
+    tags=("A5", "A7", "L2d", "Z"),
+    doc="3D trajectory path (STBox Z semantics, stbox.rs:16-94, 3D WKT tests "
+    ":113-124): points assembled as sorted ARRAY<STRUCT<ts,event_id,lon,lat,z>>, "
+    "then Z-aware extent box and 3D euclidean length computed from the struct "
+    "column via a sequential array fold (per-segment 6-digit round before the "
+    "decimal accumulation — shuffle-order independent, engine-identical)",
+)
+def traj_stbox_z_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p3 = posits(spark, sf_dir).withColumn("z", F.expr(_Z_EXPR))
+    t = p3.groupBy("mmsi").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "lon", "lat", "z"))
+        ).alias("pts")
+    )
+    seg = (
+        "sqrt( (pts[i].lon - pts[i-1].lon) * (pts[i].lon - pts[i-1].lon)"
+        "    + (pts[i].lat - pts[i-1].lat) * (pts[i].lat - pts[i-1].lat)"
+        "    + (pts[i].z   - pts[i-1].z)   * (pts[i].z   - pts[i-1].z) )"
+    )
+    length3d = F.expr(
+        "CAST(aggregate(sequence(1, size(pts) - 1), CAST(0 AS DECIMAL(38,6)), "
+        f"(acc, i) -> acc + CAST(ROUND({seg}, 6) AS DECIMAL(28,6)), "
+        "acc -> acc) AS DOUBLE)"
+    )
+    return t.select(
+        "mmsi",
+        F.size("pts").cast("long").alias("n_instants"),
+        F.expr("array_min(transform(pts, p -> p.lon))").alias("xmin"),
+        F.expr("array_max(transform(pts, p -> p.lon))").alias("xmax"),
+        F.expr("array_min(transform(pts, p -> p.lat))").alias("ymin"),
+        F.expr("array_max(transform(pts, p -> p.lat))").alias("ymax"),
+        F.expr("array_min(transform(pts, p -> p.z))").alias("zmin"),
+        F.expr("array_max(transform(pts, p -> p.z))").alias("zmax"),
+        F.expr("unix_micros(CAST(pts[0].ts AS TIMESTAMP))").alias("tmin_us"),
+        F.expr("unix_micros(CAST(pts[size(pts)-1].ts AS TIMESTAMP))").alias("tmax_us"),
+        length3d.alias("length3d"),
+    )
+
+
 # --- A6: temporal merge of partial trajectories ----------------------------
 
 
@@ -773,6 +857,44 @@ def traj_project_mercator(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             + 0.0
         ).alias("y_merc"),
+    )
+
+
+# --- L2d: general CRS transform (UTM via transverse-mercator series) --------
+
+_UTM_PTS = 4  # posits per vessel (bounded -> VALUES-literal golden stays small)
+
+
+@register(
+    "traj_transform_utm",
+    # transcendental series: last-ulp engine divergence makes a computed SQL
+    # twin unsound; the oracle is a VALUES-literal golden computed Spark-free
+    # by the same public Snyder/Krüger kernel (tools/gen_golden.py), whose
+    # exactness invariants are pinned in tests/test_crs.py
+    oracle=GOLDEN.get("traj_transform_utm"),
+    tags=("L2d", "golden"),
+    doc="general CRS transform (L2 tpoint_transform via PROJ, "
+    "meos-sys/build.rs:6-14): WGS84 lon/lat → UTM zone/easting/northing via "
+    "the Snyder transverse-mercator series in a vectorized pandas_udf — the "
+    f"pyproj-shaped slot, self-contained; first {_UTM_PTS} posits per vessel",
+)
+def traj_transform_utm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meos_rs_spark.functions.crs import (
+        utm_easting_udf,
+        utm_northing_udf,
+        utm_zone_udf,
+    )
+
+    w = Window.partitionBy("mmsi").orderBy("ts", "event_id")
+    pts = posits(spark, sf_dir).withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= _UTM_PTS
+    )
+    return pts.select(
+        "mmsi",
+        "event_id",
+        utm_zone_udf(F.col("lon")).alias("zone"),
+        utm_easting_udf(F.col("lon"), F.col("lat")).alias("easting"),
+        utm_northing_udf(F.col("lon"), F.col("lat")).alias("northing"),
     )
 
 

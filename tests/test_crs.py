@@ -1,0 +1,77 @@
+"""Kernel tests for the UTM transverse-mercator series (functions/crs.py) —
+exactness invariants the formulas guarantee by construction, plus a published
+sample point. These pin the kernel the traj_transform_utm golden oracle is
+generated from."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from meos_rs_spark.functions.crs import _utm_numpy, normalize_lon, utm_zone
+
+
+def test_central_meridian_is_false_easting():
+    # on the central meridian A == 0, so easting must be exactly 500000
+    for lon, lat in [(3.0, 10.0), (9.0, 45.0), (-87.0, 30.0), (147.0, -20.0)]:
+        _, e, _ = _utm_numpy(np.array([lon]), np.array([lat]))
+        assert e[0] == 500000.0
+
+
+def test_equator_is_zero_northing():
+    # at phi == 0 the meridian arc and tan(phi) vanish identically
+    for lon in (-100.0, 0.5, 44.0, 170.0):
+        _, _, n = _utm_numpy(np.array([lon]), np.array([0.0]))
+        assert n[0] == 0.0
+
+
+def test_known_point_zone31():
+    # 1° east of the zone-31 central meridian at 52°N. Expected values
+    # verified against an INDEPENDENT transverse-mercator formulation
+    # (Karney/Krüger n-series to n^4, conformal-latitude route) — the two
+    # implementations agree to ~1 mm; 10 cm tolerance catches any
+    # coefficient or sign regression without depending on pyproj
+    z, e, n = _utm_numpy(np.array([4.0]), np.array([52.0]))
+    assert z[0] == 31
+    assert abs(e[0] - 568649.705) < 0.1
+    assert abs(n[0] - 5761510.317) < 0.1
+
+
+def test_zone_boundaries():
+    assert utm_zone(np.array([-180.0]))[0] == 1
+    assert utm_zone(np.array([-174.001]))[0] == 1
+    assert utm_zone(np.array([-174.0]))[0] == 2
+    assert utm_zone(np.array([0.0]))[0] == 31
+    assert utm_zone(np.array([179.9]))[0] == 60
+    # the fixture's 'longitude' column spans ~0..330 — wraps into [-180, 180)
+    assert normalize_lon(np.array([330.0]))[0] == -30.0
+    assert utm_zone(np.array([330.0]))[0] == 26
+
+
+def test_easting_monotonic_in_lon_within_zone():
+    lons = np.linspace(6.5, 11.5, 21)  # inside zone 32
+    lats = np.full_like(lons, 37.0)
+    _, e, _ = _utm_numpy(lons, lats)
+    assert (np.diff(e) > 0).all()
+
+
+def test_northing_monotonic_in_lat():
+    lats = np.linspace(1.0, 80.0, 40)
+    lons = np.full_like(lats, 9.0)
+    _, _, n = _utm_numpy(lons, lats)
+    assert (np.diff(n) > 0).all()
+
+
+def test_matches_pyproj_if_available():
+    try:
+        from pyproj import Transformer
+    except ImportError:
+        import pytest
+
+        pytest.skip("pyproj not in container")
+    tr = Transformer.from_crs("EPSG:4326", "EPSG:32632", always_xy=True)
+    lons = np.array([7.0, 9.0, 11.0])
+    lats = np.array([10.0, 45.0, 70.0])
+    _, e, n = _utm_numpy(lons, lats)
+    for lo, la, ee, nn in zip(lons, lats, e, n):
+        px, py = tr.transform(lo, la)
+        assert abs(px - ee) < 0.01 and abs(py - nn) < 0.01

@@ -164,6 +164,28 @@ def main() -> None:
         lcss_rows,
     )
 
+    # --- traj_transform_utm: first HEX_PTS posits/vessel -> UTM -------------
+    from meos_rs_spark.functions.crs import _utm_numpy
+
+    rows = []
+    for mmsi, g in posits.groupby("mmsi", sort=True):
+        head = g.head(HEX_PTS)
+        zone, easting, northing = _utm_numpy(
+            head["lon"].to_numpy(float), head["lat"].to_numpy(float)
+        )
+        for eid, z, e_, n_ in zip(head["event_id"], zone, easting, northing):
+            rows.append((int(mmsi), int(eid), int(z), float(e_), float(n_)))
+    golden["traj_transform_utm"] = values_sql(
+        [
+            ("mmsi", "BIGINT"),
+            ("event_id", "BIGINT"),
+            ("zone", "INTEGER"),
+            ("easting", "DOUBLE"),
+            ("northing", "DOUBLE"),
+        ],
+        rows,
+    )
+
     # --- traj_convex_hull ---------------------------------------------------
     rows = []
     for mmsi, g in posits.groupby("mmsi", sort=True):
