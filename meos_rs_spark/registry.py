@@ -59,105 +59,103 @@ def register(
 #
 # The driver records CORRECTNESS rows for only the FIRST 50 entries of
 # ``__spark_entry__.queries()`` (observed: CORRECTNESS_r02.json is exactly
-# registration positions 0-49). Round 2 therefore left the 48 later queries
-# (all traj_*, trajsim_*, win_*, scalar_* and 8 rel_*) with no driver row.
-# This head list surfaces exactly those 48 plus the two round-2 failures
-# fixed in round 3 (src_csv_roundtrip hash, mm_decode_features canon ERR).
-# Queries NOT listed here — the 48 already green/recorded in
-# CORRECTNESS_r02.json plus anything added after round 2 — follow in
-# registration order and rotate into the window next round.
+# registration positions 0-49). Round-4 composition:
+#   (a) the 4 round-3 hash failures (HUGEINT oracle typing, fixed) + the r3
+#       ERR (traj_simplify_dp array canonicalizer crash, fixed) — re-checks;
+#   (b) the formerly rows-only queries upgraded to real oracles this round
+#       (golden VALUES literals / arithmetic decode oracle) + the 3 new
+#       queries (sqlite upsert sink, 3D path, UTM CRS);
+#   (c) the r3 verdict's 10 named priorities;
+#   (d) backlog picks chosen so every SURVEY §2 operator row that currently
+#       has ZERO green member gets one: F4 WKB, tint/ttext/tbool algebra +
+#       tfloat sync, all 4 temporal aggregates, the untested L2b/L2a/L2c/L2g
+#       members, Z/expand/algebra boxes, the serde ingest/malformed/e2e trio,
+#       and the 6 untested source/sink connectors.
+# Everything else (win_*/text_*/sim_*/dedup_*/stream_*/rel_* members of rows
+# that already carry a green driver row) follows in registration order and
+# rotates in next round.
 VERIFY_ORDER_HEAD: tuple[str, ...] = (
-    # round-2 failures, fixed this round
-    "src_csv_roundtrip",
-    "mm_decode_features",
-    # rel_* past position 50 in round 2
-    "rel_topk_orders",
-    "rel_set_ops",
-    "rel_global_metrics",
-    "rel_filter_agg",
+    # (a) round-3 failures, fixed this round
     "rel_conditional_agg",
-    "rel_correlated_subquery",
-    "rel_salted_agg",
-    "rel_disjunctive_join",
-    # scalar battery
-    "scalar_strings",
-    "scalar_dates",
-    "scalar_ts_roundtrip",
-    "scalar_math",
-    "scalar_case_coalesce",
-    "scalar_json",
-    "scalar_arrays",
-    "scalar_regexp",
-    "scalar_maps",
-    # mobility core
-    "traj_assembly",
-    "traj_extent",
-    "traj_merge",
-    "traj_equality",
-    "traj_accessors",
-    "traj_length_speed",
-    "traj_value_at_time",
-    "traj_shift_scale",
-    "traj_sample",
-    "traj_ever_always",
-    "traj_arith",
-    "traj_time_buckets",
     "traj_sessionize",
-    "traj_azimuth",
-    "traj_speed_segments",
-    "traj_at_box",
-    "traj_simplify_dp",
     "traj_spanset_coverage",
-    "traj_project_mercator",
     "traj_tbool_duration",
-    "traj_length_haversine",
-    # similarity DPs
-    "trajsim_hausdorff",
+    "traj_simplify_dp",
+    # (b) rows-only -> real oracles; new queries
+    "serde_hexwkb",
     "trajsim_dtw_frechet",
-    "trajsim_nearest_approach",
-    # window battery
-    "win_lag_dedup",
-    "win_rownum_truncate",
-    "win_rank_dense",
-    "win_lead_gap",
-    "win_rolling_frame",
-    "win_running_total",
-    "win_ntile_first_last",
+    "trajsim_lcss_erp",
+    "traj_convex_hull",
+    "mm_decode_features",
+    "snk_jdbc_upsert",
+    "traj_stbox_z_path",
+    "traj_transform_utm",
+    # (c) r3 verdict priorities
+    "ttype_tfloat_sync_arith",
+    "rel_bloom_join",
+    "sim_ann_multiprobe",
+    "snk_cdc_apply",
+    "snk_compaction",
+    "rel_bitmap_distinct",
+    "dedup_components",
+    "sim_ann_ivf",
+    "sim_pq_ann",
+    "serde_wkb_roundtrip",
+    # (d) operator rows with no green member yet
+    "box_stbox_z",
+    "box_stbox_expand",
+    "box_tbox_algebra",
+    "serde_mfjson_ingest",
+    "serde_wkt_malformed",
+    "serde_e2e_pipeline",
+    "src_csv_malformed",
+    "src_python_datasource",
+    "src_schema_evolution",
+    "src_orc_roundtrip",
+    "src_binaryfile_ingest",
+    "src_partition_pruning",
+    "ttype_tint_step",
+    "ttype_ttext_ops",
+    "ttype_tbool_algebra",
+    "traj_minus_box",
+    "traj_at_value",
+    "traj_interp_mixed",
+    "traj_cumulative_length",
+    "traj_resample_linear",
+    "traj_tcount_sweep",
+    "traj_tcentroid",
+    "traj_twavg",
+    "traj_tmax_sweep",
+    "trajsim_nearest_instant",
+    "trajsim_tdwithin",
+    "trajsim_tdistance",
 )
 
 
-# ROUND-4 ROTATION (do this FIRST in the r4 session): replace
-# VERIFY_ORDER_HEAD with the 63 queries that have no driver row yet
-# (51 > 50: drop the lowest-risk names — e.g. the win_*/scalar_* style
-# batteries already twice-proven locally — to fit the 50-entry window) —
-#   box_stbox_z serde_wkb_roundtrip serde_mfjson_ingest dedup_components
-#   ttype_tint_step ttype_ttext_ops mm_resize mm_frame_sample traj_minus_box
-#   traj_stops traj_tcount_sweep traj_tcentroid trajsim_nearest_instant
-#   trajsim_tdwithin sim_ann_ivf text_decontaminate text_repetition
-#   text_curation_pipeline src_partition_pruning stream_interval_join
-#   rel_pivot rel_unpivot rel_percentiles rel_grouping_sets traj_twavg
-#   traj_resample_linear trajsim_tdistance box_stbox_expand
-#   src_schema_evolution traj_unnest_instants text_hash_split
+# ROUND-5 ROTATION (do this FIRST in the r5 session): replace
+# VERIFY_ORDER_HEAD with the remaining never-checked queries —
+#   win_percent_rank_cume win_range_interval win_gap_islands
+#   win_event_transitions win_running_distinct win_rolling_median
+#   scalar_try_arith scalar_bitwise
+#   rel_grouping_sets rel_pivot rel_unpivot rel_percentiles rel_salted_join
+#   rel_lateral_topn rel_approx_distinct rel_approx_percentiles
+#   rel_funnel_steps rel_cohort_retention rel_scd2_intervals
+#   rel_join_asof_nearest
+#   dedup_normalized dedup_minhash_estimate dedup_containment
+#   dedup_chunk_level dedup_semantic
+#   sim_knn_graph sim_kmeans_iter sim_ann_recall sim_prefix_rerank
+#   sim_pagerank sim_mmr_rerank sim_embedding_neardup
+#   text_decontaminate text_repetition text_curation_pipeline text_hash_split
 #   text_quota_sample text_shard_packing text_length_histogram
-#   traj_space_time_grid sim_kmeans_iter src_orc_roundtrip rel_salted_join
-#   stream_doc_curation win_percent_rank_cume traj_at_value traj_tmax_sweep
-#   text_top_ngrams text_tfidf_topterms dedup_minhash_estimate
-#   traj_speed_filter sim_ann_recall scalar_try_arith text_chunking
-#   text_unigram_logprob dedup_chunk_level sim_prefix_rerank
-#   src_csv_malformed sim_knn_graph win_range_interval
-#   traj_cumulative_length ttype_tbool_algebra serde_e2e_pipeline
-#   rel_lateral_topn src_python_datasource text_entropy
-#   traj_geofence_events dedup_normalized scalar_bitwise rel_approx_distinct
-#   traj_turning_points sim_pq_ann sim_pagerank trajsim_lcss_erp
-#   text_pii_scrub rel_join_asof_nearest box_tbox_algebra serde_wkt_malformed traj_interp_mixed stream_fingerprint_dedup rel_funnel_steps rel_cohort_retention traj_convex_hull win_event_transitions win_running_distinct
-#   dedup_semantic traj_od_matrix text_mixture_weights text_gopher_rules
-#   traj_zorder_key rel_scd2_intervals rel_approx_percentiles sim_mmr_rerank
-#   win_rolling_median traj_ewma src_binaryfile_ingest
-#   ttype_tfloat_sync_arith rel_bloom_join sim_ann_multiprobe
-#   dedup_containment snk_compaction snk_cdc_apply rel_bitmap_distinct
-#   win_gap_islands
-# plus any r4 additions, backfilled to 50 with r2-green names; update
-# tests/test_registry_order.py to match.
+#   text_top_ngrams text_tfidf_topterms text_chunking text_unigram_logprob
+#   text_entropy text_pii_scrub text_mixture_weights text_gopher_rules
+#   traj_stops traj_turning_points traj_geofence_events traj_speed_filter
+#   traj_space_time_grid traj_od_matrix traj_zorder_key traj_ewma
+#   traj_unnest_instants mm_resize mm_frame_sample
+#   stream_interval_join stream_doc_curation stream_fingerprint_dedup
+# (> 50 again: keep any r4 REDs first, then fill in this order; drop the
+# tail to next round) plus any r5 additions; update
+# tests/test_registry_order.py expectations if the count changes.
 
 
 def ordered_registry() -> dict[str, QuerySpec]:
