@@ -208,6 +208,24 @@ def test_pq_ann_is_all_broadcast(spark):
     assert plan.count("BroadcastHashJoin") >= 5, plan[:2000]
 
 
+def test_stbox_z_path_single_shuffle(spark):
+    # assembly is ONE groupBy(mmsi) exchange; extent + 3D length both read
+    # the assembled array column, so no second aggregation pass or join
+    plan = _plan(spark, "traj_stbox_z_path")
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
+
+
+def test_utm_transform_is_arrow_batched_map(spark):
+    # the CRS kernel must be an Arrow-batched pandas_udf (ArrowEvalPython),
+    # never row-at-a-time (BatchEvalPython); one window shuffle for the
+    # per-vessel head bound, nothing else
+    plan = _plan(spark, "traj_transform_utm")
+    assert "ArrowEvalPython" in plan, plan[:2000]
+    assert "BatchEvalPython" not in plan, plan[:2000]
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+
+
 def test_turning_points_single_exchange(spark):
     # two stacked windows + final agg all share one (mmsi) partitioning:
     # exactly one shuffle of the posit fact
