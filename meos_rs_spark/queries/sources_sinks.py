@@ -722,11 +722,18 @@ _UPSERT_BATCH = 50  # instants per prepared statement (ais_to_db.rs:57)
 def _trip_normalize(points: list) -> list:
     """Keep, per timestamp, the (priority, event_id)-max point; sort by ts.
     The merge semantics of public.update(old, new, true): the incoming batch
-    wins where timestamps collide."""
+    wins where timestamps collide. Ties extend to the coordinate reprs so the
+    winner never depends on arrival order — merge stays commutative even for
+    degenerate inputs where distinct points share (ts, pri, event_id), which
+    property tests exercise (the fixture's unique event_id can't)."""
+
+    def rank(p: list) -> tuple:
+        return (p[4], p[3], repr(p[1]), repr(p[2]))
+
     best: dict = {}
     for p in points:  # [ts_us, lon, lat, event_id, pri]
         b = best.get(p[0])
-        if b is None or (p[4], p[3]) > (b[4], b[3]):
+        if b is None or rank(p) > rank(b):
             best[p[0]] = p
     return [best[k] for k in sorted(best)]
 

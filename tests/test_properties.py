@@ -93,3 +93,60 @@ def test_erp_metric_properties(a, b):
     lhs = erp_distance(a, b, g)
     rhs = erp_distance(a, c, g) + erp_distance(c, b, g)
     assert lhs <= rhs + 1e-9
+
+
+# --- upsert-sink merge algebra (snk_jdbc_upsert partition-order freedom) ----
+#
+# The sqlite ON CONFLICT merge applies per-partition batches in whatever
+# order executors land; the final store is deterministic ONLY if the merge
+# is commutative, associative, and idempotent over normalized trips. Pin
+# exactly those properties on the pure kernel.
+
+_point = st.tuples(
+    st.integers(min_value=0, max_value=20),      # ts_us (small domain -> collisions)
+    st.floats(-180, 180, allow_nan=False),       # lon
+    st.floats(-90, 90, allow_nan=False),         # lat
+    st.integers(min_value=0, max_value=5),       # event_id (collisions likely)
+    st.integers(min_value=0, max_value=1),       # pri
+).map(list)
+_trip = st.lists(_point, max_size=12)
+
+
+@given(_trip, _trip)
+@settings(max_examples=200, deadline=None)
+def test_trip_merge_commutative(a, b):
+    import json
+
+    from meos_rs_spark.queries.sources_sinks import _trip_merge_json, _trip_normalize
+
+    ja, jb = json.dumps(_trip_normalize(a)), json.dumps(_trip_normalize(b))
+    assert _trip_merge_json(ja, jb) == _trip_merge_json(jb, ja)
+
+
+@given(_trip, _trip, _trip)
+@settings(max_examples=200, deadline=None)
+def test_trip_merge_associative(a, b, c):
+    import json
+
+    from meos_rs_spark.queries.sources_sinks import _trip_merge_json, _trip_normalize
+
+    ja, jb, jc = (json.dumps(_trip_normalize(x)) for x in (a, b, c))
+    assert _trip_merge_json(_trip_merge_json(ja, jb), jc) == _trip_merge_json(
+        ja, _trip_merge_json(jb, jc)
+    )
+
+
+@given(_trip)
+@settings(max_examples=200, deadline=None)
+def test_trip_merge_idempotent_and_normalize_stable(a):
+    import json
+
+    from meos_rs_spark.queries.sources_sinks import _trip_merge_json, _trip_normalize
+
+    n = _trip_normalize(a)
+    assert _trip_normalize(n) == n  # normalize is a projection
+    ja = json.dumps(n)
+    assert _trip_merge_json(ja, ja) == ja  # re-delivery of a batch is a no-op
+    # one point per timestamp, sorted
+    ts = [p[0] for p in n]
+    assert ts == sorted(set(ts))
