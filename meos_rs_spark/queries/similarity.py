@@ -708,8 +708,13 @@ SELECT node, pr FROM pr{PR_ITERS}
     "for parity with the oracle.",
 )
 def sim_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meos_rs_spark.functions.staging import stage
+
     emb = load_table(spark, sf_dir, "embeddings")
-    edges = sim_knn_graph(spark, sf_dir).select("src", "dst").cache()
+    # corpus-sized edge fact read by all 3 unrolled iterations — parquet
+    # staging table, not an executor-memory pin (same rationale as the
+    # minhash shingles; at 100 TB the kNN edge list is 3x the corpus)
+    edges = stage(sim_knn_graph(spark, sf_dir).select("src", "dst"), "pagerank_edges")
     nodes = emb.select(F.col("vec_id").alias("node"))
     nn = nodes.agg(F.count("*").cast("double").alias("n"))
     deg = edges.groupBy("src").agg(F.count("*").cast("double").alias("outdeg"))
@@ -814,19 +819,28 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vn2") + F.col("cn2") - 2 * seq_dot(F.col("embedding"), F.col("ce")),
     )
     wv = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cent_id").asc())
-    cells = (
+    from meos_rs_spark.functions.staging import stage
+
+    # stage only the NARROW assignment (vec_id, vn2, cluster_id): the k-means
+    # pass runs once and its result is durable, but re-writing the embedding
+    # arrays would double-store the corpus — both pair-join sides instead
+    # re-attach embeddings from the SOURCE parquet (already columnar and
+    # durable) via a vec_id equi-join, so no materialization ever assumes
+    # executor memory fits the embedded corpus
+    cells = stage(
         assign.withColumn("__rn", F.row_number().over(wv))
         .filter(F.col("__rn") == 1)
-        .select("vec_id", "embedding", "vn2", F.col("cent_id").alias("cluster_id"))
-        .cache()
+        .select("vec_id", "vn2", F.col("cent_id").alias("cluster_id")),
+        "semantic_cells",
     )
-    a = cells.select(
+    src = emb.select("vec_id", "embedding")
+    a = cells.join(src, "vec_id").select(
         F.col("cluster_id"),
         F.col("vec_id").alias("va"),
         F.col("embedding").alias("ea"),
         F.col("vn2").alias("na"),
     )
-    b = cells.select(
+    b = cells.join(src, "vec_id").select(
         F.col("cluster_id"),
         F.col("vec_id").alias("vb"),
         F.col("embedding").alias("eb"),
@@ -957,11 +971,16 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     wp = Window.partitionBy("probe_id").orderBy(F.col("rel").desc(), F.col("vec_id").asc())
-    cand = (
+    from meos_rs_spark.functions.staging import stage
+
+    # bounded to MMR_POOL rows per probe, but the greedy unroll below reads
+    # it 3+ times — stage once (uniform with the other materializations;
+    # with many probes this pool is corpus-scale too)
+    cand = stage(
         scored.withColumn("__rn", F.row_number().over(wp))
         .filter(F.col("__rn") <= MMR_POOL)
-        .select("probe_id", "vec_id", "ce", "cn2", "rel")
-        .cache()
+        .select("probe_id", "vec_id", "ce", "cn2", "rel"),
+        "mmr_pool",
     )
 
     def pick(df: DataFrame) -> DataFrame:
