@@ -61,6 +61,46 @@ def test_northing_monotonic_in_lat():
     assert (np.diff(n) > 0).all()
 
 
+def test_matches_independent_karney_series():
+    """Cross-check the Snyder kernel against a structurally different
+    transverse-mercator formulation (Karney/Krüger n-series to n^4 via the
+    conformal latitude) — agreement to 2 mm over the whole usable domain
+    means a shared-constant or series-coefficient bug in either would show."""
+    a_ = 6378137.0
+    f = 1 / 298.257223563
+    n = f / (2 - f)
+    k0, e0 = 0.9996, 500000.0
+    big_a = a_ / (1 + n) * (1 + n**2 / 4 + n**4 / 64)
+    alpha = [
+        0.0,
+        n / 2 - 2 * n**2 / 3 + 5 * n**3 / 16 + 41 * n**4 / 180,
+        13 * n**2 / 48 - 3 * n**3 / 5 + 557 * n**4 / 1440,
+        61 * n**3 / 240 - 103 * n**4 / 140,
+        49561 * n**4 / 161280,
+    ]
+    ecc = np.sqrt(f * (2 - f))
+
+    def karney(lon, lat, lon0):
+        phi = np.deg2rad(lat)
+        lam = np.deg2rad(lon - lon0)
+        t = np.sinh(np.arctanh(np.sin(phi)) - ecc * np.arctanh(ecc * np.sin(phi)))
+        xi_ = np.arctan2(t, np.cos(lam))
+        eta_ = np.arcsinh(np.sin(lam) / np.hypot(t, np.cos(lam)))
+        xi = xi_ + sum(alpha[j] * np.sin(2 * j * xi_) * np.cosh(2 * j * eta_) for j in range(1, 5))
+        eta = eta_ + sum(alpha[j] * np.cos(2 * j * xi_) * np.sinh(2 * j * eta_) for j in range(1, 5))
+        return e0 + k0 * big_a * eta, k0 * big_a * xi
+
+    rng = np.random.default_rng(11)
+    lons = rng.uniform(-179.0, 179.0, 60)
+    lats = rng.uniform(0.5, 82.0, 60)
+    zone = utm_zone(lons)
+    lon0 = zone * 6.0 - 183.0
+    _, e_s, n_s = _utm_numpy(lons, lats)
+    for lo, la, l0, ee, nn in zip(lons, lats, lon0, e_s, n_s):
+        ke, kn = karney(lo, la, l0)
+        assert abs(ke - ee) < 0.002 and abs(kn - nn) < 0.002, (lo, la)
+
+
 def test_matches_pyproj_if_available():
     try:
         from pyproj import Transformer
