@@ -171,25 +171,36 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # but paid two extra fact-sized shuffles — distinct + join back — which is
     # the wrong trade at 100 TB, where the global dictionary itself is huge;
     # measured 6.1s vs 5.3s warm at sf0.1 for candidate generation.)
-    sig = sh.groupBy("doc_id").agg(
-        *[F.min(F.md5(F.concat("sh", F.lit(f"#{j}")))).alias(f"h{j}") for j in range(N_HASHES)]
+    # ONE aggregation pass over the fact yields both the 16-way signature AND
+    # the per-doc shingle count (sizes) — the r4 rewrite folded what was a
+    # second full groupBy over the fact into this pass. Staged (|docs| rows):
+    # every downstream consumer — band buckets for both self-join sides, the
+    # hot-bucket census, sizes — is a scan + map of this tiny table, so the
+    # fact-sized signature aggregation runs exactly once and no in-memory
+    # assumption survives to 100 TB.
+    sig = stage(
+        sh.groupBy("doc_id").agg(
+            *[
+                F.min(F.md5(F.concat("sh", F.lit(f"#{j}")))).alias(f"h{j}")
+                for j in range(N_HASHES)
+            ],
+            F.count(F.lit(1)).alias("n"),
+        ),
+        "minhash_sig",
     )
     band_cols = [
         F.md5(F.concat_ws("|", *[f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)])).alias(f"band{b}")
         for b in range(N_BANDS)
     ]
     banded = sig.select("doc_id", *band_cols)
+    # band explode is a map-only derivation of the staged signatures — cheap
+    # to recompute per consumer, so it needs no materialization of its own
     buckets = banded.select(
         "doc_id",
         F.explode(
             F.array(*[F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("key")) for b in range(N_BANDS)])
         ).alias("bk"),
     ).select("doc_id", F.col("bk.band_id").alias("band_id"), F.col("bk.key").alias("key"))
-    # materialize the bucket table once: BOTH sides of the candidate self-join
-    # read it, and without materialization Spark recomputes the full corpus
-    # minhash per side. Staged to parquet (|docs|×4 tiny rows), same rationale
-    # as the shingles above — no in-memory assumption survives to 100 TB.
-    buckets = stage(buckets, "minhash_buckets")
     # hot-bucket cap: skewed keys are BY DEFINITION few, so the over-cap key
     # list aggregates to a tiny frame — broadcast anti-join beats a window
     # count (which sorts every bucket partition just to drop a handful)
@@ -209,7 +220,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
         .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sizes = sig.select("doc_id", "n")  # free: carried by the signature pass
     # the Jaccard re-rank only touches candidate docs — semi-join the shingle
     # fact table down to them first (at 100 TB the candidate set is orders of
     # magnitude smaller than the corpus; sizes stay full-corpus by definition)
