@@ -38,6 +38,9 @@ def stage(df: DataFrame, name: str) -> DataFrame:
         root = None
     if not root:
         root = os.path.join(tempfile.gettempdir(), "meos_rs_staging")
-    path = os.path.join(root, name)
+    # namespace by application id: two Spark sessions on one machine (a bench
+    # run next to a test run) must never overwrite each other's staged tables
+    # mid-read; within one session the overwrite keeps reruns idempotent
+    path = os.path.join(root, spark.sparkContext.applicationId, name)
     df.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
