@@ -16,10 +16,35 @@ prefix (HDFS/S3); locally it defaults to the system temp dir. Set
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
+import time
 
 from pyspark.sql import DataFrame
+
+_STALE_AFTER_S = 24 * 3600
+_CLEANUP_REGISTERED: set[str] = set()
+
+
+def _register_cleanup(app_dir: str, root: str) -> None:
+    """Own staged tables are deleted at interpreter exit; sibling app dirs
+    untouched for >24h belong to sessions that died before their atexit ran
+    and are pruned opportunistically — staged intermediates (the shingle fact
+    alone is ~10x the corpus) must not accumulate across bench/test rounds."""
+    if app_dir in _CLEANUP_REGISTERED:
+        return
+    _CLEANUP_REGISTERED.add(app_dir)
+    atexit.register(shutil.rmtree, app_dir, True)
+    cutoff = time.time() - _STALE_AFTER_S
+    try:
+        for d in os.listdir(root):
+            p = os.path.join(root, d)
+            if p != app_dir and os.path.isdir(p) and os.path.getmtime(p) < cutoff:
+                shutil.rmtree(p, ignore_errors=True)
+    except OSError:
+        pass
 
 
 def stage(df: DataFrame, name: str) -> DataFrame:
@@ -41,6 +66,8 @@ def stage(df: DataFrame, name: str) -> DataFrame:
     # namespace by application id: two Spark sessions on one machine (a bench
     # run next to a test run) must never overwrite each other's staged tables
     # mid-read; within one session the overwrite keeps reruns idempotent
-    path = os.path.join(root, spark.sparkContext.applicationId, name)
+    app_dir = os.path.join(root, spark.sparkContext.applicationId)
+    _register_cleanup(app_dir, root)
+    path = os.path.join(app_dir, name)
     df.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)

@@ -809,7 +809,11 @@ def snk_jdbc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     import json
     import sqlite3
 
-    db_dir = _scratch(sf_dir, "trips_db")
+    # namespace by application id, same invariant as functions/staging.py:
+    # another session's delete+rebuild must never land mid-upsert of ours
+    db_dir = os.path.join(
+        _scratch(sf_dir, "trips_db"), spark.sparkContext.applicationId
+    )
     os.makedirs(db_dir, exist_ok=True)
     db_path = os.path.join(db_dir, "trips.sqlite")
     for suffix in ("", "-wal", "-shm"):

@@ -136,6 +136,22 @@ def traj_extent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Z_EXPR = "CAST(event_id % 500 AS DOUBLE) / 10.0"
 
+_Z_SEG = (
+    "sqrt( (pts[i].lon - pts[i-1].lon) * (pts[i].lon - pts[i-1].lon)"
+    "    + (pts[i].lat - pts[i-1].lat) * (pts[i].lat - pts[i-1].lat)"
+    "    + (pts[i].z   - pts[i-1].z)   * (pts[i].z   - pts[i-1].z) )"
+)
+# guard the single-instant group: sequence(1, 0) DESCENDS in Spark (ANSI),
+# so an unguarded fold would index pts[1] out of bounds for a 1-point vessel
+# — latent with the current fixtures (>=45 posits/vessel), fatal on any regen
+# with a singleton (regression-tested in tests/test_trajectory.py)
+Z_LENGTH3D_EXPR = (
+    "CASE WHEN size(pts) < 2 THEN CAST(0.0 AS DOUBLE) ELSE "
+    "CAST(aggregate(sequence(1, size(pts) - 1), CAST(0 AS DECIMAL(38,6)), "
+    f"(acc, i) -> acc + CAST(ROUND({_Z_SEG}, 6) AS DECIMAL(28,6)), "
+    "acc -> acc) AS DOUBLE) END"
+)
+
 
 @register(
     "traj_stbox_z_path",
@@ -182,16 +198,7 @@ def traj_stbox_z_path(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.collect_list(F.struct("ts", "event_id", "lon", "lat", "z"))
         ).alias("pts")
     )
-    seg = (
-        "sqrt( (pts[i].lon - pts[i-1].lon) * (pts[i].lon - pts[i-1].lon)"
-        "    + (pts[i].lat - pts[i-1].lat) * (pts[i].lat - pts[i-1].lat)"
-        "    + (pts[i].z   - pts[i-1].z)   * (pts[i].z   - pts[i-1].z) )"
-    )
-    length3d = F.expr(
-        "CAST(aggregate(sequence(1, size(pts) - 1), CAST(0 AS DECIMAL(38,6)), "
-        f"(acc, i) -> acc + CAST(ROUND({seg}, 6) AS DECIMAL(28,6)), "
-        "acc -> acc) AS DOUBLE)"
-    )
+    length3d = F.expr(Z_LENGTH3D_EXPR)
     return t.select(
         "mmsi",
         F.size("pts").cast("long").alias("n_instants"),

@@ -105,3 +105,28 @@ def test_merge_stored_side_wins_ts_collision(spark):
     assert len(pts) == 1 and pts[0].lon == 9.0 and pts[0].lat == 9.0
     # and the merged point schema stays (ts, lon, lat) — no side tag leaks out
     assert list(pts[0].asDict()) == ["ts", "lon", "lat"]
+
+
+def test_z_length_fold_handles_singleton_group(spark):
+    # sequence(1, 0) DESCENDS under ANSI mode, so an unguarded fold indexes
+    # pts[1] out of bounds for a 1-point vessel; the guarded production
+    # expression must return exactly 0.0 instead of throwing
+    from meos_rs_spark.queries.trajectory import Z_LENGTH3D_EXPR
+
+    df = spark.sql(
+        "SELECT array(named_struct("
+        "'ts', TIMESTAMP_NTZ'2024-01-01 00:00:00', 'event_id', 1L, "
+        "'lon', 1.0D, 'lat', 2.0D, 'z', 3.0D)) AS pts"
+    )
+    row = df.selectExpr(f"{Z_LENGTH3D_EXPR} AS length3d").collect()[0]
+    assert row.length3d == 0.0
+    # two-point sanity: 3-4-12 right-triangle-ish => sqrt(9+16+144) = 13
+    df2 = spark.sql(
+        "SELECT array("
+        "named_struct('ts', TIMESTAMP_NTZ'2024-01-01 00:00:00', 'event_id', 1L,"
+        " 'lon', 0.0D, 'lat', 0.0D, 'z', 0.0D),"
+        "named_struct('ts', TIMESTAMP_NTZ'2024-01-01 01:00:00', 'event_id', 2L,"
+        " 'lon', 3.0D, 'lat', 4.0D, 'z', 12.0D)) AS pts"
+    )
+    row2 = df2.selectExpr(f"{Z_LENGTH3D_EXPR} AS length3d").collect()[0]
+    assert row2.length3d == 13.0

@@ -38,13 +38,17 @@ from meos_rs_spark.functions.similarity import (  # noqa: E402
 from meos_rs_spark.functions.simplify import douglas_peucker_mask  # noqa: E402
 from meos_rs_spark.functions.trajectory import POSITS_CTE  # noqa: E402
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+# the ACTUAL tuning constants from the query modules — importing them (rather
+# than copying values here) makes constant drift between a query and its
+# golden oracle structurally impossible
+from meos_rs_spark.queries.serialization import _HEX_PTS as HEX_PTS  # noqa: E402
+from meos_rs_spark.queries.trajectory import (  # noqa: E402
+    _DP_EPSILON as DP_EPSILON,
+    _UTM_PTS as UTM_PTS,
+)
+from meos_rs_spark.queries.trajsim import K_VESSELS, LCSS_EPS  # noqa: E402
 
-# keep in lockstep with the query modules (imported there from these names)
-DP_EPSILON = 5.0  # queries/trajectory.py _DP_EPSILON
-K_VESSELS = 8  # queries/trajsim.py
-LCSS_EPS = 25.0  # queries/trajsim.py
-HEX_PTS = 4  # queries/serialization.py _HEX_PTS
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 
 
 def _lit(v) -> str:
@@ -164,12 +168,12 @@ def main() -> None:
         lcss_rows,
     )
 
-    # --- traj_transform_utm: first HEX_PTS posits/vessel -> UTM -------------
+    # --- traj_transform_utm: first UTM_PTS posits/vessel -> UTM -------------
     from meos_rs_spark.functions.crs import _utm_numpy
 
     rows = []
     for mmsi, g in posits.groupby("mmsi", sort=True):
-        head = g.head(HEX_PTS)
+        head = g.head(UTM_PTS)
         zone, easting, northing = _utm_numpy(
             head["lon"].to_numpy(float), head["lat"].to_numpy(float)
         )
