@@ -47,6 +47,11 @@ BENCH_QUERIES = [
     # semantic dedup — the embedding-space answer to MinHash; pair work is
     # confined to k-means cells so the hot loop is cell-local)
     "dedup_semantic",
+    # round-4 additions: the 3D struct-fold family (single-shuffle assembly +
+    # sequential decimal fold over the assembled array) and the CRS kernel
+    # (Arrow-batched pandas_udf throughput — the pyproj-shaped slot)
+    "traj_stbox_z_path",
+    "traj_transform_utm",
 ]
 
 
