@@ -59,103 +59,87 @@ def register(
 #
 # The driver records CORRECTNESS rows for only the FIRST 50 entries of
 # ``__spark_entry__.queries()`` (observed: CORRECTNESS_r02.json is exactly
-# registration positions 0-49). Round-4 composition:
-#   (a) the 4 round-3 hash failures (HUGEINT oracle typing, fixed) + the r3
-#       ERR (traj_simplify_dp array canonicalizer crash, fixed) — re-checks;
-#   (b) the formerly rows-only queries upgraded to real oracles this round
-#       (golden VALUES literals / arithmetic decode oracle) + the 3 new
-#       queries (sqlite upsert sink, 3D path, UTM CRS);
-#   (c) the r3 verdict's 10 named priorities;
-#   (d) backlog picks chosen so every SURVEY §2 operator row that currently
-#       has ZERO green member gets one: F4 WKB, tint/ttext/tbool algebra +
-#       tfloat sync, all 4 temporal aggregates, the untested L2b/L2a/L2c/L2g
-#       members, Z/expand/algebra boxes, the serde ingest/malformed/e2e trio,
-#       and the 6 untested source/sink connectors.
-# Everything else (win_*/text_*/sim_*/dedup_*/stream_*/rel_* members of rows
-# that already carry a green driver row) follows in registration order and
-# rotates in next round.
+# registration positions 0-49). Round-5 composition: round 4 came back 50/50
+# green with zero reds to re-check, so this round's window is 50 of the 60
+# queries that have never held a driver row (the whole remaining backlog
+# minus 10 deferrals). The 10 deferred to round 6 are exactly the
+# never-checked queries whose SURVEY §2 operator row ALREADY carries a green
+# driver member (lowest marginal information): rel_approx_distinct,
+# rel_approx_percentiles, rel_lateral_topn, rel_join_asof_nearest,
+# dedup_normalized, traj_zorder_key, traj_ewma, traj_unnest_instants,
+# traj_speed_filter, traj_turning_points.
 VERIFY_ORDER_HEAD: tuple[str, ...] = (
-    # (a) round-3 failures, fixed this round
-    "rel_conditional_agg",
-    "traj_sessionize",
-    "traj_spanset_coverage",
-    "traj_tbool_duration",
-    "traj_simplify_dp",
-    # (b) rows-only -> real oracles; new queries
-    "serde_hexwkb",
-    "trajsim_dtw_frechet",
-    "trajsim_lcss_erp",
-    "traj_convex_hull",
-    "mm_decode_features",
-    "snk_jdbc_upsert",
-    "traj_stbox_z_path",
-    "traj_transform_utm",
-    # (c) r3 verdict priorities
-    "ttype_tfloat_sync_arith",
-    "rel_bloom_join",
-    "sim_ann_multiprobe",
-    "snk_cdc_apply",
-    "snk_compaction",
-    "rel_bitmap_distinct",
-    "dedup_components",
-    "sim_ann_ivf",
-    "sim_pq_ann",
-    "serde_wkb_roundtrip",
-    # (d) operator rows with no green member yet
-    "box_stbox_z",
-    "box_stbox_expand",
-    "box_tbox_algebra",
-    "serde_mfjson_ingest",
-    "serde_wkt_malformed",
-    "serde_e2e_pipeline",
-    "src_csv_malformed",
-    "src_python_datasource",
-    "src_schema_evolution",
-    "src_orc_roundtrip",
-    "src_binaryfile_ingest",
-    "src_partition_pruning",
-    "ttype_tint_step",
-    "ttype_ttext_ops",
-    "ttype_tbool_algebra",
-    "traj_minus_box",
-    "traj_at_value",
-    "traj_interp_mixed",
-    "traj_cumulative_length",
-    "traj_resample_linear",
-    "traj_tcount_sweep",
-    "traj_tcentroid",
-    "traj_twavg",
-    "traj_tmax_sweep",
-    "trajsim_nearest_instant",
-    "trajsim_tdwithin",
-    "trajsim_tdistance",
+    # windows battery (6 never-checked members of the W row)
+    "win_percent_rank_cume",
+    "win_range_interval",
+    "win_gap_islands",
+    "win_event_transitions",
+    "win_running_distinct",
+    "win_rolling_median",
+    # scalar battery stragglers
+    "scalar_try_arith",
+    "scalar_bitwise",
+    # grouping-sets / pivot family + analytic rel queries
+    "rel_grouping_sets",
+    "rel_pivot",
+    "rel_unpivot",
+    "rel_percentiles",
+    "rel_salted_join",
+    "rel_funnel_steps",
+    "rel_cohort_retention",
+    "rel_scd2_intervals",
+    # dedup fidelity tier (operator rows with zero green member)
+    "dedup_minhash_estimate",
+    "dedup_containment",
+    "dedup_chunk_level",
+    "dedup_semantic",
+    # similarity graph / clustering / recall tier (zero green member)
+    "sim_knn_graph",
+    "sim_kmeans_iter",
+    "sim_ann_recall",
+    "sim_prefix_rerank",
+    "sim_pagerank",
+    "sim_mmr_rerank",
+    # text battery (Gopher/entropy/TF-IDF/decontamination + sampling family)
+    "text_gopher_rules",
+    "text_entropy",
+    "text_repetition",
+    "text_unigram_logprob",
+    "text_tfidf_topterms",
+    "text_top_ngrams",
+    "text_pii_scrub",
+    "text_decontaminate",
+    "text_chunking",
+    "text_hash_split",
+    "text_quota_sample",
+    "text_shard_packing",
+    "text_length_histogram",
+    "text_mixture_weights",
+    "text_curation_pipeline",
+    # trajectory L2d/L2h stragglers
+    "traj_stops",
+    "traj_geofence_events",
+    "traj_space_time_grid",
+    "traj_od_matrix",
+    # multimodal geometry contracts
+    "mm_resize",
+    "mm_frame_sample",
+    # streaming stragglers
+    "stream_interval_join",
+    "stream_doc_curation",
+    "stream_fingerprint_dedup",
 )
 
 
-# ROUND-5 ROTATION (do this FIRST in the r5 session): replace
-# VERIFY_ORDER_HEAD with the remaining never-checked queries —
-#   win_percent_rank_cume win_range_interval win_gap_islands
-#   win_event_transitions win_running_distinct win_rolling_median
-#   scalar_try_arith scalar_bitwise
-#   rel_grouping_sets rel_pivot rel_unpivot rel_percentiles rel_salted_join
-#   rel_lateral_topn rel_approx_distinct rel_approx_percentiles
-#   rel_funnel_steps rel_cohort_retention rel_scd2_intervals
-#   rel_join_asof_nearest
-#   dedup_normalized dedup_minhash_estimate dedup_containment
-#   dedup_chunk_level dedup_semantic
-#   sim_knn_graph sim_kmeans_iter sim_ann_recall sim_prefix_rerank
-#   sim_pagerank sim_mmr_rerank sim_embedding_neardup
-#   text_decontaminate text_repetition text_curation_pipeline text_hash_split
-#   text_quota_sample text_shard_packing text_length_histogram
-#   text_top_ngrams text_tfidf_topterms text_chunking text_unigram_logprob
-#   text_entropy text_pii_scrub text_mixture_weights text_gopher_rules
-#   traj_stops traj_turning_points traj_geofence_events traj_speed_filter
-#   traj_space_time_grid traj_od_matrix traj_zorder_key traj_ewma
-#   traj_unnest_instants mm_resize mm_frame_sample
-#   stream_interval_join stream_doc_curation stream_fingerprint_dedup
-# (> 50 again: keep any r4 REDs first, then fill in this order; drop the
-# tail to next round) plus any r5 additions; update
-# tests/test_registry_order.py expectations if the count changes.
+# ROUND-6 ROTATION (do this FIRST in the r6 session): keep any r5 REDs
+# first, then the final never-checked queries —
+#   rel_approx_distinct rel_approx_percentiles rel_lateral_topn
+#   rel_join_asof_nearest dedup_normalized traj_zorder_key traj_ewma
+#   traj_unnest_instants traj_speed_filter traj_turning_points
+# plus any queries added in r5 (traj_transform_lcc) and r6; after that the
+# backlog is CLEAR — refill remaining slots with the oldest green rows
+# (r1/r2 checks) for re-verification. Update tests/test_registry_order.py
+# expectations if the count changes.
 
 
 def ordered_registry() -> dict[str, QuerySpec]:
