@@ -810,11 +810,14 @@ def snk_jdbc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     import sqlite3
 
     # namespace by application id, same invariant as functions/staging.py:
-    # another session's delete+rebuild must never land mid-upsert of ours
-    db_dir = os.path.join(
-        _scratch(sf_dir, "trips_db"), spark.sparkContext.applicationId
-    )
-    os.makedirs(db_dir, exist_ok=True)
+    # another session's delete+rebuild must never land mid-upsert of ours.
+    # Lifecycle via the staging module: atexit removal + stale-sibling prune,
+    # so per-app sqlite dirs don't accumulate across sessions (ADVICE r4).
+    from meos_rs_spark.functions.staging import adopt_app_dir
+
+    db_root = _scratch(sf_dir, "trips_db")
+    db_dir = os.path.join(db_root, spark.sparkContext.applicationId)
+    adopt_app_dir(db_dir, db_root)
     db_path = os.path.join(db_dir, "trips.sqlite")
     for suffix in ("", "-wal", "-shm"):
         if os.path.exists(db_path + suffix):
