@@ -85,6 +85,82 @@ def _utm_numpy(lon: np.ndarray, lat: np.ndarray) -> tuple[np.ndarray, np.ndarray
     return zone, easting, northing
 
 
+# --- Lambert conformal conic, 2 standard parallels (Snyder §15) -------------
+#
+# Unlike transverse mercator, LCC 2SP is an exact closed form — no series
+# truncation. ``lcc_2sp`` builds a projection function from the five zone
+# parameters + ellipsoid, which is how the kernel generalizes past UTM: any
+# conic EPSG zone (Lambert-93, US State Plane Lambert zones, Europe LCC) is
+# one constant-tuple away. The registered query instance is Lambert-93
+# (EPSG:2154, RGF93 / GRS80) — the conic national grid PROJ ships for France.
+
+
+def lcc_2sp(
+    a: float,
+    f: float,
+    phi1_deg: float,
+    phi2_deg: float,
+    phi0_deg: float,
+    lon0_deg: float,
+    false_e: float,
+    false_n: float,
+):
+    """Build a closed-form LCC-2SP forward transform (Snyder eqs 15-1..15-10,
+    14-15). Returns ``fn(lon, lat) -> (easting, northing)`` over numpy
+    arrays. Latitudes are clipped away from the far pole (|phi| <= 84°),
+    where ``t`` diverges."""
+    e2 = f * (2.0 - f)
+    ecc = float(np.sqrt(e2))
+
+    def _m(phi: float | np.ndarray) -> float | np.ndarray:
+        return np.cos(phi) / np.sqrt(1.0 - e2 * np.sin(phi) ** 2)
+
+    def _t(phi: float | np.ndarray) -> float | np.ndarray:
+        sin_p = np.sin(phi)
+        return np.tan(np.pi / 4.0 - phi / 2.0) / (
+            (1.0 - ecc * sin_p) / (1.0 + ecc * sin_p)
+        ) ** (ecc / 2.0)
+
+    phi1, phi2 = np.deg2rad(phi1_deg), np.deg2rad(phi2_deg)
+    phi0, lam0 = np.deg2rad(phi0_deg), np.deg2rad(lon0_deg)
+    n = (np.log(_m(phi1)) - np.log(_m(phi2))) / (np.log(_t(phi1)) - np.log(_t(phi2)))
+    big_f = _m(phi1) / (n * _t(phi1) ** n)
+    rho0 = a * big_f * _t(phi0) ** n
+
+    def forward(lon: np.ndarray, lat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        lon_n = normalize_lon(np.asarray(lon, dtype=np.float64))
+        lat_c = np.clip(np.asarray(lat, dtype=np.float64), -84.0, 84.0)
+        phi = np.deg2rad(lat_c)
+        theta = n * (np.deg2rad(lon_n) - lam0)
+        rho = a * big_f * _t(phi) ** n
+        return false_e + rho * np.sin(theta), false_n + rho0 - rho * np.cos(theta)
+
+    return forward
+
+
+# GRS80 ellipsoid (RGF93 datum; identical axis to WGS84, flattening differs
+# in the 10th significant digit)
+_GRS80_A = 6378137.0
+_GRS80_F = 1.0 / 298.257222101
+
+#: Lambert-93 / EPSG:2154 forward transform
+_lcc93_numpy = lcc_2sp(
+    _GRS80_A, _GRS80_F, 44.0, 49.0, 46.5, 3.0, 700000.0, 6600000.0
+)
+
+
+@pandas_udf(DoubleType())
+def lcc93_x_udf(lon: pd.Series, lat: pd.Series) -> pd.Series:
+    x, _ = _lcc93_numpy(lon.to_numpy(np.float64), lat.to_numpy(np.float64))
+    return pd.Series(x)
+
+
+@pandas_udf(DoubleType())
+def lcc93_y_udf(lon: pd.Series, lat: pd.Series) -> pd.Series:
+    _, y = _lcc93_numpy(lon.to_numpy(np.float64), lat.to_numpy(np.float64))
+    return pd.Series(y)
+
+
 @pandas_udf(IntegerType())
 def utm_zone_udf(lon: pd.Series) -> pd.Series:
     return pd.Series(utm_zone(lon.to_numpy(dtype=np.float64)))

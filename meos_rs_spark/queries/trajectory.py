@@ -905,6 +905,37 @@ def traj_transform_utm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "traj_transform_lcc",
+    # closed-form but transcendental (t^n, log/pow): same last-ulp engine
+    # divergence as UTM, so the oracle is a VALUES-literal golden computed
+    # Spark-free by the same kernel (tools/gen_golden.py); the kernel itself
+    # is pinned by origin-exactness invariants, the Snyder PP1395 §15 book
+    # example, and an independent isometric-latitude formulation in
+    # tests/test_crs.py
+    oracle=GOLDEN.get("traj_transform_lcc"),
+    tags=("L2d", "golden"),
+    doc="second CRS family (L2 tpoint_transform via PROJ, "
+    "meos-sys/build.rs:6-14): WGS84 lon/lat → Lambert-93 (EPSG:2154, conic) "
+    "x/y via the closed-form LCC-2SP kernel in a vectorized pandas_udf — "
+    "proves the CRS slot generalizes beyond cylindrical projections; first "
+    f"{_UTM_PTS} posits per vessel, same selection as traj_transform_utm",
+)
+def traj_transform_lcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meos_rs_spark.functions.crs import lcc93_x_udf, lcc93_y_udf
+
+    w = Window.partitionBy("mmsi").orderBy("ts", "event_id")
+    pts = posits(spark, sf_dir).withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= _UTM_PTS
+    )
+    return pts.select(
+        "mmsi",
+        "event_id",
+        lcc93_x_udf(F.col("lon"), F.col("lat")).alias("x_lcc"),
+        lcc93_y_udf(F.col("lon"), F.col("lat")).alias("y_lcc"),
+    )
+
+
 # --- L2f: temporal boolean + duration-where-true ----------------------------
 
 

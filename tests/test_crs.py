@@ -7,7 +7,13 @@ from __future__ import annotations
 
 import numpy as np
 
-from meos_rs_spark.functions.crs import _utm_numpy, normalize_lon, utm_zone
+from meos_rs_spark.functions.crs import (
+    _lcc93_numpy,
+    _utm_numpy,
+    lcc_2sp,
+    normalize_lon,
+    utm_zone,
+)
 
 
 def test_central_meridian_is_false_easting():
@@ -115,3 +121,95 @@ def test_matches_pyproj_if_available():
     for lo, la, ee, nn in zip(lons, lats, e, n):
         px, py = tr.transform(lo, la)
         assert abs(px - ee) < 0.01 and abs(py - nn) < 0.01
+
+
+# --- Lambert conformal conic (2SP) kernel -----------------------------------
+
+
+def test_lcc_grid_origin_is_false_origin():
+    # at (lon0, phi0): theta == 0 and rho == rho0, so (E0, N0) exactly
+    # (up to one ulp of the rho0 - rho cancellation)
+    x, y = _lcc93_numpy(np.array([3.0]), np.array([46.5]))
+    assert abs(x[0] - 700000.0) < 1e-6
+    assert abs(y[0] - 6600000.0) < 1e-6
+
+
+def test_lcc_snyder_book_example():
+    """Snyder PP 1395 §15 numerical example (p. 296): Clarke 1866,
+    standard parallels 33°/45°N, origin 23°N 96°W; the point 35°N 75°W
+    projects to x = 1 894 410.9, y = 1 564 649.5 — pins every constant in
+    the closed form against published values."""
+    a, b = 6378206.4, 6356583.8
+    tx = lcc_2sp(a, 1.0 - b / a, 33.0, 45.0, 23.0, -96.0, 0.0, 0.0)
+    x, y = tx(np.array([-75.0]), np.array([35.0]))
+    assert abs(x[0] - 1894410.9) < 0.1
+    assert abs(y[0] - 1564649.5) < 0.1
+
+
+def test_lcc_paris_landmark():
+    # Notre-Dame de Paris in Lambert-93 — the conventional EPSG:2154 sanity
+    # point (known grid coords ~(652.5 km, 6862.0 km))
+    x, y = _lcc93_numpy(np.array([2.3522]), np.array([48.8566]))
+    assert abs(x[0] - 652469.0) < 5.0
+    assert abs(y[0] - 6862035.0) < 5.0
+
+
+def test_lcc_matches_independent_isometric_formulation():
+    """Cross-check against a structurally different route: t(phi) via the
+    isometric latitude (t = exp(-psi), psi = arctanh(sin) - e*arctanh(e sin))
+    instead of Snyder's tan/power-quotient form, with its own n/F/rho
+    recomputation — a transcription error in either formulation would show."""
+    a_, f = 6378137.0, 1.0 / 298.257222101
+    e2 = f * (2 - f)
+    ecc = np.sqrt(e2)
+
+    def t_iso(phi):
+        s = np.sin(phi)
+        return np.exp(-(np.arctanh(s) - ecc * np.arctanh(ecc * s)))
+
+    def m(phi):
+        return np.cos(phi) / np.sqrt(1 - e2 * np.sin(phi) ** 2)
+
+    p1, p2, p0, l0 = map(np.deg2rad, (44.0, 49.0, 46.5, 3.0))
+    n = np.log(m(p1) / m(p2)) / np.log(t_iso(p1) / t_iso(p2))
+    big_f = m(p1) / (n * t_iso(p1) ** n)
+    rho0 = a_ * big_f * t_iso(p0) ** n
+
+    rng = np.random.default_rng(7)
+    lons = rng.uniform(-179.0, 179.0, 60)
+    lats = rng.uniform(-60.0, 83.0, 60)
+    x_s, y_s = _lcc93_numpy(lons, lats)
+    phi = np.deg2rad(lats)
+    theta = n * (np.deg2rad(lons) - l0)
+    rho = a_ * big_f * t_iso(phi) ** n
+    x_i = 700000.0 + rho * np.sin(theta)
+    y_i = 6600000.0 + rho0 - rho * np.cos(theta)
+    np.testing.assert_allclose(x_s, x_i, rtol=0, atol=1e-5)
+    np.testing.assert_allclose(y_s, y_i, rtol=0, atol=1e-5)
+
+
+def test_lcc_monotonicity_in_zone():
+    # within the zone (theta small, n > 0): easting increases with lon,
+    # northing increases with lat
+    lons = np.linspace(-4.0, 9.0, 27)
+    x, _ = _lcc93_numpy(lons, np.full_like(lons, 46.5))
+    assert (np.diff(x) > 0).all()
+    lats = np.linspace(41.0, 51.0, 21)
+    _, y = _lcc93_numpy(np.full_like(lats, 3.0), lats)
+    assert (np.diff(y) > 0).all()
+
+
+def test_lcc_matches_pyproj_if_available():
+    try:
+        from pyproj import Transformer
+    except ImportError:
+        import pytest
+
+        pytest.skip("pyproj not in container")
+    tr = Transformer.from_crs("EPSG:4326", "EPSG:2154", always_xy=True)
+    lons = np.array([-1.5, 2.35, 5.0, 7.7])
+    lats = np.array([43.5, 48.86, 44.0, 49.5])
+    x, y = _lcc93_numpy(lons, lats)
+    for lo, la, xx, yy in zip(lons, lats, x, y):
+        px, py = tr.transform(lo, la)
+        assert abs(px - xx) < 0.01 and abs(py - yy) < 0.01

@@ -190,6 +190,25 @@ def main() -> None:
         rows,
     )
 
+    # --- traj_transform_lcc: same selection -> Lambert-93 (EPSG:2154) -------
+    from meos_rs_spark.functions.crs import _lcc93_numpy
+
+    rows = []
+    for mmsi, g in posits.groupby("mmsi", sort=True):
+        head = g.head(UTM_PTS)
+        x, y = _lcc93_numpy(head["lon"].to_numpy(float), head["lat"].to_numpy(float))
+        for eid, x_, y_ in zip(head["event_id"], x, y):
+            rows.append((int(mmsi), int(eid), float(x_), float(y_)))
+    golden["traj_transform_lcc"] = values_sql(
+        [
+            ("mmsi", "BIGINT"),
+            ("event_id", "BIGINT"),
+            ("x_lcc", "DOUBLE"),
+            ("y_lcc", "DOUBLE"),
+        ],
+        rows,
+    )
+
     # --- traj_convex_hull ---------------------------------------------------
     rows = []
     for mmsi, g in posits.groupby("mmsi", sort=True):
