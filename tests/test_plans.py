@@ -226,6 +226,15 @@ def test_utm_transform_is_arrow_batched_map(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
 
 
+def test_lcc_transform_is_arrow_batched_map(spark):
+    # the conic kernel rides the same contract as the UTM one: Arrow-batched
+    # pandas_udf, one window shuffle for the per-vessel head bound
+    plan = _plan(spark, "traj_transform_lcc")
+    assert "ArrowEvalPython" in plan, plan[:2000]
+    assert "BatchEvalPython" not in plan, plan[:2000]
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+
+
 def test_turning_points_single_exchange(spark):
     # two stacked windows + final agg all share one (mmsi) partitioning:
     # exactly one shuffle of the posit fact
