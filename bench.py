@@ -52,6 +52,9 @@ BENCH_QUERIES = [
     # (Arrow-batched pandas_udf throughput — the pyproj-shaped slot)
     "traj_stbox_z_path",
     "traj_transform_utm",
+    # round-5 addition: the conic CRS closed form (second projection family
+    # through the same Arrow-batched kernel slot)
+    "traj_transform_lcc",
 ]
 
 
