@@ -329,11 +329,21 @@ def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     def write_batch(batch_df, batch_id):
         batch_df.write.mode("append").parquet(store)
 
+    # each invocation needs a FRESH checkpoint (a reused one replays nothing
+    # and the store would come back empty), but uuid-suffixed dirs must not
+    # accumulate forever — nest them under an app-namespaced dir with the
+    # staging lifecycle (atexit removal + stale-sibling prune)
+    from meos_rs_spark.functions.staging import adopt_app_dir
+
+    ckpt_root = os.path.join(tempfile.gettempdir(), "meos_rs_spark_ckpt")
+    app_dir = os.path.join(ckpt_root, spark.sparkContext.applicationId)
+    adopt_app_dir(app_dir, ckpt_root)
+
     ev = _stream_events(spark, sf_dir)
     q = (
         ev.writeStream.foreachBatch(write_batch)
         .trigger(availableNow=True)
-        .option("checkpointLocation", store + "_ckpt_" + uuid.uuid4().hex[:8])
+        .option("checkpointLocation", os.path.join(app_dir, uuid.uuid4().hex[:8]))
         .start()
     )
     q.awaitTermination()
