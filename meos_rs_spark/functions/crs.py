@@ -135,6 +135,24 @@ def lcc_2sp(
         rho = a * big_f * _t(phi) ** n
         return false_e + rho * np.sin(theta), false_n + rho0 - rho * np.cos(theta)
 
+    def inverse(x: np.ndarray, y: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Snyder eqs 15-11..14 + the 7-9/3-5 fixed-point iteration for phi
+        (converges quadratically; 8 rounds reach double precision)."""
+        dx = np.asarray(x, dtype=np.float64) - false_e
+        dy = rho0 - (np.asarray(y, dtype=np.float64) - false_n)
+        rho = np.sign(n) * np.hypot(dx, dy)
+        theta = np.arctan2(np.sign(n) * dx, np.sign(n) * dy)
+        t = (rho / (a * big_f)) ** (1.0 / n)
+        lam = theta / n + lam0
+        phi = np.pi / 2.0 - 2.0 * np.arctan(t)
+        for _ in range(8):
+            sin_p = np.sin(phi)
+            phi = np.pi / 2.0 - 2.0 * np.arctan(
+                t * ((1.0 - ecc * sin_p) / (1.0 + ecc * sin_p)) ** (ecc / 2.0)
+            )
+        return np.rad2deg(lam), np.rad2deg(phi)
+
+    forward.inverse = inverse
     return forward
 
 

@@ -199,6 +199,27 @@ def test_lcc_monotonicity_in_zone():
     assert (np.diff(y) > 0).all()
 
 
+def test_lcc_roundtrip_property():
+    """hypothesis: forward∘inverse == identity over the usable domain —
+    the sharpest self-consistency check a projection closed form admits
+    (a wrong constant cannot cancel through both directions)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        lon=st.floats(min_value=-179.99, max_value=179.99),
+        lat=st.floats(min_value=-83.9, max_value=83.9),
+    )
+    def check(lon: float, lat: float) -> None:
+        x, y = _lcc93_numpy(np.array([lon]), np.array([lat]))
+        lon2, lat2 = _lcc93_numpy.inverse(x, y)
+        assert abs(lon2[0] - lon) < 1e-9
+        assert abs(lat2[0] - lat) < 1e-9
+
+    check()
+
+
 def test_lcc_matches_pyproj_if_available():
     try:
         from pyproj import Transformer
