@@ -15,6 +15,13 @@ def spark():
     from meos_rs_spark.session import get_spark
 
     cpus = int(os.environ.get("SPARK_GRAFT_TEST_CPUS", "8"))
-    spark = get_spark(app_name="meos-rs-spark-tests", cpus=cpus, shuffle_partitions=8)
+    # SPARK_GRAFT_TEST_SHUFFLE lets the parity suite re-run under an
+    # adversarial partition count (e.g. 3, 17): every oracle hash must be
+    # invariant to how rows distribute across shuffle partitions, or the
+    # query's aggregation isn't order-independent and would flake at scale
+    shuffle = int(os.environ.get("SPARK_GRAFT_TEST_SHUFFLE", "8"))
+    spark = get_spark(
+        app_name="meos-rs-spark-tests", cpus=cpus, shuffle_partitions=shuffle
+    )
     yield spark
     spark.stop()
