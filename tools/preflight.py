@@ -46,6 +46,12 @@ def main() -> int:
     import __spark_entry__ as entry
 
     queries, oracles = entry.queries(), entry.oracle_sql()
+    # golden VALUES oracles are pinned at sf0.01 — at any other scale run
+    # those queries rows-only instead of two-leg
+    from meos_rs_spark.registry import load_registry
+
+    specs = load_registry()
+    golden_ok = sf_dir.rstrip("/").endswith("sf0.01")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -56,7 +62,9 @@ def main() -> int:
     for name in names:
         try:
             sdf = queries[name](spark, sf_dir)
-            if name in oracles:
+            if "golden" in specs[name].tags and not golden_ok:
+                assert sdf.count() >= 0
+            elif name in oracles:
                 issues = compare(sdf, con.sql(oracles[name]).df(), name)
                 if issues:
                     bad.append((name, issues))
