@@ -39,32 +39,44 @@ _MEMO: dict[tuple[str, str], tuple[str, str]] = {}
 
 
 def _touch_live(app_dir: str) -> None:
-    """Refresh this session's liveness marker.
+    """Refresh this session's liveness marker (mtime + owning PID).
 
-    Called on every ``stage()`` — writes AND memoized reads — so a session
-    that staged its tables early but keeps reading them hours later still
-    advertises liveness. Sibling pruning keys on this marker, not on the
-    app dir's own mtime (which goes stale the moment writes stop).
+    Called on every ``stage()`` — writes AND memoized reads. The marker
+    carries the owner's PID so pruning can check REAL liveness: a session
+    that staged its tables early and then only reads them through
+    already-returned DataFrame scans never calls ``stage()`` again, so its
+    marker mtime alone would go stale while the session is still alive.
     """
     try:
         marker = os.path.join(app_dir, _LIVE_MARKER)
-        with open(marker, "a"):
-            os.utime(marker, None)
+        with open(marker, "w") as f:
+            f.write(str(os.getpid()))
+        os.utime(marker, None)
     except OSError:
         pass
 
 
-def _sibling_mtime(path: str) -> float:
-    """A sibling app dir's freshness = its liveness marker if present, else
-    the dir mtime (sessions from before the marker existed)."""
+def _sibling_prunable(path: str, cutoff: float) -> bool:
+    """A sibling app dir may be pruned only if its marker is stale AND its
+    owning process is gone (PID check; staging roots are machine-local, so
+    the owner — if alive — is on this machine). Marker-less dirs (sessions
+    from before the marker existed) fall back to dir mtime."""
     marker = os.path.join(path, _LIVE_MARKER)
     try:
-        return os.path.getmtime(marker)
+        mtime = os.path.getmtime(marker)
     except OSError:
         try:
-            return os.path.getmtime(path)
+            return os.path.getmtime(path) < cutoff
         except OSError:
-            return time.time()  # racing a concurrent delete — leave it alone
+            return False  # racing a concurrent delete — leave it alone
+    if mtime >= cutoff:
+        return False
+    try:
+        pid = int(open(marker).read().strip())
+        os.kill(pid, 0)  # raises if no such process
+        return False  # owner still alive (or PID reused — keep, it's cheap)
+    except (OSError, ValueError):
+        return True
 
 
 def _register_cleanup(app_dir: str, root: str) -> None:
@@ -81,7 +93,7 @@ def _register_cleanup(app_dir: str, root: str) -> None:
     try:
         for d in os.listdir(root):
             p = os.path.join(root, d)
-            if p != app_dir and os.path.isdir(p) and _sibling_mtime(p) < cutoff:
+            if p != app_dir and os.path.isdir(p) and _sibling_prunable(p, cutoff):
                 shutil.rmtree(p, ignore_errors=True)
     except OSError:
         pass

@@ -52,24 +52,42 @@ def test_live_marker_exists_and_refreshes(spark):
     assert os.path.getmtime(marker) > old + 1800
 
 
+def _make_app_dir(root: str, name: str, marker_pid=None, marker_age=None, dir_age=None):
+    p = os.path.join(root, name)
+    os.makedirs(p)
+    if marker_pid is not None:
+        marker = os.path.join(p, staging._LIVE_MARKER)
+        with open(marker, "w") as f:
+            f.write(str(marker_pid))
+        if marker_age is not None:
+            t = time.time() - marker_age
+            os.utime(marker, (t, t))
+    if dir_age is not None:
+        t = time.time() - dir_age
+        os.utime(p, (t, t))
+    return p
+
+
 def test_stale_sibling_pruning_respects_liveness(tmp_path):
     root = str(tmp_path)
-    stale_t = time.time() - staging._STALE_AFTER_S - 60
-    # dead session: marker last refreshed beyond the cutoff
-    dead = os.path.join(root, "app-dead")
-    os.makedirs(dead)
-    open(os.path.join(dead, staging._LIVE_MARKER), "w").close()
-    os.utime(os.path.join(dead, staging._LIVE_MARKER), (stale_t, stale_t))
-    # long-lived session: dir mtime stale (staged early) but marker fresh —
-    # the exact case the r4 ADVICE flagged; must NOT be pruned
-    live = os.path.join(root, "app-live")
-    os.makedirs(live)
-    open(os.path.join(live, staging._LIVE_MARKER), "w").close()
-    os.utime(live, (stale_t, stale_t))
-    # pre-marker legacy dir, stale by dir mtime
-    legacy = os.path.join(root, "app-legacy")
-    os.makedirs(legacy)
-    os.utime(legacy, (stale_t, stale_t))
+    stale = staging._STALE_AFTER_S + 60
+    # guaranteed-dead PID: fork a child that exits immediately
+    dead_pid = os.fork()
+    if dead_pid == 0:
+        os._exit(0)
+    os.waitpid(dead_pid, 0)
+
+    # dead session: marker beyond the cutoff, owner PID gone -> pruned
+    dead = _make_app_dir(root, "app-dead", marker_pid=dead_pid, marker_age=stale)
+    # marker fresh (session called stage() recently) -> kept
+    fresh = _make_app_dir(root, "app-fresh", marker_pid=dead_pid, marker_age=0)
+    # >24h session that staged early but whose OWNER PROCESS is still alive
+    # (here: this very process) -> kept even though the marker mtime is stale
+    idle_live = _make_app_dir(
+        root, "app-idle-live", marker_pid=os.getpid(), marker_age=stale
+    )
+    # pre-marker legacy dir, stale by dir mtime -> pruned
+    legacy = _make_app_dir(root, "app-legacy", dir_age=stale)
 
     me = os.path.join(root, "app-me")
     os.makedirs(me)
@@ -77,5 +95,6 @@ def test_stale_sibling_pruning_respects_liveness(tmp_path):
 
     assert not os.path.isdir(dead)
     assert not os.path.isdir(legacy)
-    assert os.path.isdir(live)
+    assert os.path.isdir(fresh)
+    assert os.path.isdir(idle_live)
     assert os.path.isdir(me)
