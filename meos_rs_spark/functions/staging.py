@@ -73,10 +73,15 @@ def _sibling_prunable(path: str, cutoff: float) -> bool:
         return False
     try:
         pid = int(open(marker).read().strip())
-        os.kill(pid, 0)  # raises if no such process
-        return False  # owner still alive (or PID reused — keep, it's cheap)
     except (OSError, ValueError):
-        return True
+        return True  # stale marker, owner unknowable
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return True  # owner provably gone
+    except OSError:
+        return False  # EPERM: process EXISTS under another uid — alive
+    return False  # owner still alive (or PID reused — keep, it's cheap)
 
 
 def _register_cleanup(app_dir: str, root: str) -> None:
@@ -149,6 +154,10 @@ def stage(df: DataFrame, name: str) -> DataFrame:
     # run next to a test run) must never overwrite each other's staged tables
     # mid-read; within one session the overwrite keeps reruns idempotent
     app_dir = os.path.join(root, spark.sparkContext.applicationId)
+    # the dir must exist BEFORE the liveness touch: on the session's first
+    # stage() call the parquet write hasn't created it yet, and a swallowed
+    # marker-write failure would leave the session on the dir-mtime prune path
+    os.makedirs(app_dir, exist_ok=True)
     _register_cleanup(app_dir, root)
     _touch_live(app_dir)
     path = os.path.join(app_dir, name)

@@ -140,6 +140,10 @@ VERIFY_ORDER_HEAD: tuple[str, ...] = (
 # backlog is CLEAR — refill remaining slots with the oldest green rows
 # (r1/r2 checks) for re-verification. Update tests/test_registry_order.py
 # expectations if the count changes.
+# (The r4 staging note listed sim_embedding_neardup as never-checked; that
+# was stale — it has a green r2 CORRECTNESS row. The authoritative backlog
+# is registry-minus-union-of-CORRECTNESS-artifacts, which this rotation was
+# computed from.)
 
 
 def ordered_registry() -> dict[str, QuerySpec]:

@@ -10,8 +10,12 @@ numpy.ndarray`` on traj_simplify_dp before its output moved to
 query: complex values must be rendered to strings (``array_join``,
 ``to_json``) before they reach the output schema.
 
-Schema derivation is analysis-only (no job runs), so this sweep is cheap
-even over all 200 queries.
+Note on cost: schema derivation itself is analysis-only, but building the
+DataFrame means CALLING each query fn, and some fns execute eagerly on the
+way to their final plan (staging-table writes, streaming awaitTermination,
+the sqlite upsert). The sweep therefore runs real jobs for those queries —
+accepted deliberately: the fence must cover the whole registry, and the
+sf0.001 fixtures keep it to ~2 minutes.
 """
 
 from __future__ import annotations

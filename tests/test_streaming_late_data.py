@@ -4,8 +4,13 @@ streaming queries all replay the fixture in file order, which under
 of genuinely LATE data was never stressed. Here the fixture is split into
 two files where the file arriving SECOND holds the OLDER half of the
 timeline (plus re-arrivals of keys already seen in file one), replayed one
-file per micro-batch, so by batch 2 the watermark has advanced past every
-event in it.
+file per micro-batch, so every batch-2 event is LATE in processing order:
+it arrives after state and watermark were built from strictly newer data.
+(The watermark itself — max event time minus DEDUP_WATERMARK's span-covering
+delay — deliberately stays BEHIND the late events: that is what obliges the
+operators to absorb them instead of discarding them, and what makes the
+batch oracle exact. Shrinking the delay below the event span changes the
+regime to genuine sub-watermark drops and breaks the oracle.)
 
 Semantics pinned (the incremental-merge model of ``ais_to_db.rs:156-161``):
 

@@ -22,19 +22,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
 
-TABLES = (
-    "region nation customer supplier part orders lineitem events documents embeddings"
-).split()
-
-
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
 
-    import duckdb
     from pyspark.sql import SparkSession
 
-    from tests.oracle import compare
+    from tests.oracle import compare, duck_connection
 
     spark = (
         SparkSession.builder.master("local[8]")
@@ -52,9 +46,7 @@ def main() -> int:
 
     specs = load_registry()
     golden_ok = sf_dir.rstrip("/").endswith("sf0.01")
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    con = duck_connection(sf_dir)  # same fixture views as the pytest gate
 
     bad: list[tuple[str, object]] = []
     names = list(queries)[:n]
