@@ -137,9 +137,22 @@ VERIFY_ORDER_HEAD: tuple[str, ...] = (
 #   rel_join_asof_nearest dedup_normalized traj_zorder_key traj_ewma
 #   traj_unnest_instants traj_speed_filter traj_turning_points
 # plus any queries added in r5 (traj_transform_lcc) and r6; after that the
-# backlog is CLEAR — refill remaining slots with the oldest green rows
-# (r1/r2 checks) for re-verification. Update tests/test_registry_order.py
-# expectations if the count changes.
+# backlog is CLEAR — refill the remaining 39 slots with the oldest green
+# rows for re-verification. Computed from the CORRECTNESS artifacts (last
+# check r1/r2, oldest round first then registration order):
+#   box_tbox_predicates box_int_to_tbox box_stbox_overlap_join dedup_exact
+#   dedup_minhash_lsh dedup_simhash dedup_ngram_jaccard
+#   flagship_trip_pipeline mm_metadata serde_wkt_roundtrip serde_mfjson
+#   serde_wkt_forms serde_wkt_seqset sim_cosine_topk sim_ann_lsh
+#   sim_embedding_neardup snk_jsonl_trips snk_upsert_merge
+#   src_catalog_bootstrap snk_partitioned_write snk_bucketed_join
+#   stream_tumbling_counts stream_session_windows stream_stateful_assembly
+#   stream_sliding_counts stream_dedup_watermark stream_foreachbatch_sink
+#   text_quality text_langid text_token_count text_fingerprint
+#   rel_projection_rename rel_group_having rel_pricing_summary
+#   rel_join_inner_broadcast rel_join_left_outer rel_join_full_outer
+#   rel_join_semi rel_join_anti
+# Update tests/test_registry_order.py expectations if the count changes.
 # (The r4 staging note listed sim_embedding_neardup as never-checked; that
 # was stale — it has a green r2 CORRECTNESS row. The authoritative backlog
 # is registry-minus-union-of-CORRECTNESS-artifacts, which this rotation was
