@@ -31,8 +31,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Ordered via ``registry.ordered_registry()``: the driver records
     CORRECTNESS rows for the first 50 entries only, so the queries that
-    still need a driver row this round (``registry.VERIFY_ORDER_HEAD``)
-    come first; already-verified ones rotate to the back.
+    still need a driver row this round (``registry.verify_order_head()``,
+    computed from the CORRECTNESS artifacts) come first; already-verified
+    ones rotate to the back, oldest green first.
     """
     from meos_rs_spark.registry import ordered_registry
 

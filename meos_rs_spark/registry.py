@@ -19,7 +19,12 @@ value hash), so specs here follow strict determinism rules:
 
 from __future__ import annotations
 
-from collections.abc import Callable
+import functools
+import glob
+import json
+import os
+import re
+from collections.abc import Callable, Sequence
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -55,123 +60,93 @@ def register(
     return deco
 
 
-# --- driver verification window (rotated per round) -------------------------
+# --- driver verification window (computed per round) ------------------------
 #
 # The driver records CORRECTNESS rows for only the FIRST 50 entries of
 # ``__spark_entry__.queries()`` (observed: CORRECTNESS_r02.json is exactly
-# registration positions 0-49). Round-5 composition: round 4 came back 50/50
-# green with zero reds to re-check, so this round's window is 50 of the 60
-# queries that have never held a driver row (the whole remaining backlog
-# minus 10 deferrals). The 10 deferred to round 6 are exactly the
-# never-checked queries whose SURVEY §2 operator row ALREADY carries a green
-# driver member (lowest marginal information): rel_approx_distinct,
-# rel_approx_percentiles, rel_lateral_topn, rel_join_asof_nearest,
-# dedup_normalized, traj_zorder_key, traj_ewma, traj_unnest_instants,
-# traj_speed_filter, traj_turning_points.
-VERIFY_ORDER_HEAD: tuple[str, ...] = (
-    # windows battery (6 never-checked members of the W row)
-    "win_percent_rank_cume",
-    "win_range_interval",
-    "win_gap_islands",
-    "win_event_transitions",
-    "win_running_distinct",
-    "win_rolling_median",
-    # scalar battery stragglers
-    "scalar_try_arith",
-    "scalar_bitwise",
-    # grouping-sets / pivot family + analytic rel queries
-    "rel_grouping_sets",
-    "rel_pivot",
-    "rel_unpivot",
-    "rel_percentiles",
-    "rel_salted_join",
-    "rel_funnel_steps",
-    "rel_cohort_retention",
-    "rel_scd2_intervals",
-    # dedup fidelity tier (operator rows with zero green member)
-    "dedup_minhash_estimate",
-    "dedup_containment",
-    "dedup_chunk_level",
-    "dedup_semantic",
-    # similarity graph / clustering / recall tier (zero green member)
-    "sim_knn_graph",
-    "sim_kmeans_iter",
-    "sim_ann_recall",
-    "sim_prefix_rerank",
-    "sim_pagerank",
-    "sim_mmr_rerank",
-    # text battery (Gopher/entropy/TF-IDF/decontamination + sampling family)
-    "text_gopher_rules",
-    "text_entropy",
-    "text_repetition",
-    "text_unigram_logprob",
-    "text_tfidf_topterms",
-    "text_top_ngrams",
-    "text_pii_scrub",
-    "text_decontaminate",
-    "text_chunking",
-    "text_hash_split",
-    "text_quota_sample",
-    "text_shard_packing",
-    "text_length_histogram",
-    "text_mixture_weights",
-    "text_curation_pipeline",
-    # trajectory L2d/L2h stragglers
-    "traj_stops",
-    "traj_geofence_events",
-    "traj_space_time_grid",
-    "traj_od_matrix",
-    # multimodal geometry contracts
-    "mm_resize",
-    "mm_frame_sample",
-    # streaming stragglers
-    "stream_interval_join",
-    "stream_doc_curation",
-    "stream_fingerprint_dedup",
-)
+# registration positions 0-49), so the head of ``ordered_registry()`` IS the
+# driver's check set. Rounds 2-5 hand-listed the head; since round 6 it is
+# COMPUTED from the committed CORRECTNESS_r*.json artifacts (r5 VERDICT
+# item 5) with the rule the hand lists were following all along:
+#
+#   1. queries whose LATEST driver row is red — fix-and-reverify first;
+#   2. queries that have never held a driver row, in registration order;
+#   3. green queries, oldest latest-check round first (registration order as
+#      the tiebreak) — the steady-state re-verification refill.
+#
+# tests/test_registry_order.py pins the expected tuple for the current round.
+# When the driver commits a new CORRECTNESS artifact at round end, the pin
+# goes stale and the next session's first pytest run fails loudly — forcing
+# the new round to review and refresh the rotation, which is exactly the
+# per-round discipline the old comment asked for in prose.
+
+DRIVER_WINDOW = 50
 
 
-# ROUND-6 ROTATION (do this FIRST in the r6 session): keep any r5 REDs
-# first, then the final never-checked queries —
-#   rel_approx_distinct rel_approx_percentiles rel_lateral_topn
-#   rel_join_asof_nearest dedup_normalized traj_zorder_key traj_ewma
-#   traj_unnest_instants traj_speed_filter traj_turning_points
-# plus any queries added in r5 (traj_transform_lcc) and r6; after that the
-# backlog is CLEAR — refill the remaining 39 slots with the oldest green
-# rows for re-verification. Computed from the CORRECTNESS artifacts (last
-# check r1/r2, oldest round first then registration order):
-#   box_tbox_predicates box_int_to_tbox box_stbox_overlap_join dedup_exact
-#   dedup_minhash_lsh dedup_simhash dedup_ngram_jaccard
-#   flagship_trip_pipeline mm_metadata serde_wkt_roundtrip serde_mfjson
-#   serde_wkt_forms serde_wkt_seqset sim_cosine_topk sim_ann_lsh
-#   sim_embedding_neardup snk_jsonl_trips snk_upsert_merge
-#   src_catalog_bootstrap snk_partitioned_write snk_bucketed_join
-#   stream_tumbling_counts stream_session_windows stream_stateful_assembly
-#   stream_sliding_counts stream_dedup_watermark stream_foreachbatch_sink
-#   text_quality text_langid text_token_count text_fingerprint
-#   rel_projection_rename rel_group_having rel_pricing_summary
-#   rel_join_inner_broadcast rel_join_left_outer rel_join_full_outer
-#   rel_join_semi rel_join_anti
-# Update tests/test_registry_order.py expectations if the count changes.
-# (The r4 staging note listed sim_embedding_neardup as never-checked; that
-# was stale — it has a green r2 CORRECTNESS row. The authoritative backlog
-# is registry-minus-union-of-CORRECTNESS-artifacts, which this rotation was
-# computed from.)
+@functools.lru_cache(maxsize=1)
+def _correctness_history() -> dict[str, tuple[int, bool]]:
+    """Per query: (latest round with a driver row, was that latest row green).
+
+    A row is green when rows+schema matched with no error and the value hash
+    did not mismatch (``hash_match`` of ``None`` is the historical rows-only
+    check — treated as green-but-weaker, same as the driver does).
+    """
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest: dict[str, tuple[int, bool]] = {}
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if m is None:
+            continue
+        with open(path, encoding="utf-8") as fh:
+            rows = json.load(fh)
+        for name, row in rows.items():
+            green = (
+                bool(row.get("rows_match"))
+                and bool(row.get("schema_match"))
+                and row.get("hash_match") is not False
+                and not row.get("err")
+            )
+            latest[name] = (int(m.group(1)), green)
+    return latest
+
+
+def compute_verify_head(
+    names: Sequence[str], window: int = DRIVER_WINDOW
+) -> tuple[str, ...]:
+    """Derive the driver-window head from the CORRECTNESS artifacts.
+
+    ``names`` is the full registry in registration order; the result is the
+    first ``window`` queries by (red, never-checked, oldest-green) priority.
+    With no artifacts present (fresh clone pre-round-2) this degrades to the
+    first ``window`` registered queries.
+    """
+    latest = _correctness_history()
+    pos = {n: i for i, n in enumerate(names)}
+    reds = [n for n in names if n in latest and not latest[n][1]]
+    never = [n for n in names if n not in latest]
+    greens = sorted(
+        (n for n in names if n in latest and latest[n][1]),
+        key=lambda n: (latest[n][0], pos[n]),
+    )
+    return tuple((*reds, *never, *greens))[:window]
+
+
+def verify_order_head() -> tuple[str, ...]:
+    """The current round's driver check set, computed from the artifacts."""
+    return compute_verify_head(list(load_registry()))
 
 
 def ordered_registry() -> dict[str, QuerySpec]:
     """Registry re-ordered so this round's verification targets come first.
 
     ``__spark_entry__.queries()`` iterates this dict; the driver checks its
-    first 50 entries, so VERIFY_ORDER_HEAD IS the driver's check set.
+    first 50 entries, so ``verify_order_head()`` IS the driver's check set.
     """
     qs = load_registry()
-    missing = [n for n in VERIFY_ORDER_HEAD if n not in qs]
-    if missing:
-        raise RuntimeError(f"VERIFY_ORDER_HEAD names not registered: {missing}")
-    head = set(VERIFY_ORDER_HEAD)
+    head_names = compute_verify_head(list(qs))
+    head = set(head_names)
     tail = [n for n in qs if n not in head]
-    return {n: qs[n] for n in (*VERIFY_ORDER_HEAD, *tail)}
+    return {n: qs[n] for n in (*head_names, *tail)}
 
 
 def load_registry() -> dict[str, QuerySpec]:

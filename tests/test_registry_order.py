@@ -1,18 +1,115 @@
 """Driver-window ordering: the driver records CORRECTNESS rows for the
 FIRST 50 entries of __spark_entry__.queries() only (observed in r2), so the
-round's verification targets must occupy exactly those positions."""
+round's verification targets must occupy exactly those positions.
+
+Since round 6 the head is COMPUTED from the committed CORRECTNESS_r*.json
+artifacts (registry.compute_verify_head). R6_EXPECTED_HEAD pins the tuple
+the r1-r5 artifacts produce; when the driver lands CORRECTNESS_r06.json the
+pin goes stale and this test fails — the next round's first task is then
+reviewing the freshly computed rotation and re-pinning it here.
+"""
 
 from __future__ import annotations
 
 import __spark_entry__ as entry
-from meos_rs_spark.registry import VERIFY_ORDER_HEAD, load_registry
+from meos_rs_spark.registry import (
+    DRIVER_WINDOW,
+    compute_verify_head,
+    load_registry,
+    verify_order_head,
+)
+
+# Round-6 rotation computed from CORRECTNESS_r01..r05: zero reds, then the
+# 11 never-checked queries (registration order), then the 39 oldest-green
+# rows (all last checked in r2) as the re-verification refill.
+R6_EXPECTED_HEAD = (
+    # never-checked backlog (the 10 r5 deferrals + traj_transform_lcc)
+    "dedup_normalized",
+    "traj_transform_lcc",
+    "traj_unnest_instants",
+    "traj_speed_filter",
+    "traj_turning_points",
+    "traj_zorder_key",
+    "traj_ewma",
+    "rel_lateral_topn",
+    "rel_approx_distinct",
+    "rel_join_asof_nearest",
+    "rel_approx_percentiles",
+    # oldest-green refill (latest driver row r2, registration order)
+    "box_tbox_predicates",
+    "box_int_to_tbox",
+    "box_stbox_overlap_join",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "flagship_trip_pipeline",
+    "mm_metadata",
+    "serde_wkt_roundtrip",
+    "serde_mfjson",
+    "serde_wkt_forms",
+    "serde_wkt_seqset",
+    "sim_cosine_topk",
+    "sim_ann_lsh",
+    "sim_embedding_neardup",
+    "snk_jsonl_trips",
+    "snk_upsert_merge",
+    "src_catalog_bootstrap",
+    "snk_partitioned_write",
+    "snk_bucketed_join",
+    "stream_tumbling_counts",
+    "stream_session_windows",
+    "stream_stateful_assembly",
+    "stream_sliding_counts",
+    "stream_dedup_watermark",
+    "stream_foreachbatch_sink",
+    "text_quality",
+    "text_langid",
+    "text_token_count",
+    "text_fingerprint",
+    "rel_projection_rename",
+    "rel_group_having",
+    "rel_pricing_summary",
+    "rel_join_inner_broadcast",
+    "rel_join_left_outer",
+    "rel_join_full_outer",
+    "rel_join_semi",
+    "rel_join_anti",
+)
 
 
 def test_head_is_exactly_the_driver_window():
-    assert len(VERIFY_ORDER_HEAD) == 50
-    assert len(set(VERIFY_ORDER_HEAD)) == 50
+    head = verify_order_head()
+    assert len(head) == DRIVER_WINDOW == 50
+    assert len(set(head)) == 50
     names = list(entry.queries())
-    assert tuple(names[:50]) == VERIFY_ORDER_HEAD
+    assert tuple(names[:50]) == head
+
+
+def test_computed_head_matches_the_round6_pin():
+    # Stale-pin alarm: fails as soon as a new CORRECTNESS artifact lands,
+    # forcing the next round to review + re-pin the rotation.
+    assert verify_order_head() == R6_EXPECTED_HEAD
+
+
+def test_head_priority_rule():
+    """Never-checked before green, and greens ordered oldest-round-first."""
+    from meos_rs_spark.registry import _correctness_history
+
+    names = list(load_registry())
+    latest = _correctness_history()
+    head = compute_verify_head(names)
+    # every never-checked query is in the head (backlog fits the window)
+    never = [n for n in names if n not in latest]
+    assert len(never) <= 50
+    assert set(never) <= set(head)
+    # greens in the head appear after all never-checked, oldest round first
+    green_rounds = [latest[n][0] for n in head if n in latest]
+    assert green_rounds == sorted(green_rounds)
+    # and no green in the head is newer than any green left out of it
+    left_out = [latest[n][0] for n in names if n in latest and n not in set(head)]
+    if green_rounds and left_out:
+        assert max(green_rounds) <= min(left_out)
 
 
 def test_ordering_preserves_the_full_registry():
