@@ -14,7 +14,12 @@ stderr-style comment lines): this box is a shared VM with intermittent
 multi-× host-level slowdowns (observed: identical plans, same session,
 2.5s vs 49s), and steady-state is the number that transfers to a real
 cluster. Run-to-run plan and data are identical, so min-of-2 measures the
-engine, not the neighbor's workload.
+engine, not the neighbor's workload. For that to hold, staging-table
+memoization is DISABLED here (``spark.meos.staging.memo=false``): with the
+memo on, the second run of a staging-backed query (dedup_minhash_lsh,
+dedup_semantic) would skip the producing stages and the parquet write
+entirely, and the reported min would understate the query's real cost
+(r5 ADVICE, high). Both timed runs now do full work.
 """
 
 from __future__ import annotations
@@ -64,6 +69,10 @@ def main() -> None:
     from meos_rs_spark.session import get_spark
 
     spark = get_spark(app_name="meos-rs-spark-bench")
+    # min-of-2 must time two FULL executions: disable staging memoization so
+    # the second run of a staging-backed query repeats the producing stages
+    # and the parquet write instead of memo-hitting (see module docstring)
+    spark.conf.set("spark.meos.staging.memo", "false")
     registry = load_registry()
 
     # warm-up: run every bench query once at the smallest sf so JVM/codegen

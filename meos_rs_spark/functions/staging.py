@@ -11,10 +11,28 @@ recomputation of the producing stage — per consumer.
 every consumer a plain scan of it: columnar-compressed, spill-free,
 predictable. Re-staging the SAME plan under the same name within one session
 is a no-op read (the memo below), so repeated invocations of one query fn —
-the bench's timed re-runs, the driver's two-leg compare — pay the write
-once, not per call. On a cluster the staging root points at the job's
-scratch prefix (HDFS/S3); locally it defaults to the system temp dir. Set
-``spark.meos.staging.dir`` to relocate.
+e.g. the driver's two-leg compare — pay the write once, not per call.
+
+Memoization guardrails (r5 ADVICE):
+
+* ``spark.meos.staging.memo=false`` disables the memo entirely — every
+  ``stage()`` does the full write. ``bench.py`` sets this so its min-of-2
+  timing protocol measures two FULL executions, not one full run and one
+  memo-hit that skips the producing stages.
+* The memo only engages when every input file of the staged plan lives
+  under a trusted immutable root — the fixture dirs (default
+  ``/root/testdata``, override with ``spark.meos.staging.memoRoots``,
+  comma-separated) or this session's own staged tables. A plan scanning a
+  mutable scratch dir (e.g. the sources/sinks queries' per-invocation
+  ``_scratch`` rewrites) would otherwise memo-hit on stale data with an
+  identical plan text.
+
+On a cluster the staging root points at the job's scratch prefix (HDFS/S3);
+locally it defaults to the system temp dir. Set ``spark.meos.staging.dir``
+to relocate. With a non-local (URI) root, the liveness-marker/PID prune
+machinery is skipped — PIDs are meaningless across machines and the
+``os.*`` calls don't speak URIs — so dead-session cleanup there is owned by
+the cluster's scratch retention policy, not this module.
 """
 
 from __future__ import annotations
@@ -58,9 +76,10 @@ def _touch_live(app_dir: str) -> None:
 
 def _sibling_prunable(path: str, cutoff: float) -> bool:
     """A sibling app dir may be pruned only if its marker is stale AND its
-    owning process is gone (PID check; staging roots are machine-local, so
-    the owner — if alive — is on this machine). Marker-less dirs (sessions
-    from before the marker existed) fall back to dir mtime."""
+    owning process is gone (PID check; ``stage()`` gates this whole path on
+    ``_is_local_root``, so the owner — if alive — is on this machine).
+    Marker-less dirs (sessions from before the marker existed) fall back to
+    dir mtime."""
     marker = os.path.join(path, _LIVE_MARKER)
     try:
         mtime = os.path.getmtime(marker)
@@ -104,21 +123,66 @@ def _register_cleanup(app_dir: str, root: str) -> None:
         pass
 
 
+def _is_local_root(root: str) -> bool:
+    """True when ``root`` is a plain machine-local path (or file: URI)."""
+    return "://" not in root or root.startswith("file:")
+
+
 def _plan_digest(df: DataFrame) -> str | None:
     """Canonical digest of the analyzed logical plan.
 
     Expression IDs (``#123``) are allocated from a global counter, so two
     invocations of the same query fn produce textually different but
-    semantically identical plans — strip them before hashing. Inputs here
-    are immutable fixture parquet, so plan equality implies result
-    equality. Returns None when the JVM plan is unreachable (e.g. Spark
-    Connect), which disables memoization and falls back to always-write.
+    semantically identical plans. Deleting the digits would collide plans
+    that differ only in exprId CROSS-REFERENCES (``x#1 = x#2`` in a
+    self-join vs a different pairing), so instead each distinct id is
+    renumbered in first-occurrence order — a stable relabeling that
+    preserves reference structure. Plan equality then implies result
+    equality for immutable inputs (enforced by the trusted-roots check in
+    ``stage()``). Returns None when the JVM plan is unreachable (e.g.
+    Spark Connect), which disables memoization and falls back to
+    always-write.
     """
     try:
         plan = df._jdf.queryExecution().analyzed().toString()
     except Exception:
         return None
-    return hashlib.sha256(re.sub(r"#\d+", "#", plan).encode()).hexdigest()
+    return hashlib.sha256(_canon_plan(plan).encode()).hexdigest()
+
+
+def _canon_plan(plan: str) -> str:
+    """Relabel exprIds in first-occurrence order (see ``_plan_digest``)."""
+    ids: dict[str, str] = {}
+    return re.sub(
+        r"#\d+", lambda m: ids.setdefault(m.group(0), f"#{len(ids)}"), plan
+    )
+
+
+def _memo_trusted(df: DataFrame, app_dir: str) -> bool:
+    """Memoization is sound only over immutable inputs: every input file
+    must live under a trusted root — the read-only fixture dirs or this
+    session's own staged tables (whose content is keyed by their producing
+    plan's digest). Unknown inputs (or an unreachable file listing) fall
+    back to always-write."""
+    spark = df.sparkSession
+    try:
+        roots = spark.conf.get("spark.meos.staging.memoRoots")
+    except Exception:
+        roots = None
+    trusted = [r for r in (roots or "/root/testdata").split(",") if r]
+    trusted.append(app_dir)
+    trusted = [os.path.abspath(r) + os.sep for r in trusted]
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return False
+    for f in files:
+        local = re.sub(r"^file:/{0,2}(?=/)", "", f)
+        if "://" in local:
+            return False  # remote input — immutability unknowable here
+        if not os.path.abspath(local).startswith(tuple(trusted)):
+            return False
+    return True
 
 
 def adopt_app_dir(app_dir: str, root: str) -> None:
@@ -141,7 +205,8 @@ def stage(df: DataFrame, name: str) -> DataFrame:
     downstream (the property ``.cache()`` only guarantees while the blocks
     survive eviction). Within one session, re-staging an identical plan
     under the same name skips the write entirely and returns the existing
-    table's scan.
+    table's scan — unless ``spark.meos.staging.memo=false`` or the plan
+    reads outside the trusted immutable roots (module docstring).
     """
     spark = df.sparkSession
     try:
@@ -154,17 +219,29 @@ def stage(df: DataFrame, name: str) -> DataFrame:
     # run next to a test run) must never overwrite each other's staged tables
     # mid-read; within one session the overwrite keeps reruns idempotent
     app_dir = os.path.join(root, spark.sparkContext.applicationId)
-    # the dir must exist BEFORE the liveness touch: on the session's first
-    # stage() call the parquet write hasn't created it yet, and a swallowed
-    # marker-write failure would leave the session on the dir-mtime prune path
-    os.makedirs(app_dir, exist_ok=True)
-    _register_cleanup(app_dir, root)
-    _touch_live(app_dir)
+    if _is_local_root(root):
+        # the dir must exist BEFORE the liveness touch: on the session's
+        # first stage() call the parquet write hasn't created it yet, and a
+        # swallowed marker-write failure would leave the session on the
+        # dir-mtime prune path
+        os.makedirs(app_dir, exist_ok=True)
+        _register_cleanup(app_dir, root)
+        _touch_live(app_dir)
     path = os.path.join(app_dir, name)
     key = (spark.sparkContext.applicationId, name)
-    digest = _plan_digest(df)
-    if digest is not None and _MEMO.get(key) == (digest, path) and os.path.isdir(path):
+    try:
+        memo_on = spark.conf.get("spark.meos.staging.memo", "true") != "false"
+    except Exception:
+        memo_on = True
+    digest = _plan_digest(df) if memo_on else None
+    if (
+        digest is not None
+        and _MEMO.get(key) == (digest, path)
+        and os.path.isdir(path)
+    ):
         return spark.read.parquet(path)
+    if digest is not None and not _memo_trusted(df, app_dir):
+        digest = None
     df.write.mode("overwrite").parquet(path)
     if digest is not None:
         _MEMO[key] = (digest, path)

@@ -39,6 +39,56 @@ def test_changed_plan_same_name_rewrites(spark):
     assert out.count() == 20
 
 
+def test_memo_kill_switch_forces_full_rewrite(spark):
+    """spark.meos.staging.memo=false (what bench.py sets) must make every
+    stage() of an identical plan repeat the parquet write — r5 ADVICE high:
+    with the memo on, bench's min-of-2 timed a memo-hit as the second run."""
+    df = spark.range(64).withColumn("v", F.col("id") + 1)
+    staging.stage(df, "killswitch_probe")
+    key = (spark.sparkContext.applicationId, "killswitch_probe")
+    path = staging._MEMO[key][1]
+    before = _part_files(path)
+    spark.conf.set("spark.meos.staging.memo", "false")
+    try:
+        time.sleep(0.05)  # ensure a rewrite produces observable mtimes
+        staging.stage(spark.range(64).withColumn("v", F.col("id") + 1), "killswitch_probe")
+        after = _part_files(path)
+        assert after != before  # rewritten, not memo-served
+        assert key not in staging._MEMO  # and the memo entry is dropped
+    finally:
+        spark.conf.set("spark.meos.staging.memo", "true")
+
+
+def test_untrusted_input_paths_disable_memo(spark, tmp_path):
+    """A plan scanning a mutable (non-fixture) dir must never memo-hit:
+    identical plan text over rewritten source data would serve stale rows
+    (r5 ADVICE low on the immutability assumption)."""
+    src = str(tmp_path / "mutable_src")
+    spark.range(10).withColumn("v", F.lit("old")).write.parquet(src)
+    out1 = staging.stage(spark.read.parquet(src), "mutable_probe")
+    assert {r.v for r in out1.select("v").distinct().collect()} == {"old"}
+    # rewrite the source in place — plan text for a re-read is identical
+    spark.range(10).withColumn("v", F.lit("new")).write.mode("overwrite").parquet(src)
+    out2 = staging.stage(spark.read.parquet(src), "mutable_probe")
+    assert {r.v for r in out2.select("v").distinct().collect()} == {"new"}
+
+
+def test_canon_plan_preserves_exprid_cross_references():
+    """Stable relabeling, not deletion: 'x#1 = x#2' (join of two attrs) and
+    'x#1 = x#1' (self-comparison) must digest differently, while fresh
+    exprIds for the same structure must digest identically."""
+    assert staging._canon_plan("x#1 = x#2") != staging._canon_plan("x#7 = x#7")
+    assert staging._canon_plan("x#1 = x#2") == staging._canon_plan("x#8 = x#9")
+    assert staging._canon_plan("x#3 = x#3") == staging._canon_plan("x#5 = x#5")
+
+
+def test_is_local_root():
+    assert staging._is_local_root("/tmp/meos_rs_staging")
+    assert staging._is_local_root("file:///tmp/meos_rs_staging")
+    assert not staging._is_local_root("hdfs://nn:8020/scratch")
+    assert not staging._is_local_root("s3a://bucket/scratch")
+
+
 def test_live_marker_exists_and_refreshes(spark):
     staging.stage(spark.range(5), "live_probe")
     key = (spark.sparkContext.applicationId, "live_probe")
