@@ -1,0 +1,193 @@
+"""Checkpoint-restart recovery (r5 VERDICT item 3): the one streaming
+semantic late-data replay couldn't cover — a stream that STOPS (or dies
+mid-batch) and is restarted against the same checkpoint dir must resume
+from durable state and converge to exactly the uninterrupted batch answer.
+
+Semantics pinned (the incremental-merge model of ``ais_to_db.rs:156-161``):
+
+* ``applyInPandasWithState`` per-key state written to the state store by a
+  committed micro-batch is RECOVERED on restart: the resumed run folds only
+  the new files into the recovered accumulators (it must not rescan the
+  already-committed input — asserted via numInputRows), and the final state
+  equals the batch aggregate over everything.
+* A query that FAILS mid-batch replays the uncommitted batch on restart
+  with the SAME batch id and input, on top of state from the last COMMITTED
+  batch — the foreachBatch idempotent-by-batch-id recipe then yields
+  exactly-once output.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from meos_rs_spark.queries.streaming import _traj_state_fn
+
+SF_EVENTS = "/root/testdata/sf0.001/events.parquet"
+
+
+@pytest.fixture(scope="module")
+def halves(spark):
+    """The events fixture split at the timeline midpoint, µs precision
+    (ns-unit parquet would surface as BIGINT under the session's
+    nanosAsLong conf)."""
+    pdf = (
+        spark.read.parquet(SF_EVENTS)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .toPandas()
+        .sort_values(["ts", "event_id"], ignore_index=True)
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    mid = len(pdf) // 2
+    return pdf.iloc[:mid], pdf.iloc[mid:]
+
+
+def _stateful(stream_df):
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        stream_df.withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _traj_state_fn,
+            outputStructType="user_id long, n_points long, t_start_us long, t_end_us long",
+            stateStructType="n long, tmin long, tmax long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def _read_stream(spark, src, one_file_per_batch=False):
+    schema = spark.read.parquet(src).schema
+    r = spark.readStream.schema(schema)
+    if one_file_per_batch:
+        r = r.option("maxFilesPerTrigger", "1")
+    return r.parquet(src)
+
+
+def _batch_oracle(spark, src):
+    df = (
+        spark.read.parquet(src)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("t_start_us"),
+            F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("t_end_us"),
+        )
+    )
+    return {r.user_id: (r.n_points, r.t_start_us, r.t_end_us) for r in df.collect()}
+
+
+def _final_per_user(df):
+    """append-mode emissions accumulate one row per (key, batch); the final
+    state is the row with the largest n_points (n grows monotonically)."""
+    final = (
+        df.withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(F.col("n_points").desc())
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return {r.user_id: (r.n_points, r.t_start_us, r.t_end_us) for r in final.collect()}
+
+
+def test_stateful_state_survives_checkpoint_restart(spark, halves, tmp_path):
+    """Stop-and-resume: run over the first half to termination, then drop in
+    the second half and restart a FRESH query on the SAME checkpoint — the
+    resumed run must recover per-key state (not restart from zero) and read
+    only the new file."""
+    older, newer = halves
+    src, ckpt, out = (str(tmp_path / d) for d in ("src", "ckpt", "out"))
+    os.makedirs(src)
+    older.to_parquet(os.path.join(src, "file_0.parquet"), index=False)
+
+    def run_once():
+        q = (
+            _stateful(_read_stream(spark, src))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sum(p["numInputRows"] for p in q.recentProgress)
+
+    rows_run1 = run_once()
+    assert rows_run1 == len(older)
+    # the stream is now DOWN; the second half arrives while nothing runs
+    newer.to_parquet(os.path.join(src, "file_1.parquet"), index=False)
+    rows_run2 = run_once()
+    # restart consumed ONLY the new file — the checkpoint's source log
+    # remembers file_0 as committed
+    assert rows_run2 == len(newer)
+
+    assert _final_per_user(spark.read.parquet(out)) == _batch_oracle(spark, src)
+    # the oracle equality can only hold via recovered state: at least one
+    # user split across both halves must show an accumulated (not
+    # restarted-from-zero) count in its run-2 emission
+    both = set(older.user_id) & set(newer.user_id)
+    assert both, "split produced no cross-half users — fixture too small?"
+
+
+def test_midbatch_failure_replays_uncommitted_batch(spark, halves, tmp_path):
+    """Crash-and-resume: two files, one per micro-batch, through a
+    foreachBatch sink that dies AFTER writing batch 1's output but before
+    the batch commits. The restart must replay batch 1 — same id, same
+    rows — on top of batch 0's committed state; idempotent-by-batch-id
+    output then equals the batch oracle exactly (no loss, no double count)."""
+    older, newer = halves
+    src, ckpt, out = (str(tmp_path / d) for d in ("src", "ckpt", "out"))
+    os.makedirs(src)
+    os.makedirs(out)
+    f0, f1 = (os.path.join(src, f"file_{i}.parquet") for i in (0, 1))
+    older.to_parquet(f0, index=False)
+    newer.to_parquet(f1, index=False)
+    now = os.path.getmtime(f1)
+    os.utime(f0, (now - 60, now - 60))  # file source replays oldest first
+
+    crash_flag = str(tmp_path / "crash_once")
+    seen: list[tuple[int, int]] = []
+
+    def sink(batch_df, batch_id):
+        # idempotent by batch id: a replayed batch overwrites its own dir
+        batch_df.write.mode("overwrite").parquet(os.path.join(out, f"b{batch_id}"))
+        seen.append((batch_id, batch_df.count()))
+        if batch_id == 1 and not os.path.exists(crash_flag):
+            open(crash_flag, "w").close()
+            raise RuntimeError("injected crash after write, before commit")
+
+    def run_once():
+        q = (
+            _stateful(_read_stream(spark, src, one_file_per_batch=True))
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        run_once()
+    run_once()  # recovery: must replay batch 1, then terminate cleanly
+
+    # batch 1 ran twice with the SAME id and SAME row count (true replay)
+    ids = [b for b, _ in seen]
+    assert ids == [0, 1, 1]
+    assert seen[1] == seen[2]
+    out_df = spark.read.parquet(os.path.join(out, "b0")).unionByName(
+        spark.read.parquet(os.path.join(out, "b1"))
+    )
+    assert _final_per_user(out_df) == _batch_oracle(spark, src)
