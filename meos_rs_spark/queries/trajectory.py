@@ -1395,75 +1395,58 @@ WHERE is_marker = 1 AND p_ts IS NOT NULL AND n_ts IS NOT NULL
 """,
     tags=("L2c", "L2b"),
     doc="grid resampling with linear interpolation (L2 temporal_tsample, LINEAR "
-    "interp — the general form of traj_value_at_time): 6h grid markers unioned "
-    "into the posit stream, surrounding posits found by ignore-nulls running "
-    "windows (one vessel-key shuffle, no per-marker join), exact lerp in epoch "
-    "micros; the union+window shape is how as-of interpolation scales — the "
-    "grid never joins against the full posit table",
+    "interp — the general form of traj_value_at_time): one lead() pass pairs "
+    "each posit with its successor, then the 6h grid markers inside each "
+    "segment are generated map-side (sequence+explode) and lerped in epoch "
+    "micros — ONE scan, ONE vessel-key shuffle, no union, no per-marker join "
+    "(r5 VERDICT item 4 replaced the union+ignore-nulls-window shape, whose "
+    "two legs each rescanned and reshuffled the posits); the 6h step divides "
+    "a day, so the oracle's day-floor-anchored grid is the global epoch "
+    "alignment this ceil-to-step reproduces exactly",
 )
 def traj_resample_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    step_us = 21_600_000_000  # 6 hours
     p = dedup_monotonic(posits(spark, sf_dir))
-    spans = p.groupBy("mmsi").agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
-    # sequence() starts at the day floor; clamp the low end to the observed span
-    grid = spans.select(
-        "mmsi",
-        F.explode(F.expr("sequence(date_trunc('DAY', t0), t1, interval 6 hours)")).alias("g"),
-        "t0",
-    ).filter((F.col("g") >= F.col("t0"))).select("mmsi", "g")
-    tagged = p.select(
-        "mmsi", "ts", "lon", "lat", F.lit(0).alias("is_marker")
-    ).unionByName(
-        grid.select(
+    w = Window.partitionBy("mmsi").orderBy("ts")
+    # each kept marker g has a posit at-or-before (p) and strictly-after (n);
+    # segments [ts_i, ts_{i+1}) therefore partition the marker domain — the
+    # oracle drops markers at exactly t1 (no following posit), as does the
+    # missing lead() here
+    segs = (
+        p.select(
             "mmsi",
-            F.col("g").alias("ts"),
-            F.lit(None).cast("double").alias("lon"),
-            F.lit(None).cast("double").alias("lat"),
-            F.lit(1).alias("is_marker"),
+            "lon",
+            "lat",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("p_us"),
+            F.lead("lon").over(w).alias("n_lon"),
+            F.lead("lat").over(w).alias("n_lat"),
+            F.unix_micros(F.lead("ts").over(w).cast("timestamp")).alias("n_us"),
         )
+        .filter(F.col("n_us").isNotNull())
     )
-    wp = (
-        Window.partitionBy("mmsi")
-        .orderBy("ts", "is_marker")
-        .rowsBetween(Window.unboundedPreceding, 0)
+    # first grid-aligned instant >= segment start, in integer micros (double
+    # division + ceil could misround exactly-aligned stamps)
+    g0 = F.expr(f"((p_us + {step_us - 1}) DIV {step_us}) * {step_us}")
+    gs = F.when(
+        g0 < F.col("n_us"),
+        F.sequence(g0, F.col("n_us") - 1, F.lit(step_us)),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<BIGINT>)"))
+    marks = segs.select(
+        "mmsi", "lon", "lat", "n_lon", "n_lat", "p_us", "n_us",
+        F.explode(gs).alias("g_us"),
     )
-    wf = (
-        Window.partitionBy("mmsi")
-        .orderBy("ts", "is_marker")
-        .rowsBetween(0, Window.unboundedFollowing)
-    )
-    posit_ts = F.when(F.col("is_marker") == 0, F.col("ts"))
-    interp = tagged.select(
-        "mmsi",
-        "ts",
-        "is_marker",
-        F.last("lon", ignorenulls=True).over(wp).alias("p_lon"),
-        F.last("lat", ignorenulls=True).over(wp).alias("p_lat"),
-        F.last(posit_ts, ignorenulls=True).over(wp).alias("p_ts"),
-        F.first("lon", ignorenulls=True).over(wf).alias("n_lon"),
-        F.first("lat", ignorenulls=True).over(wf).alias("n_lat"),
-        F.first(posit_ts, ignorenulls=True).over(wf).alias("n_ts"),
-    )
-    us = "unix_micros(CAST({c} AS TIMESTAMP))"
-    g_us = F.expr(us.format(c="ts"))
-    p_us = F.expr(us.format(c="p_ts"))
-    n_us = F.expr(us.format(c="n_ts"))
-    frac = (g_us - p_us).cast("double") / (n_us - p_us).cast("double")
+    frac = (F.col("g_us") - F.col("p_us")).cast("double") / (
+        F.col("n_us") - F.col("p_us")
+    ).cast("double")
 
     def lerp(pv: str, nv: str):
-        return F.when(n_us == p_us, F.col(pv)).otherwise(
-            F.col(pv) + (F.col(nv) - F.col(pv)) * frac
-        )
+        return F.col(pv) + (F.col(nv) - F.col(pv)) * frac
 
-    return (
-        interp.filter(
-            (F.col("is_marker") == 1) & F.col("p_ts").isNotNull() & F.col("n_ts").isNotNull()
-        )
-        .select(
-            "mmsi",
-            F.col("ts").alias("g"),
-            lerp("p_lon", "n_lon").alias("lon_i"),
-            lerp("p_lat", "n_lat").alias("lat_i"),
-        )
+    return marks.select(
+        "mmsi",
+        F.expr("CAST(timestamp_micros(g_us) AS TIMESTAMP_NTZ)").alias("g"),
+        lerp("lon", "n_lon").alias("lon_i"),
+        lerp("lat", "n_lat").alias("lat_i"),
     )
 
 

@@ -123,11 +123,15 @@ def test_partition_pruning_reaches_scan(spark):
 
 
 def test_resample_single_vessel_shuffle(spark):
-    # union + two windows + span agg all hash-partition on mmsi; the grid
-    # never joins against the posit fact table
+    # lead()-pair + map-side marker generation: ONE posit scan, ONE mmsi
+    # hash exchange feeding both windows, markers exploded without any
+    # union or join against the posit fact table (r5 VERDICT item 4)
     plan = _plan(spark, "traj_resample_linear")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Scan parquet") == 1, plan[:2000]
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+    assert "Union" not in plan
 
 
 def test_decontaminate_probe_set_broadcasts(spark):
