@@ -79,6 +79,15 @@ shingles AS (
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", F.split("text", " ").alias("t"))
+    # a small fixture corpus arrives as ONE parquet split, which would
+    # serialize the md5-heavy signature maps downstream onto a single core;
+    # fan the rows out across the session's parallelism keyed by doc_id so
+    # every per-doc aggregation downstream reuses the partitioning. At real
+    # scale the scan already has >= parallelism splits and no shuffle is
+    # added.
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par, "doc_id")
     return (
         d.filter(F.size("t") >= 3)
         .select(
@@ -160,24 +169,19 @@ SELECT id_a, id_b, n_inter, n_union, jaccard FROM scored
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meos_rs_spark.functions.staging import stage
 
-    # three consumers read the shingle fact table (signatures, sizes, the
-    # Jaccard re-rank) — materialize it ONCE as a parquet staging table, not
-    # .cache(): at 100 TB the exploded shingles are ~10x the corpus and an
-    # in-memory pin is the difference between running and not (r3 verdict).
-    sh = stage(_shingles(spark, sf_dir), "minhash_shingles")
-    # hash directly on the fact table: 16 md5 calls per (doc, shingle) row are
-    # pure map-side codegen, and the partial min-aggregate shrinks the shuffle
-    # to |docs|×16 values. (The r2 shingle-dictionary variant saved md5 calls
-    # but paid two extra fact-sized shuffles — distinct + join back — which is
-    # the wrong trade at 100 TB, where the global dictionary itself is huge;
-    # measured 6.1s vs 5.3s warm at sf0.1 for candidate generation.)
-    # ONE aggregation pass over the fact yields both the 16-way signature AND
-    # the per-doc shingle count (sizes) — the r4 rewrite folded what was a
-    # second full groupBy over the fact into this pass. Staged (|docs| rows):
-    # every downstream consumer — band buckets for both self-join sides, the
-    # hot-bucket census, sizes — is a scan + map of this tiny table, so the
-    # fact-sized signature aggregation runs exactly once and no in-memory
-    # assumption survives to 100 TB.
+    # ONE pass over the exploded shingle fact (a map-only derivation of the
+    # documents scan — never materialized itself) produces everything the
+    # rest of the query needs per doc: the 16-way signature, the shingle
+    # count, AND the shingle set as a sorted array. Staging that one table
+    # means the corpus is scanned exactly once and the scratch write is
+    # ~shingle-set-sized (~3x text bytes — each word starts at most one
+    # 3-shingle), vs the r5 shape's 10x-corpus exploded-fact staging plus
+    # fact-sized reads back for the re-rank. The 16 md5 calls per (doc,
+    # shingle) row are pure map-side codegen and the partial min-aggregate
+    # shrinks the shuffle to per-doc rows. (The r2 shingle-dictionary
+    # variant saved md5 calls but paid two extra fact-sized shuffles; the
+    # wrong trade at 100 TB where the global dictionary itself is huge.)
+    sh = _shingles(spark, sf_dir)
     sig = stage(
         sh.groupBy("doc_id").agg(
             *[
@@ -185,6 +189,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for j in range(N_HASHES)
             ],
             F.count(F.lit(1)).alias("n"),
+            F.array_sort(F.collect_set("sh")).alias("shs"),
         ),
         "minhash_sig",
     )
@@ -192,70 +197,61 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.concat_ws("|", *[f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)])).alias(f"band{b}")
         for b in range(N_BANDS)
     ]
+    # column pruning on the staged parquet keeps the shingle arrays out of
+    # the banding path — this reads (doc_id, h0..h15) only
     banded = sig.select("doc_id", *band_cols)
-    # band explode is a map-only derivation of the staged signatures — cheap
-    # to recompute per consumer, so it needs no materialization of its own
     buckets = banded.select(
         "doc_id",
         F.explode(
             F.array(*[F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("key")) for b in range(N_BANDS)])
         ).alias("bk"),
     ).select("doc_id", F.col("bk.band_id").alias("band_id"), F.col("bk.key").alias("key"))
-    # hot-bucket cap: skewed keys are BY DEFINITION few, so the over-cap key
-    # list aggregates to a tiny frame — broadcast anti-join beats a window
-    # count (which sorts every bucket partition just to drop a handful)
-    heavy = (
-        buckets.groupBy("band_id", "key")
-        .agg(F.count(F.lit(1)).alias("__nb"))
-        .filter(F.col("__nb") > MAX_BUCKET)
-        .select("band_id", "key")
+    # bucket groups: ONE shuffle on (band, key) does the hot-bucket census,
+    # the cap, and the pair generation together — collision sets above
+    # MAX_BUCKET are dropped whole (skew guard, mirrored in the oracle's
+    # QUALIFY), and pairs come from a map-side expansion of each surviving
+    # group's sorted id array (id_a < id_b by construction, bounded by
+    # C(MAX_BUCKET, 2) per bucket). This replaces the r5 census + broadcast
+    # anti-join + bucket self-join chain — three shuffles of the bucket
+    # table — with one, and stays bucket-local at any scale.
+    groups = buckets.groupBy("band_id", "key").agg(
+        F.array_sort(F.collect_set("doc_id")).alias("ids")
     )
-    from pyspark.sql.functions import broadcast
-
-    buckets = buckets.join(broadcast(heavy), ["band_id", "key"], "left_anti")
-    a = buckets.select(F.col("doc_id").alias("id_a"), "band_id", "key")
-    b = buckets.select(F.col("doc_id").alias("id_b"), F.col("band_id").alias("band_id_b"), F.col("key").alias("key_b"))
     cand = (
-        a.join(b, (a.band_id == b.band_id_b) & (a.key == b.key_b) & (a.id_a < b.id_b))
-        .select("id_a", "id_b")
+        groups.filter((F.size("ids") >= 2) & (F.size("ids") <= MAX_BUCKET))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), y -> "
+                    "struct(x AS id_a, y AS id_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
-    sizes = sig.select("doc_id", "n")  # free: carried by the signature pass
-    # the Jaccard re-rank only touches candidate docs — semi-join the shingle
-    # fact table down to them first (at 100 TB the candidate set is orders of
-    # magnitude smaller than the corpus; sizes stay full-corpus by definition)
-    cand_ids = (
-        cand.select(F.col("id_a").alias("doc_id"))
-        .unionByName(cand.select(F.col("id_b").alias("doc_id")))
-        .distinct()
-    )
-    sh_cand = sh.join(cand_ids, "doc_id", "left_semi")
-    sa = sh_cand.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
-    sb = sh_cand.select(F.col("doc_id").alias("sb_id"), F.col("sh").alias("sh_b"))
-    inter = (
-        cand.join(sa, "id_a")
-        .join(sb, (F.col("id_b") == F.col("sb_id")) & (F.col("sh_a") == F.col("sh_b")))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    za = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
-    zb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
-    out = (
-        cand.join(inter, ["id_a", "id_b"], "left")
-        .join(za, "id_a")
+    # exact-Jaccard re-rank: the per-doc shingle sets already ride on the
+    # staged signature table, so intersection is a map-side array_intersect
+    # over the candidate pairs — no shingle-level join, no second corpus
+    # scan; the two doc_id equi-joins against sig are all that remains
+    za = sig.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"), F.col("shs").alias("shs_a"))
+    zb = sig.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"), F.col("shs").alias("shs_b"))
+    n_inter = F.size(F.array_intersect("shs_a", "shs_b")).cast("long")
+    return (
+        cand.join(za, "id_a")
         .join(zb, "id_b")
         .select(
             "id_a",
             "id_b",
-            F.coalesce("n_inter", F.lit(0)).alias("n_inter"),
-            (F.col("n_a") + F.col("n_b") - F.coalesce("n_inter", F.lit(0))).alias("n_union"),
+            n_inter.alias("n_inter"),
+            (F.col("n_a") + F.col("n_b") - n_inter).alias("n_union"),
             (
-                F.coalesce("n_inter", F.lit(0)).cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.coalesce("n_inter", F.lit(0)))
+                n_inter.cast("double")
+                / (F.col("n_a") + F.col("n_b") - n_inter)
             ).alias("jaccard"),
         )
     )
-    return out
 
 
 # --- near-dup clustering: connected components over the pair graph ---------
