@@ -129,7 +129,7 @@ def _is_local_root(root: str) -> bool:
 
 
 def _plan_digest(df: DataFrame) -> str | None:
-    """Canonical digest of the analyzed logical plan.
+    """Canonical digest of the analyzed logical plan PLUS its input files.
 
     Expression IDs (``#123``) are allocated from a global counter, so two
     invocations of the same query fn produce textually different but
@@ -137,17 +137,25 @@ def _plan_digest(df: DataFrame) -> str | None:
     that differ only in exprId CROSS-REFERENCES (``x#1 = x#2`` in a
     self-join vs a different pairing), so instead each distinct id is
     renumbered in first-occurrence order — a stable relabeling that
-    preserves reference structure. Plan equality then implies result
-    equality for immutable inputs (enforced by the trusted-roots check in
-    ``stage()``). Returns None when the JVM plan is unreachable (e.g.
-    Spark Connect), which disables memoization and falls back to
-    always-write.
+    preserves reference structure.
+
+    The plan text alone is NOT enough: ``LogicalRelation.toString`` renders
+    a parquet scan as ``Relation [cols] parquet`` with no path, so the same
+    query over two different fixture dirs (the parity gate runs sf0.001 and
+    sf0.01 in one session) produces identical plan text — a memo hit there
+    would serve the other scale's staged table as this one's result. The
+    sorted input-file list is therefore mixed into the digest. Plan + input
+    equality then implies result equality for immutable inputs (enforced by
+    the trusted-roots check in ``stage()``). Returns None when the JVM plan
+    or file listing is unreachable (e.g. Spark Connect), which disables
+    memoization and falls back to always-write.
     """
     try:
         plan = df._jdf.queryExecution().analyzed().toString()
+        files = "\0".join(sorted(df.inputFiles()))
     except Exception:
         return None
-    return hashlib.sha256(_canon_plan(plan).encode()).hexdigest()
+    return hashlib.sha256((_canon_plan(plan) + "\1" + files).encode()).hexdigest()
 
 
 def _canon_plan(plan: str) -> str:
@@ -196,6 +204,27 @@ def adopt_app_dir(app_dir: str, root: str) -> None:
     _touch_live(app_dir)
 
 
+def staged_table_path(spark, name: str) -> str:
+    """The on-disk path ``stage(df, name)`` writes to in this session.
+
+    Public so side-input readers (functions/quantize.py) can locate a staged
+    table from inside an executor-side kernel: the path is deterministic
+    given the session (staging root + applicationId namespace + name), which
+    is exactly what makes a staged K-row quantizer usable as a per-worker
+    side file without shipping it through a join.
+    """
+    try:
+        root = spark.conf.get("spark.meos.staging.dir")
+    except Exception:
+        root = None
+    if not root:
+        root = os.path.join(tempfile.gettempdir(), "meos_rs_staging")
+    # namespace by application id: two Spark sessions on one machine (a bench
+    # run next to a test run) must never overwrite each other's staged tables
+    # mid-read; within one session the overwrite keeps reruns idempotent
+    return os.path.join(root, spark.sparkContext.applicationId, name)
+
+
 def stage(df: DataFrame, name: str) -> DataFrame:
     """Materialize ``df`` under the staging root and return a scan of it.
 
@@ -209,16 +238,9 @@ def stage(df: DataFrame, name: str) -> DataFrame:
     reads outside the trusted immutable roots (module docstring).
     """
     spark = df.sparkSession
-    try:
-        root = spark.conf.get("spark.meos.staging.dir")
-    except Exception:
-        root = None
-    if not root:
-        root = os.path.join(tempfile.gettempdir(), "meos_rs_staging")
-    # namespace by application id: two Spark sessions on one machine (a bench
-    # run next to a test run) must never overwrite each other's staged tables
-    # mid-read; within one session the overwrite keeps reruns idempotent
-    app_dir = os.path.join(root, spark.sparkContext.applicationId)
+    path = staged_table_path(spark, name)
+    app_dir = os.path.dirname(path)
+    root = os.path.dirname(app_dir)
     if _is_local_root(root):
         # the dir must exist BEFORE the liveness touch: on the session's
         # first stage() call the parquet write hasn't created it yet, and a
@@ -227,7 +249,6 @@ def stage(df: DataFrame, name: str) -> DataFrame:
         os.makedirs(app_dir, exist_ok=True)
         _register_cleanup(app_dir, root)
         _touch_live(app_dir)
-    path = os.path.join(app_dir, name)
     key = (spark.sparkContext.applicationId, name)
     try:
         memo_on = spark.conf.get("spark.meos.staging.memo", "true") != "false"

@@ -73,6 +73,26 @@ def test_untrusted_input_paths_disable_memo(spark, tmp_path):
     assert {r.v for r in out2.select("v").distinct().collect()} == {"new"}
 
 
+def test_same_plan_different_fixture_dirs_do_not_collide(spark, tmp_path):
+    """Two immutable source dirs with identical contentless plan text
+    (``Relation [cols] parquet`` carries NO path) must not share a memo
+    entry: the digest mixes in the input-file list. Found live in r6 — a
+    session running one query at sf0.001 then sf0.01 memo-served the
+    sf0.001 staged table as the sf0.01 result."""
+    d1, d2 = str(tmp_path / "sfA"), str(tmp_path / "sfB")
+    spark.range(10).withColumn("v", F.lit("A")).write.parquet(d1)
+    spark.range(10).withColumn("v", F.lit("B")).write.parquet(d2)
+    # both dirs must count as trusted-immutable for the memo to even engage
+    spark.conf.set("spark.meos.staging.memoRoots", f"{d1},{d2}")
+    try:
+        out1 = staging.stage(spark.read.parquet(d1), "scale_probe")
+        assert {r.v for r in out1.select("v").distinct().collect()} == {"A"}
+        out2 = staging.stage(spark.read.parquet(d2), "scale_probe")
+        assert {r.v for r in out2.select("v").distinct().collect()} == {"B"}
+    finally:
+        spark.conf.unset("spark.meos.staging.memoRoots")
+
+
 def test_canon_plan_preserves_exprid_cross_references():
     """Stable relabeling, not deletion: 'x#1 = x#2' (join of two attrs) and
     'x#1 = x#1' (self-comparison) must digest differently, while fresh
