@@ -1,0 +1,187 @@
+"""Map-side vector quantization: centroid assignment without a corpus shuffle.
+
+The r5-era shape for every centroid-assignment step (IVF cell assignment,
+SemDeDup k-means cells, the Lloyd iteration, PQ encoding) was
+``corpus.crossJoin(broadcast(cents))`` — exploding the corpus K-fold with
+every exploded row carrying its full embedding — followed by a
+``row_number()`` window partitioned by ``vec_id`` to keep the argmin.
+Correct, but the window is a SHUFFLE of K copies of the embedded corpus: at
+100 TB and K = 16 that is over a petabyte through the exchange, to compute
+a result (one small id per vector) that is a pure per-row function of
+(vector, quantizer).
+
+A quantizer is K rows — constant-sized, not data-sized — so it belongs in a
+side channel, not a join. Here it rides the staging machinery
+(functions/staging.py): ``stage()`` the K centroid rows once (a tiny
+parquet every executor can read), then assign map-side in an Arrow-batched
+pandas_udf that loads the side table ONCE per Python worker (process-level
+cache, refreshed on file fingerprint change) and scans each Arrow batch
+against it. The corpus path becomes scan → ArrowEvalPython → downstream:
+ZERO exchanges for assignment at any scale, and K× less data through the
+Python boundary than the crossJoin shape pushed through the shuffle.
+
+Determinism contract (the oracles are unchanged):
+
+* scores use the same strictly-sequential per-dimension fold as
+  ``functions.embeddings._seq_dot`` — bit-identical to DuckDB's
+  ``list_dot_product`` and to the crossJoin shape this replaces;
+* squared L2 stays in expanded dot form ``vn2 + cn2 - 2*dot`` combined
+  left-to-right, exactly like ``embeddings.seq_sqdist``;
+* tie-breaks mirror the oracles' ``ORDER BY score [DESC], cent_id``:
+  centroids are scanned in ascending cent_id order with strict-inequality
+  updates, so the lowest cent_id wins ties — exactly the row the
+  ``row_number() = 1`` window kept.
+
+Side-table reads go through ``pyarrow.parquet.read_table`` on the staged
+directory (its dataset discovery skips ``_SUCCESS``/dot files and speaks
+local paths and fs URIs alike). Callers MUST key the staged name by fixture
+dir (``side_table_name``): the worker cache is per-path, so one name must
+never serve two different fixture scales in one session.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
+
+from meos_rs_spark.functions.embeddings import _seq_dot, _stack
+
+#: (path, file fingerprint) -> pandas side table. Entries are K-row
+#: quantizers (a few KB); stale fingerprints for the same path are evicted.
+_SIDE_CACHE: dict[tuple, pd.DataFrame] = {}
+
+
+def side_table_name(base: str, sf_dir: str) -> str:
+    """Staging-table name keyed by fixture dir.
+
+    The executor-side cache in :func:`_load_side` is keyed by path, so a
+    session that runs one query at two scales (the parity gate does) must
+    stage the two quantizers under two names.
+    """
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    return f"{base}_{key}"
+
+
+def _fingerprint(path: str):
+    """Cheap change detector for a staged side dir (local paths only —
+    URI-rooted staging relies on the sf-keyed name for freshness)."""
+    try:
+        return tuple(
+            (f, st.st_size, st.st_mtime_ns)
+            for f in sorted(os.listdir(path))
+            if not f.startswith(("_", "."))
+            for st in (os.stat(os.path.join(path, f)),)
+        )
+    except OSError:
+        return None
+
+
+def _load_side(path: str) -> pd.DataFrame:
+    key = (path, _fingerprint(path))
+    tbl = _SIDE_CACHE.get(key)
+    if tbl is None:
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(path).to_pandas()
+        for stale in [k for k in _SIDE_CACHE if k[0] == path and k != key]:
+            del _SIDE_CACHE[stale]
+        _SIDE_CACHE[key] = tbl
+    return tbl
+
+
+def _dot_const(mat: np.ndarray, vec: np.ndarray) -> np.ndarray:
+    """Sequential-fold dot of every row of ``mat`` against one constant
+    vector — per-dimension order identical to ``_seq_dot`` (scalar-broadcast
+    multiplies are bit-equal to the row-replicated form)."""
+    acc = np.zeros(mat.shape[0], dtype=np.float64)
+    for j in range(mat.shape[1]):
+        acc += mat[:, j] * vec[j]
+    return acc
+
+
+def _self_dot(vec: np.ndarray) -> float:
+    return _seq_dot(vec[None, :], vec[None, :])[0]
+
+
+def make_nearest_centroid_udf(cents_path: str, *, metric: str):
+    """pandas_udf: embedding → cent_id of the nearest centroid.
+
+    ``metric='l2'``  — argmin of ``vn2 + cn2 - 2*dot`` (ORDER BY d2, cent_id);
+    ``metric='cos'`` — argmax of ``dot / (sqrt(vn2)*sqrt(cn2))``
+    (ORDER BY ccos DESC, cent_id). Side table columns: cent_id, ce.
+    """
+    if metric not in ("l2", "cos"):
+        raise ValueError(f"unknown metric: {metric}")
+
+    @pandas_udf(LongType())
+    def nearest_centroid(emb: pd.Series) -> pd.Series:
+        side = _load_side(cents_path).sort_values("cent_id")
+        ids = side["cent_id"].to_numpy()
+        cents = _stack(side["ce"])
+        vecs = _stack(emb)
+        vn2 = _seq_dot(vecs, vecs)
+        if metric == "cos":
+            vnorm = np.sqrt(vn2)
+        best_id = np.full(vecs.shape[0], -1, dtype=np.int64)
+        best_score = None
+        for i in range(cents.shape[0]):
+            cn2 = _self_dot(cents[i])
+            dot = _dot_const(vecs, cents[i])
+            if metric == "l2":
+                score = vn2 + cn2 - 2.0 * dot
+            else:
+                score = dot / (vnorm * np.sqrt(cn2))
+            if best_score is None:
+                best_score, best_id[:] = score.copy(), ids[i]
+            else:
+                upd = score < best_score if metric == "l2" else score > best_score
+                best_score[upd] = score[upd]
+                best_id[upd] = ids[i]
+        return pd.Series(best_id)
+
+    # the assignment feeds equi-join keys (IVF cell join); Catalyst's
+    # IsNotNull join-key filter would otherwise substitute the (deterministic)
+    # UDF into the pushed filter and evaluate the kernel TWICE per corpus row
+    # — nondeterministic pins evaluation to one ArrowEvalPython pass
+    return nearest_centroid.asNondeterministic()
+
+
+def make_pq_codes_udf(cb_path: str, *, n_sub: int, subdim: int):
+    """pandas_udf: embedding → array of ``n_sub`` PQ codes (one per
+    subspace), each the argmin-d2 codebook entry for that subvector
+    (ORDER BY d2, k). Side table columns: m, k, cv.
+    """
+
+    @pandas_udf(ArrayType(LongType()))
+    def pq_codes(emb: pd.Series) -> pd.Series:
+        side = _load_side(cb_path)
+        vecs = _stack(emb)
+        codes = np.empty((vecs.shape[0], n_sub), dtype=np.int64)
+        for m in range(n_sub):
+            sub_cb = side[side["m"] == m].sort_values("k")
+            ks = sub_cb["k"].to_numpy()
+            cents = _stack(sub_cb["cv"])
+            sub = vecs[:, m * subdim : (m + 1) * subdim]
+            sn2 = _seq_dot(sub, sub)
+            best_k = np.full(vecs.shape[0], -1, dtype=np.int64)
+            best_d2 = None
+            for i in range(cents.shape[0]):
+                cn2 = _self_dot(cents[i])
+                d2 = sn2 + cn2 - 2.0 * _dot_const(sub, cents[i])
+                if best_d2 is None:
+                    best_d2, best_k[:] = d2.copy(), ks[i]
+                else:
+                    upd = d2 < best_d2
+                    best_d2[upd] = d2[upd]
+                    best_k[upd] = ks[i]
+            codes[:, m] = best_k
+        return pd.Series(list(codes))
+
+    # same single-evaluation pin as make_nearest_centroid_udf: the codes
+    # feed 4 equi-join keys, whose IsNotNull filters would re-run the kernel
+    return pq_codes.asNondeterministic()

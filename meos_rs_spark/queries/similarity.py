@@ -221,25 +221,27 @@ QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) <
     tags=("sim", "ivf"),
     doc=f"IVF-style ANN: {N_CELLS} coarse centroids (a production system trains "
     "them offline with k-means; here the first corpus vectors, deterministically) "
-    "broadcast against the corpus to assign each vector its nearest cell ONCE, "
-    f"probes search their {NPROBE} closest cells via a cell equi-join and re-rank "
-    "exactly — the inverted-file layout that replaces the N-squared scan at scale "
-    "(assignment is a broadcast map; only the per-vec argmin needs a vec_id window)",
+    "staged as a K-row side table; each corpus vector is assigned its nearest "
+    "cell MAP-SIDE (functions/quantize.py — no crossJoin explode, no argmin "
+    f"window shuffle of the corpus), probes search their {NPROBE} closest cells "
+    "via a cell equi-join and re-rank exactly — the inverted-file layout that "
+    "replaces the N-squared scan at scale (only the 5-probe assignment keeps "
+    "the broadcast-crossJoin + window shape: it is constant-sized)",
 )
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meos_rs_spark.functions.quantize import make_nearest_centroid_udf, side_table_name
+    from meos_rs_spark.functions.staging import stage, staged_table_path
+
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = emb.filter(F.col("vec_id") < N_CELLS).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce")
+    cents_name = side_table_name("ivf_cents", sf_dir)
+    cents = stage(
+        emb.filter(F.col("vec_id") < N_CELLS).select(
+            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce")
+        ),
+        cents_name,
     )
-    assign = emb.crossJoin(broadcast(cents)).withColumn(
-        "ccos", cosine(F.col("embedding"), F.col("ce"))
-    )
-    wv = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), "cent_id")
-    cells = (
-        assign.withColumn("__rn", F.row_number().over(wv))
-        .filter(F.col("__rn") == 1)
-        .select("vec_id", "label", "embedding", F.col("cent_id").alias("cell"))
-    )
+    nearest = make_nearest_centroid_udf(staged_table_path(spark, cents_name), metric="cos")
+    cells = emb.select("vec_id", "label", "embedding", nearest("embedding").alias("cell"))
     probe_assign = (
         emb.filter(F.col("vec_id") < N_PROBES)
         .crossJoin(broadcast(cents))
@@ -303,38 +305,29 @@ FROM comps GROUP BY cluster_id, dim
     tags=("sim", "ivf", "iterative"),
     doc=f"one Lloyd (k-means) iteration over the embedding corpus — the "
     f"training step behind the IVF quantizer (sim_ann_ivf seeds its cells the "
-    f"same way): {_KM_K} broadcast seed centroids, squared-L2 assignment using "
-    "precomputed self-dots (one fold per pair, not three), then per-dimension "
-    "cluster means via posexplode + exact DECIMAL(28,6) sums so the mean is "
-    "shuffle-order-independent. At 100 TB the assignment is a map-side "
-    "broadcast pass and the recompute is one (cluster, dim)-keyed partial "
-    "aggregation — each further iteration is the same two stages re-run",
+    f"same way): {_KM_K} seed centroids staged as a side table, squared-L2 "
+    "assignment MAP-SIDE (functions/quantize.py — no K-fold corpus explode, "
+    "no argmin window shuffle), then per-dimension cluster means via "
+    "posexplode + exact DECIMAL(28,6) sums so the mean is "
+    "shuffle-order-independent. At 100 TB the assignment is a zero-shuffle "
+    "scan and the recompute is one (cluster, dim)-keyed partial "
+    "aggregation — each further iteration stages the new K-row centroid "
+    "table and re-runs the same two stages",
 )
 def sim_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from meos_rs_spark.functions.embeddings import seq_dot
+    from meos_rs_spark.functions.quantize import make_nearest_centroid_udf, side_table_name
+    from meos_rs_spark.functions.staging import stage, staged_table_path
 
     emb = load_table(spark, sf_dir, "embeddings")
-    vecs = emb.select(
-        "vec_id", "embedding", seq_dot("embedding", "embedding").alias("vn2")
+    cents_name = side_table_name("km_cents", sf_dir)
+    stage(
+        emb.filter(F.col("vec_id") < _KM_K).select(
+            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce")
+        ),
+        cents_name,
     )
-    cents = (
-        emb.filter(F.col("vec_id") < _KM_K)
-        .select(
-            F.col("vec_id").alias("cent_id"),
-            F.col("embedding").alias("ce"),
-            seq_dot("embedding", "embedding").alias("cn2"),
-        )
-    )
-    assign = vecs.crossJoin(broadcast(cents)).withColumn(
-        "d2",
-        F.col("vn2") + F.col("cn2") - 2 * seq_dot(F.col("embedding"), F.col("ce")),
-    )
-    wv = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cent_id").asc())
-    cells = (
-        assign.withColumn("__rn", F.row_number().over(wv))
-        .filter(F.col("__rn") == 1)
-        .select("vec_id", "embedding", F.col("cent_id").alias("cluster_id"))
-    )
+    nearest = make_nearest_centroid_udf(staged_table_path(spark, cents_name), metric="l2")
+    cells = emb.select("vec_id", "embedding", nearest("embedding").alias("cluster_id"))
     comps = cells.select(
         "cluster_id", F.posexplode("embedding").alias("dim", "raw")
     ).select(
@@ -589,7 +582,8 @@ QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY approx_d2, vec_id) <= 
     f"the ANN triad with sign-LSH and IVF): {PQ_M}x{PQ_SUBDIM}-dim subspaces, "
     f"{PQ_K} deterministic centroids per subspace (the first {PQ_K} vectors' "
     f"subvectors), asymmetric-distance scan via per-probe lookup tables. "
-    f"Encode = corpus x broadcast codebook (linear, one pass); the ADC scan "
+    f"Encode = one MAP-SIDE Arrow pass against the staged side-table "
+    f"codebook (functions/quantize.py — zero shuffles); the ADC scan "
     f"joins 4 tiny lookup tables code-wise (all broadcast) and sums the 4 "
     f"terms in fixed order (bit-exact, no decimal canon needed). At 100 TB "
     f"codes are {PQ_M} bytes/vector vs {DIM * 4} for raw floats -- the scan "
@@ -598,32 +592,40 @@ QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY approx_d2, vec_id) <= 
 )
 def sim_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meos_rs_spark.functions.embeddings import seq_sqdist
+    from meos_rs_spark.functions.quantize import make_pq_codes_udf, side_table_name
+    from meos_rs_spark.functions.staging import stage, staged_table_path
 
     emb = load_table(spark, sf_dir, "embeddings")
     ms = F.explode(F.array(*[F.lit(m) for m in range(PQ_M)])).alias("m")
-    sub = emb.select("vec_id", "embedding", ms).select(
-        "vec_id", "m", F.expr(f"slice(embedding, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM})").alias("sv")
+    # codebook: PQ_M x PQ_K subvector rows, staged as a side table
+    cb_name = side_table_name("pq_cb", sf_dir)
+    cb = stage(
+        emb.filter(F.col("vec_id") < PQ_K)
+        .select(F.col("vec_id").alias("k"), "embedding", ms)
+        .select(
+            "k", "m",
+            F.expr(f"slice(embedding, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM})").alias("cv"),
+        ),
+        cb_name,
     )
-    cb = sub.filter(F.col("vec_id") < PQ_K).select(
-        F.col("vec_id").alias("k"), F.col("m").alias("cm"), F.col("sv").alias("cv")
+    # encode MAP-SIDE (functions/quantize.py): one Arrow pass computes all
+    # PQ_M codes per vector against the side-table codebook — no M-fold
+    # explode of the corpus, no per-(vector, subspace) argmin window shuffle,
+    # no re-widening groupBy; the corpus never shuffles to get encoded
+    codes_udf = make_pq_codes_udf(
+        staged_table_path(spark, cb_name), n_sub=PQ_M, subdim=PQ_SUBDIM
     )
-    # encode: corpus x broadcast codebook, argmin d2 per (vector, subspace)
-    win = Window.partitionBy("vec_id", "m").orderBy("d2", "k")
-    enc = (
-        sub.join(broadcast(cb), F.col("cm") == F.col("m"))
-        .withColumn("d2", seq_sqdist("sv", "cv"))
-        .withColumn("rn", F.row_number().over(win))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "m", F.col("k").alias("code"))
-    )
-    enc_wide = enc.groupBy("vec_id").agg(
-        *[F.max(F.when(F.col("m") == m, F.col("code"))).alias(f"c{m}") for m in range(PQ_M)]
+    enc_wide = emb.select("vec_id", codes_udf("embedding").alias("codes")).select(
+        "vec_id", *[F.col("codes").getItem(m).alias(f"c{m}") for m in range(PQ_M)]
     )
     # per-probe lookup tables: N_PROBES x M x K rows — broadcast side
     pd_tab = (
-        sub.filter(F.col("vec_id") < N_PROBES)
-        .select(F.col("vec_id").alias("probe_id"), F.col("m").alias("pm"), "sv")
-        .join(broadcast(cb), F.col("cm") == F.col("pm"))
+        emb.filter(F.col("vec_id") < N_PROBES)
+        .select(F.col("vec_id").alias("probe_id"), "embedding",
+                F.explode(F.array(*[F.lit(m) for m in range(PQ_M)])).alias("pm"))
+        .select("probe_id", "pm",
+                F.expr(f"slice(embedding, pm * {PQ_SUBDIM} + 1, {PQ_SUBDIM})").alias("sv"))
+        .join(broadcast(cb), F.col("m") == F.col("pm"))
         .select("probe_id", "pm", "k", seq_sqdist("sv", "cv").alias("pd2"))
     )
     scored = enc_wide
@@ -793,44 +795,44 @@ FROM members m LEFT JOIN dstats d USING (cluster_id)
 """,
     tags=("dedup", "sim", "semdedup"),
     doc=f"semantic deduplication (SemDeDup, Abbas et al. 2023): cluster the "
-    f"corpus into {_KM_K} k-means cells (broadcast seed centroids, squared-L2 "
-    "assignment from precomputed self-dots), then prune within-cluster pairs "
-    f"whose cosine exceeds {SEMDEDUP_TAU} keeping the lowest vec_id. The "
-    "threshold compare stays in sqrt-free dot-product form (dot^2 > tau^2 * "
-    "|a|^2 * |b|^2), bit-exact across engines, so the per-cluster prune "
-    "counts need no decimal canon. Scale shape: clustering makes the "
-    "pairwise step embarrassingly parallel per cell -- one shuffle on "
-    "cluster_id, pairs never cross cells; at 100 TB cap or subsample cells "
-    "above a size bound (the paper's own mitigation) exactly like the LSH "
-    "hot-bucket cap in dedup_minhash_lsh.",
+    f"corpus into {_KM_K} k-means cells (seed centroids staged as a side "
+    "table, squared-L2 assignment map-side via functions/quantize.py — no "
+    "K-fold corpus explode, no argmin window shuffle), then prune "
+    f"within-cluster pairs whose cosine exceeds {SEMDEDUP_TAU} keeping the "
+    "lowest vec_id. The threshold compare stays in sqrt-free dot-product "
+    "form (dot^2 > tau^2 * |a|^2 * |b|^2), bit-exact across engines, so the "
+    "per-cluster prune counts need no decimal canon. Scale shape: "
+    "clustering makes the pairwise step embarrassingly parallel per cell -- "
+    "one shuffle on cluster_id, pairs never cross cells; at 100 TB cap or "
+    "subsample cells above a size bound (the paper's own mitigation) "
+    "exactly like the LSH hot-bucket cap in dedup_minhash_lsh.",
 )
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    vecs = emb.select(
-        "vec_id", "embedding", seq_dot("embedding", "embedding").alias("vn2")
-    )
-    cents = emb.filter(F.col("vec_id") < _KM_K).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("embedding").alias("ce"),
-        seq_dot("embedding", "embedding").alias("cn2"),
-    )
-    assign = vecs.crossJoin(broadcast(cents)).withColumn(
-        "d2",
-        F.col("vn2") + F.col("cn2") - 2 * seq_dot(F.col("embedding"), F.col("ce")),
-    )
-    wv = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cent_id").asc())
-    from meos_rs_spark.functions.staging import stage
+    from meos_rs_spark.functions.quantize import make_nearest_centroid_udf, side_table_name
+    from meos_rs_spark.functions.staging import stage, staged_table_path
 
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents_name = side_table_name("sem_cents", sf_dir)
+    stage(
+        emb.filter(F.col("vec_id") < _KM_K).select(
+            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce")
+        ),
+        cents_name,
+    )
+    nearest = make_nearest_centroid_udf(staged_table_path(spark, cents_name), metric="l2")
     # stage only the NARROW assignment (vec_id, vn2, cluster_id): the k-means
     # pass runs once and its result is durable, but re-writing the embedding
     # arrays would double-store the corpus — both pair-join sides instead
     # re-attach embeddings from the SOURCE parquet (already columnar and
     # durable) via a vec_id equi-join, so no materialization ever assumes
-    # executor memory fits the embedded corpus
+    # executor memory fits the embedded corpus. The staging job itself is
+    # map-only: scan → one ArrowEvalPython (vn2 fold + cell argmin) → write.
     cells = stage(
-        assign.withColumn("__rn", F.row_number().over(wv))
-        .filter(F.col("__rn") == 1)
-        .select("vec_id", "vn2", F.col("cent_id").alias("cluster_id")),
+        emb.select(
+            "vec_id",
+            seq_dot("embedding", "embedding").alias("vn2"),
+            nearest("embedding").alias("cluster_id"),
+        ),
         "semantic_cells",
     )
     src = emb.select("vec_id", "embedding")

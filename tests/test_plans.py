@@ -84,12 +84,17 @@ def test_flagship_single_shuffle_agg(spark):
 
 
 def test_ivf_candidate_join_is_equi(spark):
-    # centroid assignment is an intentional broadcast NLJ over 8 rows; the
-    # candidate search must equi-join on the cell (never rescan the corpus
-    # per probe), and the probe side must broadcast
+    # corpus cell assignment is MAP-SIDE (one ArrowEvalPython against the
+    # staged side-table quantizer — evaluated exactly once, never duplicated
+    # into a join-key null filter); the candidate search must equi-join on
+    # the cell (never rescan the corpus per probe) with the probe side
+    # broadcast; the only exchanges are the two constant-sized windows
+    # (probe top-NPROBE, final top-k)
     plan = _plan(spark, "sim_ann_ivf")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert plan.count("nearest_centroid") == 1, plan[:2000]
+    assert plan.count("Exchange hashpartitioning") <= 2, plan[:2000]
 
 
 def test_nearest_instant_is_bucket_equi_join(spark):
@@ -170,14 +175,15 @@ def test_space_time_grid_partial_agg(spark):
     assert "HashAggregate" in plan
 
 
-def test_kmeans_assignment_is_broadcast(spark):
-    # centroid assignment must be a broadcast NLJ over the K-row seed table
-    # (a map-side pass), never a shuffle of the corpus; the only hash
-    # exchanges are the per-vec argmin window and the (cluster, dim) agg
+def test_kmeans_assignment_is_map_side(spark):
+    # centroid assignment must be a zero-join map pass (ArrowEvalPython
+    # against the staged side-table seeds — no K-fold corpus explode, no
+    # per-vec argmin window); the ONLY exchange is the (cluster, dim) agg
     plan = _plan(spark, "sim_kmeans_iter")
-    assert "BroadcastNestedLoopJoin" in plan
-    assert "CartesianProduct" not in plan
-    assert plan.count("Exchange hashpartitioning") <= 3, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
+    assert "Window" not in plan, plan[:2000]
+    assert plan.count("nearest_centroid") == 1, plan[:2000]
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
 
 
 def test_salted_join_is_smj_on_salted_key(spark):
@@ -204,12 +210,17 @@ def test_knn_graph_join_is_bucket_equi(spark):
 
 
 def test_pq_ann_is_all_broadcast(spark):
-    # codebook + per-probe lookup tables are tiny: every join must broadcast;
-    # the ADC scan stays linear in the corpus (no SMJ shuffle, no cartesian)
+    # encoding is one map-side Arrow pass (all PQ codes per vector, single
+    # evaluation, no per-subspace argmin window); lookup tables are tiny so
+    # every join must broadcast; the ADC scan stays linear in the corpus
+    # (no SMJ shuffle, no cartesian) and the only exchange is the final
+    # per-probe top-k window
     plan = _plan(spark, "sim_pq_ann")
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan, plan[:2000]
     assert plan.count("BroadcastHashJoin") >= 5, plan[:2000]
+    assert plan.count("pq_codes") == 1, plan[:2000]
+    assert plan.count("Exchange hashpartitioning") <= 1, plan[:2000]
 
 
 def test_stbox_z_path_single_shuffle(spark):
@@ -270,10 +281,12 @@ def test_cohort_sizes_broadcast(spark):
 
 
 def test_semdedup_pair_join_is_equi(spark):
-    # the only nested-loop joins are the 8-row centroid broadcasts; the
-    # within-cluster pair generation must equi-join on cluster_id
+    # cell assignment happens map-side in the staging job (not in this
+    # plan); the within-cluster pair generation must equi-join on cluster_id
+    # with the narrow staged cells broadcast onto the embedding re-attach
     plan = _plan(spark, "dedup_semantic")
     assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
     equi = sum(plan.count(j) for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"))
     assert equi >= 1, plan[:2000]
 

@@ -1,0 +1,126 @@
+"""Map-side quantizer kernels (functions/quantize.py): bit-equivalence with
+the crossJoin+window argmin shape they replaced, oracle-matching tie-breaks,
+and side-table cache freshness."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from meos_rs_spark.functions import quantize
+from meos_rs_spark.functions.embeddings import seq_dot
+from meos_rs_spark.functions.staging import stage, staged_table_path
+
+
+def _write_cents(spark, rows, name):
+    df = spark.createDataFrame(rows, "cent_id long, ce array<float>")
+    stage(df, name)
+    return staged_table_path(spark, name)
+
+
+def _rng_vecs(n, dim, seed):
+    rng = np.random.default_rng(seed)
+    return [(i, [float(x) for x in rng.normal(size=dim)]) for i in range(n)]
+
+
+@pytest.mark.parametrize("metric", ["l2", "cos"])
+def test_nearest_matches_crossjoin_window_shape(spark, metric):
+    dim, k = 16, 5
+    vecs = spark.createDataFrame(_rng_vecs(200, dim, 7), "vec_id long, embedding array<float>")
+    cents_rows = [(int(i), v) for i, v in _rng_vecs(k, dim, 11)]
+    path = _write_cents(spark, cents_rows, f"q_cents_{metric}")
+    udf = quantize.make_nearest_centroid_udf(path, metric=metric)
+    got = {r.vec_id: r.c for r in vecs.select("vec_id", udf("embedding").alias("c")).collect()}
+
+    cents = spark.createDataFrame(cents_rows, "cent_id long, ce array<float>")
+    joined = vecs.crossJoin(broadcast(cents)).withColumn(
+        "vn2", seq_dot("embedding", "embedding")
+    ).withColumn("cn2", seq_dot("ce", "ce")).withColumn(
+        "dot", seq_dot("embedding", "ce")
+    )
+    if metric == "l2":
+        score = F.col("vn2") + F.col("cn2") - 2 * F.col("dot")
+        w = Window.partitionBy("vec_id").orderBy(F.col("score").asc(), F.col("cent_id").asc())
+    else:
+        score = F.col("dot") / (F.sqrt("vn2") * F.sqrt("cn2"))
+        w = Window.partitionBy("vec_id").orderBy(F.col("score").desc(), F.col("cent_id").asc())
+    ref = {
+        r.vec_id: r.cent_id
+        for r in joined.withColumn("score", score)
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .collect()
+    }
+    assert got == ref
+
+
+def test_nearest_tie_breaks_to_lowest_cent_id(spark):
+    # two IDENTICAL centroids: the window's ORDER BY (score, cent_id) keeps
+    # the lower id — the kernel's strict-inequality ascending scan must too
+    v = [float(x) for x in range(8)]
+    path = _write_cents(spark, [(3, v), (1, v)], "q_cents_tie")
+    vecs = spark.createDataFrame([(0, v)], "vec_id long, embedding array<float>")
+    for metric in ("l2", "cos"):
+        udf = quantize.make_nearest_centroid_udf(path, metric=metric)
+        assert vecs.select(udf("embedding").alias("c")).first().c == 1, metric
+
+
+def test_pq_codes_match_bruteforce(spark):
+    n_sub, subdim = 4, 8
+    dim = n_sub * subdim
+    vec_rows = _rng_vecs(100, dim, 3)
+    cb_rows = []
+    rng = np.random.default_rng(5)
+    for m in range(n_sub):
+        for k in range(6):
+            cb_rows.append((int(k), int(m), [float(x) for x in rng.normal(size=subdim)]))
+    cb = spark.createDataFrame(cb_rows, "k long, m int, cv array<float>")
+    stage(cb, "q_pq_cb")
+    path = staged_table_path(spark, "q_pq_cb")
+    udf = quantize.make_pq_codes_udf(path, n_sub=n_sub, subdim=subdim)
+    vecs = spark.createDataFrame(vec_rows, "vec_id long, embedding array<float>")
+    got = {r.vec_id: list(r.codes) for r in vecs.select("vec_id", udf("embedding").alias("codes")).collect()}
+
+    def fold_dot(a, b):
+        acc = np.float64(0.0)
+        for j in range(len(a)):
+            acc += a[j] * b[j]
+        return acc
+
+    for vec_id, emb in vec_rows:
+        v = np.asarray(emb, dtype=np.float32).astype(np.float64)
+        expect = []
+        for m in range(n_sub):
+            sub = v[m * subdim : (m + 1) * subdim]
+            scored = []
+            for k, mm, cv in cb_rows:
+                if mm != m:
+                    continue
+                c = np.asarray(cv, dtype=np.float32).astype(np.float64)
+                scored.append((fold_dot(sub, sub) + fold_dot(c, c) - 2.0 * fold_dot(sub, c), k))
+            expect.append(min(scored)[1])
+        assert got[vec_id] == expect, vec_id
+
+
+def test_side_cache_refreshes_on_overwrite(spark):
+    v1 = [1.0] * 4
+    v2 = [-1.0] * 4
+    path = _write_cents(spark, [(0, v1)], "q_cache_probe")
+    df = quantize._load_side(path)
+    assert df["cent_id"].tolist() == [0]
+    # overwrite with different content under the same path (memo disabled so
+    # the write actually happens) — the fingerprint must invalidate the cache
+    spark.conf.set("spark.meos.staging.memo", "false")
+    try:
+        stage(
+            spark.createDataFrame([(7, v2)], "cent_id long, ce array<float>"),
+            "q_cache_probe",
+        )
+    finally:
+        spark.conf.set("spark.meos.staging.memo", "true")
+    df2 = quantize._load_side(path)
+    assert df2["cent_id"].tolist() == [7]
