@@ -102,8 +102,29 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sig_exprs(dialect: str) -> list[str]:
-    # h_j = min over shingles of md5(shingle || '#j') — md5 is engine-identical
-    return [f"min(md5(sh || '#{j}')) AS h{j}" for j in range(N_HASHES)]
+    # h_j = min over shingles of an 8-hex-char (32-bit) slice of
+    # md5(shingle || '#q'), q = j // 4: each 128-bit digest yields FOUR
+    # independent 32-bit hash functions (standard 32-bit minhash), so the
+    # md5-heaviest map stage of the pipeline computes N_HASHES/4 digests per
+    # (doc, shingle) row instead of N_HASHES. Fixed-width lowercase hex, so
+    # lexicographic min == numeric min, engine-identically; both engines'
+    # substr is 1-based.
+    return [
+        f"min(substr(md5(sh || '#{j // 4}'), {(j % 4) * 8 + 1}, 8)) AS h{j}"
+        for j in range(N_HASHES)
+    ]
+
+
+def _minhash_sig_cols() -> list:
+    """Spark twin of ``_minhash_sig_exprs`` — kept adjacent so the two
+    definitions can only drift visibly. Catalyst's subexpression elimination
+    collapses the four slices of one digest to a single md5 evaluation."""
+    return [
+        F.min(
+            F.substring(F.md5(F.concat("sh", F.lit(f"#{j // 4}"))), (j % 4) * 8 + 1, 8)
+        ).alias(f"h{j}")
+        for j in range(N_HASHES)
+    ]
 
 
 # --- MinHash + LSH near-dup ------------------------------------------------
@@ -176,18 +197,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # means the corpus is scanned exactly once and the scratch write is
     # ~shingle-set-sized (~3x text bytes — each word starts at most one
     # 3-shingle), vs the r5 shape's 10x-corpus exploded-fact staging plus
-    # fact-sized reads back for the re-rank. The 16 md5 calls per (doc,
-    # shingle) row are pure map-side codegen and the partial min-aggregate
-    # shrinks the shuffle to per-doc rows. (The r2 shingle-dictionary
-    # variant saved md5 calls but paid two extra fact-sized shuffles; the
-    # wrong trade at 100 TB where the global dictionary itself is huge.)
+    # fact-sized reads back for the re-rank. The 4 md5 calls per (doc,
+    # shingle) row (each digest sliced into four 32-bit minhash components,
+    # _minhash_sig_cols) are pure map-side codegen and the partial
+    # min-aggregate shrinks the shuffle to per-doc rows. (The r2
+    # shingle-dictionary variant saved md5 calls but paid two extra
+    # fact-sized shuffles; the wrong trade at 100 TB where the global
+    # dictionary itself is huge.)
     sh = _shingles(spark, sf_dir)
     sig = stage(
         sh.groupBy("doc_id").agg(
-            *[
-                F.min(F.md5(F.concat("sh", F.lit(f"#{j}")))).alias(f"h{j}")
-                for j in range(N_HASHES)
-            ],
+            *_minhash_sig_cols(),
             F.count(F.lit(1)).alias("n"),
             F.array_sort(F.collect_set("sh")).alias("shs"),
         ),
@@ -449,9 +469,7 @@ JOIN sig b ON b.doc_id = s.id_b
 def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = dedup_minhash_lsh(spark, sf_dir)
     sh = _shingles(spark, sf_dir)
-    sig = sh.groupBy("doc_id").agg(
-        *[F.min(F.md5(F.concat("sh", F.lit(f"#{j}")))).alias(f"h{j}") for j in range(N_HASHES)]
-    )
+    sig = sh.groupBy("doc_id").agg(*_minhash_sig_cols())
     a = sig.select(F.col("doc_id").alias("id_a"), *[F.col(f"h{j}").alias(f"a{j}") for j in range(N_HASHES)])
     b = sig.select(F.col("doc_id").alias("id_b"), *[F.col(f"h{j}").alias(f"b{j}") for j in range(N_HASHES)])
     n_agree = sum(
