@@ -209,7 +209,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh.groupBy("doc_id").agg(
             *_minhash_sig_cols(),
             F.count(F.lit(1)).alias("n"),
-            F.array_sort(F.collect_set("sh")).alias("shs"),
+            # NOT sorted: the sets only feed array_intersect (order-
+            # insensitive) and never appear in output — sorting them cost
+            # ~40% of the whole signature aggregation
+            F.collect_set("sh").alias("shs"),
         ),
         "minhash_sig",
     )

@@ -31,6 +31,13 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # parallelismFirst defaults true, which coalesces only down to the
+    # session's defaultParallelism — i.e. effectively never for small
+    # shuffles, leaving every tiny post-shuffle stage at 32 near-empty
+    # tasks (and staged tables at 32 near-empty files). False = coalesce
+    # by the advisory partition size, the documented production setting;
+    # map-side work keeps the scan's parallelism either way.
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
     "spark.sql.adaptive.skewJoin.enabled": "true",
 }
 
