@@ -179,33 +179,33 @@ SELECT id_a, id_b, n_inter, n_union, jaccard FROM scored
 """
 
 
-@register(
-    "dedup_minhash_lsh",
-    oracle=_MINHASH_ORACLE,
-    tags=("dedup", "lsh"),
-    doc=f"near-dup candidates: {N_HASHES} minhashes → {N_BANDS} bands → bucket equi-join "
-    f"(collision sets capped at {MAX_BUCKET} docs, mirrored in the oracle) → exact-Jaccard "
-    "re-rank over candidate docs only; no cartesian product at any stage",
-)
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _staged_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The staged per-doc minhash signature table (h0..h15, n, shs).
+
+    ONE pass over the exploded shingle fact (a map-only derivation of the
+    documents scan — never materialized itself) produces everything the
+    LSH pipeline needs per doc: the 16-way signature, the shingle count,
+    AND the shingle set as an array. Staging that one table means the
+    corpus is scanned exactly once and the scratch write is
+    ~shingle-set-sized (~3x text bytes — each word starts at most one
+    3-shingle), vs the r5 shape's 10x-corpus exploded-fact staging plus
+    fact-sized reads back for the re-rank. The 4 md5 calls per (doc,
+    shingle) row (each digest sliced into four 32-bit minhash components,
+    _minhash_sig_cols) are pure map-side codegen and the partial
+    min-aggregate shrinks the shuffle to per-doc rows. (The r2
+    shingle-dictionary variant saved md5 calls but paid two extra
+    fact-sized shuffles; the wrong trade at 100 TB where the global
+    dictionary itself is huge.)
+
+    Shared by dedup_minhash_lsh / dedup_components / dedup_minhash_estimate
+    — within one session the staging memo makes the extra calls free, and
+    the estimate query no longer recomputes the signature from a second
+    corpus scan.
+    """
     from meos_rs_spark.functions.staging import stage
 
-    # ONE pass over the exploded shingle fact (a map-only derivation of the
-    # documents scan — never materialized itself) produces everything the
-    # rest of the query needs per doc: the 16-way signature, the shingle
-    # count, AND the shingle set as a sorted array. Staging that one table
-    # means the corpus is scanned exactly once and the scratch write is
-    # ~shingle-set-sized (~3x text bytes — each word starts at most one
-    # 3-shingle), vs the r5 shape's 10x-corpus exploded-fact staging plus
-    # fact-sized reads back for the re-rank. The 4 md5 calls per (doc,
-    # shingle) row (each digest sliced into four 32-bit minhash components,
-    # _minhash_sig_cols) are pure map-side codegen and the partial
-    # min-aggregate shrinks the shuffle to per-doc rows. (The r2
-    # shingle-dictionary variant saved md5 calls but paid two extra
-    # fact-sized shuffles; the wrong trade at 100 TB where the global
-    # dictionary itself is huge.)
     sh = _shingles(spark, sf_dir)
-    sig = stage(
+    return stage(
         sh.groupBy("doc_id").agg(
             *_minhash_sig_cols(),
             F.count(F.lit(1)).alias("n"),
@@ -216,6 +216,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "minhash_sig",
     )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_MINHASH_ORACLE,
+    tags=("dedup", "lsh"),
+    doc=f"near-dup candidates: {N_HASHES} minhashes → {N_BANDS} bands → bucket equi-join "
+    f"(collision sets capped at {MAX_BUCKET} docs, mirrored in the oracle) → exact-Jaccard "
+    "re-rank over candidate docs only; no cartesian product at any stage",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = _staged_sig(spark, sf_dir)
     band_cols = [
         F.md5(F.concat_ws("|", *[f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)])).alias(f"band{b}")
         for b in range(N_BANDS)
@@ -471,8 +483,10 @@ JOIN sig b ON b.doc_id = s.id_b
 )
 def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = dedup_minhash_lsh(spark, sf_dir)
-    sh = _shingles(spark, sf_dir)
-    sig = sh.groupBy("doc_id").agg(*_minhash_sig_cols())
+    # the h-columns ride the SAME staged signature table the LSH pass built
+    # (memo-shared within the session) — no second corpus scan or signature
+    # recompute; column pruning keeps the shingle arrays out of this read
+    sig = _staged_sig(spark, sf_dir).select("doc_id", *[f"h{j}" for j in range(N_HASHES)])
     a = sig.select(F.col("doc_id").alias("id_a"), *[F.col(f"h{j}").alias(f"a{j}") for j in range(N_HASHES)])
     b = sig.select(F.col("doc_id").alias("id_b"), *[F.col(f"h{j}").alias(f"b{j}") for j in range(N_HASHES)])
     n_agree = sum(

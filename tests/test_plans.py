@@ -55,6 +55,22 @@ def test_minhash_intermediates_are_staged_not_cached(spark):
     assert plan.count("meos_rs_staging") >= 3  # buckets x2 sides + shingle rescans
 
 
+def test_minhash_banding_path_prunes_shingle_arrays(spark):
+    # the staged signature table carries the (heavy) shingle-set arrays for
+    # the re-rank ONLY: the banding leg and the estimate's h-column reads
+    # must prune them at the scan (ReadSchema without shs) — at corpus scale
+    # the arrays dominate the table's bytes
+    for name in ("dedup_minhash_lsh", "dedup_minhash_estimate"):
+        plan = _plan(spark, name)
+        schemas = [
+            seg.split("ReadSchema")[1].splitlines()[0]
+            for seg in plan.split("Scan parquet")[1:]
+            if "meos_rs_staging" in seg[:400] and "ReadSchema" in seg
+        ]
+        assert schemas, name
+        assert any("shs" not in schema for schema in schemas), (name, schemas)
+
+
 def test_nearest_approach_not_point_quadratic(spark):
     # the only nested-loop join allowed is the K²-bounded distinct-id pair
     # build; the point-level joins must be equi-joins on the vessel id
