@@ -1,0 +1,70 @@
+"""Registry-WIDE physical-plan lint — the 100 TB discipline, exhaustively.
+
+test_plans.py pins detailed shapes for individual headline queries; this
+sweep compiles every registered query's physical plan and enforces the
+three properties that must hold for ALL of them:
+
+  * no ``CartesianProduct`` — nothing in the engine is allowed to
+    degenerate into an unbounded all-pairs scan;
+  * no ``BatchEvalPython`` — every Python UDF crosses the JVM boundary
+    Arrow-batched (``ArrowEvalPython``), never row-at-a-time;
+  * ``BroadcastNestedLoopJoin`` only where the build side is provably
+    constant-sized (1-row global totals, K-row quantizer/probe sets,
+    K²-bounded pair-id builds) — the pinned whitelist below. A NEW query
+    landing a BNLJ must be reviewed and added here deliberately.
+"""
+
+from __future__ import annotations
+
+from meos_rs_spark.registry import load_registry
+from tests.conftest import SF_SMOKE
+
+# Queries whose plans intentionally contain a BroadcastNestedLoopJoin.
+# Every entry's build side is constant-sized by construction:
+#   - 1-row aggregate totals: rel_global_metrics, text_mixture_weights,
+#     text_tfidf_topterms, text_unigram_logprob, rel_bloom_join (bitmap row),
+#     sim_pagerank (node-count row)
+#   - constant probe/seed sets: sim_cosine_topk (N_PROBES), sim_ann_ivf and
+#     sim_ann_recall (probe x centroid assignment), sim_prefix_rerank
+#   - K²-bounded distinct-id pair builds: trajsim_hausdorff,
+#     trajsim_dtw_frechet, trajsim_lcss_erp, trajsim_nearest_approach
+#   - small bounded box/band tables: box_tbox_predicates, box_tbox_algebra,
+#     rel_join_band_bucketed
+BNLJ_ALLOWED = {
+    "box_tbox_predicates",
+    "box_tbox_algebra",
+    "sim_cosine_topk",
+    "sim_ann_ivf",
+    "sim_ann_recall",
+    "sim_prefix_rerank",
+    "sim_pagerank",
+    "text_tfidf_topterms",
+    "text_unigram_logprob",
+    "rel_join_band_bucketed",
+    "rel_global_metrics",
+    "rel_bloom_join",
+    "text_mixture_weights",
+    "trajsim_hausdorff",
+    "trajsim_dtw_frechet",
+    "trajsim_nearest_approach",
+    "trajsim_lcss_erp",
+}
+
+
+def test_registry_wide_plan_lint(spark):
+    reg = load_registry()
+    cartesian, row_udf, bnlj_new = [], [], []
+    for name, spec in reg.items():
+        plan = spec.fn(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            cartesian.append(name)
+        if "BatchEvalPython" in plan:
+            row_udf.append(name)
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOWED:
+            bnlj_new.append(name)
+    assert not cartesian, f"cartesian products: {cartesian}"
+    assert not row_udf, f"row-at-a-time Python UDFs: {row_udf}"
+    assert not bnlj_new, (
+        f"unreviewed BroadcastNestedLoopJoin in: {bnlj_new} — verify the "
+        "build side is constant-sized, then add to BNLJ_ALLOWED"
+    )
