@@ -53,7 +53,7 @@ BNLJ_ALLOWED = {
 
 def test_registry_wide_plan_lint(spark):
     reg = load_registry()
-    cartesian, row_udf, bnlj_new = [], [], []
+    cartesian, row_udf, bnlj_new, cached = [], [], [], []
     for name, spec in reg.items():
         plan = spec.fn(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
         if "CartesianProduct" in plan:
@@ -62,9 +62,14 @@ def test_registry_wide_plan_lint(spark):
             row_udf.append(name)
         if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOWED:
             bnlj_new.append(name)
+        if "InMemoryTableScan" in plan or "InMemoryRelation" in plan:
+            cached.append(name)
     assert not cartesian, f"cartesian products: {cartesian}"
     assert not row_udf, f"row-at-a-time Python UDFs: {row_udf}"
     assert not bnlj_new, (
         f"unreviewed BroadcastNestedLoopJoin in: {bnlj_new} — verify the "
         "build side is constant-sized, then add to BNLJ_ALLOWED"
     )
+    # executor-memory pins are banned: multi-consumer intermediates go to
+    # parquet staging tables (functions/staging.py), never .cache()
+    assert not cached, f"cached (executor-memory-pinned) intermediates: {cached}"
