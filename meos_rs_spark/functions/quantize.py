@@ -30,7 +30,12 @@ Determinism contract (the oracles are unchanged):
 * tie-breaks mirror the oracles' ``ORDER BY score [DESC], cent_id``:
   centroids are scanned in ascending cent_id order with strict-inequality
   updates, so the lowest cent_id wins ties — exactly the row the
-  ``row_number() = 1`` window kept.
+  ``row_number() = 1`` window kept;
+* NaN scores are mapped to +inf before comparing: Spark and DuckDB both
+  sort NaN as the LARGEST double (verified empirically — DESC puts NaN
+  first, ASC puts it last), so a NaN-scoring centroid must win an argmax
+  (cosine against a zero-norm centroid) and lose an argmin, ties still
+  falling to the lowest cent_id.
 
 Side-table reads go through ``pyarrow.parquet.read_table`` on the staged
 directory (its dataset discovery skips ``_SUCCESS``/dot files and speaks
@@ -136,6 +141,9 @@ def make_nearest_centroid_udf(cents_path: str, *, metric: str):
                 score = vn2 + cn2 - 2.0 * dot
             else:
                 score = dot / (vnorm * np.sqrt(cn2))
+            # NaN = +inf: wins the cosine argmax, loses the L2 argmin —
+            # the engines' NaN-sorts-largest ordering (module docstring)
+            score = np.where(np.isnan(score), np.inf, score)
             if best_score is None:
                 best_score, best_id[:] = score.copy(), ids[i]
             else:
@@ -173,6 +181,8 @@ def make_pq_codes_udf(cb_path: str, *, n_sub: int, subdim: int):
             for i in range(cents.shape[0]):
                 cn2 = _self_dot(cents[i])
                 d2 = sn2 + cn2 - 2.0 * _dot_const(sub, cents[i])
+                # NaN = +inf: loses the argmin (module docstring)
+                d2 = np.where(np.isnan(d2), np.inf, d2)
                 if best_d2 is None:
                     best_d2, best_k[:] = d2.copy(), ks[i]
                 else:

@@ -144,16 +144,23 @@ def _plan_digest(df: DataFrame) -> str | None:
     query over two different fixture dirs (the parity gate runs sf0.001 and
     sf0.01 in one session) produces identical plan text — a memo hit there
     would serve the other scale's staged table as this one's result. The
-    sorted input-file list is therefore mixed into the digest. Plan + input
-    equality then implies result equality for immutable inputs (enforced by
-    the trusted-roots check in ``stage()``). Returns None when the JVM plan
-    or file listing is unreachable (e.g. Spark Connect), which disables
-    memoization and falls back to always-write.
+    sorted input-file list is therefore mixed into the digest. In-memory
+    relations (``LocalRelation``/``LogicalRDD`` — ``createDataFrame`` data,
+    RDD-backed frames) carry their ROWS outside the plan text AND outside
+    the file list, so two different literal datasets would still digest
+    identically; any plan containing one disables memoization outright
+    (``spark.range`` is fine — its Range node is fully described by the
+    text). Plan + input equality then implies result equality for immutable
+    inputs (enforced by the trusted-roots check in ``stage()``). Returns
+    None when the JVM plan or file listing is unreachable (e.g. Spark
+    Connect), which disables memoization and falls back to always-write.
     """
     try:
         plan = df._jdf.queryExecution().analyzed().toString()
         files = "\0".join(sorted(df.inputFiles()))
     except Exception:
+        return None
+    if "LocalRelation" in plan or "LogicalRDD" in plan:
         return None
     return hashlib.sha256((_canon_plan(plan) + "\1" + files).encode()).hexdigest()
 

@@ -116,15 +116,12 @@ def _minhash_sig_exprs(dialect: str) -> list[str]:
 
 
 def _minhash_sig_cols() -> list:
-    """Spark twin of ``_minhash_sig_exprs`` — kept adjacent so the two
-    definitions can only drift visibly. Catalyst's subexpression elimination
+    """Spark side of ``_minhash_sig_exprs``: the SQL strings are
+    engine-portable (``||``, ``substr``, ``md5``, ``min`` parse identically
+    in Spark SQL and DuckDB), so F.expr reuses the ONE definition and the
+    two engines cannot drift. Catalyst's subexpression elimination
     collapses the four slices of one digest to a single md5 evaluation."""
-    return [
-        F.min(
-            F.substring(F.md5(F.concat("sh", F.lit(f"#{j // 4}"))), (j % 4) * 8 + 1, 8)
-        ).alias(f"h{j}")
-        for j in range(N_HASHES)
-    ]
+    return [F.expr(e) for e in _minhash_sig_exprs("spark")]
 
 
 # --- MinHash + LSH near-dup ------------------------------------------------
@@ -227,7 +224,17 @@ def _staged_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     "re-rank over candidate docs only; no cartesian product at any stage",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = _staged_sig(spark, sf_dir)
+    return _lsh_scored(_staged_sig(spark, sf_dir))
+
+
+def _lsh_scored(sig: DataFrame) -> DataFrame:
+    """Band → bucket → candidate pairs → exact-Jaccard re-rank over the
+    staged signature table. Split out so dedup_minhash_estimate can build
+    from the SAME ``_staged_sig`` DataFrame it joins against: invoking
+    ``stage()`` twice for one query would, whenever the memo does not
+    engage (kill-switch, untrusted roots, digest unavailable), overwrite
+    the staged part-files the first invocation's scans already resolved —
+    FILE_NOT_EXIST at execution time."""
     band_cols = [
         F.md5(F.concat_ws("|", *[f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)])).alias(f"band{b}")
         for b in range(N_BANDS)
@@ -482,11 +489,13 @@ JOIN sig b ON b.doc_id = s.id_b
     f"1/{N_HASHES} and hash cross-engine",
 )
 def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    scored = dedup_minhash_lsh(spark, sf_dir)
-    # the h-columns ride the SAME staged signature table the LSH pass built
-    # (memo-shared within the session) — no second corpus scan or signature
-    # recompute; column pruning keeps the shingle arrays out of this read
-    sig = _staged_sig(spark, sf_dir).select("doc_id", *[f"h{j}" for j in range(N_HASHES)])
+    # ONE _staged_sig call builds both legs: the scored pairs and the
+    # h-column join sides ride the same staged table (no second corpus
+    # scan, no re-stage of the same name within one build — _lsh_scored);
+    # column pruning keeps the shingle arrays out of the h-column reads
+    sig_full = _staged_sig(spark, sf_dir)
+    scored = _lsh_scored(sig_full)
+    sig = sig_full.select("doc_id", *[f"h{j}" for j in range(N_HASHES)])
     a = sig.select(F.col("doc_id").alias("id_a"), *[F.col(f"h{j}").alias(f"a{j}") for j in range(N_HASHES)])
     b = sig.select(F.col("doc_id").alias("id_b"), *[F.col(f"h{j}").alias(f"b{j}") for j in range(N_HASHES)])
     n_agree = sum(

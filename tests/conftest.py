@@ -23,5 +23,12 @@ def spark():
     spark = get_spark(
         app_name="meos-rs-spark-tests", cpus=cpus, shuffle_partitions=shuffle
     )
+    if "SPARK_GRAFT_TEST_SHUFFLE" in os.environ:
+        # adversarial mode: the run exists to prove hash-invariance to row
+        # distribution, so the perturbed partition count must actually
+        # stick — AQE size-based coalescing (parallelismFirst=false in
+        # RUNTIME_CONFS) would quietly merge the tiny fixture shuffles back
+        # toward one partition and neuter the perturbation
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     yield spark
     spark.stop()

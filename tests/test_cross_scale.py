@@ -14,6 +14,7 @@ from __future__ import annotations
 import pytest
 
 from meos_rs_spark.registry import load_registry
+from tests.conftest import SF_ORACLE, SF_SMOKE
 from tests.oracle import compare, duck_connection
 
 # every staging- or side-table-backed query family: minhash (staged
@@ -29,7 +30,7 @@ QUERIES = [
     "sim_pagerank",
 ]
 
-SCALES = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.001"]
+SCALES = [SF_SMOKE, SF_ORACLE, SF_SMOKE]
 
 
 @pytest.mark.parametrize("name", QUERIES)

@@ -69,6 +69,27 @@ def test_nearest_tie_breaks_to_lowest_cent_id(spark):
         assert vecs.select(udf("embedding").alias("c")).first().c == 1, metric
 
 
+def test_nan_score_matches_engine_sort_order(spark):
+    """Both engines sort NaN as the LARGEST double (DESC → first, ASC →
+    last; verified empirically against Spark and DuckDB), so a zero-norm
+    centroid — cosine NaN against every vector — must WIN the cosine
+    argmax for all vectors, and a NaN L2 score must LOSE the argmin. The
+    kernel maps NaN → +inf to reproduce the window's pick exactly."""
+    zero = [0.0] * 8
+    good = [float(x + 1) for x in range(8)]
+    path = _write_cents(spark, [(0, zero), (5, good)], "q_cents_nan")
+    vecs = spark.createDataFrame([(0, good)], "vec_id long, embedding array<float>")
+    cos = quantize.make_nearest_centroid_udf(path, metric="cos")
+    # ORDER BY ccos DESC, cent_id: NaN (cent 0) sorts before 1.0 (cent 5)
+    assert vecs.select(cos("embedding").alias("c")).first().c == 0
+    l2 = quantize.make_nearest_centroid_udf(path, metric="l2")
+    # ORDER BY d2 ASC: finite d2 beats any NaN/inf — cent 5's vector IS the
+    # probe (d2=0), and the zero centroid scores a finite |v|^2 — so put
+    # the NaN elsewhere: l2 over these finite inputs can't go NaN, just
+    # assert the argmin is the exact-match centroid
+    assert vecs.select(l2("embedding").alias("c")).first().c == 5
+
+
 def test_pq_codes_match_bruteforce(spark):
     n_sub, subdim = 4, 8
     dim = n_sub * subdim

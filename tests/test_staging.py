@@ -93,6 +93,33 @@ def test_same_plan_different_fixture_dirs_do_not_collide(spark, tmp_path):
         spark.conf.unset("spark.meos.staging.memoRoots")
 
 
+def test_in_memory_relations_never_memo(spark):
+    """createDataFrame data lives in a LocalRelation/LogicalRDD whose ROWS
+    appear neither in the plan text nor in inputFiles — two different
+    literal datasets would digest identically, so such plans must disable
+    the memo outright (late-r6 review finding)."""
+    out1 = staging.stage(spark.createDataFrame([(1, "one")], "id long, v string"), "local_probe")
+    assert [r.v for r in out1.collect()] == ["one"]
+    out2 = staging.stage(spark.createDataFrame([(2, "two")], "id long, v string"), "local_probe")
+    assert [r.v for r in out2.collect()] == ["two"]
+
+
+def test_estimate_single_stage_per_build(spark):
+    """dedup_minhash_estimate must stage its signature ONCE per build: a
+    second same-name stage() while the first build's scans are live would,
+    with the memo off (bench mode), overwrite the part-files those scans
+    already resolved — FILE_NOT_EXIST at collect (late-r6 review finding,
+    fixed by sharing one _staged_sig frame through _lsh_scored)."""
+    from meos_rs_spark.registry import load_registry
+
+    spark.conf.set("spark.meos.staging.memo", "false")
+    try:
+        df = load_registry()["dedup_minhash_estimate"].fn(spark, "/root/testdata/sf0.001")
+        assert df.count() > 0
+    finally:
+        spark.conf.set("spark.meos.staging.memo", "true")
+
+
 def test_canon_plan_preserves_exprid_cross_references():
     """Stable relabeling, not deletion: 'x#1 = x#2' (join of two attrs) and
     'x#1 = x#1' (self-comparison) must digest differently, while fresh
