@@ -150,3 +150,33 @@ def test_trip_merge_idempotent_and_normalize_stable(a):
     # one point per timestamp, sorted
     ts = [p[0] for p in n]
     assert ts == sorted(set(ts))
+
+
+# --- staging-canonicalization properties (the memo digest's foundations) ----
+
+from hypothesis import given as _given  # noqa: E402
+from meos_rs_spark.functions.staging import _canon_plan  # noqa: E402
+
+_plan_text = st.text(
+    alphabet=st.sampled_from(list("abcx#0123456789 =(),\n")), max_size=120
+)
+
+
+@_given(_plan_text)
+@settings(max_examples=200, deadline=None)
+def test_canon_plan_idempotent(plan):
+    """Relabeling already-relabeled text must be a fixed point — otherwise
+    two digests of the same plan could differ across calls."""
+    once = _canon_plan(plan)
+    assert _canon_plan(once) == once
+
+
+@_given(_plan_text, st.integers(min_value=1, max_value=7))
+@settings(max_examples=200, deadline=None)
+def test_canon_plan_invariant_under_uniform_exprid_shift(plan, shift):
+    """Shifting every exprId by a constant (fresh-allocation simulation)
+    must canonicalize identically — the digest's core soundness claim."""
+    import re
+
+    shifted = re.sub(r"#(\d+)", lambda m: f"#{int(m.group(1)) + shift}", plan)
+    assert _canon_plan(plan) == _canon_plan(shifted)
