@@ -166,10 +166,16 @@ def _plan_digest(df: DataFrame) -> str | None:
 
 
 def _canon_plan(plan: str) -> str:
-    """Relabel exprIds in first-occurrence order (see ``_plan_digest``)."""
-    ids: dict[str, str] = {}
+    """Relabel exprIds in first-occurrence order (see ``_plan_digest``).
+
+    Keyed on the NUMERIC id, not the matched text, so ``#0`` and ``#00``
+    relabel identically — Spark never emits leading zeros, but numeric
+    identity is what the relabeling means."""
+    ids: dict[int, str] = {}
     return re.sub(
-        r"#\d+", lambda m: ids.setdefault(m.group(0), f"#{len(ids)}"), plan
+        r"#(\d+)",
+        lambda m: ids.setdefault(int(m.group(1)), f"#{len(ids)}"),
+        plan,
     )
 
 

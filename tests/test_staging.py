@@ -111,10 +111,11 @@ def test_estimate_single_stage_per_build(spark):
     already resolved — FILE_NOT_EXIST at collect (late-r6 review finding,
     fixed by sharing one _staged_sig frame through _lsh_scored)."""
     from meos_rs_spark.registry import load_registry
+    from tests.conftest import SF_SMOKE
 
     spark.conf.set("spark.meos.staging.memo", "false")
     try:
-        df = load_registry()["dedup_minhash_estimate"].fn(spark, "/root/testdata/sf0.001")
+        df = load_registry()["dedup_minhash_estimate"].fn(spark, SF_SMOKE)
         assert df.count() > 0
     finally:
         spark.conf.set("spark.meos.staging.memo", "true")
