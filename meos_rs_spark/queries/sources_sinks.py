@@ -704,15 +704,20 @@ def snk_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ON CONFLICT (MMSI) DO UPDATE SET trip = public.update(trips.trip,
 # EXCLUDED.trip, true)`` executed over deadpool-pooled connections, batched
 # 50 instants per statement (ais_to_db.rs:89-98, :57, :156-161, :202-212) —
-# the temporal merge runs INSIDE the DB engine. This sandbox has no Postgres;
-# Python's stdlib sqlite3 supplies the same contract (file-backed store,
-# ON CONFLICT DO UPDATE, registrable engine-side functions), so every piece
-# of executor plumbing is real: foreachPartition opens ONE connection per
-# partition (the pool analog — at 100 TB swap the connect() for a JDBC/psycopg
-# pool acquire, nothing else changes), groups its rows per vessel, chunks
-# them 50 instants per prepared statement, and lets the conflict clause call
-# traj_merge_json() — registered per connection the way public.update() ships
-# with the MobilityDB server — to merge trips keyed by timestamp.
+# the temporal merge runs INSIDE the DB engine. The driver-checked query
+# targets Python's stdlib sqlite3, which supplies the same contract
+# (file-backed store, ON CONFLICT DO UPDATE, registrable engine-side
+# functions), so every piece of executor plumbing is real: foreachPartition
+# opens ONE connection per partition (the pool analog — at 100 TB swap the
+# connect() for a JDBC/psycopg pool acquire, nothing else changes), groups
+# its rows per vessel, chunks them 50 instants per prepared statement, and
+# lets the conflict clause call traj_merge_json() — registered per
+# connection the way public.update() ships with the MobilityDB server — to
+# merge trips keyed by timestamp. The REAL wire protocol is covered too:
+# tests/test_postgres_sink.py boots an ephemeral PostgreSQL 15 cluster,
+# installs the merge as an in-database SQL function, drives this same
+# dataflow through per-partition executor clients, and asserts the stored
+# result equals this query's (DuckDB-oracled) output.
 
 _UPSERT_T0 = "2024-01-15"  # delta batch starts here — overlaps the base batch,
 _UPSERT_T1 = "2024-01-20"  # so the ON CONFLICT merge path genuinely executes
