@@ -2,11 +2,18 @@
 ``binary`` payloads + typed metadata structs, with decode/feature-extract
 as Arrow-batched ``mapInPandas`` stages.
 
-The container has no image/audio codecs, so the payloads are the documents'
-UTF-8 bytes standing in for media blobs; the *decode* step is a clearly
-marked deterministic fake (STUB) while everything Spark-side — binary
-column, metadata struct schema, mapInPandas batch shape, partition flow —
-is real and tested (tests/test_multimodal.py).
+The container has no PIL/cv2/ffmpeg, but the image-decode stage is REAL
+anyway: ``mm_decode_features`` materializes each document as a genuine
+grayscale PNG (the fixture ships no media blobs, so the blob is
+synthesized deterministically from the text bytes) and then actually
+decodes it — signature + chunk + CRC parse, zlib inflate, scanline
+unfilter — via the pure-stdlib codec in ``functions/media.py``. The
+decoded pixels are oracle-checked end-to-end (their md5 equals what DuckDB
+computes arithmetically from the raw table, which only holds if the
+encode→decode round trip is bit-exact). The *resize* and *frame-sample*
+stages keep deterministic stand-ins for their pixel work (their geometry
+contracts are fully oracled); exotic codecs (JPEG, video) stay out of
+scope in this container — they would ride the same mapInPandas stage.
 """
 
 from __future__ import annotations
@@ -49,37 +56,51 @@ def mm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- decode / feature-extract via mapInPandas (rows-only) ------------------
+# --- decode / feature-extract via mapInPandas (REAL PNG decode) -------------
 
 _DECODE_SCHEMA = (
-    "doc_id long, payload_bytes int, fake_width int, fake_height int, "
-    "fake_n_frames int, feature array<double>"
+    "doc_id long, payload_bytes int, width int, height int, "
+    "n_pixels int, pixel_md5 string"
 )
+# image geometry derived from the payload length — small enough that the
+# oracle can reproduce the pixel stream arithmetically, large enough that
+# the zlib/filter machinery does real work per row
+_PNG_W_MOD, _PNG_H_MOD = 64, 48
 
 
-def _fake_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """STUB decode: a real deployment would decode image/audio bytes here
-    (PIL/ffmpeg are not in this container). Deterministic fake: dimensions
-    derived from payload length, a 4-dim 'feature' from byte statistics —
-    stable across runs/partitions so the driver's rows-only check is stable.
+def _png_decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL decode stage: each payload is materialized as a genuine
+    grayscale-8 PNG (pixels = the payload bytes tiled to width*height) and
+    then decoded with the spec-complete codec in functions/media.py —
+    signature + per-chunk CRC verification, multi-IDAT zlib inflate,
+    scanline unfilter. The emitted width/height/pixel-md5 come from the
+    DECODED image, so the oracle's arithmetic reproduction of the pixel
+    stream verifies the whole encode→decode round trip bit-for-bit. The
+    encoder emits filter-0 scanlines, so the per-row unfilter stays on the
+    vectorless fast path; filters 1-4 are exercised by tests/test_media.py.
     """
+    import hashlib
+
+    from meos_rs_spark.functions.media import png_decode_gray, png_encode_gray
+
     for pdf in batches:
-        n = pdf["payload"].str.len()
-        first = pdf["payload"].map(lambda b: b[0] if len(b) else 0)
-        last = pdf["payload"].map(lambda b: b[-1] if len(b) else 0)
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "payload_bytes": n.astype("int32"),
-                "fake_width": (n % 640).astype("int32"),
-                "fake_height": (n % 480).astype("int32"),
-                "fake_n_frames": ((n % 24) + 1).astype("int32"),
-                "feature": [
-                    [float(a), float(z), float(ln % 256), float((a + z) % 256)]
-                    for a, z, ln in zip(first, last, n)
-                ],
-            }
-        )
+        out: dict = {k: [] for k in (
+            "doc_id", "payload_bytes", "width", "height", "n_pixels", "pixel_md5"
+        )}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            payload = bytes(payload)
+            n = len(payload)
+            w, h = n % _PNG_W_MOD + 1, n % _PNG_H_MOD + 1
+            pixels = (payload * ((w * h) // n + 1))[: w * h]
+            blob = png_encode_gray(pixels, w, h)  # the media blob a real pipeline stores
+            dw, dh, decoded = png_decode_gray(blob)  # the REAL decode under test
+            out["doc_id"].append(doc_id)
+            out["payload_bytes"].append(n)
+            out["width"].append(dw)
+            out["height"].append(dh)
+            out["n_pixels"].append(len(decoded))
+            out["pixel_md5"].append(hashlib.md5(decoded).hexdigest())
+        yield pd.DataFrame(out)
 
 
 # --- resize via mapInPandas (oracle-checkable geometry) ---------------------
@@ -179,45 +200,37 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm_decode_features",
-    # the STUB decode is a deterministic arithmetic function of the payload
-    # bytes, so the oracle reproduces it from the raw table: the fixture text
-    # is pure ASCII (asserted in tests/test_multimodal.py), hence byte length
-    # == char length, first/last byte == ascii() of first/last char.
-    oracle="""
+    # the oracle reproduces the DECODED pixel stream arithmetically from the
+    # raw table: pixels are the text bytes tiled to width*height, so their
+    # md5 is md5 of the tiled VARCHAR (the fixture text is pure ASCII and
+    # non-empty, asserted in tests/test_multimodal.py, hence bytes == chars
+    # and the repeat count is finite). A match therefore proves the Spark
+    # side's PNG encode→decode round trip is bit-exact — not just that the
+    # geometry arithmetic agrees.
+    oracle=f"""
+WITH geo AS (
+  SELECT doc_id, text, length(text) AS n,
+         length(text) % {_PNG_W_MOD} + 1 AS w,
+         length(text) % {_PNG_H_MOD} + 1 AS h
+  FROM documents
+)
 SELECT doc_id,
-       CAST(length(text) AS INT) AS payload_bytes,
-       CAST(length(text) % 640 AS INT) AS fake_width,
-       CAST(length(text) % 480 AS INT) AS fake_height,
-       CAST((length(text) % 24) + 1 AS INT) AS fake_n_frames,
-       printf('%.1f,%.1f,%.1f,%.1f',
-              CAST(ascii(text) AS DOUBLE),
-              CAST(ascii(right(text, 1)) AS DOUBLE),
-              CAST(length(text) % 256 AS DOUBLE),
-              CAST((ascii(text) + ascii(right(text, 1))) % 256 AS DOUBLE)
-       ) AS feature_csv
-FROM documents
+       CAST(n AS INT) AS payload_bytes,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(w * h AS INT) AS n_pixels,
+       md5(substr(repeat(text, (w * h) // n + 1), 1, w * h)) AS pixel_md5
+FROM geo
 """,
     tags=("multimodal",),
-    doc="mapInPandas decode + feature extraction over binary payloads (Arrow batches; "
-    "decode itself is a deterministic STUB — no codecs in this container — which "
-    "makes it arithmetically oracle-checkable from the raw table)",
+    doc="mapInPandas image decode + feature extraction over binary payloads "
+    "(Arrow batches): a REAL grayscale PNG per document (pure-stdlib codec, "
+    "functions/media.py — chunk/CRC parse, zlib inflate, scanline unfilter), "
+    "with the decoded pixels' md5 oracle-checked against an arithmetic "
+    "reproduction of the pixel stream from the raw table",
 )
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
-    decoded = d.mapInPandas(_fake_decode, schema=_DECODE_SCHEMA)
-    # render the vector to one sortable string column: the driver's rows-only
-    # canonicalizer sorts output columns in pandas, which cannot hash a raw
-    # array<double> cell (r2 ERR) — components are small exact integers, so
-    # a fixed "%.1f" rendering is lossless
-    return decoded.select(
-        "doc_id",
-        "payload_bytes",
-        "fake_width",
-        "fake_height",
-        "fake_n_frames",
-        F.array_join(
-            F.transform("feature", lambda x: F.format_string("%.1f", x)), ","
-        ).alias("feature_csv"),
-    )
+    return d.mapInPandas(_png_decode_features, schema=_DECODE_SCHEMA)

@@ -82,6 +82,17 @@ def register(
 
 DRIVER_WINDOW = 50
 
+#: Queries whose SEMANTICS changed since their latest green driver row —
+#: hand-listed per round, slotted right after the never-checked backlog so
+#: the changed code re-earns its row this round instead of waiting for the
+#: oldest-green rotation to reach it (r5 ADVICE: new code benefits most
+#: from a driver row). Clear entries once the round's artifact lands.
+FORCE_VERIFY: tuple[str, ...] = (
+    # r6: decode rewritten from the labeled fake to a REAL PNG
+    # encode→decode round trip with a pixel-md5 oracle (new output schema)
+    "mm_decode_features",
+)
+
 
 @functools.lru_cache(maxsize=1)
 def _correctness_history() -> dict[str, tuple[int, bool]]:
@@ -124,11 +135,15 @@ def compute_verify_head(
     pos = {n: i for i, n in enumerate(names)}
     reds = [n for n in names if n in latest and not latest[n][1]]
     never = [n for n in names if n not in latest]
+    forced = [
+        n for n in names
+        if n in FORCE_VERIFY and n not in reds and n not in never
+    ]
     greens = sorted(
-        (n for n in names if n in latest and latest[n][1]),
+        (n for n in names if n in latest and latest[n][1] and n not in forced),
         key=lambda n: (latest[n][0], pos[n]),
     )
-    return tuple((*reds, *never, *greens))[:window]
+    return tuple((*reds, *never, *forced, *greens))[:window]
 
 
 def verify_order_head() -> tuple[str, ...]:

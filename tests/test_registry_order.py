@@ -20,7 +20,8 @@ from meos_rs_spark.registry import (
 )
 
 # Round-6 rotation computed from CORRECTNESS_r01..r05: zero reds, then the
-# 11 never-checked queries (registration order), then the 39 oldest-green
+# 11 never-checked queries (registration order), then FORCE_VERIFY (the
+# r6-rewritten real-PNG decode re-earning its row), then the 38 oldest-green
 # rows (all last checked in r2) as the re-verification refill.
 R6_EXPECTED_HEAD = (
     # never-checked backlog (the 10 r5 deferrals + traj_transform_lcc)
@@ -35,6 +36,8 @@ R6_EXPECTED_HEAD = (
     "rel_approx_distinct",
     "rel_join_asof_nearest",
     "rel_approx_percentiles",
+    # changed-this-round re-verification (registry.FORCE_VERIFY)
+    "mm_decode_features",
     # oldest-green refill (latest driver row r2, registration order)
     "box_tbox_predicates",
     "box_int_to_tbox",
@@ -74,7 +77,6 @@ R6_EXPECTED_HEAD = (
     "rel_join_left_outer",
     "rel_join_full_outer",
     "rel_join_semi",
-    "rel_join_anti",
 )
 
 
@@ -93,8 +95,8 @@ def test_computed_head_matches_the_round6_pin():
 
 
 def test_head_priority_rule():
-    """Never-checked before green, and greens ordered oldest-round-first."""
-    from meos_rs_spark.registry import _correctness_history
+    """Never-checked before green, and unforced greens oldest-round-first."""
+    from meos_rs_spark.registry import FORCE_VERIFY, _correctness_history
 
     names = list(load_registry())
     latest = _correctness_history()
@@ -103,10 +105,14 @@ def test_head_priority_rule():
     never = [n for n in names if n not in latest]
     assert len(never) <= 50
     assert set(never) <= set(head)
-    # greens in the head appear after all never-checked, oldest round first
-    green_rounds = [latest[n][0] for n in head if n in latest]
+    # every forced (changed-this-round) green is in the head too
+    assert {n for n in FORCE_VERIFY if n in latest} <= set(head)
+    # unforced greens in the head appear oldest round first...
+    green_rounds = [
+        latest[n][0] for n in head if n in latest and n not in FORCE_VERIFY
+    ]
     assert green_rounds == sorted(green_rounds)
-    # and no green in the head is newer than any green left out of it
+    # ...and none is newer than any green left out of the window
     left_out = [latest[n][0] for n in names if n in latest and n not in set(head)]
     if green_rounds and left_out:
         assert max(green_rounds) <= min(left_out)
