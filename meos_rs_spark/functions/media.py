@@ -19,7 +19,9 @@ hand-filtered rows for each filter type, and corrupt-CRC rejection.
 from __future__ import annotations
 
 import binascii
+import io
 import struct
+import wave
 import zlib
 
 _SIGNATURE = b"\x89PNG\r\n\x1a\n"
@@ -67,7 +69,11 @@ def png_decode_gray(data: bytes) -> tuple[int, int, bytes]:
         raise ValueError("not a PNG: bad signature")
     pos, width, height, idat = 8, None, None, []
     while pos < len(data):
+        if pos + 8 > len(data):
+            raise ValueError("truncated PNG: chunk header cut short")
         (length,) = struct.unpack_from(">I", data, pos)
+        if pos + 12 + length > len(data):
+            raise ValueError("truncated PNG: chunk body/CRC cut short")
         ctype = data[pos + 4 : pos + 8]
         body = data[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack_from(">I", data, pos + 8 + length)
@@ -124,9 +130,6 @@ def png_decode_gray(data: bytes) -> tuple[int, int, bytes]:
 def wav_decode_pcm16(data: bytes) -> tuple[int, int, int, bytes]:
     """Decode a PCM WAV via the stdlib wave module (a real RIFF parse):
     returns (n_channels, sample_rate, n_frames, frame bytes)."""
-    import io
-    import wave
-
     with wave.open(io.BytesIO(data)) as w:
         if w.getsampwidth() != 2:
             raise ValueError("need 16-bit PCM")

@@ -91,6 +91,18 @@ def _png_decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
             payload = bytes(payload)
             n = len(payload)
             w, h = n % _PNG_W_MOD + 1, n % _PNG_H_MOD + 1
+            if n == 0:
+                # degenerate empty payload (the fixtures pin non-emptiness,
+                # but a task crash is never an acceptable failure mode):
+                # emit exactly what the oracle's repeat('')-based arithmetic
+                # yields — geometry from the formulas, md5 of zero bytes
+                out["doc_id"].append(doc_id)
+                out["payload_bytes"].append(0)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pixels"].append(w * h)
+                out["pixel_md5"].append(hashlib.md5(b"").hexdigest())
+                continue
             pixels = (payload * ((w * h) // n + 1))[: w * h]
             blob = png_encode_gray(pixels, w, h)  # the media blob a real pipeline stores
             dw, dh, decoded = png_decode_gray(blob)  # the REAL decode under test
@@ -121,6 +133,7 @@ def _wav_audio_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
     reproduction of the PCM stream verifies the container round trip."""
     import hashlib
     import io
+    import struct
     import wave
 
     from meos_rs_spark.functions.media import wav_decode_pcm16
@@ -139,11 +152,8 @@ def _wav_audio_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
                 w.setframerate(_AUDIO_RATE)
                 w.writeframes(frames)
             nch, rate, nf, pcm = wav_decode_pcm16(buf.getvalue())  # REAL decode
-            peak = max(
-                (int.from_bytes(pcm[2 * i : 2 * i + 2], "little", signed=True)
-                 for i in range(nf)),
-                default=0,
-            )
+            # one C call over the whole frame buffer, not a per-sample loop
+            peak = max(struct.unpack(f"<{nf}h", pcm), default=0)
             out["doc_id"].append(doc_id)
             out["n_samples"].append(nf)
             out["sample_rate"].append(rate)

@@ -94,12 +94,25 @@ def test_decode_every_filter_type_hand_filtered():
 
 def test_decode_rejects_corrupt_crc_and_bad_signature():
     good = png_encode_gray(bytes(range(6)), 3, 2)
-    corrupt = bytearray(good)
-    corrupt[-5] ^= 0xFF  # inside IEND's CRC
+    # flip a byte of the stored CRC FIELD itself (IEND's last 4 bytes)
+    crc_corrupt = bytearray(good)
+    crc_corrupt[-1] ^= 0xFF
     with pytest.raises(ValueError, match="CRC"):
-        png_decode_gray(bytes(corrupt))
+        png_decode_gray(bytes(crc_corrupt))
+    # flip a byte of the chunk TYPE (the 'D' of IEND) — hashed input changes
+    type_corrupt = bytearray(good)
+    type_corrupt[-5] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        png_decode_gray(bytes(type_corrupt))
     with pytest.raises(ValueError, match="signature"):
         png_decode_gray(b"GIF89a" + good)
+
+
+def test_decode_rejects_truncation_with_valueerror():
+    good = png_encode_gray(bytes(range(6)), 3, 2)
+    for cut in (10, len(good) - 2):  # mid-IHDR header, mid-IEND CRC
+        with pytest.raises(ValueError, match="truncated"):
+            png_decode_gray(good[:cut])
 
 
 def test_encoder_output_reparses_externally():
