@@ -32,3 +32,22 @@ def spark():
         spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     yield spark
     spark.stop()
+
+
+@pytest.fixture(scope="session")
+def registry_snapshots(spark):
+    """ONE sweep building every registered query at SF_SMOKE, shared by the
+    registry-wide fences (output-schema hashability, physical-plan lint).
+    Building a query can run real jobs on the way to its plan (eager
+    staging writes, the sqlite upsert), so sweeping once instead of once
+    per fence saves minutes of suite wall clock."""
+    from meos_rs_spark.registry import load_registry
+
+    snaps = {}
+    for name, spec in load_registry().items():
+        df = spec.fn(spark, SF_SMOKE)
+        snaps[name] = (
+            df.schema,
+            df._jdf.queryExecution().executedPlan().toString(),
+        )
+    return snaps

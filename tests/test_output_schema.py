@@ -24,7 +24,6 @@ import pytest
 from pyspark.sql import types as T
 
 from meos_rs_spark.registry import load_registry
-from tests.conftest import SF_SMOKE
 
 REGISTRY = load_registry()
 
@@ -49,9 +48,8 @@ _HASHABLE_LEAVES = (
 
 
 @pytest.mark.parametrize("name", sorted(REGISTRY))
-def test_no_unhashable_output_columns(spark, name):
-    spec = REGISTRY[name]
-    schema = spec.fn(spark, SF_SMOKE).schema
+def test_no_unhashable_output_columns(registry_snapshots, name):
+    schema, _ = registry_snapshots[name]
     offenders = [
         (f.name, f.dataType.simpleString())
         for f in schema.fields

@@ -16,8 +16,6 @@ three properties that must hold for ALL of them:
 
 from __future__ import annotations
 
-from meos_rs_spark.registry import load_registry
-from tests.conftest import SF_SMOKE
 
 # Queries whose plans intentionally contain a BroadcastNestedLoopJoin.
 # Every entry's build side is constant-sized by construction:
@@ -51,11 +49,9 @@ BNLJ_ALLOWED = {
 }
 
 
-def test_registry_wide_plan_lint(spark):
-    reg = load_registry()
+def test_registry_wide_plan_lint(registry_snapshots):
     cartesian, row_udf, bnlj_new, cached = [], [], [], []
-    for name, spec in reg.items():
-        plan = spec.fn(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    for name, (_, plan) in registry_snapshots.items():
         if "CartesianProduct" in plan:
             cartesian.append(name)
         if "BatchEvalPython" in plan:
