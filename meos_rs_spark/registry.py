@@ -87,11 +87,7 @@ DRIVER_WINDOW = 50
 #: the changed code re-earns its row this round instead of waiting for the
 #: oldest-green rotation to reach it (r5 ADVICE: new code benefits most
 #: from a driver row). Clear entries once the round's artifact lands.
-FORCE_VERIFY: tuple[str, ...] = (
-    # r6: decode rewritten from the labeled fake to a REAL PNG
-    # encode→decode round trip with a pixel-md5 oracle (new output schema)
-    "mm_decode_features",
-)
+FORCE_VERIFY: tuple[str, ...] = ()
 
 
 @functools.lru_cache(maxsize=1)

@@ -3,8 +3,8 @@ FIRST 50 entries of __spark_entry__.queries() only (observed in r2), so the
 round's verification targets must occupy exactly those positions.
 
 Since round 6 the head is COMPUTED from the committed CORRECTNESS_r*.json
-artifacts (registry.compute_verify_head). R6_EXPECTED_HEAD pins the tuple
-the r1-r5 artifacts produce; when the driver lands CORRECTNESS_r06.json the
+artifacts (registry.compute_verify_head). R7_EXPECTED_HEAD pins the tuple
+the r1-r6 artifacts produce; when the driver lands CORRECTNESS_r07.json the
 pin goes stale and this test fails — the next round's first task is then
 reviewing the freshly computed rotation and re-pinning it here.
 """
@@ -19,65 +19,64 @@ from meos_rs_spark.registry import (
     verify_order_head,
 )
 
-# Round-6 rotation computed from CORRECTNESS_r01..r05: zero reds, then the
-# 12 never-checked queries (registration order — the 10 r5 deferrals,
-# traj_transform_lcc, and the new r6 mm_audio_features), then FORCE_VERIFY
-# (the r6-rewritten real-PNG decode re-earning its row), then the 37
-# oldest-green rows (all last checked in r2) as the re-verification refill.
-R6_EXPECTED_HEAD = (
-    # never-checked backlog
-    "dedup_normalized",
-    "mm_audio_features",
-    "traj_transform_lcc",
-    "traj_unnest_instants",
-    "traj_speed_filter",
-    "traj_turning_points",
-    "traj_zorder_key",
-    "traj_ewma",
-    "rel_lateral_topn",
-    "rel_approx_distinct",
-    "rel_join_asof_nearest",
-    "rel_approx_percentiles",
-    # changed-this-round re-verification (registry.FORCE_VERIFY)
-    "mm_decode_features",
-    # oldest-green refill (latest driver row r2, registration order)
-    "box_tbox_predicates",
-    "box_int_to_tbox",
-    "box_stbox_overlap_join",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "flagship_trip_pipeline",
-    "mm_metadata",
-    "serde_wkt_roundtrip",
-    "serde_mfjson",
-    "serde_wkt_forms",
-    "serde_wkt_seqset",
-    "sim_cosine_topk",
-    "sim_ann_lsh",
-    "sim_embedding_neardup",
-    "snk_jsonl_trips",
-    "snk_upsert_merge",
-    "src_catalog_bootstrap",
-    "snk_partitioned_write",
-    "snk_bucketed_join",
-    "stream_tumbling_counts",
-    "stream_session_windows",
-    "stream_stateful_assembly",
-    "stream_sliding_counts",
-    "stream_dedup_watermark",
-    "stream_foreachbatch_sink",
-    "text_quality",
-    "text_langid",
-    "text_token_count",
-    "text_fingerprint",
-    "rel_projection_rename",
-    "rel_group_having",
-    "rel_pricing_summary",
-    "rel_join_inner_broadcast",
-    "rel_join_left_outer",
-    "rel_join_full_outer",
+# Round-7 rotation computed from CORRECTNESS_r01..r06: zero reds, zero
+# never-checked (the backlog drained in r6), FORCE_VERIFY cleared
+# (mm_decode_features' green r6 row landed), so the whole window is the
+# oldest-green refill: the 10 remaining r2-era greens followed by the 40
+# oldest r3-era greens, registration order within each round.
+R7_EXPECTED_HEAD = (
+    # oldest-green refill: latest driver row r2
+    "rel_join_semi",
+    "rel_join_anti",
+    "rel_join_range",
+    "rel_join_band_bucketed",
+    "rel_join_asof",
+    "rel_join_multiway",
+    "rel_distinct",
+    "rel_count_distinct",
+    "rel_rollup",
+    "rel_cube",
+    # oldest-green refill: latest driver row r3 (first 40 in registration order)
+    "traj_assembly",
+    "traj_extent",
+    "traj_merge",
+    "traj_equality",
+    "traj_accessors",
+    "traj_length_speed",
+    "traj_value_at_time",
+    "traj_shift_scale",
+    "traj_sample",
+    "traj_ever_always",
+    "traj_arith",
+    "traj_time_buckets",
+    "traj_azimuth",
+    "traj_speed_segments",
+    "traj_at_box",
+    "traj_project_mercator",
+    "traj_length_haversine",
+    "src_csv_roundtrip",
+    "rel_topk_orders",
+    "rel_set_ops",
+    "rel_global_metrics",
+    "rel_filter_agg",
+    "rel_correlated_subquery",
+    "rel_salted_agg",
+    "rel_disjunctive_join",
+    "scalar_strings",
+    "scalar_dates",
+    "scalar_ts_roundtrip",
+    "scalar_math",
+    "scalar_case_coalesce",
+    "scalar_json",
+    "scalar_arrays",
+    "scalar_regexp",
+    "scalar_maps",
+    "trajsim_hausdorff",
+    "trajsim_nearest_approach",
+    "win_lag_dedup",
+    "win_rownum_truncate",
+    "win_rank_dense",
+    "win_lead_gap",
 )
 
 
@@ -89,10 +88,10 @@ def test_head_is_exactly_the_driver_window():
     assert tuple(names[:50]) == head
 
 
-def test_computed_head_matches_the_round6_pin():
+def test_computed_head_matches_the_round7_pin():
     # Stale-pin alarm: fails as soon as a new CORRECTNESS artifact lands,
     # forcing the next round to review + re-pin the rotation.
-    assert verify_order_head() == R6_EXPECTED_HEAD
+    assert verify_order_head() == R7_EXPECTED_HEAD
 
 
 def test_head_priority_rule():
