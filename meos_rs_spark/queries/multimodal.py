@@ -10,9 +10,10 @@ decodes it — signature + chunk + CRC parse, zlib inflate, scanline
 unfilter — via the pure-stdlib codec in ``functions/media.py``. The
 decoded pixels are oracle-checked end-to-end (their md5 equals what DuckDB
 computes arithmetically from the raw table, which only holds if the
-encode→decode round trip is bit-exact). The *resize* and *frame-sample*
-stages keep deterministic stand-ins for their pixel work (their geometry
-contracts are fully oracled); exotic codecs (JPEG, video) stay out of
+encode→decode round trip is bit-exact). Since r7 the *resize* stage is
+pixel-real too (decode → numpy nearest-neighbor resample → re-encode →
+re-decode, resized-pixel md5 oracled) and *frame-sample* really decodes
+each sampled frame as an 8×8 PNG; exotic codecs (JPEG, video) stay out of
 scope in this container — they would ride the same mapInPandas stage.
 """
 
@@ -198,99 +199,206 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(_wav_audio_features, schema=_AUDIO_SCHEMA)
 
 
-# --- resize via mapInPandas (oracle-checkable geometry) ---------------------
+# --- resize via mapInPandas (REAL pixel resample) ---------------------------
 
 _RESIZE_SCHEMA = (
-    "doc_id long, src_w int, src_h int, dst_w int, dst_h int, resized_bytes int"
+    "doc_id long, src_w int, src_h int, dst_w int, dst_h int, "
+    "resized_px int, resized_md5 string"
 )
 _DST_W, _DST_H = 224, 224  # the ubiquitous vision-model input size
 
 
-def _fake_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """STUB resize: a real deployment decodes + resamples pixels here (no
-    codecs in this container). The fake materializes a dst_w×dst_h-byte
-    payload by tiling the source bytes, so the output SIZE is the real
-    contract a downstream batch loader sees — and is oracle-checkable."""
+def _png_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL resize stage: decode the document's PNG blob (the same
+    synthesized grayscale image mm_decode_features stores — pixels = payload
+    bytes tiled to w×h), nearest-neighbor resample to dst_w×dst_h with numpy
+    fancy indexing (``src[(y*h)//dst_h][(x*w)//dst_w]``), re-encode the
+    resized image as a PNG, and decode THAT back — the emitted md5 is of the
+    re-decoded resized pixels, so a hash match proves decode → resample →
+    re-encode → decode end-to-end, not just the index arithmetic."""
+    import hashlib
+
+    import numpy as np
+
+    from meos_rs_spark.functions.media import png_decode_gray, png_encode_gray
+
+    ys0 = np.arange(_DST_H)
+    xs0 = np.arange(_DST_W)
     for pdf in batches:
-        n = pdf["payload"].str.len()
-        src_w = (n % 640).astype("int32")
-        src_h = (n % 480).astype("int32")
-        resized = pdf["payload"].map(
-            lambda b: (b * (_DST_W * _DST_H // max(len(b), 1) + 1))[: _DST_W * _DST_H]
-        )
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "src_w": src_w,
-                "src_h": src_h,
-                "dst_w": _DST_W,
-                "dst_h": _DST_H,
-                "resized_bytes": resized.str.len().astype("int32"),
-            }
-        )
+        out: dict = {k: [] for k in (
+            "doc_id", "src_w", "src_h", "dst_w", "dst_h", "resized_px", "resized_md5"
+        )}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            payload = bytes(payload)
+            n = len(payload)
+            w, h = n % _PNG_W_MOD + 1, n % _PNG_H_MOD + 1
+            if n == 0:
+                # degenerate empty payload (fixtures pin non-emptiness; never
+                # crash the task): an all-zero source image resizes to an
+                # all-zero dst, matching what tiling zero bytes would yield
+                src = np.zeros((h, w), dtype=np.uint8)
+            else:
+                pixels = (payload * ((w * h) // n + 1))[: w * h]
+                blob = png_encode_gray(pixels, w, h)  # the stored media blob
+                dw, dh, decoded = png_decode_gray(blob)  # REAL decode
+                src = np.frombuffer(decoded, dtype=np.uint8).reshape(dh, dw)
+            resized = src[np.ix_((ys0 * h) // _DST_H, (xs0 * w) // _DST_W)]
+            rblob = png_encode_gray(resized.tobytes(), _DST_W, _DST_H)
+            _, _, rdec = png_decode_gray(rblob)  # prove the re-encode too
+            out["doc_id"].append(doc_id)
+            out["src_w"].append(w)
+            out["src_h"].append(h)
+            out["dst_w"].append(_DST_W)
+            out["dst_h"].append(_DST_H)
+            out["resized_px"].append(len(rdec))
+            out["resized_md5"].append(hashlib.md5(rdec).hexdigest())
+        yield pd.DataFrame(out)
 
 
 @register(
     "mm_resize",
+    # The oracle rebuilds the resized pixel stream arithmetically from the
+    # raw table. dst pixel (y,x) = tiled_text[((y*h)//dst_h)*w + (x*w)//dst_w],
+    # and tiled_text[i] = text[i % n] (ASCII fixture: bytes == chars).
+    # Factored for cost: the column-sample positions are shared by every dst
+    # row and only h (≤ {_PNG_H_MOD}) distinct source rows exist, so sample
+    # each source row once and assemble the dst_h dst rows by row lookup —
+    # h*dst_w substrs per doc instead of dst_w*dst_h (~14× cheaper).
     oracle=f"""
+WITH geo AS (
+  SELECT doc_id, text, length(text) AS n,
+         length(text) % {_PNG_W_MOD} + 1 AS w,
+         length(text) % {_PNG_H_MOD} + 1 AS h
+  FROM documents
+),
+rows_cs AS (
+  SELECT doc_id, w, h,
+         list_transform(range(h), r ->
+           array_to_string(list_transform(range({_DST_W}), x ->
+             substr(text, 1 + (r * w + (x * w) // {_DST_W}) % n, 1)), '')) AS cs
+  FROM geo
+)
 SELECT doc_id,
-       CAST(octet_length(CAST(text AS BLOB)) % 640 AS INT) AS src_w,
-       CAST(octet_length(CAST(text AS BLOB)) % 480 AS INT) AS src_h,
+       CAST(w AS INT) AS src_w,
+       CAST(h AS INT) AS src_h,
        {_DST_W} AS dst_w, {_DST_H} AS dst_h,
-       {_DST_W * _DST_H} AS resized_bytes
-FROM documents
+       {_DST_W * _DST_H} AS resized_px,
+       md5(array_to_string(list_transform(range({_DST_H}), y ->
+         cs[CAST((y * h) // {_DST_H} AS INT) + 1]), '')) AS resized_md5
+FROM rows_cs
 """,
     tags=("multimodal",),
-    doc=f"mapInPandas resize stage: fake-decode dims → tile payload to a "
-    f"{_DST_W}×{_DST_H}-byte buffer (STUB pixels, real batch shape); the oracle "
-    "reproduces the geometry + output size arithmetically from the raw table",
+    doc=f"mapInPandas image resize: REAL PNG decode → numpy nearest-neighbor "
+    f"resample to {_DST_W}×{_DST_H} → PNG re-encode → re-decode; the resized "
+    "pixels' md5 is oracle-checked against an arithmetic reproduction of the "
+    "nearest-neighbor index math from the raw table",
 )
 def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
-    return d.mapInPandas(_fake_resize, schema=_RESIZE_SCHEMA)
+    return d.mapInPandas(_png_resize, schema=_RESIZE_SCHEMA)
 
 
 # --- video frame sampling (explode shape, fully oracle-checkable) -----------
 
-_FRAME_BYTES = 64  # fake frame = 64-byte slice of the payload
+_FRAME_BYTES = 64  # frame = 64-byte slice of the payload = one 8×8 gray image
+_FRAME_W, _FRAME_H = 8, 8
 _FRAME_STRIDE = 4  # keep every 4th frame
+
+_FRAME_SCHEMA = (
+    "doc_id long, n_frames int, frame_idx int, byte_offset int, "
+    "frame_w int, frame_h int, frame_md5 string"
+)
+
+
+def _decode_sampled_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL per-frame decode: each sampled 64-byte frame slice is
+    materialized as a genuine 8×8 grayscale PNG and decoded back through
+    functions/media.py; the emitted md5 is of the DECODED pixels. Only the
+    SAMPLED frames reach this stage (the stride filter ran JVM-side), which
+    is the point of sample-then-decode at scale: decode cost scales with
+    frames kept, not frames stored."""
+    import hashlib
+
+    from meos_rs_spark.functions.media import png_decode_gray, png_encode_gray
+
+    for pdf in batches:
+        md5s = []
+        for frame in pdf["frame"]:
+            blob = png_encode_gray(bytes(frame), _FRAME_W, _FRAME_H)
+            _, _, dec = png_decode_gray(blob)  # REAL decode of the sampled frame
+            md5s.append(hashlib.md5(dec).hexdigest())
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_frames": pdf["n_frames"],
+                "frame_idx": pdf["frame_idx"],
+                "byte_offset": pdf["byte_offset"],
+                "frame_w": _FRAME_W,
+                "frame_h": _FRAME_H,
+                "frame_md5": md5s,
+            }
+        )
 
 
 @register(
     "mm_frame_sample",
+    # each sampled frame is a contiguous 64-byte slice, so its decoded-pixel
+    # md5 is just md5 of the corresponding substring of the raw text (ASCII
+    # fixture: bytes == chars); a match proves the per-frame PNG
+    # encode→decode round trip on exactly the sampled frames
     oracle=f"""
 WITH meta AS (
-  SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
+  SELECT doc_id, text,
          octet_length(CAST(text AS BLOB)) // {_FRAME_BYTES} AS n_frames
   FROM documents
 )
-SELECT m.doc_id, m.n_frames, u.i AS frame_idx,
-       u.i * {_FRAME_BYTES} AS byte_offset
+SELECT m.doc_id, CAST(m.n_frames AS INT) AS n_frames,
+       CAST(u.i AS INT) AS frame_idx,
+       CAST(u.i * {_FRAME_BYTES} AS INT) AS byte_offset,
+       {_FRAME_W} AS frame_w, {_FRAME_H} AS frame_h,
+       md5(substr(m.text, CAST(u.i * {_FRAME_BYTES} AS INT) + 1, {_FRAME_BYTES}))
+         AS frame_md5
 FROM meta m, unnest(range(0, m.n_frames, {_FRAME_STRIDE})) AS u(i)
 WHERE m.n_frames > 0
 """,
     tags=("multimodal",),
     doc=f"video-as-binary frame sampling: treat the payload as {_FRAME_BYTES}-byte "
-    f"frames, keep every {_FRAME_STRIDE}th (sequence + explode — pure Column ops, "
-    "the decode of each sampled frame being the STUB step); one row per sampled "
-    "frame with its byte offset, the shape a frame-extraction pipeline shuffles on",
+    f"frames, keep every {_FRAME_STRIDE}th (sequence + explode + substring — pure "
+    "Column ops, so only the sampled 64-byte slices cross into Python), then REALLY "
+    "decode each sampled frame as an 8×8 grayscale PNG (functions/media.py) with "
+    "its decoded-pixel md5 oracle-checked; one row per sampled frame",
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.octet_length(F.encode("text", "utf-8")).alias("n_bytes")
+        "doc_id", F.encode("text", "utf-8").alias("payload")
     )
-    d = d.withColumn("n_frames", (F.col("n_bytes") / _FRAME_BYTES).cast("int")).filter(
-        F.col("n_frames") > 0
+    d = d.withColumn(
+        "n_frames", (F.octet_length("payload") / _FRAME_BYTES).cast("int")
+    ).filter(F.col("n_frames") > 0)
+    sampled = (
+        d.select(
+            "doc_id",
+            "n_frames",
+            "payload",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(_FRAME_STRIDE))
+            ).alias("frame_idx"),
+        )
+        .withColumn("byte_offset", F.col("frame_idx") * _FRAME_BYTES)
+        # slice JVM-side: Python sees 64 bytes per sampled frame, not the payload
+        .select(
+            "doc_id",
+            "n_frames",
+            "frame_idx",
+            "byte_offset",
+            F.expr(f"substring(payload, byte_offset + 1, {_FRAME_BYTES})").alias(
+                "frame"
+            ),
+        )
     )
-    return d.select(
-        "doc_id",
-        "n_frames",
-        F.explode(
-            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(_FRAME_STRIDE))
-        ).alias("frame_idx"),
-    ).withColumn("byte_offset", F.col("frame_idx") * _FRAME_BYTES)
+    return sampled.mapInPandas(_decode_sampled_frames, schema=_FRAME_SCHEMA)
 
 
 @register(

@@ -87,7 +87,14 @@ DRIVER_WINDOW = 50
 #: the changed code re-earns its row this round instead of waiting for the
 #: oldest-green rotation to reach it (r5 ADVICE: new code benefits most
 #: from a driver row). Clear entries once the round's artifact lands.
-FORCE_VERIFY: tuple[str, ...] = ()
+FORCE_VERIFY: tuple[str, ...] = (
+    # r7: both rewritten pixel-real — resize now decodes, nearest-neighbor
+    # resamples (numpy), re-encodes and re-decodes with the resized-pixel
+    # md5 oracled (new output schema); frame-sample now really decodes each
+    # sampled frame as an 8×8 PNG with its decoded-pixel md5 oracled
+    "mm_resize",
+    "mm_frame_sample",
+)
 
 
 @functools.lru_cache(maxsize=1)

@@ -46,6 +46,64 @@ def test_decoded_pixels_match_independent_recomputation(spark):
         assert rows[r.doc_id] == (w, h, hashlib.md5(pixels).hexdigest()), r.doc_id
 
 
+def test_resized_pixels_match_independent_recomputation(spark):
+    """mm_resize's resized_md5 must equal an md5 computed HERE from the raw
+    text through pure index arithmetic — no codec involved — so the Spark
+    side's decode → numpy nearest-neighbor resample → re-encode → re-decode
+    chain is verified end-to-end."""
+    import numpy as np
+
+    from meos_rs_spark.queries.multimodal import (
+        _DST_H,
+        _DST_W,
+        _PNG_H_MOD,
+        _PNG_W_MOD,
+    )
+
+    rows = {
+        r.doc_id: (r.src_w, r.src_h, r.dst_w, r.dst_h, r.resized_px, r.resized_md5)
+        for r in load_registry()["mm_resize"].fn(spark, SF_SMOKE).collect()
+    }
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select("doc_id", "text")
+    ys, xs = np.arange(_DST_H), np.arange(_DST_W)
+    for r in docs.collect():
+        payload = r.text.encode()
+        n = len(payload)
+        w, h = n % _PNG_W_MOD + 1, n % _PNG_H_MOD + 1
+        tiled = np.frombuffer(
+            (payload * ((w * h) // n + 1))[: w * h], dtype=np.uint8
+        ).reshape(h, w)
+        expect = tiled[np.ix_((ys * h) // _DST_H, (xs * w) // _DST_W)]
+        assert rows[r.doc_id] == (
+            w, h, _DST_W, _DST_H, _DST_W * _DST_H,
+            hashlib.md5(expect.tobytes()).hexdigest(),
+        ), r.doc_id
+
+
+def test_sampled_frames_match_independent_recomputation(spark):
+    """mm_frame_sample emits one row per kept frame (every STRIDEth of the
+    64-byte frames) whose frame_md5 is of the DECODED 8×8 PNG pixels — which
+    must equal md5 of the raw byte slice computed here with no codec."""
+    from meos_rs_spark.queries.multimodal import _FRAME_BYTES, _FRAME_STRIDE
+
+    got = {
+        (r.doc_id, r.frame_idx): (r.n_frames, r.byte_offset, r.frame_md5)
+        for r in load_registry()["mm_frame_sample"].fn(spark, SF_SMOKE).collect()
+    }
+    expect = {}
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select("doc_id", "text")
+    for r in docs.collect():
+        payload = r.text.encode()
+        n_frames = len(payload) // _FRAME_BYTES
+        for i in range(0, n_frames, _FRAME_STRIDE):
+            off = i * _FRAME_BYTES
+            expect[(r.doc_id, i)] = (
+                n_frames, off,
+                hashlib.md5(payload[off : off + _FRAME_BYTES]).hexdigest(),
+            )
+    assert got == expect and len(got) > 0
+
+
 def test_documents_text_is_ascii(spark):
     # the mm_decode_features oracle derives byte values via length()/repeat()
     # on the VARCHAR — valid only while the fixture text is pure ASCII and

@@ -20,11 +20,14 @@ from meos_rs_spark.registry import (
 )
 
 # Round-7 rotation computed from CORRECTNESS_r01..r06: zero reds, zero
-# never-checked (the backlog drained in r6), FORCE_VERIFY cleared
-# (mm_decode_features' green r6 row landed), so the whole window is the
-# oldest-green refill: the 10 remaining r2-era greens followed by the 40
+# never-checked (the backlog drained in r6), then FORCE_VERIFY (the two
+# stages rewritten pixel-real this round re-earning their rows), then the
+# oldest-green refill: the 10 remaining r2-era greens followed by the 38
 # oldest r3-era greens, registration order within each round.
 R7_EXPECTED_HEAD = (
+    # changed-this-round re-verification (registry.FORCE_VERIFY)
+    "mm_resize",
+    "mm_frame_sample",
     # oldest-green refill: latest driver row r2
     "rel_join_semi",
     "rel_join_anti",
@@ -75,8 +78,6 @@ R7_EXPECTED_HEAD = (
     "trajsim_nearest_approach",
     "win_lag_dedup",
     "win_rownum_truncate",
-    "win_rank_dense",
-    "win_lead_gap",
 )
 
 
