@@ -31,11 +31,13 @@ Determinism contract (the oracles are unchanged):
   centroids are scanned in ascending cent_id order with strict-inequality
   updates, so the lowest cent_id wins ties — exactly the row the
   ``row_number() = 1`` window kept;
-* NaN scores are mapped to +inf before comparing: Spark and DuckDB both
-  sort NaN as the LARGEST double (verified empirically — DESC puts NaN
-  first, ASC puts it last), so a NaN-scoring centroid must win an argmax
-  (cosine against a zero-norm centroid) and lose an argmin, ties still
-  falling to the lowest cent_id.
+* NaN scores compare on an explicit ``(is_nan, score)`` pair: Spark and
+  DuckDB both sort NaN STRICTLY ABOVE +Infinity (verified empirically —
+  DESC puts NaN first, ASC puts it last, and +inf sorts below it), so a
+  NaN-scoring centroid must win an argmax (cosine against a zero-norm
+  centroid) even over an overflow-to-+inf score, and lose an argmin to
+  one — a NaN→+inf remap would conflate the two and hand such contests
+  to the lower cent_id. Ties still fall to the lowest cent_id.
 
 Side-table reads go through ``pyarrow.parquet.read_table`` on the staged
 directory (its dataset discovery skips ``_SUCCESS``/dot files and speaks
@@ -59,6 +61,20 @@ from meos_rs_spark.functions.embeddings import _seq_dot, _stack
 #: (path, file fingerprint) -> pandas side table. Entries are K-row
 #: quantizers (a few KB); stale fingerprints for the same path are evicted.
 _SIDE_CACHE: dict[tuple, pd.DataFrame] = {}
+
+
+def better(nan, score, best_nan, best_score, *, largest: bool):
+    """Vectorized "does (nan, score) beat the incumbent" under the engines'
+    total order on doubles, where NaN sorts STRICTLY ABOVE +Infinity:
+    ``largest=True`` is the argmax contest (cosine — NaN beats +inf beats
+    finite), ``largest=False`` the argmin (L2/d2 — smallest wins, NaN loses
+    to everything including +inf). Strict inequality throughout, so a tie
+    keeps the incumbent — the ascending-cent_id scan's lowest-id tiebreak.
+    ``score`` cells where ``nan`` is set carry an arbitrary placeholder."""
+    same_class = ~(nan ^ best_nan)
+    if largest:
+        return (nan & ~best_nan) | (same_class & (score > best_score))
+    return (~nan & best_nan) | (same_class & (score < best_score))
 
 
 def side_table_name(base: str, sf_dir: str) -> str:
@@ -141,14 +157,21 @@ def make_nearest_centroid_udf(cents_path: str, *, metric: str):
                 score = vn2 + cn2 - 2.0 * dot
             else:
                 score = dot / (vnorm * np.sqrt(cn2))
-            # NaN = +inf: wins the cosine argmax, loses the L2 argmin —
-            # the engines' NaN-sorts-largest ordering (module docstring)
-            score = np.where(np.isnan(score), np.inf, score)
+            # the engines sort NaN STRICTLY ABOVE +inf (module docstring),
+            # so NaN must beat an overflow-to-+inf score in the cosine
+            # argmax and lose to it in the L2 argmin — a NaN→+inf remap
+            # would conflate the two and let the tiebreak pick the wrong
+            # centroid. Compare on the (is_nan, score) pair instead.
+            nan = np.isnan(score)
+            score = np.where(nan, 0.0, score)  # value unused when nan is set
             if best_score is None:
-                best_score, best_id[:] = score.copy(), ids[i]
+                best_score, best_nan, best_id[:] = score.copy(), nan.copy(), ids[i]
             else:
-                upd = score < best_score if metric == "l2" else score > best_score
+                upd = better(
+                    nan, score, best_nan, best_score, largest=(metric == "cos")
+                )
                 best_score[upd] = score[upd]
+                best_nan[upd] = nan[upd]
                 best_id[upd] = ids[i]
         return pd.Series(best_id)
 
@@ -181,13 +204,17 @@ def make_pq_codes_udf(cb_path: str, *, n_sub: int, subdim: int):
             for i in range(cents.shape[0]):
                 cn2 = _self_dot(cents[i])
                 d2 = sn2 + cn2 - 2.0 * _dot_const(sub, cents[i])
-                # NaN = +inf: loses the argmin (module docstring)
-                d2 = np.where(np.isnan(d2), np.inf, d2)
+                # NaN sorts strictly above +inf in the engines, so it loses
+                # the argmin even to an overflow distance — (is_nan, d2)
+                # pair compare, same as make_nearest_centroid_udf
+                nan = np.isnan(d2)
+                d2 = np.where(nan, 0.0, d2)
                 if best_d2 is None:
-                    best_d2, best_k[:] = d2.copy(), ks[i]
+                    best_d2, best_nan, best_k[:] = d2.copy(), nan.copy(), ks[i]
                 else:
-                    upd = d2 < best_d2
+                    upd = better(nan, d2, best_nan, best_d2, largest=False)
                     best_d2[upd] = d2[upd]
+                    best_nan[upd] = nan[upd]
                     best_k[upd] = ks[i]
             codes[:, m] = best_k
         return pd.Series(list(codes))

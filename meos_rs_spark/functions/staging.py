@@ -206,6 +206,31 @@ def _memo_trusted(df: DataFrame, app_dir: str) -> bool:
     return True
 
 
+def _side_inputs_fingerprint(paths) -> str | None:
+    """Content fingerprint for Python-UDF side inputs (ADVICE r6): a staged
+    plan whose Arrow kernel reads a side table (e.g. the nearest-centroid
+    UDF's quantizer dir) carries that dependency in neither the plan text
+    nor ``df.inputFiles()``, so the caller must declare it and its state
+    must be mixed into the memo digest. Local dirs only — returns None
+    (memo off) for URI paths or unreadable dirs."""
+    parts = []
+    for p in sorted(paths):
+        if "://" in p and not p.startswith("file:"):
+            return None
+        local = re.sub(r"^file:/{0,2}(?=/)", "", p)
+        ap = os.path.abspath(local)
+        try:
+            entries = tuple(
+                (f, os.stat(os.path.join(ap, f)).st_size,
+                 os.stat(os.path.join(ap, f)).st_mtime_ns)
+                for f in sorted(os.listdir(ap))
+            )
+        except OSError:
+            return None
+        parts.append((ap, entries))
+    return repr(parts)
+
+
 def adopt_app_dir(app_dir: str, root: str) -> None:
     """Give a non-staging per-application scratch dir (e.g. the sqlite store
     behind ``snk_jdbc_upsert``) the same lifecycle as staged tables: created
@@ -238,7 +263,7 @@ def staged_table_path(spark, name: str) -> str:
     return os.path.join(root, spark.sparkContext.applicationId, name)
 
 
-def stage(df: DataFrame, name: str) -> DataFrame:
+def stage(df: DataFrame, name: str, side_inputs: tuple[str, ...] = ()) -> DataFrame:
     """Materialize ``df`` under the staging root and return a scan of it.
 
     ``mode("overwrite")`` keeps repeated invocations (bench reruns, the
@@ -249,6 +274,11 @@ def stage(df: DataFrame, name: str) -> DataFrame:
     under the same name skips the write entirely and returns the existing
     table's scan — unless ``spark.meos.staging.memo=false`` or the plan
     reads outside the trusted immutable roots (module docstring).
+
+    ``side_inputs``: paths any Python-UDF kernel in ``df``'s plan reads
+    outside Spark's knowledge (staged quantizer dirs). Their content
+    fingerprint joins the memo digest, so a changed side table re-stages
+    even though the plan text and input-file list are unchanged.
     """
     spark = df.sparkSession
     path = staged_table_path(spark, name)
@@ -268,6 +298,13 @@ def stage(df: DataFrame, name: str) -> DataFrame:
     except Exception:
         memo_on = True
     digest = _plan_digest(df) if memo_on else None
+    if digest is not None and side_inputs:
+        sfp = _side_inputs_fingerprint(side_inputs)
+        digest = (
+            None
+            if sfp is None
+            else hashlib.sha256((digest + "\2" + sfp).encode()).hexdigest()
+        )
     if (
         digest is not None
         and _MEMO.get(key) == (digest, path)

@@ -199,6 +199,7 @@ def _staged_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     the estimate query no longer recomputes the signature from a second
     corpus scan.
     """
+    from meos_rs_spark.functions.quantize import side_table_name
     from meos_rs_spark.functions.staging import stage
 
     sh = _shingles(spark, sf_dir)
@@ -211,7 +212,10 @@ def _staged_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
             # ~40% of the whole signature aggregation
             F.collect_set("sh").alias("shs"),
         ),
-        "minhash_sig",
+        # sf-keyed: a session building this at two scales must not have the
+        # second build overwrite part-files the first scale's returned
+        # DataFrame scans already resolved (ADVICE r6)
+        side_table_name("minhash_sig", sf_dir),
     )
 
 

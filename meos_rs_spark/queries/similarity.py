@@ -716,7 +716,12 @@ def sim_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus-sized edge fact read by all 3 unrolled iterations — parquet
     # staging table, not an executor-memory pin (same rationale as the
     # minhash shingles; at 100 TB the kNN edge list is 3x the corpus)
-    edges = stage(sim_knn_graph(spark, sf_dir).select("src", "dst"), "pagerank_edges")
+    from meos_rs_spark.functions.quantize import side_table_name
+
+    edges = stage(
+        sim_knn_graph(spark, sf_dir).select("src", "dst"),
+        side_table_name("pagerank_edges", sf_dir),
+    )
     nodes = emb.select(F.col("vec_id").alias("node"))
     nn = nodes.agg(F.count("*").cast("double").alias("n"))
     deg = edges.groupBy("src").agg(F.count("*").cast("double").alias("outdeg"))
@@ -833,7 +838,12 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             seq_dot("embedding", "embedding").alias("vn2"),
             nearest("embedding").alias("cluster_id"),
         ),
-        "semantic_cells",
+        # sf-keyed name (same hazard class as the quantizer side tables:
+        # interleaved cross-scale builds must not overwrite each other) and
+        # the UDF's side-table dir declared so its content joins the memo
+        # digest — the plan text and input files don't see it
+        side_table_name("semantic_cells", sf_dir),
+        side_inputs=(staged_table_path(spark, cents_name),),
     )
     src = emb.select("vec_id", "embedding")
     a = cells.join(src, "vec_id").select(
@@ -978,11 +988,13 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bounded to MMR_POOL rows per probe, but the greedy unroll below reads
     # it 3+ times — stage once (uniform with the other materializations;
     # with many probes this pool is corpus-scale too)
+    from meos_rs_spark.functions.quantize import side_table_name
+
     cand = stage(
         scored.withColumn("__rn", F.row_number().over(wp))
         .filter(F.col("__rn") <= MMR_POOL)
         .select("probe_id", "vec_id", "ce", "cn2", "rel"),
-        "mmr_pool",
+        side_table_name("mmr_pool", sf_dir),
     )
 
     def pick(df: DataFrame) -> DataFrame:

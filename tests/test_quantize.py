@@ -74,7 +74,8 @@ def test_nan_score_matches_engine_sort_order(spark):
     last; verified empirically against Spark and DuckDB), so a zero-norm
     centroid — cosine NaN against every vector — must WIN the cosine
     argmax for all vectors, and a NaN L2 score must LOSE the argmin. The
-    kernel maps NaN → +inf to reproduce the window's pick exactly."""
+    kernel compares (is_nan, score) pairs to reproduce the window's pick
+    exactly."""
     zero = [0.0] * 8
     good = [float(x + 1) for x in range(8)]
     path = _write_cents(spark, [(0, zero), (5, good)], "q_cents_nan")
@@ -88,6 +89,40 @@ def test_nan_score_matches_engine_sort_order(spark):
     # the NaN elsewhere: l2 over these finite inputs can't go NaN, just
     # assert the argmin is the exact-match centroid
     assert vecs.select(l2("embedding").alias("c")).first().c == 5
+
+
+def test_nan_outranks_inf_in_pair_compare(spark):
+    """NaN sorts STRICTLY ABOVE +Infinity in both engines (pinned below
+    against Spark's own sort), so in an argmax contest NaN must beat +inf
+    and in an argmin +inf must beat NaN — a NaN→+inf remap would conflate
+    them and hand the contest to the scan-order (lowest-id) side. The
+    overflow (+inf with finite norms) is unreachable from array<float>
+    fixtures, so the kernel's compare is pinned at the numpy level."""
+    # the engine ground truth: ORDER BY x DESC puts NaN before Infinity
+    ordered = [
+        r.x
+        for r in spark.createDataFrame(
+            [(float("nan"),), (float("inf"),), (1.0,)], "x double"
+        )
+        .orderBy(F.col("x").desc())
+        .collect()
+    ]
+    assert np.isnan(ordered[0]) and ordered[1] == np.inf
+    inf = np.array([np.inf])
+    fin = np.array([1.0])
+    t, f = np.array([True]), np.array([False])
+    ph = np.array([0.0])  # placeholder score under a set nan flag
+    # argmax (cosine): NaN beats +inf beats finite
+    assert quantize.better(t, ph, f, inf, largest=True).all()
+    assert not quantize.better(f, inf, t, ph, largest=True).any()
+    assert quantize.better(f, inf, f, fin, largest=True).all()
+    # argmin (L2/d2): finite beats +inf beats NaN
+    assert quantize.better(f, inf, t, ph, largest=False).all()
+    assert not quantize.better(t, ph, f, inf, largest=False).any()
+    assert quantize.better(f, fin, f, inf, largest=False).all()
+    # ties (same class, equal score) keep the incumbent — lowest-id wins
+    assert not quantize.better(f, fin, f, fin, largest=True).any()
+    assert not quantize.better(t, ph, t, ph, largest=False).any()
 
 
 def test_pq_codes_match_bruteforce(spark):

@@ -104,6 +104,37 @@ def test_in_memory_relations_never_memo(spark):
     assert [r.v for r in out2.collect()] == ["two"]
 
 
+def test_changed_side_input_breaks_memo(spark, tmp_path):
+    """A Python-UDF side table lives outside both the plan text and
+    inputFiles (ADVICE r6): when the caller declares it via side_inputs,
+    changing its content must force a re-stage even though the Spark plan
+    is textually identical — and unchanged side inputs must still memo-hit."""
+    side = tmp_path / "side_tab"
+    side.mkdir()
+    (side / "part-0").write_text("v1")
+    df = spark.range(50).withColumn("v", F.col("id") + 1)
+    staging.stage(df, "side_probe", side_inputs=(str(side),))
+    key = (spark.sparkContext.applicationId, "side_probe")
+    path = staging._MEMO[key][1]
+    before = _part_files(path)
+    # identical plan + identical side input: memo hit, no rewrite
+    staging.stage(
+        spark.range(50).withColumn("v", F.col("id") + 1),
+        "side_probe",
+        side_inputs=(str(side),),
+    )
+    assert _part_files(path) == before
+    # same plan, changed side-table content: must rewrite
+    time.sleep(0.01)  # ensure a distinct mtime_ns even on coarse clocks
+    (side / "part-0").write_text("v2-longer")
+    staging.stage(
+        spark.range(50).withColumn("v", F.col("id") + 1),
+        "side_probe",
+        side_inputs=(str(side),),
+    )
+    assert _part_files(path) != before
+
+
 def test_estimate_single_stage_per_build(spark):
     """dedup_minhash_estimate must stage its signature ONCE per build: a
     second same-name stage() while the first build's scans are live would,
