@@ -241,8 +241,6 @@ FROM d CROSS JOIN t
     "back -- no second pass over the corpus, no driver collect.",
 )
 def text_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.functions import broadcast
-
     d = (
         _doc_tokens(spark, sf_dir)
         .groupBy("lang", "source")
@@ -251,18 +249,22 @@ def text_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("bigint").alias("n_tokens"),
         )
     )
+    # corpus totals as ONE struct-valued scalar subquery (not a 1-row
+    # crossJoin, which planned as a BroadcastNestedLoopJoin)
     t = d.agg(
-        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
-        F.count(F.lit(1)).alias("n_domains"),
+        F.struct(
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.count(F.lit(1)).alias("n_domains"),
+        ).alias("t")
     )
-    return d.crossJoin(broadcast(t)).select(
+    return d.select("lang", "source", "n_docs", "n_tokens", t.scalar().alias("__t")).select(
         "lang",
         "source",
         "n_docs",
         "n_tokens",
-        (F.col("n_tokens").cast("double") / F.col("total_tokens").cast("double")).alias("token_share"),
+        (F.col("n_tokens").cast("double") / F.col("__t.total_tokens").cast("double")).alias("token_share"),
         (
-            F.col("total_tokens").cast("double")
-            / (F.col("n_domains") * F.col("n_tokens")).cast("double")
+            F.col("__t.total_tokens").cast("double")
+            / (F.col("__t.n_domains") * F.col("n_tokens")).cast("double")
         ).alias("mix_weight"),
     )

@@ -723,9 +723,11 @@ def sim_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         side_table_name("pagerank_edges", sf_dir),
     )
     nodes = emb.select(F.col("vec_id").alias("node"))
-    nn = nodes.agg(F.count("*").cast("double").alias("n"))
+    # node count as a scalar subquery: inlined per use, no join operator
+    # (the former 1-row crossJoin planned as a BNLJ in every iteration)
+    n = nodes.agg(F.count("*").cast("double").alias("n")).scalar()
     deg = edges.groupBy("src").agg(F.count("*").cast("double").alias("outdeg"))
-    pr = nodes.crossJoin(broadcast(nn)).select("node", (F.lit(1.0) / F.col("n")).alias("pr"))
+    pr = nodes.select("node", (F.lit(1.0) / n).alias("pr"))
     zero = F.lit(0).cast("decimal(38,12)")
     for _ in range(PR_ITERS):
         contrib = (
@@ -735,11 +737,10 @@ def sim_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         summed = contrib.groupBy("dst").agg(F.sum("c").alias("acc"))
         pr = (
-            nodes.crossJoin(broadcast(nn))
-            .join(summed, F.col("node") == F.col("dst"), "left")
+            nodes.join(summed, F.col("node") == F.col("dst"), "left")
             .select(
                 "node",
-                (F.lit(0.15) / F.col("n")
+                (F.lit(0.15) / n
                  + F.lit(PR_DAMP) * F.coalesce(F.col("acc"), zero).cast("double")).alias("pr"),
             )
         )

@@ -438,17 +438,15 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = d.groupBy().agg(F.count(F.lit(1)).alias("n_docs"))
-    scored = (
-        tf.join(broadcast(df), "term")
-        .crossJoin(broadcast(n_docs))
-        .withColumn(
-            "tfidf",
-            (
-                F.col("tf")
-                * F.round(F.log(F.col("n_docs").cast("double") / F.col("df")), 6).cast("decimal(18,6)")
-            ).cast("double"),
-        )
+    # corpus doc count as a scalar subquery: inlined into the projection,
+    # no join operator (the 1-row crossJoin planned as a BNLJ)
+    n_docs = d.groupBy().agg(F.count(F.lit(1)).alias("n_docs")).scalar()
+    scored = tf.join(broadcast(df), "term").withColumn(
+        "tfidf",
+        (
+            F.col("tf")
+            * F.round(F.log(n_docs.cast("double") / F.col("df")), 6).cast("decimal(18,6)")
+        ).cast("double"),
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
     return (
@@ -551,16 +549,13 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
-    tot = toks.groupBy().agg(F.count(F.lit(1)).alias("t"))
-    scored = (
-        toks.join(broadcast(freq), "term")
-        .crossJoin(broadcast(tot))
-        .select(
-            "doc_id",
-            F.round(-F.log(F.col("c").cast("double") / F.col("t")), 6)
-            .cast("decimal(18,6)")
-            .alias("nll"),
-        )
+    # corpus token total as a scalar subquery (was a 1-row crossJoin → BNLJ)
+    tot = toks.groupBy().agg(F.count(F.lit(1)).alias("t")).scalar()
+    scored = toks.join(broadcast(freq), "term").select(
+        "doc_id",
+        F.round(-F.log(F.col("c").cast("double") / tot), 6)
+        .cast("decimal(18,6)")
+        .alias("nll"),
     )
     mean_nll = (F.sum("nll").cast("double") / F.count(F.lit(1))).cast("double")
     return scored.groupBy("doc_id").agg(

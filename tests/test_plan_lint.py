@@ -19,15 +19,18 @@ from __future__ import annotations
 
 # Queries whose plans intentionally contain a BroadcastNestedLoopJoin.
 # Every entry's build side is constant-sized by construction:
-#   - 1-row aggregate totals: rel_global_metrics, text_mixture_weights,
-#     text_tfidf_topterms, text_unigram_logprob, rel_bloom_join (bitmap row),
-#     sim_pagerank (node-count row)
 #   - constant probe/seed sets: sim_cosine_topk (N_PROBES), sim_ann_ivf and
 #     sim_ann_recall (probe x centroid assignment), sim_prefix_rerank
 #   - K²-bounded distinct-id pair builds: trajsim_hausdorff,
 #     trajsim_dtw_frechet, trajsim_lcss_erp, trajsim_nearest_approach
 #   - small bounded box/band tables: box_tbox_predicates, box_tbox_algebra,
 #     rel_join_band_bucketed
+# The six 1-row-total entries that used to live here (rel_global_metrics,
+# rel_bloom_join, sim_pagerank, text_mixture_weights, text_tfidf_topterms,
+# text_unigram_logprob) were rewritten in r7 to attach their global
+# aggregate as a scalar subquery (DataFrame.scalar()), which plans as an
+# inlined Subquery with NO join operator — smaller audit surface, same
+# data movement.
 BNLJ_ALLOWED = {
     "box_tbox_predicates",
     "box_tbox_algebra",
@@ -35,13 +38,7 @@ BNLJ_ALLOWED = {
     "sim_ann_ivf",
     "sim_ann_recall",
     "sim_prefix_rerank",
-    "sim_pagerank",
-    "text_tfidf_topterms",
-    "text_unigram_logprob",
     "rel_join_band_bucketed",
-    "rel_global_metrics",
-    "rel_bloom_join",
-    "text_mixture_weights",
     "trajsim_hausdorff",
     "trajsim_dtw_frechet",
     "trajsim_nearest_approach",
