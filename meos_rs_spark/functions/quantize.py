@@ -48,15 +48,19 @@ never serve two different fixture scales in one session.
 
 from __future__ import annotations
 
-import hashlib
-import os
-
 import numpy as np
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, LongType
 
 from meos_rs_spark.functions.embeddings import _seq_dot, _stack
+
+# the sf-keyed naming and the dir change detector live with the staging
+# machinery (one shared implementation — the memo digest and the side-table
+# cache below must agree on what counts as a content change); re-exported
+# here because every quantizer caller needs the name helper next to the
+# UDF makers
+from meos_rs_spark.functions.staging import dir_fingerprint, side_table_name
 
 #: (path, file fingerprint) -> pandas side table. Entries are K-row
 #: quantizers (a few KB); stale fingerprints for the same path are evicted.
@@ -77,33 +81,14 @@ def better(nan, score, best_nan, best_score, *, largest: bool):
     return (~nan & best_nan) | (same_class & (score < best_score))
 
 
-def side_table_name(base: str, sf_dir: str) -> str:
-    """Staging-table name keyed by fixture dir.
-
-    The executor-side cache in :func:`_load_side` is keyed by path, so a
-    session that runs one query at two scales (the parity gate does) must
-    stage the two quantizers under two names.
-    """
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
-    return f"{base}_{key}"
-
-
-def _fingerprint(path: str):
-    """Cheap change detector for a staged side dir (local paths only —
-    URI-rooted staging relies on the sf-keyed name for freshness)."""
-    try:
-        return tuple(
-            (f, st.st_size, st.st_mtime_ns)
-            for f in sorted(os.listdir(path))
-            if not f.startswith(("_", "."))
-            for st in (os.stat(os.path.join(path, f)),)
-        )
-    except OSError:
-        return None
+__all__ = [
+    "better", "dir_fingerprint", "side_table_name",
+    "make_nearest_centroid_udf", "make_pq_codes_udf",
+]
 
 
 def _load_side(path: str) -> pd.DataFrame:
-    key = (path, _fingerprint(path))
+    key = (path, dir_fingerprint(path))
     tbl = _SIDE_CACHE.get(key)
     if tbl is None:
         import pyarrow.parquet as pq

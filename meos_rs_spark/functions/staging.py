@@ -206,6 +206,36 @@ def _memo_trusted(df: DataFrame, app_dir: str) -> bool:
     return True
 
 
+def side_table_name(base: str, sf_dir: str) -> str:
+    """Staging-table name keyed by fixture dir — the default for ANY staged
+    table built from a specific fixture scale. Two hazards both require it:
+    executor-side caches (functions/quantize._load_side) key by path, so a
+    session running one query at two scales must stage two tables; and a
+    second-scale build overwriting a fixed name's part-files breaks scans
+    the first scale's already-returned DataFrame resolved (ADVICE r6)."""
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    return f"{base}_{key}"
+
+
+def dir_fingerprint(path: str):
+    """Cheap change detector for a staged table dir: (name, size, mtime_ns)
+    per DATA file — ``_SUCCESS``/dot-metadata excluded, since any parquet
+    payload change always touches a data file and metadata-only touches
+    must not read as content changes. Local paths only; None on unreadable
+    dirs (URI-rooted staging relies on sf-keyed names for freshness).
+    Shared by the executor-side side-table cache (functions/quantize) and
+    the memo digest below — the two sensitivities must never diverge."""
+    try:
+        return tuple(
+            (f, st.st_size, st.st_mtime_ns)
+            for f in sorted(os.listdir(path))
+            if not f.startswith(("_", "."))
+            for st in (os.stat(os.path.join(path, f)),)
+        )
+    except OSError:
+        return None
+
+
 def _side_inputs_fingerprint(paths) -> str | None:
     """Content fingerprint for Python-UDF side inputs (ADVICE r6): a staged
     plan whose Arrow kernel reads a side table (e.g. the nearest-centroid
@@ -217,17 +247,11 @@ def _side_inputs_fingerprint(paths) -> str | None:
     for p in sorted(paths):
         if "://" in p and not p.startswith("file:"):
             return None
-        local = re.sub(r"^file:/{0,2}(?=/)", "", p)
-        ap = os.path.abspath(local)
-        try:
-            entries = tuple(
-                (f, os.stat(os.path.join(ap, f)).st_size,
-                 os.stat(os.path.join(ap, f)).st_mtime_ns)
-                for f in sorted(os.listdir(ap))
-            )
-        except OSError:
+        ap = os.path.abspath(re.sub(r"^file:/{0,2}(?=/)", "", p))
+        fp = dir_fingerprint(ap)
+        if fp is None:
             return None
-        parts.append((ap, entries))
+        parts.append((ap, fp))
     return repr(parts)
 
 

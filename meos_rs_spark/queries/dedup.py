@@ -199,8 +199,7 @@ def _staged_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     the estimate query no longer recomputes the signature from a second
     corpus scan.
     """
-    from meos_rs_spark.functions.quantize import side_table_name
-    from meos_rs_spark.functions.staging import stage
+    from meos_rs_spark.functions.staging import side_table_name, stage
 
     sh = _shingles(spark, sf_dir)
     return stage(

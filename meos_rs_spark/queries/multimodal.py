@@ -95,14 +95,18 @@ def _png_decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
             if n == 0:
                 # degenerate empty payload (the fixtures pin non-emptiness,
                 # but a task crash is never an acceptable failure mode):
-                # emit exactly what the oracle's repeat('')-based arithmetic
-                # yields — geometry from the formulas, md5 of zero bytes
+                # emit exactly what the oracle's arithmetic yields — its
+                # repeat count is `... // n`, an integer division by zero
+                # is NULL in DuckDB, and repeat/substr/md5 all propagate it,
+                # so the oracle's pixel_md5 is NULL there (verified against
+                # duckdb directly; the r6 md5(b'') here was wrong — latent,
+                # unreachable while the non-empty-text pin holds)
                 out["doc_id"].append(doc_id)
                 out["payload_bytes"].append(0)
                 out["width"].append(w)
                 out["height"].append(h)
                 out["n_pixels"].append(w * h)
-                out["pixel_md5"].append(hashlib.md5(b"").hexdigest())
+                out["pixel_md5"].append(None)
                 continue
             pixels = (payload * ((w * h) // n + 1))[: w * h]
             blob = png_encode_gray(pixels, w, h)  # the media blob a real pipeline stores
@@ -234,14 +238,23 @@ def _png_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             w, h = n % _PNG_W_MOD + 1, n % _PNG_H_MOD + 1
             if n == 0:
                 # degenerate empty payload (fixtures pin non-emptiness; never
-                # crash the task): an all-zero source image resizes to an
-                # all-zero dst, matching what tiling zero bytes would yield
-                src = np.zeros((h, w), dtype=np.uint8)
-            else:
-                pixels = (payload * ((w * h) // n + 1))[: w * h]
-                blob = png_encode_gray(pixels, w, h)  # the stored media blob
-                dw, dh, decoded = png_decode_gray(blob)  # REAL decode
-                src = np.frombuffer(decoded, dtype=np.uint8).reshape(dh, dw)
+                # crash the task): emit exactly what the oracle's arithmetic
+                # yields there — its per-pixel index is `... % n`, a modulo
+                # by zero is NULL in DuckDB, every sampled char is therefore
+                # NULL, array_to_string of an all-NULL list is NULL, and
+                # md5(NULL) is NULL (verified against duckdb directly)
+                out["doc_id"].append(doc_id)
+                out["src_w"].append(w)
+                out["src_h"].append(h)
+                out["dst_w"].append(_DST_W)
+                out["dst_h"].append(_DST_H)
+                out["resized_px"].append(_DST_W * _DST_H)
+                out["resized_md5"].append(None)
+                continue
+            pixels = (payload * ((w * h) // n + 1))[: w * h]
+            blob = png_encode_gray(pixels, w, h)  # the stored media blob
+            dw, dh, decoded = png_decode_gray(blob)  # REAL decode
+            src = np.frombuffer(decoded, dtype=np.uint8).reshape(dh, dw)
             resized = src[np.ix_((ys0 * h) // _DST_H, (xs0 * w) // _DST_W)]
             rblob = png_encode_gray(resized.tobytes(), _DST_W, _DST_H)
             _, _, rdec = png_decode_gray(rblob)  # prove the re-encode too

@@ -229,8 +229,8 @@ QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) <
     "the broadcast-crossJoin + window shape: it is constant-sized)",
 )
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from meos_rs_spark.functions.quantize import make_nearest_centroid_udf, side_table_name
-    from meos_rs_spark.functions.staging import stage, staged_table_path
+    from meos_rs_spark.functions.quantize import make_nearest_centroid_udf
+    from meos_rs_spark.functions.staging import side_table_name, stage, staged_table_path
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents_name = side_table_name("ivf_cents", sf_dir)
@@ -315,8 +315,8 @@ FROM comps GROUP BY cluster_id, dim
     "table and re-runs the same two stages",
 )
 def sim_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from meos_rs_spark.functions.quantize import make_nearest_centroid_udf, side_table_name
-    from meos_rs_spark.functions.staging import stage, staged_table_path
+    from meos_rs_spark.functions.quantize import make_nearest_centroid_udf
+    from meos_rs_spark.functions.staging import side_table_name, stage, staged_table_path
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents_name = side_table_name("km_cents", sf_dir)
@@ -592,8 +592,8 @@ QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY approx_d2, vec_id) <= 
 )
 def sim_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meos_rs_spark.functions.embeddings import seq_sqdist
-    from meos_rs_spark.functions.quantize import make_pq_codes_udf, side_table_name
-    from meos_rs_spark.functions.staging import stage, staged_table_path
+    from meos_rs_spark.functions.quantize import make_pq_codes_udf
+    from meos_rs_spark.functions.staging import side_table_name, stage, staged_table_path
 
     emb = load_table(spark, sf_dir, "embeddings")
     ms = F.explode(F.array(*[F.lit(m) for m in range(PQ_M)])).alias("m")
@@ -710,14 +710,12 @@ SELECT node, pr FROM pr{PR_ITERS}
     "for parity with the oracle.",
 )
 def sim_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from meos_rs_spark.functions.staging import stage
+    from meos_rs_spark.functions.staging import side_table_name, stage
 
     emb = load_table(spark, sf_dir, "embeddings")
     # corpus-sized edge fact read by all 3 unrolled iterations — parquet
     # staging table, not an executor-memory pin (same rationale as the
     # minhash shingles; at 100 TB the kNN edge list is 3x the corpus)
-    from meos_rs_spark.functions.quantize import side_table_name
-
     edges = stage(
         sim_knn_graph(spark, sf_dir).select("src", "dst"),
         side_table_name("pagerank_edges", sf_dir),
@@ -814,8 +812,8 @@ FROM members m LEFT JOIN dstats d USING (cluster_id)
     "exactly like the LSH hot-bucket cap in dedup_minhash_lsh.",
 )
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from meos_rs_spark.functions.quantize import make_nearest_centroid_udf, side_table_name
-    from meos_rs_spark.functions.staging import stage, staged_table_path
+    from meos_rs_spark.functions.quantize import make_nearest_centroid_udf
+    from meos_rs_spark.functions.staging import side_table_name, stage, staged_table_path
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents_name = side_table_name("sem_cents", sf_dir)
@@ -984,13 +982,11 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     wp = Window.partitionBy("probe_id").orderBy(F.col("rel").desc(), F.col("vec_id").asc())
-    from meos_rs_spark.functions.staging import stage
+    from meos_rs_spark.functions.staging import side_table_name, stage
 
     # bounded to MMR_POOL rows per probe, but the greedy unroll below reads
     # it 3+ times — stage once (uniform with the other materializations;
     # with many probes this pool is corpus-scale too)
-    from meos_rs_spark.functions.quantize import side_table_name
-
     cand = stage(
         scored.withColumn("__rn", F.row_number().over(wp))
         .filter(F.col("__rn") <= MMR_POOL)

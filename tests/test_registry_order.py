@@ -39,7 +39,7 @@ R7_EXPECTED_HEAD = (
     "rel_count_distinct",
     "rel_rollup",
     "rel_cube",
-    # oldest-green refill: latest driver row r3 (first 40 in registration order)
+    # oldest-green refill: latest driver row r3 (first 38 in registration order)
     "traj_assembly",
     "traj_extent",
     "traj_merge",
