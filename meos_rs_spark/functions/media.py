@@ -6,14 +6,26 @@ This module implements a real, spec-complete grayscale-8 PNG codec —
 signature and chunk parsing with CRC verification, multi-IDAT inflate, and
 all five scanline filter types (None/Sub/Up/Average/Paeth) on decode — so
 the engine's image-decode stage (queries/multimodal.py:mm_decode_features)
-can run an ACTUAL decode instead of a labeled fake. Exotic codecs (JPEG,
-video, audio compression) remain out of scope in this container; the
-plumbing they'd ride is the same mapInPandas stage.
+can run an ACTUAL decode instead of a labeled fake.
+
+JPEG needs no external codec either: baseline sequential JPEG is markers +
+Huffman entropy coding + an 8×8 DCT, all implementable on stdlib + numpy.
+``jpeg_encode_gray``/``jpeg_decode_gray`` below are a real ITU-T T.81
+baseline codec for the single-component (grayscale) case — SOI/DQT/SOF0/
+DHT/SOS/EOI marker parse, spec Annex K.3 Huffman tables, DC prediction,
+run-length AC with ZRL/EOB, 0xFF00 byte (un)stuffing, dequantize +
+de-zigzag + float IDCT. Color subsampling and progressive mode are
+rejected explicitly (same stance as the PNG codec's variant gate). Video
+containers stay out of scope; the mapInPandas stage they'd ride is the
+same one these codecs already exercise.
 
 Reference: the PNG specification (RFC 2083 / W3C PNG) — chunk layout
-§3, IHDR §4.1.1, filter algorithms §6. Independent pins live in
-tests/test_media.py: a byte-level PNG hand-assembled WITHOUT this encoder,
-hand-filtered rows for each filter type, and corrupt-CRC rejection.
+§3, IHDR §4.1.1, filter algorithms §6 — and ITU-T T.81 (the JPEG spec):
+§B.2 marker segments, §F.1.2 entropy encoding, Annex K.3 typical Huffman
+tables. Independent pins live in tests/test_media.py: a byte-level PNG
+hand-assembled WITHOUT this encoder, hand-filtered rows for each filter
+type, corrupt-CRC rejection, a hand-assembled DC-only JPEG decoded to
+hand-computed pixels, and encoder→decoder roundtrip error bounds.
 """
 
 from __future__ import annotations
@@ -139,3 +151,360 @@ def wav_decode_pcm16(data: bytes) -> tuple[int, int, int, bytes]:
             w.getnframes(),
             w.readframes(w.getnframes()),
         )
+
+
+# --- baseline JPEG (ITU-T T.81), grayscale ----------------------------------
+
+#: zigzag scan order (T.81 Figure 5): ZIGZAG[i] = raster index of the i-th
+#: coefficient in zigzag order
+ZIGZAG = [
+    0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# typical luminance Huffman tables (T.81 Annex K.3.3): (BITS[1..16], HUFFVAL)
+_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+#: uniform quantization table for the engine's oracle-checked path. 24 is a
+#: deliberate choice, not a quality knob: it is a multiple of 8, so a
+#: DC-only block reconstructs to the exact integer dc*24/8 = 3*dc before the
+#: +128 level shift — float IDCT noise (~1e-13) can never move the final
+#: floor(x+0.5) across a boundary, which is what lets a SQL oracle reproduce
+#: decoded pixels bit-for-bit (queries/multimodal.py:mm_jpeg_features).
+Q_UNIFORM24 = [24] * 64
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """T.81 Annex C code generation: value -> (code, length)."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _dct_matrix():
+    import numpy as np
+
+    # A[u, x] = C(u)/2 * cos((2x+1) u pi / 16); F = A f A^T, f = A^T F A
+    x = np.arange(8)
+    u = np.arange(8).reshape(-1, 1)
+    a = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
+    a[0, :] = 1.0 / (2.0 * np.sqrt(2.0))
+    return a
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._n += length
+        while self._n >= 8:
+            self._n -= 8
+            byte = (self._acc >> self._n) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing (T.81 F.1.2.3)
+                self.buf.append(0x00)
+
+    def flush(self) -> bytes:
+        if self._n:
+            self.put(0x7F, 8 - self._n)  # pad with 1-bits per spec
+        return bytes(self.buf)
+
+
+def _coef_bits(v: int) -> tuple[int, int]:
+    """T.81 F.1.2.1: (SSSS magnitude category, the SSSS appended bits)."""
+    if v == 0:
+        return 0, 0
+    size = int(v).bit_length() if v > 0 else int(-v).bit_length()
+    return size, (v if v >= 0 else v + (1 << size) - 1)
+
+
+def jpeg_encode_gray(
+    pixels: bytes, width: int, height: int, quant: list[int] | None = None
+) -> bytes:
+    """Encode 8-bit grayscale pixels as a real baseline JPEG (SOF0, one
+    component, T.81 Annex K.3 Huffman tables). Dimensions must be multiples
+    of 8 (the engine synthesizes MCU-aligned images; general-size padding is
+    a sampling policy, not codec work, and is deliberately out of scope)."""
+    import numpy as np
+
+    if len(pixels) != width * height:
+        raise ValueError(f"need {width * height} pixels, got {len(pixels)}")
+    if width % 8 or height % 8:
+        raise ValueError("dimensions must be multiples of 8")
+    quant = list(quant) if quant is not None else list(Q_UNIFORM24)
+    a = _dct_matrix()
+    q = np.asarray(quant, dtype=np.float64).reshape(8, 8)
+
+    img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
+    # blocks[i, j] is the 8x8 tile at (i*8, j*8), level-shifted
+    blocks = (
+        img.reshape(height // 8, 8, width // 8, 8).transpose(0, 2, 1, 3)
+        .astype(np.float64) - 128.0
+    )
+    coefs = np.einsum("ux,ijxy,vy->ijuv", a, blocks, a)
+    # quantize: round half away from zero (T.81 divides and rounds)
+    qc = (np.sign(coefs) * np.floor(np.abs(coefs) / q + 0.5)).astype(np.int32)
+
+    dc_code = _huff_codes(_DC_BITS, _DC_VALS)
+    ac_code = _huff_codes(_AC_BITS, _AC_VALS)
+    bw = _BitWriter()
+    pred = 0
+    for i in range(height // 8):
+        for j in range(width // 8):
+            zz = qc[i, j].reshape(64)[ZIGZAG]
+            size, bits = _coef_bits(int(zz[0]) - pred)
+            pred = int(zz[0])
+            c, ln = dc_code[size]
+            bw.put(c, ln)
+            if size:
+                bw.put(bits, size)
+            run = 0
+            for k in range(1, 64):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    c, ln = ac_code[0xF0]  # ZRL: 16 zeros
+                    bw.put(c, ln)
+                    run -= 16
+                size, bits = _coef_bits(v)
+                c, ln = ac_code[(run << 4) | size]
+                bw.put(c, ln)
+                bw.put(bits, size)
+                run = 0
+            if run:
+                c, ln = ac_code[0x00]  # EOB
+                bw.put(c, ln)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    zz_quant = bytes(quant[ZIGZAG[k]] for k in range(64))
+    out = b"".join(
+        [
+            b"\xff\xd8",  # SOI
+            seg(0xFFDB, b"\x00" + zz_quant),  # DQT, 8-bit table 0
+            seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00"),
+            seg(0xFFC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS)),
+            seg(0xFFC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS)),
+            seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00"),  # SOS: comp 1, tables 0/0
+            bw.flush(),
+            b"\xff\xd9",  # EOI
+        ]
+    )
+    return out
+
+
+class _BitReader:
+    """Entropy-segment bit reader with 0xFF00 unstuffing; a bare 0xFF
+    followed by a non-zero byte is a marker and ends the stream."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self._acc = 0
+        self._n = 0
+
+    def bit(self) -> int:
+        if self._n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG: entropy stream cut short")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.data):
+                    raise ValueError("truncated JPEG: dangling 0xFF")
+                m = self.data[self.pos]
+                if m == 0x00:
+                    self.pos += 1  # stuffed byte
+                else:
+                    raise ValueError("hit marker inside entropy stream")
+            self._acc = b
+            self._n = 8
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> value, built by the same Annex C enumeration."""
+    return {(ln, code): v for v, (code, ln) in _huff_codes(bits, vals).items()}
+
+
+def _huff_read(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, ln = 0, 0
+    while ln <= 16:
+        code = (code << 1) | br.bit()
+        ln += 1
+        if (ln, code) in table:
+            return table[(ln, code)]
+    raise ValueError("invalid Huffman code in entropy stream")
+
+
+def _extend(bits: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map SSSS appended bits back to a signed value."""
+    if size == 0:
+        return 0
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+def jpeg_decode_gray(data: bytes) -> tuple[int, int, bytes]:
+    """Decode a baseline single-component JPEG: full marker parse (DQT /
+    SOF0 / DHT / SOS), Huffman entropy decode with byte unstuffing and DC
+    prediction, dequantize, de-zigzag, float IDCT, level shift + clamp.
+    Returns (width, height, raw pixels). Progressive (SOF2), multi-component
+    scans, 16-bit quant tables and restart intervals are rejected — the
+    declared envelope is the grayscale baseline the encoder above emits."""
+    import numpy as np
+
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: bad SOI")
+    pos = 2
+    quant: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    width = height = None
+    comp_q = comp_dc = comp_ac = 0
+    scan_at = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack_from(">H", data, pos + 2)
+        body = data[pos + 4 : pos + 2 + seglen]
+        if len(body) != seglen - 2:
+            raise ValueError("truncated JPEG: segment cut short")
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            o = 0
+            while o < len(body):
+                pq, tq = body[o] >> 4, body[o] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quantization tables unsupported")
+                zz = list(body[o + 1 : o + 65])
+                tbl = [0] * 64
+                for k in range(64):
+                    tbl[ZIGZAG[k]] = zz[k]
+                quant[tq] = tbl
+                o += 65
+        elif marker in (0xC1, 0xC2, 0xC3):
+            raise ValueError("only baseline sequential (SOF0) is supported")
+        elif marker == 0xC0:  # SOF0
+            prec, height, width, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8 or ncomp != 1:
+                raise ValueError("need 8-bit single-component (grayscale) JPEG")
+            # component triplet follows the 6-byte frame header: id,
+            # sampling factors, quant-table id
+            if body[7] != 0x11:
+                raise ValueError("subsampled grayscale is not a thing we accept")
+            comp_q = body[8]
+        elif marker == 0xC4:  # DHT (possibly several tables per segment)
+            o = 0
+            while o < len(body):
+                tc, th = body[o] >> 4, body[o] & 0x0F
+                bits = list(body[o + 1 : o + 17])
+                nv = sum(bits)
+                vals = list(body[o + 17 : o + 17 + nv])
+                huff[(tc, th)] = _huff_decode_table(bits, vals)
+                o += 17 + nv
+        elif marker == 0xDD:
+            raise ValueError("restart intervals unsupported")
+        elif marker == 0xDA:  # SOS
+            if body[0] != 1:
+                raise ValueError("multi-component scan unsupported")
+            comp_dc, comp_ac = body[2] >> 4, body[2] & 0x0F
+            scan_at = pos + 2 + seglen
+            break
+        # APPn / COM / anything else: skip
+        pos += 2 + seglen
+    if scan_at is None or width is None:
+        raise ValueError("missing SOS or SOF0")
+    if width % 8 or height % 8:
+        raise ValueError("dimensions must be multiples of 8 (no partial MCUs)")
+    q = np.asarray(quant[comp_q], dtype=np.float64).reshape(8, 8)
+    dc_tab, ac_tab = huff[(0, comp_dc)], huff[(1, comp_ac)]
+
+    br = _BitReader(data, scan_at)
+    nby, nbx = height // 8, width // 8
+    coefs = np.zeros((nby, nbx, 8, 8), dtype=np.float64)
+    pred = 0
+    for i in range(nby):
+        for j in range(nbx):
+            zz = [0] * 64
+            size = _huff_read(br, dc_tab)
+            pred += _extend(br.bits(size), size)
+            zz[0] = pred
+            k = 1
+            while k < 64:
+                rs = _huff_read(br, ac_tab)
+                run, size = rs >> 4, rs & 0x0F
+                if size == 0:
+                    if run == 15:  # ZRL
+                        k += 16
+                        continue
+                    break  # EOB
+                k += run
+                if k > 63:
+                    raise ValueError("AC run overflows the block")
+                zz[k] = _extend(br.bits(size), size)
+                k += 1
+            blk = np.zeros(64, dtype=np.float64)
+            blk[ZIGZAG] = zz
+            coefs[i, j] = blk.reshape(8, 8)
+
+    a = _dct_matrix()
+    spatial = np.einsum("xu,ijuv,yv->ijxy", a.T, coefs * q, a.T) + 128.0
+    img = (
+        np.clip(np.floor(spatial + 0.5), 0, 255)
+        .astype(np.uint8)
+        .transpose(0, 2, 1, 3)
+        .reshape(height, width)
+    )
+    return width, height, img.tobytes()

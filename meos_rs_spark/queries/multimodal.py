@@ -13,8 +13,13 @@ computes arithmetically from the raw table, which only holds if the
 encode→decode round trip is bit-exact). Since r7 the *resize* stage is
 pixel-real too (decode → numpy nearest-neighbor resample → re-encode →
 re-decode, resized-pixel md5 oracled) and *frame-sample* really decodes
-each sampled frame as an 8×8 PNG; exotic codecs (JPEG, video) stay out of
-scope in this container — they would ride the same mapInPandas stage.
+each sampled frame as an 8×8 PNG. JPEG is real as well:
+``mm_jpeg_features`` runs a genuine baseline-JPEG encode→decode (marker
+parse, Annex K.3 Huffman entropy coding, dequantize + IDCT) whose decoded
+pixels are still exactly oracle-checkable because the synthesized images
+are flat 8×8 tiles (DC-only blocks reconstruct in closed integer form).
+Only video containers remain out of scope in this container — they would
+ride the same mapInPandas stage.
 """
 
 from __future__ import annotations
@@ -450,3 +455,97 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
     return d.mapInPandas(_png_decode_features, schema=_DECODE_SCHEMA)
+
+
+# --- JPEG decode via mapInPandas (REAL baseline codec) -----------------------
+
+_JPEG_SCHEMA = "doc_id long, width int, height int, n_blocks int, pixel_md5 string"
+# block-grid geometry derived from the payload length: up to 6×4 MCUs, so
+# every image is MCU-aligned (the codec's declared envelope) and small
+# enough for the oracle's per-block arithmetic
+_JPEG_BX_MOD, _JPEG_BY_MOD = 6, 4
+
+
+def _jpeg_decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL JPEG stage: each payload becomes a flat-8×8-tile grayscale image
+    (block (by,bx) holds the constant payload byte [(by*nbx+bx) % n]), is
+    encoded as a genuine baseline JPEG (functions/media.py — markers, Annex
+    K.3 Huffman coding, DC prediction, byte stuffing) and decoded back
+    through the full marker parse / entropy decode / dequantize / IDCT
+    path. Flat tiles are DC-only, and the uniform quant step 24 is a
+    multiple of 8, so the decode is exact integer arithmetic
+    (px' = 128 + 3*round((px-128)/3)) — which is what lets the SQL oracle
+    reproduce the DECODED pixels bit-for-bit even though JPEG is lossy in
+    general. The lossy general case is pinned by tests/test_media.py's
+    roundtrip error bounds instead."""
+    import hashlib
+
+    import numpy as np
+
+    from meos_rs_spark.functions.media import jpeg_decode_gray, jpeg_encode_gray
+
+    for pdf in batches:
+        out: dict = {k: [] for k in (
+            "doc_id", "width", "height", "n_blocks", "pixel_md5"
+        )}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            payload = bytes(payload)
+            n = len(payload)
+            nbx, nby = n % _JPEG_BX_MOD + 1, n % _JPEG_BY_MOD + 1
+            out["doc_id"].append(doc_id)
+            out["width"].append(8 * nbx)
+            out["height"].append(8 * nby)
+            out["n_blocks"].append(nbx * nby)
+            if n == 0:
+                # degenerate empty payload (fixtures pin non-emptiness; never
+                # crash the task): the oracle's block lookup is `... % n`, a
+                # modulo by zero is NULL in DuckDB and propagates through
+                # chr/repeat/array_to_string/md5, so the match is NULL
+                out["pixel_md5"].append(None)
+                continue
+            blocks = np.frombuffer(
+                bytes(payload[i % n] for i in range(nbx * nby)), np.uint8
+            ).reshape(nby, nbx)
+            pixels = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+            blob = jpeg_encode_gray(pixels.tobytes(), 8 * nbx, 8 * nby)
+            _, _, decoded = jpeg_decode_gray(blob)  # the REAL decode under test
+            out["pixel_md5"].append(hashlib.md5(decoded).hexdigest())
+        yield pd.DataFrame(out)
+
+
+@register(
+    "mm_jpeg_features",
+    # The oracle rebuilds the DECODED pixel stream arithmetically: block
+    # (by,bx) holds text byte [(by*nbx+bx) % n] (ASCII fixture: bytes ==
+    # chars, all < 128), and a DC-only block under quant step 24 decodes to
+    # exactly 128 - 3*round_half_away((128-v)/3) — integer math, so a hash
+    # match proves the whole JPEG encode→entropy-decode→IDCT round trip.
+    oracle=f"""
+WITH j AS (
+  SELECT doc_id, text, length(text) AS n,
+         length(text) % {_JPEG_BX_MOD} + 1 AS nbx,
+         length(text) % {_JPEG_BY_MOD} + 1 AS nby
+  FROM documents
+)
+SELECT doc_id,
+       CAST(8 * nbx AS INT) AS width,
+       CAST(8 * nby AS INT) AS height,
+       CAST(nbx * nby AS INT) AS n_blocks,
+       md5(array_to_string(list_transform(range(nby), by ->
+         repeat(array_to_string(list_transform(range(nbx), bx ->
+           repeat(chr(128 - 3 * ((2 * (128 - ascii(substr(text,
+             CAST((by * nbx + bx) % n AS INT) + 1, 1))) + 3) // 6)), 8)),
+           ''), 8)), '')) AS pixel_md5
+FROM j
+""",
+    tags=("multimodal",),
+    doc="mapInPandas JPEG decode over binary payloads: a REAL baseline JPEG "
+    "per document (pure stdlib+numpy codec, functions/media.py — marker "
+    "parse, Annex K.3 Huffman entropy decode, dequantize, IDCT), with the "
+    "decoded pixels' md5 oracle-checked via the exact DC-only closed form",
+)
+def mm_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return d.mapInPandas(_jpeg_decode_features, schema=_JPEG_SCHEMA)

@@ -166,3 +166,175 @@ def test_wav_decode_stdlib_roundtrip():
     nch, rate, nframes, got = wav_decode_pcm16(buf.getvalue())
     assert (nch, rate, nframes) == (2, 16000, 100)
     assert got == frames
+
+
+# --- baseline JPEG codec pins -----------------------------------------------
+
+from meos_rs_spark.functions.media import (  # noqa: E402
+    _AC_BITS,
+    _AC_VALS,
+    _DC_BITS,
+    _DC_VALS,
+    ZIGZAG,
+    jpeg_decode_gray,
+    jpeg_encode_gray,
+)
+
+
+def _hand_jpeg(width: int, height: int, entropy: bytes, quant: int = 24) -> bytes:
+    """Assemble a baseline grayscale JPEG around already-encoded entropy
+    bytes WITHOUT the module's encoder — T.81 marker structure only. The
+    Huffman table constants are spec Annex K values (data, not code), so
+    reusing them is not 'going through the encoder'."""
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    return b"".join(
+        [
+            b"\xff\xd8",
+            seg(0xFFDB, b"\x00" + bytes([quant] * 64)),
+            seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00"),
+            seg(0xFFC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS)),
+            seg(0xFFC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS)),
+            seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00"),
+            entropy,
+            b"\xff\xd9",
+        ]
+    )
+
+
+def test_decode_hand_assembled_dc_only_jpeg():
+    """One 8x8 block, DC coefficient 8 (pixel value 8*24/8 + 128 = 152),
+    entropy bits derived from the spec tables BY HAND:
+    DC size-4 code '101' + appended bits '1000' + EOB '1010', padded with
+    1-bits to 0xB1 0x5F. Exercises marker parse, Huffman decode, EXTEND,
+    dequantize and the IDCT on bytes this repo's encoder never produced."""
+    jpg = _hand_jpeg(8, 8, bytes([0xB1, 0x5F]))
+    assert jpeg_decode_gray(jpg) == (8, 8, bytes([152] * 64))
+
+
+def test_decode_hand_assembled_flat_gray_jpeg():
+    """DC diff 0 ('00') + EOB ('1010') + 1-bit pad = 0x2B: mid-gray 128."""
+    jpg = _hand_jpeg(8, 8, bytes([0x2B]))
+    assert jpeg_decode_gray(jpg) == (8, 8, bytes([128] * 64))
+
+
+def test_decode_hand_assembled_zrl_block():
+    """Decoder ZRL path: DC 0 ('00'), ZRL ('11111111001' — the (15,0)
+    symbol, an 11-bit code under the Annex K AC table), then (run 2,
+    size 1) = symbol 0x21 ('11100') with bit '1' (value +1) landing the
+    coefficient at zigzag index 19, EOB ('1010'). Expected pixels = IDCT
+    of that single AC coefficient, computed here with an independent
+    textbook double loop, not the module's matrix."""
+    import math
+
+    import numpy as np
+
+    bits = "00" + "11111111001" + "11100" + "1" + "1010"
+    bits += "1" * (-len(bits) % 8)
+    entropy = bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+    got_w, got_h, got = jpeg_decode_gray(_hand_jpeg(8, 8, entropy, quant=24))
+
+    coef = np.zeros((8, 8))
+    coef.reshape(64)[ZIGZAG[19]] = 1 * 24  # dequantized
+    exp = np.zeros((8, 8))
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = 1 / math.sqrt(2) if u == 0 else 1.0
+                    cv = 1 / math.sqrt(2) if v == 0 else 1.0
+                    s += (
+                        cu * cv * coef[u, v]
+                        * math.cos((2 * x + 1) * u * math.pi / 16)
+                        * math.cos((2 * y + 1) * v * math.pi / 16)
+                    )
+            exp[x, y] = s / 4 + 128
+    exp = np.clip(np.floor(exp + 0.5), 0, 255).astype(np.uint8)
+    assert (got_w, got_h) == (8, 8)
+    assert bytes(got) == exp.tobytes()
+    assert exp.min() != exp.max(), "pattern must be non-flat or the pin is weak"
+
+
+def test_jpeg_flat_tiles_decode_to_exact_closed_form():
+    """Flat 8x8 tiles are DC-only; with the uniform quant step 24 (a
+    multiple of 8) decode is exact integer math — the property
+    mm_jpeg_features' SQL oracle relies on."""
+    import numpy as np
+
+    vals = [0, 1, 40, 90, 100, 127, 128, 129, 200, 254, 255]
+    img = np.zeros((8, 8 * len(vals)), np.uint8)
+    for i, v in enumerate(vals):
+        img[:, 8 * i : 8 * i + 8] = v
+    _, _, px = jpeg_decode_gray(jpeg_encode_gray(img.tobytes(), 8 * len(vals), 8))
+    out = np.frombuffer(px, np.uint8).reshape(8, 8 * len(vals))
+    for i, v in enumerate(vals):
+        s = v - 128
+        dc = (abs(2 * s) + 3) // 6 * (1 if s > 0 else -1 if s < 0 else 0)
+        exp = max(0, min(255, 3 * dc + 128))
+        tile = out[:, 8 * i : 8 * i + 8]
+        assert tile.min() == tile.max() == exp, (v, exp, tile[0, 0])
+
+
+def test_jpeg_roundtrip_error_bound_and_stuffing():
+    """General (lossy) path: with an all-1s quant table the encoder→decoder
+    roundtrip error is bounded by quantization alone (max 2 gray levels on
+    random noise — the hardest content), and the entropy stream of a noisy
+    image must contain a stuffed 0xFF00 so the (un)stuffing path is
+    provably exercised, plus ZRL/EOB-heavy blocks via a sparse image."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    ri = rng.randint(0, 256, (24, 32), dtype=np.uint8)
+    blob = jpeg_encode_gray(ri.tobytes(), 32, 24, quant=[1] * 64)
+    assert b"\xff\x00" in blob.split(b"\xff\xda")[1], "stuffing never happened"
+    w, h, px = jpeg_decode_gray(blob)
+    err = np.abs(np.frombuffer(px, np.uint8).reshape(24, 32).astype(int) - ri)
+    assert (w, h) == (32, 24) and err.max() <= 2
+
+    sparse = np.full((16, 16), 128, np.uint8)
+    sparse[3, 5] = 255  # one spike -> long zigzag zero runs in its block
+    blob2 = jpeg_encode_gray(sparse.tobytes(), 16, 16, quant=[1] * 64)
+    _, _, px2 = jpeg_decode_gray(blob2)
+    err2 = np.abs(np.frombuffer(px2, np.uint8).reshape(16, 16).astype(int) - sparse)
+    assert err2.max() <= 2
+
+
+def test_jpeg_rejects_unsupported_variants():
+    entropy = bytes([0x2B])
+    good = _hand_jpeg(8, 8, entropy)
+    with pytest.raises(ValueError, match="SOI"):
+        jpeg_decode_gray(b"\x00" + good)
+    with pytest.raises(ValueError, match="SOF0"):
+        jpeg_decode_gray(good.replace(b"\xff\xc0", b"\xff\xc2"))  # progressive
+    with pytest.raises(ValueError, match="truncated|missing"):
+        jpeg_decode_gray(good[:20])
+    # 16-bit quant table: flip DQT's Pq nibble
+    bad_dqt = good.replace(b"\xff\xdb\x00\x43\x00", b"\xff\xdb\x00\x43\x10")
+    with pytest.raises(ValueError, match="16-bit"):
+        jpeg_decode_gray(bad_dqt)
+    with pytest.raises(ValueError):
+        jpeg_encode_gray(b"\x00" * 24, 6, 4)  # not MCU-aligned
+    with pytest.raises(ValueError):
+        jpeg_encode_gray(b"\x00" * 63, 8, 8)  # wrong pixel count
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    bw=st.integers(min_value=1, max_value=4),
+    bh=st.integers(min_value=1, max_value=3),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_jpeg_roundtrip_property(bw, bh, seed):
+    """Any MCU-aligned image survives encode→decode within the q=1
+    quantization bound, and DC prediction chains across many blocks."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, (8 * bh, 8 * bw), dtype=np.uint8)
+    w, h, px = jpeg_decode_gray(jpeg_encode_gray(img.tobytes(), 8 * bw, 8 * bh, quant=[1] * 64))
+    assert (w, h) == (8 * bw, 8 * bh)
+    err = np.abs(np.frombuffer(px, np.uint8).reshape(8 * bh, 8 * bw).astype(int) - img)
+    assert err.max() <= 2

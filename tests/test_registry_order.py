@@ -19,12 +19,14 @@ from meos_rs_spark.registry import (
     verify_order_head,
 )
 
-# Round-7 rotation computed from CORRECTNESS_r01..r06: zero reds, zero
-# never-checked (the backlog drained in r6), then FORCE_VERIFY (the two
-# stages rewritten pixel-real this round re-earning their rows), then the
-# oldest-green refill: the 10 remaining r2-era greens followed by the 38
-# oldest r3-era greens, registration order within each round.
+# Round-7 rotation computed from CORRECTNESS_r01..r06: zero reds, one
+# never-checked (mm_jpeg_features, new this round), then FORCE_VERIFY (the
+# two stages rewritten pixel-real this round re-earning their rows), then
+# the oldest-green refill: the 10 remaining r2-era greens followed by the
+# 37 oldest r3-era greens, registration order within each round.
 R7_EXPECTED_HEAD = (
+    # never-checked backlog (new this round)
+    "mm_jpeg_features",
     # changed-this-round re-verification (registry.FORCE_VERIFY)
     "mm_resize",
     "mm_frame_sample",
@@ -39,7 +41,7 @@ R7_EXPECTED_HEAD = (
     "rel_count_distinct",
     "rel_rollup",
     "rel_cube",
-    # oldest-green refill: latest driver row r3 (first 38 in registration order)
+    # oldest-green refill: latest driver row r3 (first 37 in registration order)
     "traj_assembly",
     "traj_extent",
     "traj_merge",
@@ -77,7 +79,6 @@ R7_EXPECTED_HEAD = (
     "trajsim_hausdorff",
     "trajsim_nearest_approach",
     "win_lag_dedup",
-    "win_rownum_truncate",
 )
 
 
