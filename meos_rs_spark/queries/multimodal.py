@@ -34,6 +34,22 @@ from meos_rs_spark.registry import register
 from meos_rs_spark.sources.tables import load_table
 
 
+def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents as (doc_id, payload) for the codec stages. A small fixture
+    corpus arrives as ONE parquet split, which would serialize the whole
+    mapInPandas codec stage onto a single core; fan the rows out across the
+    session's parallelism keyed by doc_id (the same guard _shingles uses).
+    At real scale the scan already has >= parallelism splits and no shuffle
+    is added."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par, "doc_id")
+    return d
+
+
 # --- metadata over binary payloads (oracle-checkable) ----------------------
 
 
@@ -202,9 +218,7 @@ FROM a
     "against an arithmetic reproduction from the raw table",
 )
 def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "utf-8").alias("payload")
-    )
+    d = _payloads(spark, sf_dir)
     return d.mapInPandas(_wav_audio_features, schema=_AUDIO_SCHEMA)
 
 
@@ -312,9 +326,7 @@ FROM rows_cs
     "nearest-neighbor index math from the raw table",
 )
 def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "utf-8").alias("payload")
-    )
+    d = _payloads(spark, sf_dir)
     return d.mapInPandas(_png_resize, schema=_RESIZE_SCHEMA)
 
 
@@ -389,9 +401,7 @@ WHERE m.n_frames > 0
     "its decoded-pixel md5 oracle-checked; one row per sampled frame",
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "utf-8").alias("payload")
-    )
+    d = _payloads(spark, sf_dir)
     d = d.withColumn(
         "n_frames", (F.octet_length("payload") / _FRAME_BYTES).cast("int")
     ).filter(F.col("n_frames") > 0)
@@ -451,9 +461,7 @@ FROM geo
     "reproduction of the pixel stream from the raw table",
 )
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "utf-8").alias("payload")
-    )
+    d = _payloads(spark, sf_dir)
     return d.mapInPandas(_png_decode_features, schema=_DECODE_SCHEMA)
 
 
@@ -545,7 +553,5 @@ FROM j
     "decoded pixels' md5 oracle-checked via the exact DC-only closed form",
 )
 def mm_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "utf-8").alias("payload")
-    )
+    d = _payloads(spark, sf_dir)
     return d.mapInPandas(_jpeg_decode_features, schema=_JPEG_SCHEMA)
