@@ -15,9 +15,11 @@ baseline codec for the single-component (grayscale) case — SOI/DQT/SOF0/
 DHT/SOS/EOI marker parse, spec Annex K.3 Huffman tables, DC prediction,
 run-length AC with ZRL/EOB, 0xFF00 byte (un)stuffing, dequantize +
 de-zigzag + float IDCT. Color subsampling and progressive mode are
-rejected explicitly (same stance as the PNG codec's variant gate). Video
-containers stay out of scope; the mapInPandas stage they'd ride is the
-same one these codecs already exercise.
+rejected explicitly (same stance as the PNG codec's variant gate). The
+video container is real too: ``y4m_encode_mono``/``y4m_decode_mono``
+read and write YUV4MPEG2 streams (mono chroma), whose fixed-size FRAME
+records are what makes JVM-side frame seeking pure arithmetic
+(queries/multimodal.py:mm_frame_sample).
 
 Reference: the PNG specification (RFC 2083 / W3C PNG) — chunk layout
 §3, IHDR §4.1.1, filter algorithms §6 — and ITU-T T.81 (the JPEG spec):
@@ -521,3 +523,76 @@ def jpeg_decode_gray(data: bytes) -> tuple[int, int, bytes]:
         .reshape(height, width)
     )
     return width, height, img.tobytes()
+
+
+# --- YUV4MPEG2 (Y4M) video container, mono chroma ---------------------------
+
+_Y4M_MAGIC = b"YUV4MPEG2"
+_Y4M_FRAME_MAGIC = b"FRAME"
+
+
+def y4m_encode_mono(
+    frames: list[bytes], width: int, height: int, fps: tuple[int, int] = (25, 1)
+) -> bytes:
+    """Encode raw 8-bit luma frames as a real YUV4MPEG2 stream (the
+    uncompressed video interchange format of the mjpegtools suite — a pure
+    byte-level container: one parameterized header line, then a FRAME line
+    + fixed-size planar payload per frame). ``Cmono`` declares luma-only
+    frames of exactly width*height bytes, so every frame offset in the
+    stream is computable arithmetically — which is what lets the engine
+    seek to sampled frames JVM-side instead of shipping whole videos into
+    Python (queries/multimodal.py:mm_frame_sample)."""
+    for i, f in enumerate(frames):
+        if len(f) != width * height:
+            raise ValueError(f"frame {i}: need {width * height} luma bytes, got {len(f)}")
+    header = (
+        _Y4M_MAGIC
+        + f" W{width} H{height} F{fps[0]}:{fps[1]} Ip A0:0 Cmono".encode()
+        + b"\n"
+    )
+    return header + b"".join(_Y4M_FRAME_MAGIC + b"\n" + f for f in frames)
+
+
+def y4m_decode_mono(data: bytes) -> tuple[int, int, tuple[int, int], list[bytes]]:
+    """Decode a mono-chroma YUV4MPEG2 stream: parse the tagged header
+    parameters (any order, per the format's letter-tag syntax), then walk
+    the FRAME records, validating each magic and fixed payload size.
+    Returns (width, height, (fps_num, fps_den), frames). Chroma modes
+    other than mono are rejected — subsampled planes are a size policy
+    this engine's grayscale pipeline does not pretend to handle."""
+    nl = data.find(b"\n")
+    if nl < 0 or not data.startswith(_Y4M_MAGIC + b" "):
+        raise ValueError("not a YUV4MPEG2 stream: bad magic")
+    width = height = None
+    fps = (25, 1)
+    chroma = "420jpeg"  # the format's documented default when C is absent
+    for tag in data[len(_Y4M_MAGIC) + 1 : nl].split(b" "):
+        if not tag:
+            continue
+        letter, val = chr(tag[0]), tag[1:].decode("ascii", "replace")
+        if letter == "W":
+            width = int(val)
+        elif letter == "H":
+            height = int(val)
+        elif letter == "F":
+            num, den = val.split(":")
+            fps = (int(num), int(den))
+        elif letter == "C":
+            chroma = val
+        # Ip/A/X...: interlacing, aspect, extensions — legal, irrelevant here
+    if width is None or height is None:
+        raise ValueError("YUV4MPEG2 header missing W or H")
+    if chroma != "mono":
+        raise ValueError(f"unsupported chroma mode C{chroma} (need Cmono)")
+    frame_len = width * height
+    frames = []
+    pos = nl + 1
+    while pos < len(data):
+        if data[pos : pos + len(_Y4M_FRAME_MAGIC)] != _Y4M_FRAME_MAGIC:
+            raise ValueError("corrupt stream: FRAME magic expected")
+        fnl = data.find(b"\n", pos)
+        if fnl < 0 or fnl + 1 + frame_len > len(data):
+            raise ValueError("truncated YUV4MPEG2: frame cut short")
+        frames.append(data[fnl + 1 : fnl + 1 + frame_len])
+        pos = fnl + 1 + frame_len
+    return width, height, fps, frames

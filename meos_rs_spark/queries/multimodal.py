@@ -18,8 +18,12 @@ each sampled frame as an 8×8 PNG. JPEG is real as well:
 parse, Annex K.3 Huffman entropy coding, dequantize + IDCT) whose decoded
 pixels are still exactly oracle-checkable because the synthesized images
 are flat 8×8 tiles (DC-only blocks reconstruct in closed integer form).
-Only video containers remain out of scope in this container — they would
-ride the same mapInPandas stage.
+And the video path goes through a REAL container: ``mm_frame_sample``
+writes the frames into a genuine YUV4MPEG2 (Cmono) stream, seeks to the
+sampled frames JVM-side (fixed record size → substring arithmetic), and
+parses each sampled record with the actual Y4M decoder before the
+per-frame PNG round trip. Compressed video codecs (H.26x/AV1) are the one
+thing still out of scope in this container.
 """
 
 from __future__ import annotations
@@ -330,43 +334,63 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(_png_resize, schema=_RESIZE_SCHEMA)
 
 
-# --- video frame sampling (explode shape, fully oracle-checkable) -----------
+# --- video frame sampling (REAL Y4M container, explode shape) ---------------
 
-_FRAME_BYTES = 64  # frame = 64-byte slice of the payload = one 8×8 gray image
+_FRAME_BYTES = 64  # frame = 64 luma bytes = one 8×8 gray image
 _FRAME_W, _FRAME_H = 8, 8
 _FRAME_STRIDE = 4  # keep every 4th frame
+# YUV4MPEG2 stream geometry (functions/media.py y4m_encode_mono, Cmono 8×8):
+# one header line, then per frame the 6-byte "FRAME\n" record marker + the
+# fixed 64-byte luma plane — every offset in the container is arithmetic
+_Y4M_HEADER = "YUV4MPEG2 W8 H8 F25:1 Ip A0:0 Cmono\n"
+_Y4M_HDR_LEN = len(_Y4M_HEADER)           # 36
+_Y4M_REC_LEN = 6 + _FRAME_BYTES           # 70
 
 _FRAME_SCHEMA = (
-    "doc_id long, n_frames int, frame_idx int, byte_offset int, "
-    "frame_w int, frame_h int, frame_md5 string"
+    "doc_id long, n_frames int, container_bytes int, frame_idx int, "
+    "byte_offset int, frame_w int, frame_h int, frame_md5 string"
 )
 
 
 def _decode_sampled_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """REAL per-frame decode: each sampled 64-byte frame slice is
-    materialized as a genuine 8×8 grayscale PNG and decoded back through
-    functions/media.py; the emitted md5 is of the DECODED pixels. Only the
-    SAMPLED frames reach this stage (the stride filter ran JVM-side), which
-    is the point of sample-then-decode at scale: decode cost scales with
-    frames kept, not frames stored."""
+    """REAL per-frame container parse + decode: each sampled record arrives
+    as a minimal one-frame YUV4MPEG2 stream (the 36-byte header + the
+    70-byte FRAME record the JVM seeked to), is parsed by the Y4M decoder
+    in functions/media.py (header tag parse, chroma gate, FRAME magic +
+    size validation), and the extracted luma plane is then round-tripped
+    through a genuine 8×8 grayscale PNG; the emitted md5 is of the DECODED
+    pixels and the emitted frame_w/frame_h come from the PARSED container
+    header. Only the SAMPLED frames reach this stage, which is the point of
+    seek-then-decode at scale: decode cost scales with frames kept, not
+    frames stored."""
     import hashlib
 
-    from meos_rs_spark.functions.media import png_decode_gray, png_encode_gray
+    from meos_rs_spark.functions.media import (
+        png_decode_gray,
+        png_encode_gray,
+        y4m_decode_mono,
+    )
 
     for pdf in batches:
-        md5s = []
-        for frame in pdf["frame"]:
-            blob = png_encode_gray(bytes(frame), _FRAME_W, _FRAME_H)
+        md5s, ws, hs = [], [], []
+        for mini in pdf["mini"]:
+            w, h, _fps, frames = y4m_decode_mono(bytes(mini))  # REAL container parse
+            if len(frames) != 1:
+                raise ValueError(f"seek arithmetic broke: {len(frames)} frames in record")
+            blob = png_encode_gray(frames[0], w, h)
             _, _, dec = png_decode_gray(blob)  # REAL decode of the sampled frame
+            ws.append(w)
+            hs.append(h)
             md5s.append(hashlib.md5(dec).hexdigest())
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
                 "n_frames": pdf["n_frames"],
+                "container_bytes": pdf["container_bytes"],
                 "frame_idx": pdf["frame_idx"],
                 "byte_offset": pdf["byte_offset"],
-                "frame_w": _FRAME_W,
-                "frame_h": _FRAME_H,
+                "frame_w": ws,
+                "frame_h": hs,
                 "frame_md5": md5s,
             }
         )
@@ -374,9 +398,12 @@ def _decode_sampled_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataF
 
 @register(
     "mm_frame_sample",
-    # each sampled frame is a contiguous 64-byte slice, so its decoded-pixel
-    # md5 is just md5 of the corresponding substring of the raw text (ASCII
-    # fixture: bytes == chars); a match proves the per-frame PNG
+    # the container is lossless and its geometry fixed (36-byte header,
+    # 70-byte FRAME records), so every quantity is arithmetic on the raw
+    # table: container_bytes = 36 + 70*n_frames, a sampled frame's payload
+    # starts at 36 + 70*idx + 6 in the stream and IS the idx-th 64-byte
+    # slice of the text (ASCII fixture: bytes == chars) — a frame_md5 match
+    # therefore proves Y4M write→seek→parse AND the per-frame PNG
     # encode→decode round trip on exactly the sampled frames
     oracle=f"""
 WITH meta AS (
@@ -385,8 +412,9 @@ WITH meta AS (
   FROM documents
 )
 SELECT m.doc_id, CAST(m.n_frames AS INT) AS n_frames,
+       CAST({_Y4M_HDR_LEN} + {_Y4M_REC_LEN} * m.n_frames AS INT) AS container_bytes,
        CAST(u.i AS INT) AS frame_idx,
-       CAST(u.i * {_FRAME_BYTES} AS INT) AS byte_offset,
+       CAST({_Y4M_HDR_LEN} + {_Y4M_REC_LEN} * u.i + 6 AS INT) AS byte_offset,
        {_FRAME_W} AS frame_w, {_FRAME_H} AS frame_h,
        md5(substr(m.text, CAST(u.i * {_FRAME_BYTES} AS INT) + 1, {_FRAME_BYTES}))
          AS frame_md5
@@ -394,36 +422,62 @@ FROM meta m, unnest(range(0, m.n_frames, {_FRAME_STRIDE})) AS u(i)
 WHERE m.n_frames > 0
 """,
     tags=("multimodal",),
-    doc=f"video-as-binary frame sampling: treat the payload as {_FRAME_BYTES}-byte "
-    f"frames, keep every {_FRAME_STRIDE}th (sequence + explode + substring — pure "
-    "Column ops, so only the sampled 64-byte slices cross into Python), then REALLY "
-    "decode each sampled frame as an 8×8 grayscale PNG (functions/media.py) with "
-    "its decoded-pixel md5 oracle-checked; one row per sampled frame",
+    doc=f"video frame sampling through a REAL container: the payload's "
+    f"{_FRAME_BYTES}-byte frames are written into a genuine YUV4MPEG2 (Cmono) "
+    f"stream, every {_FRAME_STRIDE}th frame is SEEKED to JVM-side (fixed record "
+    "size → pure substring arithmetic, so only a 70-byte record + the 36-byte "
+    "header cross into Python per sampled frame), each sampled record is parsed "
+    "by the real Y4M decoder (functions/media.py) and its luma plane round-"
+    "tripped through an 8×8 grayscale PNG with the decoded-pixel md5, parsed "
+    "frame geometry and container offsets all oracle-checked; one row per "
+    "sampled frame",
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _payloads(spark, sf_dir)
     d = d.withColumn(
         "n_frames", (F.octet_length("payload") / _FRAME_BYTES).cast("int")
     ).filter(F.col("n_frames") > 0)
+    # materialize the Y4M container JVM-side (the "stored video" a real
+    # pipeline would scan): header + per-frame FRAME records, pure Column ops
+    frame_recs = F.transform(
+        F.sequence(F.lit(0), F.col("n_frames") - 1),
+        lambda i: F.concat(
+            F.lit("FRAME\n"),
+            F.col("payload").substr(i * _FRAME_BYTES + 1, F.lit(_FRAME_BYTES)).cast("string"),
+        ),
+    )
+    d = d.withColumn(
+        "video", F.concat(F.lit(_Y4M_HEADER), F.array_join(frame_recs, ""))
+    ).withColumn("container_bytes", F.octet_length("video"))
     sampled = (
         d.select(
             "doc_id",
             "n_frames",
-            "payload",
+            "container_bytes",
+            "video",
             F.explode(
                 F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(_FRAME_STRIDE))
             ).alias("frame_idx"),
         )
-        .withColumn("byte_offset", F.col("frame_idx") * _FRAME_BYTES)
-        # slice JVM-side: Python sees 64 bytes per sampled frame, not the payload
+        # container SEEK, JVM-side: record offset is pure arithmetic because
+        # Cmono records are fixed-size; byte_offset points at the luma plane
+        .withColumn(
+            "byte_offset", F.lit(_Y4M_HDR_LEN) + F.col("frame_idx") * _Y4M_REC_LEN + 6
+        )
         .select(
             "doc_id",
             "n_frames",
+            "container_bytes",
             "frame_idx",
             "byte_offset",
-            F.expr(f"substring(payload, byte_offset + 1, {_FRAME_BYTES})").alias(
-                "frame"
-            ),
+            # a minimal single-frame Y4M stream: parsed header + seeked record
+            F.concat(
+                F.expr(f"substring(video, 1, {_Y4M_HDR_LEN})"),
+                F.expr(
+                    f"substring(video, {_Y4M_HDR_LEN} + frame_idx * {_Y4M_REC_LEN} + 1,"
+                    f" {_Y4M_REC_LEN})"
+                ),
+            ).cast("binary").alias("mini"),
         )
     )
     return sampled.mapInPandas(_decode_sampled_frames, schema=_FRAME_SCHEMA)

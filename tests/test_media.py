@@ -338,3 +338,44 @@ def test_jpeg_roundtrip_property(bw, bh, seed):
     assert (w, h) == (8 * bw, 8 * bh)
     err = np.abs(np.frombuffer(px, np.uint8).reshape(8 * bh, 8 * bw).astype(int) - img)
     assert err.max() <= 2
+
+
+# --- YUV4MPEG2 container pins ------------------------------------------------
+
+from meos_rs_spark.functions.media import (  # noqa: E402
+    y4m_decode_mono,
+    y4m_encode_mono,
+)
+
+
+def test_y4m_decode_hand_assembled_stream():
+    """Stream assembled from the format definition WITHOUT the encoder —
+    reordered header tags and an X extension tag are legal and must parse."""
+    f0, f1 = bytes(range(6)), bytes([9] * 6)
+    raw = b"YUV4MPEG2 F30:1 Cmono H2 W3 Xsomething\n" + b"FRAME\n" + f0 + b"FRAME\n" + f1
+    assert y4m_decode_mono(raw) == (3, 2, (30, 1), [f0, f1])
+
+
+def test_y4m_roundtrip_and_frame_params():
+    frames = [bytes([i] * 64) for i in range(5)]
+    blob = y4m_encode_mono(frames, 8, 8, fps=(24, 1))
+    assert y4m_decode_mono(blob) == (8, 8, (24, 1), frames)
+    # record geometry is the arithmetic mm_frame_sample's JVM-side seek uses
+    header_len = blob.index(b"\n") + 1
+    assert blob[header_len + 2 * (6 + 64) : header_len + 2 * (6 + 64) + 6] == b"FRAME\n"
+
+
+def test_y4m_rejects_bad_streams():
+    good = y4m_encode_mono([bytes(64)], 8, 8)
+    with pytest.raises(ValueError, match="magic"):
+        y4m_decode_mono(b"JUNK" + good)
+    with pytest.raises(ValueError, match="Cmono"):
+        y4m_decode_mono(good.replace(b"Cmono", b"C420 "))
+    with pytest.raises(ValueError, match="missing W"):
+        y4m_decode_mono(b"YUV4MPEG2 H8 Cmono\n")
+    with pytest.raises(ValueError, match="truncated"):
+        y4m_decode_mono(good[:-10])
+    with pytest.raises(ValueError, match="FRAME"):
+        y4m_decode_mono(good[: good.index(b"FRAME")] + b"FRAMX\n" + bytes(64))
+    with pytest.raises(ValueError, match="luma bytes"):
+        y4m_encode_mono([bytes(63)], 8, 8)

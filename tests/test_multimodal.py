@@ -83,11 +83,21 @@ def test_resized_pixels_match_independent_recomputation(spark):
 def test_sampled_frames_match_independent_recomputation(spark):
     """mm_frame_sample emits one row per kept frame (every STRIDEth of the
     64-byte frames) whose frame_md5 is of the DECODED 8×8 PNG pixels — which
-    must equal md5 of the raw byte slice computed here with no codec."""
-    from meos_rs_spark.queries.multimodal import _FRAME_BYTES, _FRAME_STRIDE
+    must equal md5 of the raw byte slice computed here with no codec. The
+    container quantities are recomputed from the Y4M stream geometry: a
+    Cmono record is 6 ("FRAME\n") + 64 luma bytes, after a 36-byte header,
+    and byte_offset points at the sampled frame's luma plane."""
+    from meos_rs_spark.queries.multimodal import (
+        _FRAME_BYTES,
+        _FRAME_STRIDE,
+        _Y4M_HDR_LEN,
+        _Y4M_REC_LEN,
+    )
 
     got = {
-        (r.doc_id, r.frame_idx): (r.n_frames, r.byte_offset, r.frame_md5)
+        (r.doc_id, r.frame_idx): (
+            r.n_frames, r.container_bytes, r.byte_offset, r.frame_md5,
+        )
         for r in load_registry()["mm_frame_sample"].fn(spark, SF_SMOKE).collect()
     }
     expect = {}
@@ -98,7 +108,9 @@ def test_sampled_frames_match_independent_recomputation(spark):
         for i in range(0, n_frames, _FRAME_STRIDE):
             off = i * _FRAME_BYTES
             expect[(r.doc_id, i)] = (
-                n_frames, off,
+                n_frames,
+                _Y4M_HDR_LEN + _Y4M_REC_LEN * n_frames,
+                _Y4M_HDR_LEN + _Y4M_REC_LEN * i + 6,
                 hashlib.md5(payload[off : off + _FRAME_BYTES]).hexdigest(),
             )
     assert got == expect and len(got) > 0
