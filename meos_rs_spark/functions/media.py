@@ -444,6 +444,8 @@ def jpeg_decode_gray(data: bytes) -> tuple[int, int, bytes]:
                 if pq != 0:
                     raise ValueError("16-bit quantization tables unsupported")
                 zz = list(body[o + 1 : o + 65])
+                if len(zz) != 64:
+                    raise ValueError("truncated JPEG: DQT table cut short")
                 tbl = [0] * 64
                 for k in range(64):
                     tbl[ZIGZAG[k]] = zz[k]
@@ -467,6 +469,8 @@ def jpeg_decode_gray(data: bytes) -> tuple[int, int, bytes]:
                 bits = list(body[o + 1 : o + 17])
                 nv = sum(bits)
                 vals = list(body[o + 17 : o + 17 + nv])
+                if len(bits) != 16 or len(vals) != nv:
+                    raise ValueError("truncated JPEG: DHT table cut short")
                 huff[(tc, th)] = _huff_decode_table(tuple(bits), tuple(vals))
                 o += 17 + nv
         elif marker == 0xDD:
@@ -483,6 +487,10 @@ def jpeg_decode_gray(data: bytes) -> tuple[int, int, bytes]:
         raise ValueError("missing SOS or SOF0")
     if width % 8 or height % 8:
         raise ValueError("dimensions must be multiples of 8 (no partial MCUs)")
+    if comp_q not in quant:
+        raise ValueError("missing DQT table for the scan's component")
+    if (0, comp_dc) not in huff or (1, comp_ac) not in huff:
+        raise ValueError("missing DHT table for the scan's component")
     q = np.asarray(quant[comp_q], dtype=np.float64).reshape(8, 8)
     dc_tab, ac_tab = huff[(0, comp_dc)], huff[(1, comp_ac)]
 
@@ -582,6 +590,8 @@ def y4m_decode_mono(data: bytes) -> tuple[int, int, tuple[int, int], list[bytes]
         # Ip/A/X...: interlacing, aspect, extensions — legal, irrelevant here
     if width is None or height is None:
         raise ValueError("YUV4MPEG2 header missing W or H")
+    if width <= 0 or height <= 0:
+        raise ValueError("YUV4MPEG2 geometry must be positive")
     if chroma != "mono":
         raise ValueError(f"unsupported chroma mode C{chroma} (need Cmono)")
     frame_len = width * height

@@ -55,12 +55,11 @@ from pyspark.sql.types import ArrayType, LongType
 
 from meos_rs_spark.functions.embeddings import _seq_dot, _stack
 
-# the sf-keyed naming and the dir change detector live with the staging
-# machinery (one shared implementation — the memo digest and the side-table
-# cache below must agree on what counts as a content change); re-exported
-# here because every quantizer caller needs the name helper next to the
-# UDF makers
-from meos_rs_spark.functions.staging import dir_fingerprint, side_table_name
+# the dir change detector lives with the staging machinery (one shared
+# implementation — the memo digest and the side-table cache below must
+# agree on what counts as a content change); callers take side_table_name
+# from functions.staging directly
+from meos_rs_spark.functions.staging import dir_fingerprint
 
 #: (path, file fingerprint) -> pandas side table. Entries are K-row
 #: quantizers (a few KB); stale fingerprints for the same path are evicted.
@@ -81,10 +80,7 @@ def better(nan, score, best_nan, best_score, *, largest: bool):
     return (~nan & best_nan) | (same_class & (score < best_score))
 
 
-__all__ = [
-    "better", "dir_fingerprint", "side_table_name",
-    "make_nearest_centroid_udf", "make_pq_codes_udf",
-]
+__all__ = ["better", "make_nearest_centroid_udf", "make_pq_codes_udf"]
 
 
 def _load_side(path: str) -> pd.DataFrame:

@@ -206,6 +206,24 @@ def _memo_trusted(df: DataFrame, app_dir: str) -> bool:
     return True
 
 
+def fan_out(df: DataFrame, *keys: str) -> DataFrame:
+    """Spread an under-split scan across the session's parallelism.
+
+    A small fixture table arrives as ONE parquet split, which would
+    serialize every downstream per-row kernel (mapInPandas codecs, the
+    md5-heavy shingle maps) onto a single core. When the scan has fewer
+    partitions than the session's parallelism, repartition by ``keys`` so
+    per-key work downstream reuses the partitioning; at real scale the scan
+    already has >= parallelism splits and this is a no-op — no shuffle is
+    added. One shared policy for every call site (dedup shingles, the
+    multimodal payload stages)."""
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par, *keys)
+    return df
+
+
 def side_table_name(base: str, sf_dir: str) -> str:
     """Staging-table name keyed by fixture dir — the default for ANY staged
     table built from a specific fixture scale. Two hazards both require it:

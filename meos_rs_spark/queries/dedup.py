@@ -78,16 +78,10 @@ shingles AS (
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meos_rs_spark.functions.staging import fan_out
+
     d = load_table(spark, sf_dir, "documents").select("doc_id", F.split("text", " ").alias("t"))
-    # a small fixture corpus arrives as ONE parquet split, which would
-    # serialize the md5-heavy signature maps downstream onto a single core;
-    # fan the rows out across the session's parallelism keyed by doc_id so
-    # every per-doc aggregation downstream reuses the partitioning. At real
-    # scale the scan already has >= parallelism splits and no shuffle is
-    # added.
-    par = spark.sparkContext.defaultParallelism
-    if d.rdd.getNumPartitions() < par:
-        d = d.repartition(par, "doc_id")
+    d = fan_out(d, "doc_id")  # under-split guard: see functions/staging.py
     return (
         d.filter(F.size("t") >= 3)
         .select(

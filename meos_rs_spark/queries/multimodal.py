@@ -39,19 +39,16 @@ from meos_rs_spark.sources.tables import load_table
 
 
 def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents as (doc_id, payload) for the codec stages. A small fixture
-    corpus arrives as ONE parquet split, which would serialize the whole
-    mapInPandas codec stage onto a single core; fan the rows out across the
-    session's parallelism keyed by doc_id (the same guard _shingles uses).
-    At real scale the scan already has >= parallelism splits and no shuffle
-    is added."""
+    """documents as (doc_id, payload) for the codec stages, spread across
+    the session's parallelism when the fixture scan is under-split
+    (functions/staging.fan_out — the shared guard the shingle pipeline also
+    uses)."""
+    from meos_rs_spark.functions.staging import fan_out
+
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
-    par = spark.sparkContext.defaultParallelism
-    if d.rdd.getNumPartitions() < par:
-        d = d.repartition(par, "doc_id")
-    return d
+    return fan_out(d, "doc_id")
 
 
 # --- metadata over binary payloads (oracle-checkable) ----------------------
@@ -565,8 +562,13 @@ def _jpeg_decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
                 # chr/repeat/array_to_string/md5, so the match is NULL
                 out["pixel_md5"].append(None)
                 continue
+            # block value clamped into [32, 126]: decoded DC-only pixels
+            # then stay in [32, 125], single-byte in the oracle's UTF-8
+            # world for ANY payload byte — 0x7F would decode to pixel 128,
+            # which DuckDB's chr() renders as TWO bytes (0xC2 0x80) and the
+            # md5s would silently diverge (review find, this round)
             blocks = np.frombuffer(
-                bytes(payload[i % n] for i in range(nbx * nby)), np.uint8
+                bytes(payload[i % n] % 95 + 32 for i in range(nbx * nby)), np.uint8
             ).reshape(nby, nbx)
             pixels = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
             blob = jpeg_encode_gray(pixels.tobytes(), 8 * nbx, 8 * nby)
@@ -578,10 +580,12 @@ def _jpeg_decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
 @register(
     "mm_jpeg_features",
     # The oracle rebuilds the DECODED pixel stream arithmetically: block
-    # (by,bx) holds text byte [(by*nbx+bx) % n] (ASCII fixture: bytes ==
-    # chars, all < 128), and a DC-only block under quant step 24 decodes to
-    # exactly 128 - 3*round_half_away((128-v)/3) — integer math, so a hash
-    # match proves the whole JPEG encode→entropy-decode→IDCT round trip.
+    # (by,bx) holds v = text byte [(by*nbx+bx) % n] clamped to 32..126 via
+    # % 95 + 32 (ASCII fixture: bytes == chars), and a DC-only block under
+    # quant step 24 decodes to exactly 128 - 3*round_half_away((128-v)/3) —
+    # integer math with every result a single byte in both engines, so a
+    # hash match proves the whole JPEG encode→entropy-decode→IDCT round
+    # trip.
     oracle=f"""
 WITH j AS (
   SELECT doc_id, text, length(text) AS n,
@@ -595,8 +599,8 @@ SELECT doc_id,
        CAST(nbx * nby AS INT) AS n_blocks,
        md5(array_to_string(list_transform(range(nby), by ->
          repeat(array_to_string(list_transform(range(nbx), bx ->
-           repeat(chr(128 - 3 * ((2 * (128 - ascii(substr(text,
-             CAST((by * nbx + bx) % n AS INT) + 1, 1))) + 3) // 6)), 8)),
+           repeat(chr(128 - 3 * ((2 * (128 - (ascii(substr(text,
+             CAST((by * nbx + bx) % n AS INT) + 1, 1)) % 95 + 32)) + 3) // 6)), 8)),
            ''), 8)), '')) AS pixel_md5
 FROM j
 """,

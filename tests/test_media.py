@@ -379,3 +379,31 @@ def test_y4m_rejects_bad_streams():
         y4m_decode_mono(good[: good.index(b"FRAME")] + b"FRAMX\n" + bytes(64))
     with pytest.raises(ValueError, match="luma bytes"):
         y4m_encode_mono([bytes(63)], 8, 8)
+
+
+def test_jpeg_rejects_missing_tables_cleanly():
+    """Streams omitting DQT or DHT must raise the module's declared
+    ValueError, not leak a KeyError out of a mapInPandas task."""
+    good = _hand_jpeg(8, 8, bytes([0x2B]))
+    # excise the DQT segment (0xFFDB, length 0x43+2)
+    i = good.index(b"\xff\xdb")
+    no_dqt = good[:i] + good[i + 4 + 0x41 :]
+    with pytest.raises(ValueError, match="DQT"):
+        jpeg_decode_gray(no_dqt)
+    # excise both DHT segments
+    s = good
+    while b"\xff\xc4" in s:
+        j = s.index(b"\xff\xc4")
+        (ln,) = struct.unpack_from(">H", s, j + 2)
+        s = s[:j] + s[j + 2 + ln :]
+    with pytest.raises(ValueError, match="DHT"):
+        jpeg_decode_gray(s)
+
+
+def test_y4m_rejects_nonpositive_geometry():
+    """A crafted negative width must raise, not walk the FRAME records
+    backward forever (review find, this round)."""
+    with pytest.raises(ValueError, match="positive"):
+        y4m_decode_mono(b"YUV4MPEG2 W-6 H1 Cmono\n" + b"FRAME\n")
+    with pytest.raises(ValueError, match="positive"):
+        y4m_decode_mono(b"YUV4MPEG2 W0 H8 Cmono\n")

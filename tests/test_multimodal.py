@@ -128,3 +128,39 @@ def test_documents_text_is_ascii(spark):
         .count()
     )
     assert non_ascii == 0
+
+
+def test_jpeg_features_match_independent_recomputation(spark):
+    """mm_jpeg_features' pixel_md5 must equal a recomputation here that
+    uses NO codec at all — just the DC-only closed form the oracle relies
+    on: block value v = byte % 95 + 32, decoded flat pixel =
+    128 + 3*round_half_away((v-128)/3), tiles rastered 8x8."""
+    from meos_rs_spark.queries.multimodal import _JPEG_BX_MOD, _JPEG_BY_MOD
+
+    got = {
+        r.doc_id: (r.width, r.height, r.n_blocks, r.pixel_md5)
+        for r in load_registry()["mm_jpeg_features"].fn(spark, SF_SMOKE).collect()
+    }
+    expect = {}
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select("doc_id", "text")
+    for r in docs.collect():
+        payload = r.text.encode()
+        n = len(payload)
+        nbx, nby = n % _JPEG_BX_MOD + 1, n % _JPEG_BY_MOD + 1
+
+        def decoded(b):
+            v = b % 95 + 32
+            s = v - 128  # always negative here (v <= 126)
+            return 128 - 3 * ((2 * (128 - v) + 3) // 6) if s else 128
+
+        px = bytearray()
+        for by in range(nby):
+            row = b"".join(
+                bytes([decoded(payload[(by * nbx + bx) % n])]) * 8
+                for bx in range(nbx)
+            )
+            px += row * 8
+        expect[r.doc_id] = (
+            8 * nbx, 8 * nby, nbx * nby, hashlib.md5(bytes(px)).hexdigest()
+        )
+    assert got == expect and len(got) > 0
