@@ -60,6 +60,11 @@ BENCH_QUERIES = [
     # round-5 addition: the conic CRS closed form (second projection family
     # through the same Arrow-batched kernel slot)
     "traj_transform_lcc",
+    # round-7 addition: the multimodal family's heaviest stage (baseline
+    # JPEG encode→decode per document through mapInPandas) — the first
+    # codec-bound entry in the bench set, measuring Arrow batch + Python
+    # kernel throughput end-to-end
+    "mm_jpeg_features",
 ]
 
 
