@@ -407,3 +407,26 @@ def test_y4m_rejects_nonpositive_geometry():
         y4m_decode_mono(b"YUV4MPEG2 W-6 H1 Cmono\n" + b"FRAME\n")
     with pytest.raises(ValueError, match="positive"):
         y4m_decode_mono(b"YUV4MPEG2 W0 H8 Cmono\n")
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    qmul=st.integers(min_value=1, max_value=31),
+    v=st.integers(min_value=0, max_value=255),
+)
+def test_jpeg_dc_only_exactness_for_any_8_multiple_quant(qmul, v):
+    """The property mm_jpeg_features' oracle stands on, generalized: for ANY
+    uniform quant step that is a multiple of 8, a flat block decodes to the
+    exact integer 128 + q*round_half_away((v-128)/q)/... — concretely
+    clamp(round((round(8*(v-128)/q))*q/8) + 128), with float IDCT noise
+    provably unable to move the result (the reconstruction is an exact
+    integer, never a .5 boundary)."""
+    import numpy as np
+
+    q = 8 * qmul
+    img = np.full((8, 8), v, np.uint8)
+    _, _, px = jpeg_decode_gray(jpeg_encode_gray(img.tobytes(), 8, 8, quant=[q] * 64))
+    s = v - 128
+    dc = (abs(2 * 8 * s) + q) // (2 * q) * (1 if s > 0 else -1 if s < 0 else 0)
+    exp = max(0, min(255, dc * q // 8 + 128))
+    assert set(px) == {exp}, (q, v, exp, px[0])
