@@ -15,18 +15,24 @@ baseline codec for the single-component (grayscale) case — SOI/DQT/SOF0/
 DHT/SOS/EOI marker parse, spec Annex K.3 Huffman tables, DC prediction,
 run-length AC with ZRL/EOB, 0xFF00 byte (un)stuffing, dequantize +
 de-zigzag + float IDCT. Color subsampling and progressive mode are
-rejected explicitly (same stance as the PNG codec's variant gate). The
-video container is real too: ``y4m_encode_mono``/``y4m_decode_mono``
-read and write YUV4MPEG2 streams (mono chroma), whose fixed-size FRAME
-records are what makes JVM-side frame seeking pure arithmetic
-(queries/multimodal.py:mm_frame_sample).
+rejected explicitly (same stance as the PNG codec's variant gate). Video
+is real at two levels: ``y4m_encode_mono``/``y4m_decode_mono`` read and
+write uncompressed YUV4MPEG2 streams (mono chroma), whose fixed-size
+FRAME records are what makes JVM-side frame seeking pure arithmetic
+(queries/multimodal.py:mm_frame_sample); and ``avi_encode_mjpeg``/
+``avi_decode_mjpeg`` carry JPEG-compressed frames in a genuine AVI (RIFF)
+container — the Motion-JPEG convention — so COMPRESSED video write→parse
+exists end-to-end on pure stdlib. Only inter-frame codecs (H.26x/AV1)
+remain out of scope.
 
 Reference: the PNG specification (RFC 2083 / W3C PNG) — chunk layout
-§3, IHDR §4.1.1, filter algorithms §6 — and ITU-T T.81 (the JPEG spec):
+§3, IHDR §4.1.1, filter algorithms §6 — ITU-T T.81 (the JPEG spec):
 §B.2 marker segments, §F.1.2 entropy encoding, Annex K.3 typical Huffman
-tables. Independent pins live in tests/test_media.py: a byte-level PNG
-hand-assembled WITHOUT this encoder, hand-filtered rows for each filter
-type, corrupt-CRC rejection, a hand-assembled DC-only JPEG decoded to
+tables — and the RIFF/AVI file-format conventions (word-aligned chunks,
+hdrl/strl/movi lists, '00dc' frame chunks). Independent pins live in
+tests/test_media.py: byte-level PNG/JPEG/Y4M/AVI artifacts hand-assembled
+WITHOUT the encoders, hand-filtered rows for each PNG filter type,
+corrupt-CRC/magic rejection, a hand-assembled DC-only JPEG decoded to
 hand-computed pixels, and encoder→decoder roundtrip error bounds.
 """
 
@@ -291,8 +297,14 @@ def jpeg_encode_gray(
         .astype(np.float64) - 128.0
     )
     coefs = np.einsum("ux,ijxy,vy->ijuv", a, blocks, a)
-    # quantize: round half away from zero (T.81 divides and rounds)
-    qc = (np.sign(coefs) * np.floor(np.abs(coefs) / q + 0.5)).astype(np.int32)
+    # quantize: round half away from zero (T.81 divides and rounds). The
+    # 1e-9 bias makes the half-boundary DETERMINISTIC: an exact-integer
+    # coefficient like a flat block's DC lands on x.5 exactly, and without
+    # the bias the einsum's ~1e-13 float noise decides the direction
+    # (q=16, v=1 reproduced both ways). The bias dwarfs the noise yet is
+    # far below the smallest structural gap to a boundary, so only true
+    # halves are affected — and they round away from zero, as specified.
+    qc = (np.sign(coefs) * np.floor(np.abs(coefs) / q + 0.5 + 1e-9)).astype(np.int32)
 
     dc_code = _huff_codes(tuple(_DC_BITS), tuple(_DC_VALS))
     ac_code = _huff_codes(tuple(_AC_BITS), tuple(_AC_VALS))
@@ -606,3 +618,114 @@ def y4m_decode_mono(data: bytes) -> tuple[int, int, tuple[int, int], list[bytes]
         frames.append(data[fnl + 1 : fnl + 1 + frame_len])
         pos = fnl + 1 + frame_len
     return width, height, fps, frames
+
+
+# --- AVI container with MJPEG frames (compressed video) ----------------------
+
+
+def _riff_chunk(ckid: bytes, body: bytes) -> bytes:
+    # RIFF chunks are word-aligned: odd-sized bodies get one pad byte that
+    # is NOT counted in the stored size
+    return ckid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) % 2 else b"")
+
+
+def _riff_list(list_type: bytes, body: bytes) -> bytes:
+    return _riff_chunk(b"LIST", list_type + body)
+
+
+def avi_encode_mjpeg(
+    jpeg_frames: list[bytes], width: int, height: int, fps: int = 25
+) -> bytes:
+    """Write already-JPEG-compressed frames into a real AVI (RIFF) file:
+    the Motion-JPEG convention — 'vids'/'MJPG' stream header, one '00dc'
+    chunk per frame, an idx1 index. Together with ``jpeg_encode_gray``
+    this is a genuine compressed-video write path on pure stdlib."""
+    usec_per_frame = 1_000_000 // fps
+    maxbytes = max((len(f) for f in jpeg_frames), default=0)
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        usec_per_frame, maxbytes * fps, 0, 0x10,  # flags: AVIF_HASINDEX
+        len(jpeg_frames), 0, 1, maxbytes, width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps,
+                                        0, len(jpeg_frames), maxbytes, 0, 0, 0)
+        + struct.pack("<hhhh", 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0x47504A4D,  # 'MJPG' fourcc
+        width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)),
+    )
+    movi_body = b"movi"
+    idx = b""
+    for f in jpeg_frames:
+        # idx1 offsets are from the start of the 'movi' list type fourcc
+        idx += b"00dc" + struct.pack("<III", 0x10, len(movi_body) - 4 + 4, len(f))
+        movi_body += _riff_chunk(b"00dc", f)
+    movi = _riff_chunk(b"LIST", movi_body)
+    riff_body = b"AVI " + hdrl + movi + _riff_chunk(b"idx1", idx)
+    return _riff_chunk(b"RIFF", riff_body)
+
+
+def avi_decode_mjpeg(data: bytes) -> tuple[int, int, int, list[bytes]]:
+    """Parse an AVI file and extract its MJPEG frames: RIFF walk with
+    word-alignment handling, 'vids' stream-header check gating on the
+    'MJPG' handler, geometry from the BITMAPINFOHEADER, frames from the
+    movi list's '00dc' chunks. Returns (width, height, fps, jpeg frames) —
+    each frame is a complete baseline JPEG for ``jpeg_decode_gray``.
+    Non-MJPEG video streams are rejected (the H.26x/AV1 codecs behind
+    other handlers are genuinely out of scope)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI: bad RIFF/AVI magic")
+    (riff_size,) = struct.unpack_from("<I", data, 4)
+    if 8 + riff_size > len(data):
+        raise ValueError("truncated AVI: RIFF payload cut short")
+
+    def walk(buf: bytes, pos: int, end: int):
+        while pos + 8 <= end:
+            ckid = buf[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", buf, pos + 4)
+            body_at = pos + 8
+            if body_at + size > end:
+                raise ValueError("truncated AVI: chunk cut short")
+            yield ckid, body_at, size
+            pos = body_at + size + (size % 2)  # skip the alignment pad
+
+    handler = None
+    width = height = None
+    fps = 25
+    frames: list[bytes] = []
+    for ckid, at, size in walk(data, 12, 8 + struct.unpack_from("<I", data, 4)[0]):
+        if ckid != b"LIST":
+            continue
+        list_type = data[at : at + 4]
+        if list_type == b"hdrl":
+            for ck2, at2, sz2 in walk(data, at + 4, at + size):
+                if ck2 == b"LIST" and data[at2 : at2 + 4] == b"strl":
+                    for ck3, at3, sz3 in walk(data, at2 + 4, at2 + sz2):
+                        if ck3 == b"strh" and data[at3 : at3 + 4] == b"vids":
+                            handler = data[at3 + 4 : at3 + 8]
+                            # after fccType+fccHandler: dwFlags, wPriority,
+                            # wLanguage, dwInitialFrames, then dwScale/dwRate
+                            (rate_scale,) = struct.unpack_from("<I", data, at3 + 20)
+                            (rate,) = struct.unpack_from("<I", data, at3 + 24)
+                            if rate_scale:
+                                fps = rate // rate_scale
+                        elif ck3 == b"strf" and handler is not None and width is None:
+                            width, height = struct.unpack_from("<ii", data, at3 + 4)
+        elif list_type == b"movi":
+            for ck2, at2, sz2 in walk(data, at + 4, at + size):
+                if ck2 == b"00dc":
+                    frames.append(data[at2 : at2 + sz2])
+    if handler is None or width is None:
+        raise ValueError("no video stream header in AVI")
+    if handler != b"MJPG":
+        raise ValueError(f"unsupported video handler {handler!r} (need MJPG)")
+    if width <= 0 or height <= 0:
+        raise ValueError("AVI geometry must be positive")
+    return width, abs(height), fps, frames

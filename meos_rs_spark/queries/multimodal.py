@@ -22,8 +22,11 @@ And the video path goes through a REAL container: ``mm_frame_sample``
 writes the frames into a genuine YUV4MPEG2 (Cmono) stream, seeks to the
 sampled frames JVM-side (fixed record size → substring arithmetic), and
 parses each sampled record with the actual Y4M decoder before the
-per-frame PNG round trip. Compressed video codecs (H.26x/AV1) are the one
-thing still out of scope in this container.
+per-frame PNG round trip. Compressed video write→parse exists too
+(functions/media.py: MJPEG frames in a real AVI/RIFF container, pinned at
+codec level); the query-level carrier stays Y4M because it is lossless —
+exact-hash oracles need bit-identical frames. Only inter-frame codecs
+(H.26x/AV1) are out of scope.
 """
 
 from __future__ import annotations

@@ -430,3 +430,64 @@ def test_jpeg_dc_only_exactness_for_any_8_multiple_quant(qmul, v):
     dc = (abs(2 * 8 * s) + q) // (2 * q) * (1 if s > 0 else -1 if s < 0 else 0)
     exp = max(0, min(255, dc * q // 8 + 128))
     assert set(px) == {exp}, (q, v, exp, px[0])
+
+
+# --- MJPEG/AVI container pins ------------------------------------------------
+
+from meos_rs_spark.functions.media import (  # noqa: E402
+    avi_decode_mjpeg,
+    avi_encode_mjpeg,
+)
+
+
+def test_avi_mjpeg_roundtrip_including_odd_chunk_padding():
+    """Real compressed video on pure stdlib: JPEG frames in a genuine AVI
+    (RIFF) container. Frame byte lengths vary (entropy coding), so this
+    naturally exercises RIFF's word-alignment pad bytes; the extracted
+    chunks must equal the stored JPEGs bit-for-bit and decode within the
+    codec's q=1 quantization bound."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    imgs = [rng.randint(0, 256, (16, 16), dtype=np.uint8) for _ in range(4)]
+    jf = [jpeg_encode_gray(i.tobytes(), 16, 16, quant=[1] * 64) for i in imgs]
+    assert any(len(f) % 2 for f in jf), "want at least one odd-size chunk"
+    w, h, fps, frames = avi_decode_mjpeg(avi_encode_mjpeg(jf, 16, 16, fps=30))
+    assert (w, h, fps) == (16, 16, 30)
+    assert frames == jf
+    for f, img in zip(frames, imgs):
+        _, _, px = jpeg_decode_gray(f)
+        err = np.abs(np.frombuffer(px, np.uint8).reshape(16, 16).astype(int) - img)
+        assert err.max() <= 2
+
+
+def test_avi_decode_hand_assembled_minimal_file():
+    """An AVI assembled from the RIFF spec by hand (no encoder): one vids/
+    MJPG stream, one frame chunk. strh layout: fccType, fccHandler,
+    dwFlags, wPriority+wLanguage, dwInitialFrames, dwScale=1, dwRate=10."""
+    frame = b"\xff\xd8FAKEJPEG\xff\xd9"  # content is opaque to the container
+
+    def ck(ckid, body):
+        return ckid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) % 2 else b"")
+
+    strh = b"vids" + b"MJPG" + struct.pack("<IHHIII", 0, 0, 0, 0, 1, 10) + bytes(24)
+    strf = struct.pack("<Iii", 40, 8, 8) + bytes(28)
+    hdrl = ck(b"LIST", b"hdrl" + ck(b"avih", bytes(56))
+              + ck(b"LIST", b"strl" + ck(b"strh", strh) + ck(b"strf", strf)))
+    movi = ck(b"LIST", b"movi" + ck(b"00dc", frame))
+    avi = ck(b"RIFF", b"AVI " + hdrl + movi)
+    assert avi_decode_mjpeg(avi) == (8, 8, 10, [frame])
+
+
+def test_avi_rejects_bad_streams():
+    good = avi_encode_mjpeg([b"\xff\xd8x\xff\xd9"], 8, 8)
+    with pytest.raises(ValueError, match="RIFF"):
+        avi_decode_mjpeg(b"JUNK" + good)
+    with pytest.raises(ValueError, match="MJPG"):
+        avi_decode_mjpeg(good.replace(b"MJPG", b"H264", 1))
+    with pytest.raises(ValueError, match="truncated"):
+        avi_decode_mjpeg(good[:60])
+    # a size-consistent RIFF shell with no stream header at all
+    shell = b"RIFF" + struct.pack("<I", 12) + b"AVI " + b"idx1" + struct.pack("<I", 0)
+    with pytest.raises(ValueError, match="no video stream"):
+        avi_decode_mjpeg(shell)
