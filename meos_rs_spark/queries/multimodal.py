@@ -544,7 +544,12 @@ def _jpeg_decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
 
     import numpy as np
 
-    from meos_rs_spark.functions.media import jpeg_decode_gray, jpeg_encode_gray
+    from meos_rs_spark.functions.media import (
+        avi_decode_mjpeg,
+        avi_encode_mjpeg,
+        jpeg_decode_gray,
+        jpeg_encode_gray,
+    )
 
     for pdf in batches:
         out: dict = {k: [] for k in (
@@ -575,7 +580,13 @@ def _jpeg_decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
             ).reshape(nby, nbx)
             pixels = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
             blob = jpeg_encode_gray(pixels.tobytes(), 8 * nbx, 8 * nby)
-            _, _, decoded = jpeg_decode_gray(blob)  # the REAL decode under test
+            # the stored form is a 1-frame MJPEG/AVI: the compressed-video
+            # container path (functions/media.py) runs distributed here, and
+            # since the oracle pins the decoded pixels' md5, a container
+            # write->parse corruption would fail the driver row — no extra
+            # column needed for it to be verified
+            (frame,) = avi_decode_mjpeg(avi_encode_mjpeg([blob], 8 * nbx, 8 * nby))[3]
+            _, _, decoded = jpeg_decode_gray(frame)  # the REAL decode under test
             out["pixel_md5"].append(hashlib.md5(decoded).hexdigest())
         yield pd.DataFrame(out)
 
@@ -610,8 +621,10 @@ FROM j
     tags=("multimodal",),
     doc="mapInPandas JPEG decode over binary payloads: a REAL baseline JPEG "
     "per document (pure stdlib+numpy codec, functions/media.py — marker "
-    "parse, Annex K.3 Huffman entropy decode, dequantize, IDCT), with the "
-    "decoded pixels' md5 oracle-checked via the exact DC-only closed form",
+    "parse, Annex K.3 Huffman entropy decode, dequantize, IDCT), stored and "
+    "recovered through a 1-frame MJPEG/AVI container (the compressed-video "
+    "read path, exercised distributed), with the decoded pixels' md5 "
+    "oracle-checked via the exact DC-only closed form",
 )
 def mm_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _payloads(spark, sf_dir)
