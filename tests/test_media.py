@@ -501,6 +501,15 @@ def test_container_truncation_sweep_never_hangs_or_leaks_raw_errors():
     round 7; this keeps the sweep as a regression gate.)"""
     y4m = y4m_encode_mono([bytes(range(64))], 8, 8)
     avi = avi_encode_mjpeg([bytes(range(64))], 8, 8)
+    # PNG: the only accepting prefix is everything-but-IEND (a lenient,
+    # fully-decodable stream — signature, IHDR and the whole IDAT intact)
+    png = png_encode_gray(bytes(range(48)), 8, 6)
+    for cut in range(len(png)):
+        if cut == len(png) - 12:
+            assert png_decode_gray(png[:cut]) == (8, 6, bytes(range(48)))
+            continue
+        with pytest.raises(ValueError):
+            png_decode_gray(png[:cut])
     header_len = y4m.index(b"\n") + 1
     for blob, dec in ((y4m, y4m_decode_mono), (avi, avi_decode_mjpeg)):
         for cut in range(len(blob)):
