@@ -510,6 +510,19 @@ def test_container_truncation_sweep_never_hangs_or_leaks_raw_errors():
             continue
         with pytest.raises(ValueError):
             png_decode_gray(png[:cut])
+    # JPEG: only the cuts that drop (part of) the trailing EOI marker
+    # accept — the whole entropy stream is present and decodes identically
+    import numpy as np
+
+    img = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    jpg = jpeg_encode_gray(img.tobytes(), 16, 16, quant=[1] * 64)
+    ref = jpeg_decode_gray(jpg)
+    for cut in range(len(jpg)):
+        if cut >= len(jpg) - 2:
+            assert jpeg_decode_gray(jpg[:cut]) == ref
+            continue
+        with pytest.raises(ValueError):
+            jpeg_decode_gray(jpg[:cut])
     header_len = y4m.index(b"\n") + 1
     for blob, dec in ((y4m, y4m_decode_mono), (avi, avi_decode_mjpeg)):
         for cut in range(len(blob)):
