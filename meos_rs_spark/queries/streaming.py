@@ -17,7 +17,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StringType, StructField, StructType
+from pyspark.sql.types import LongType
 
 from meos_rs_spark.registry import register
 
@@ -53,17 +53,41 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.select("event_id", instant.alias("ts"), "user_id", "event_type", "value")
 
 
-def _run_to_table(df: DataFrame, spark: SparkSession) -> DataFrame:
-    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+def _sink_name(base: str, sf_dir: str) -> str:
+    """Deterministic memory-sink view name per (call site, fixture dir).
+
+    uuid-per-invocation names let every streaming run pin another full
+    result copy in the driver's memory sink for the session lifetime
+    (review find, r7 — the in-memory twin of the uuid-checkpoint leak).
+    A deterministic name is dropped and replaced on re-invocation, so at
+    most one copy per (query, scale) is ever held; keying by sf_dir keeps
+    a handle returned at one scale valid while another scale builds (the
+    cross-scale hazard class of tests/test_cross_scale.py).
+    """
+    import os
+    import re
+
+    tag = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(sf_dir.rstrip("/")))
+    return f"{base}_{tag}"
+
+
+def _run_to_memory_sink(
+    df: DataFrame, spark: SparkSession, name: str, output_mode: str = "complete"
+) -> DataFrame:
+    spark.catalog.dropTempView(name)  # replace the previous invocation's copy
     q = (
         df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def _run_to_table(df: DataFrame, spark: SparkSession, base: str, sf_dir: str) -> DataFrame:
+    return _run_to_memory_sink(df, spark, _sink_name(base, sf_dir))
 
 
 # --- tumbling window aggregation -------------------------------------------
@@ -92,7 +116,7 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
         )
     )
-    out = _run_to_table(agg, spark)
+    out = _run_to_table(agg, spark, "stream_tumbling_counts", sf_dir)
     return out.select(
         "user_id",
         F.col("win.start").cast("timestamp_ntz").alias("win_start"),
@@ -111,14 +135,14 @@ _GAP_US = 21_600_000_000
     "stream_session_windows",
     oracle=f"""
 WITH flagged AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= {_GAP_US} THEN 1 ELSE 0 END AS new_s
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 sessions AS (
   SELECT user_id, ts,
-         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
   FROM flagged
 )
@@ -136,10 +160,10 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", F.session_window("ts", _GAP).alias("win"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    out = _run_to_table(agg, spark)
-    # session_window end = last_ts + gap; report observed bounds instead:
-    # recompute min/max inside the window is not possible post-hoc, so carry
-    # them through the aggregation
+    out = _run_to_table(agg, spark, "stream_session_windows", sf_dir)
+    # session_window carries the observed bounds by construction:
+    # win.start == min(ts) and win.end == max(ts) + gap, so subtracting the
+    # gap recovers max(ts) exactly — nothing extra needs aggregating
     return out.select(
         "user_id",
         F.col("win.start").cast("timestamp_ntz").alias("session_start"),
@@ -204,7 +228,8 @@ def stream_stateful_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    name = f"stream_state_{uuid.uuid4().hex[:8]}"
+    name = _sink_name("stream_stateful_assembly", sf_dir)
+    spark.catalog.dropTempView(name)
     q = (
         out.writeStream.format("memory")
         .queryName(name)
@@ -260,7 +285,7 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
         )
     )
-    out = _run_to_table(agg, spark)
+    out = _run_to_table(agg, spark, "stream_sliding_counts", sf_dir)
     return out.select(
         "user_id",
         F.col("win.start").cast("timestamp_ntz").alias("win_start"),
@@ -297,7 +322,7 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_unique"))
     )
-    out = _run_to_table(deduped, spark)
+    out = _run_to_table(deduped, spark, "stream_dedup_watermark", sf_dir)
     return out.select("user_id", "n_unique")
 
 
@@ -317,27 +342,27 @@ FROM events GROUP BY user_id
 )
 def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
+    import shutil
     import tempfile
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    store = os.path.join(tempfile.gettempdir(), f"meos_rs_spark_{tag}", "stream_store")
-    # reset the store for a deterministic result on every invocation
-    import shutil
-
-    shutil.rmtree(store, ignore_errors=True)
-
-    def write_batch(batch_df, batch_id):
-        batch_df.write.mode("append").parquet(store)
-
-    # each invocation needs a FRESH checkpoint (a reused one replays nothing
-    # and the store would come back empty), but uuid-suffixed dirs must not
-    # accumulate forever — nest them under an app-namespaced dir with the
-    # staging lifecycle (atexit removal + stale-sibling prune)
+    # checkpoints AND the parquet store live under the app-namespaced dir
+    # with the staging lifecycle (atexit removal + stale-sibling prune): a
+    # store keyed only by the fixture tag was shared across concurrent
+    # sessions — one session's reset rmtree raced another's appends — and
+    # leaked past exit (review find, r7; same class as the checkpoint leak)
     from meos_rs_spark.functions.staging import adopt_app_dir
 
     ckpt_root = os.path.join(tempfile.gettempdir(), "meos_rs_spark_ckpt")
     app_dir = os.path.join(ckpt_root, spark.sparkContext.applicationId)
     adopt_app_dir(app_dir, ckpt_root)
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    store = os.path.join(app_dir, f"stream_store_{tag}")
+    # reset the store for a deterministic result on every invocation
+    shutil.rmtree(store, ignore_errors=True)
+
+    def write_batch(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(store)
 
     ev = _stream_events(spark, sf_dir)
     q = (
@@ -398,7 +423,8 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v_user").alias("user_id"),
         (F.expr("unix_micros(b_ts)") - F.expr("unix_micros(v_ts)")).alias("dt_us"),
     )
-    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    name = _sink_name("stream_interval_join", sf_dir)
+    spark.catalog.dropTempView(name)
     q = (
         joined.writeStream.format("memory")
         .queryName(name)
@@ -412,15 +438,23 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- streaming corpus curation (LLM-ops × streaming) ------------------------
 
-_DOCS_SCHEMA = StructType(
-    [
-        StructField("doc_id", LongType()),
-        StructField("text", StringType()),
-        StructField("lang", StringType()),
-        StructField("source", StringType()),
-        StructField("n_chars", LongType()),
-    ]
-)
+def _stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream over the documents fixture. Like _stream_events, the
+    schema is probed from the parquet footer via the batch reader rather
+    than hardcoded: the driver has shipped fixture generations with
+    different physical types before (events ts), and a batch-visible
+    regeneration must not break only the streaming readers."""
+    import os
+
+    from meos_rs_spark.session import prepare_session
+
+    prepare_session(spark)
+    schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
 
 
 @register(
@@ -449,14 +483,7 @@ GROUP BY lang, source
     "state, so the pipeline runs indefinitely at ingest scale",
 )
 def stream_doc_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from meos_rs_spark.session import prepare_session
-
-    prepare_session(spark)
-    raw = (
-        spark.readStream.schema(_DOCS_SCHEMA)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
+    raw = _stream_documents(spark, sf_dir)
     toks = F.split("text", " ")
     n = F.size(toks)
     ttr = F.size(F.array_distinct(toks)).cast("double") / n
@@ -467,7 +494,7 @@ def stream_doc_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs_pass"),
         F.sum("n_tokens").alias("total_tokens"),
     )
-    return _run_to_table(agg, spark)
+    return _run_to_table(agg, spark, "stream_doc_curation", sf_dir)
 
 
 # --- streaming content-fingerprint dedup (dedup family x streaming) ---------
@@ -495,14 +522,7 @@ FROM norm
     "unique class within the watermark horizon, evicted past it.",
 )
 def stream_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from meos_rs_spark.session import prepare_session
-
-    prepare_session(spark)
-    raw = (
-        spark.readStream.schema(_DOCS_SCHEMA)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
+    raw = _stream_documents(spark, sf_dir)
     nt = F.trim(F.regexp_replace(F.lower("text"), " +", " "))
     # synthesized deterministic event time (documents carry none): doc_id
     # seconds past a fixed epoch — the watermark column the state store
@@ -520,4 +540,4 @@ def stream_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_unique"),
         F.sum(F.length("nt")).alias("total_norm_chars"),
     )
-    return _run_to_table(agg, spark)
+    return _run_to_table(agg, spark, "stream_fingerprint_dedup", sf_dir)

@@ -123,7 +123,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT doc_id,
        len(string_split(text, ' ')) AS ws_tokens,
        len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_ish_tokens,
-       length(text) AS n_bytes,
+       octet_length(CAST(text AS BLOB)) AS n_bytes,
        length(replace(text, ' ', '')) AS n_nonspace
 FROM documents
 """,
@@ -136,7 +136,10 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(F.split("text", " ")).alias("ws_tokens"),
         F.size(F.expr(r"regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).alias("bpe_ish_tokens"),
-        F.length("text").alias("n_bytes"),
+        # actual BYTES, not characters: identical on the ASCII fixture, but
+        # the column name promises bytes and a future non-ASCII fixture
+        # must not silently turn it into a char count (review find, r7)
+        F.octet_length(F.encode("text", "utf-8")).alias("n_bytes"),
         F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).alias("n_nonspace"),
     )
 
@@ -217,24 +220,30 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meos_rs_spark.queries.dedup import _shingles
 
     sh = _shingles(spark, sf_dir)
-    bench = sh.filter(F.col("doc_id") < _BENCH_DOCS).select("sh").distinct()
-    corpus = sh.filter(F.col("doc_id") >= _BENCH_DOCS)
-    sizes = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    hits = (
-        corpus.join(broadcast(bench), "sh")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_overlap_raw"))
+    bench = (
+        sh.filter(F.col("doc_id") < _BENCH_DOCS)
+        .select("sh").distinct()
+        .withColumn("__hit", F.lit(1))
     )
-    ratio = F.coalesce(F.col("n_overlap_raw"), F.lit(0)).cast("double") / F.col("n_shingles")
-    return (
-        sizes.join(hits, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_shingles",
-            F.coalesce(F.col("n_overlap_raw"), F.lit(0)).cast("bigint").alias("n_overlap"),
-            ratio.alias("overlap_ratio"),
-            F.when(ratio > _CONTAM_THRESHOLD, 1).otherwise(0).alias("contaminated"),
-        )
+    # ONE corpus pass: a left probe of the broadcast benchmark set marks
+    # each shingle, and a single per-doc aggregation yields both the size
+    # and the overlap — the r7 review caught the previous two-aggregation
+    # (sizes ⋈ hits) shape running the shingle fan-out twice plus an extra
+    # shuffle join, contradicting this operator's own scale claim
+    probed = sh.filter(F.col("doc_id") >= _BENCH_DOCS).join(
+        broadcast(bench), "sh", "left"
+    )
+    agg = probed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("bigint").alias("n_overlap"),
+    )
+    ratio = F.col("n_overlap").cast("double") / F.col("n_shingles")
+    return agg.select(
+        "doc_id",
+        "n_shingles",
+        "n_overlap",
+        ratio.alias("overlap_ratio"),
+        F.when(ratio > _CONTAM_THRESHOLD, 1).otherwise(0).alias("contaminated"),
     )
 
 
@@ -456,6 +465,33 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _token_chunks(spark: SparkSession, sf_dir: str, size: int, stride: int) -> DataFrame:
+    """Documents exploded into token chunks of ``size`` at ``stride``
+    (stride == size → non-overlapping): one row per (doc_id, chunk_id) with
+    the chunk's token array as ``ct``. Shared by text_chunking (40/30
+    context windows) and dedup_chunk_level (20/20 paragraphs) — the
+    __nstarts/sequence/slice construction must stay identical between them.
+    Pure array expressions plus one explode; no shuffle."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    n = F.size("toks")
+    return (
+        d.withColumn("__nstarts", F.floor((n - 1) / stride).cast("int"))
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(F.sequence(F.lit(0), F.col("__nstarts"))).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            F.slice("toks", F.col("chunk_id") * stride + 1, size).alias("ct"),
+        )
+    )
+
+
+
 # --- context-window chunking -------------------------------------------------
 
 _CHUNK_SIZE = 40  # tokens per chunk
@@ -488,20 +524,7 @@ FROM chunks
     "downstream stages can dedup/trace chunks without re-reading text",
 )
 def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("toks")
-    )
-    n = F.size("toks")
-    d = d.withColumn("__nstarts", F.floor((n - 1) / _CHUNK_STRIDE).cast("int"))
-    chunks = d.select(
-        "doc_id",
-        "toks",
-        F.explode(F.sequence(F.lit(0), F.col("__nstarts"))).alias("chunk_id"),
-    ).select(
-        "doc_id",
-        F.col("chunk_id").cast("bigint").alias("chunk_id"),
-        F.slice("toks", F.col("chunk_id") * _CHUNK_STRIDE + 1, _CHUNK_SIZE).alias("ct"),
-    )
+    chunks = _token_chunks(spark, sf_dir, _CHUNK_SIZE, _CHUNK_STRIDE)
     return chunks.select(
         "doc_id",
         "chunk_id",
@@ -601,17 +624,8 @@ GROUP BY c.doc_id
     "aggregated",
 )
 def dedup_chunk_level(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("toks")
-    )
-    n = F.size("toks")
-    chunks = (
-        d.withColumn("__nstarts", F.floor((n - 1) / _DCHUNK).cast("int"))
-        .select("doc_id", "toks", F.explode(F.sequence(F.lit(0), F.col("__nstarts"))).alias("i"))
-        .select(
-            "doc_id",
-            F.md5(F.array_join(F.slice("toks", F.col("i") * _DCHUNK + 1, _DCHUNK), " ")).alias("ch"),
-        )
+    chunks = _token_chunks(spark, sf_dir, _DCHUNK, _DCHUNK).select(
+        "doc_id", F.md5(F.array_join("ct", " ")).alias("ch")
     )
     shared = chunks.groupBy("ch").agg(F.countDistinct("doc_id").alias("nd")).filter(
         F.col("nd") >= 2

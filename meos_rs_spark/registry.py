@@ -91,9 +91,18 @@ FORCE_VERIFY: tuple[str, ...] = (
     # r7: both rewritten pixel-real — resize now decodes, nearest-neighbor
     # resamples (numpy), re-encodes and re-decodes with the resized-pixel
     # md5 oracled (new output schema); frame-sample now really decodes each
-    # sampled frame as an 8×8 PNG with its decoded-pixel md5 oracled
+    # sampled frame as an 8×8 PNG with its decoded-pixel md5 oracled (and,
+    # late r7, reads them through a real Y4M container with new columns)
     "mm_resize",
     "mm_frame_sample",
+    # late-r7 review fixes whose implementations changed materially:
+    # session-window oracle gained the event_id tie-break; the foreachBatch
+    # store moved under the app-namespaced lifecycle dir; decontaminate was
+    # rewritten one-pass; n_bytes became a real byte count
+    "stream_session_windows",
+    "stream_foreachbatch_sink",
+    "text_decontaminate",
+    "text_token_count",
 )
 
 

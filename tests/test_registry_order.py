@@ -21,16 +21,23 @@ from meos_rs_spark.registry import (
 
 # Round-7 rotation computed from CORRECTNESS_r01..r06: zero reds, one
 # never-checked (mm_jpeg_features, new this round), then FORCE_VERIFY (the
-# two stages rewritten pixel-real this round re-earning their rows), then
-# the oldest-green refill: the 10 remaining r2-era greens followed by the
-# 37 oldest r3-era greens, registration order within each round.
+# two pixel-real multimodal rewrites plus the four late-r7 review-fix
+# queries, all re-earning their rows), then the oldest-green refill: the
+# 10 remaining r2-era greens followed by the 33 oldest r3-era greens,
+# registration order within each round.
 R7_EXPECTED_HEAD = (
     # never-checked backlog (new this round)
     "mm_jpeg_features",
-    # changed-this-round re-verification (registry.FORCE_VERIFY)
+    # changed-this-round re-verification (registry.FORCE_VERIFY,
+    # registration order)
     "mm_resize",
     "mm_frame_sample",
-    # oldest-green refill: latest driver row r2
+    "stream_session_windows",
+    "stream_foreachbatch_sink",
+    "text_token_count",
+    "text_decontaminate",
+    # oldest-green refill: the 10 r2-era greens, then the 33 oldest
+    # r3-era greens, registration order within each round
     "rel_join_semi",
     "rel_join_anti",
     "rel_join_range",
@@ -41,7 +48,6 @@ R7_EXPECTED_HEAD = (
     "rel_count_distinct",
     "rel_rollup",
     "rel_cube",
-    # oldest-green refill: latest driver row r3 (first 37 in registration order)
     "traj_assembly",
     "traj_extent",
     "traj_merge",
@@ -75,10 +81,6 @@ R7_EXPECTED_HEAD = (
     "scalar_json",
     "scalar_arrays",
     "scalar_regexp",
-    "scalar_maps",
-    "trajsim_hausdorff",
-    "trajsim_nearest_approach",
-    "win_lag_dedup",
 )
 
 
