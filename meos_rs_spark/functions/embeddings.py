@@ -88,7 +88,12 @@ def make_lsh_bucket_udf(n_planes: int, dim: int):
             bucket += (acc > 0).astype(np.int64) << p
         return pd.Series(bucket.astype(np.int32))
 
-    return lsh_bucket
+    # asNondeterministic: the kernel IS deterministic, but without the pin
+    # Catalyst clones the projection below join-inferred IsNotNull filters
+    # and the 8-plane dot-product kernel runs TWICE per corpus row — a
+    # compiled sim_ann_lsh plan showed 4 ArrowEvalPython lsh_bucket nodes
+    # (2 per join side). Same hazard and same fix as functions/quantize.py.
+    return lsh_bucket.asNondeterministic()
 
 
 @pandas_udf(DoubleType())

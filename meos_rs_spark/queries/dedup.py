@@ -95,7 +95,7 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_sig_exprs(dialect: str) -> list[str]:
+def _minhash_sig_exprs() -> list[str]:
     # h_j = min over shingles of an 8-hex-char (32-bit) slice of
     # md5(shingle || '#q'), q = j // 4: each 128-bit digest yields FOUR
     # independent 32-bit hash functions (standard 32-bit minhash), so the
@@ -115,7 +115,7 @@ def _minhash_sig_cols() -> list:
     in Spark SQL and DuckDB), so F.expr reuses the ONE definition and the
     two engines cannot drift. Catalyst's subexpression elimination
     collapses the four slices of one digest to a single md5 evaluation."""
-    return [F.expr(e) for e in _minhash_sig_exprs("spark")]
+    return [F.expr(e) for e in _minhash_sig_exprs()]
 
 
 # --- MinHash + LSH near-dup ------------------------------------------------
@@ -129,7 +129,7 @@ _BANDS_DUCK = ", ".join(
 # wraps it in WITH RECURSIVE for the label-propagation oracle)
 _MINHASH_CTES = f"""{_SHINGLES_DUCK},
 sig AS (
-  SELECT doc_id, {', '.join(_minhash_sig_exprs('duck'))}
+  SELECT doc_id, {', '.join(_minhash_sig_exprs())}
   FROM shingles GROUP BY doc_id
 ),
 banded AS (
@@ -401,9 +401,11 @@ FROM bits
     doc="16-bit SimHash fingerprint (sign of per-bit weighted sums); near-dups share fingerprints",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").select(
+    from meos_rs_spark.functions.staging import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "documents"), "doc_id").select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
-    )
+    )  # under-split guard: 16 md5 digests per token is the md5-heaviest map
     # instr(haystack, needle) is 1-based in both engines, so the same SQL text works
     bits = d.groupBy("doc_id").agg(*[F.expr(e) for e in _simhash_bit_exprs("instr")])
     fp = sum(F.col(f"bit{b}") * (1 << b) for b in range(16))
@@ -411,6 +413,29 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- exact n-gram Jaccard on a bounded candidate domain --------------------
+
+
+def _pair_intersections(spark: SparkSession, sf_dir: str):
+    """The exact-set-similarity verification primitive the module docstring
+    names: shingles of the bounded candidate domain (doc_id < 40), per-doc
+    sizes, and the shingle-equi-join pair intersection counts. Shared by
+    dedup_ngram_jaccard and dedup_containment so their scaffolding cannot
+    drift (review find, r7: the two hand-copies had already diverged on a
+    broadcast hint). Returns (inter, za, zb) where inter has
+    (id_a, id_b, n_inter) and za/zb are the sizes aliased per side — sizes
+    is tiny (bounded domain), so both joins take the broadcast hint."""
+    sh = _shingles(spark, sf_dir).filter(F.col("doc_id") < 40)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = (
+        a.join(b, (a.sh_a == b.sh_b) & (a.id_a < b.id_b))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    za = F.broadcast(sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a")))
+    zb = F.broadcast(sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b")))
+    return inter, za, zb
 
 
 @register(
@@ -436,17 +461,7 @@ JOIN sizes zb ON zb.doc_id = i.id_b
     "shingles — the join IS the candidate filter, no crossJoin)",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingles(spark, sf_dir).filter(F.col("doc_id") < 40)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
-    inter = (
-        a.join(b, (a.sh_a == b.sh_b) & (a.id_a < b.id_b))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    za = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
-    zb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
+    inter, za, zb = _pair_intersections(spark, sf_dir)
     return (
         inter.join(za, "id_a")
         .join(zb, "id_b")
@@ -542,9 +557,6 @@ FROM firsts
     "first-doc-id canonical, copies counted per class",
 )
 def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from meos_rs_spark.sources.tables import load_table
-    from pyspark.sql import Window
-
     d = load_table(spark, sf_dir, "documents")
     nh = F.md5(F.trim(F.regexp_replace(F.lower("text"), " +", " ")))
     d = d.select("doc_id", "lang", nh.alias("nh"))
@@ -594,22 +606,12 @@ JOIN sizes zb ON zb.doc_id = i.id_b
     "set sizes attach via two broadcast-size joins",
 )
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingles(spark, sf_dir).filter(F.col("doc_id") < 40)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
-    inter = (
-        a.join(b, (a.sh_a == b.sh_b) & (a.id_a < b.id_b))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    za = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
-    zb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
+    inter, za, zb = _pair_intersections(spark, sf_dir)
     c_a = F.col("n_inter").cast("double") / F.col("n_a")
     c_b = F.col("n_inter").cast("double") / F.col("n_b")
     return (
-        inter.join(F.broadcast(za), "id_a")
-        .join(F.broadcast(zb), "id_b")
+        inter.join(za, "id_a")
+        .join(zb, "id_b")
         .select(
             "id_a",
             "id_b",

@@ -41,9 +41,24 @@ from meos_rs_spark.registry import register
 from meos_rs_spark.sources.tables import TABLE_NAMES, load_table
 
 
-def _scratch(sf_dir: str, name: str) -> str:
+def _scratch(spark, sf_dir: str, name: str) -> str:
+    """Per-application scratch path with the staging lifecycle.
+
+    Namespaced by applicationId — the invariant functions/staging.py and
+    the sqlite store already enforce: a path keyed only by the fixture tag
+    is SHARED across concurrent sessions (bench + a background pytest, the
+    combination the project notes warn about), so one session's
+    mode("overwrite") delete+rewrite lands mid-read of another's resolved
+    file listing (review find, r7). adopt_app_dir makes the per-app dir
+    liveness-marked, removed at exit, and prunes stale siblings.
+    """
+    from meos_rs_spark.functions.staging import adopt_app_dir
+
+    root = os.path.join(tempfile.gettempdir(), "meos_rs_spark_scratch")
+    app_dir = os.path.join(root, spark.sparkContext.applicationId)
+    adopt_app_dir(app_dir, root)
     tag = os.path.basename(sf_dir.rstrip("/"))
-    return os.path.join(tempfile.gettempdir(), f"meos_rs_spark_{tag}", name)
+    return os.path.join(app_dir, tag, name)
 
 
 # --- S1/S2: CSV scan (explicit schema, header, multi-file glob) ------------
@@ -72,7 +87,7 @@ FROM events GROUP BY event_type
     "aggregate must equal the parquet source",
 )
 def src_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    path = _scratch(sf_dir, "events_csv")
+    path = _scratch(spark, sf_dir, "events_csv")
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
     ev.repartition(4).write.mode("overwrite").option("header", True).csv(path)
     back = spark.read.schema(_CSV_SCHEMA).option("header", True).csv(path)
@@ -102,7 +117,7 @@ FROM dedup GROUP BY mmsi HAVING count(*) >= 2
     "write text JSON, re-read with from_json, summary must survive the round-trip",
 )
 def snk_jsonl_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
-    path = _scratch(sf_dir, "trips_jsonl")
+    path = _scratch(spark, sf_dir, "trips_jsonl")
     trips = assemble(posits(spark, sf_dir), min_size=2)
     lines = trips.select(
         F.to_json(
@@ -144,18 +159,21 @@ FROM merged GROUP BY mmsi
     "A6 merge, read the store back — equals whole-set assembly",
 )
 def snk_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    path = _scratch(sf_dir, "trips_store")
+    path = _scratch(spark, sf_dir, "trips_store")
     pts = posits(spark, sf_dir)
-    # split point stays engine-side: broadcast the 1-row aggregate instead of
-    # a driver .collect() round-trip (the 100 TB upsert loop must not force an
-    # extra job per batch)
-    mid_df = pts.agg(
+    # split point stays engine-side as an uncorrelated scalar subquery (the
+    # cb12afe idiom): no driver .collect() round-trip AND no join operator —
+    # the crossJoin(broadcast(1-row)) it replaces planned a
+    # BroadcastNestedLoopJoin inside the eager write legs, where the
+    # registry-wide lint (which sees only the returned plan) couldn't fence
+    # it (review find, r7)
+    mid_ts = pts.agg(
         F.expr(
             "timestampadd(MICROSECOND, (unix_micros(CAST(max(ts) AS TIMESTAMP)) "
             "- unix_micros(CAST(min(ts) AS TIMESTAMP))) div 2, min(ts))"
         ).alias("mid_ts")
-    )
-    split = pts.crossJoin(F.broadcast(mid_df))
+    ).scalar()
+    split = pts.withColumn("mid_ts", mid_ts)
 
     first = assemble(split.filter(F.col("ts") <= F.col("mid_ts")).drop("mid_ts"), min_size=1)
     first.write.mode("overwrite").parquet(path)
@@ -176,7 +194,7 @@ def snk_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("old_traj"), empty), F.coalesce(F.col("new_traj"), empty)
         ).alias("traj"),
     )
-    upserted = _scratch(sf_dir, "trips_store_v2")
+    upserted = _scratch(spark, sf_dir, "trips_store_v2")
     merged.write.mode("overwrite").parquet(upserted)
     back = spark.read.parquet(upserted)
     t = F.col("traj")
@@ -233,7 +251,7 @@ FROM orders GROUP BY o_orderstatus
 def snk_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meos_rs_spark.functions.determinism import money_sum
 
-    path = _scratch(sf_dir, "orders_by_status")
+    path = _scratch(spark, sf_dir, "orders_by_status")
     o = load_table(spark, sf_dir, "orders")
     o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
     back = spark.read.parquet(path)
@@ -269,7 +287,7 @@ def snk_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         (
             df.write.mode("overwrite")
-            .option("path", _scratch(sf_dir, name))
+            .option("path", _scratch(spark, sf_dir, name))
             .bucketBy(8, key)
             .sortBy(key)
             .saveAsTable(name)
@@ -305,7 +323,7 @@ GROUP BY o_orderpriority
 def src_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meos_rs_spark.functions.determinism import money_sum
 
-    path = _scratch(sf_dir, "orders_by_status_pruned")
+    path = _scratch(spark, sf_dir, "orders_by_status_pruned")
     o = load_table(spark, sf_dir, "orders")
     o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
     back = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
@@ -339,7 +357,7 @@ FROM unioned
 def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meos_rs_spark.functions.determinism import money_sum
 
-    path = _scratch(sf_dir, "orders_evolving")
+    path = _scratch(spark, sf_dir, "orders_evolving")
     o = load_table(spark, sf_dir, "orders")
     v1 = o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_totalprice")
     v2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
@@ -378,7 +396,7 @@ FROM events GROUP BY event_type
 def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meos_rs_spark.functions.determinism import money_sum
 
-    path = _scratch(sf_dir, "events_orc")
+    path = _scratch(spark, sf_dir, "events_orc")
     ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
     ev.repartition(4).write.mode("overwrite").orc(path)
     back = spark.read.orc(path)
@@ -424,7 +442,7 @@ FROM events
 def src_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meos_rs_spark.functions.determinism import money_sum
 
-    path = _scratch(sf_dir, "events_dirty_csv")
+    path = _scratch(spark, sf_dir, "events_dirty_csv")
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
     lines = ev.select(
         F.concat_ws(
@@ -478,7 +496,7 @@ def src_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meos_rs_spark.functions.trajectory import point_wkt, posits
     from meos_rs_spark.sources.wkt_source import register_wkt_source
 
-    path = _scratch(sf_dir, "posits_wkt")
+    path = _scratch(spark, sf_dir, "posits_wkt")
     lines = posits(spark, sf_dir).select(
         F.concat(
             F.col("mmsi").cast("string"), F.lit(";"), point_wkt("lon", "lat", "ts")
@@ -517,7 +535,7 @@ FROM documents WHERE doc_id < 200
     "exactly what opaque media blobs need.",
 )
 def src_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    path = _scratch(sf_dir, "docs_bin")
+    path = _scratch(spark, sf_dir, "docs_bin")
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     d.select("doc_id", F.col("text").alias("value")).write.mode("overwrite").partitionBy(
         "doc_id"
@@ -580,8 +598,8 @@ FROM events GROUP BY event_type
 def snk_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
-    frag = _scratch(sf_dir, "events_fragmented")
-    compact = _scratch(sf_dir, "events_compacted")
+    frag = _scratch(spark, sf_dir, "events_fragmented")
+    compact = _scratch(spark, sf_dir, "events_compacted")
     ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type")
     ev.repartition(64).write.mode("overwrite").parquet(frag)
     small = spark.read.parquet(frag)
@@ -647,8 +665,8 @@ WHERE l.op IS NULL OR l.op != 'D'
 def snk_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    base_path = _scratch(sf_dir, "cdc_base")
-    out_path = _scratch(sf_dir, "cdc_applied")
+    base_path = _scratch(spark, sf_dir, "cdc_base")
+    out_path = _scratch(spark, sf_dir, "cdc_applied")
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
     )
@@ -814,15 +832,12 @@ def snk_jdbc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     import json
     import sqlite3
 
-    # namespace by application id, same invariant as functions/staging.py:
-    # another session's delete+rebuild must never land mid-upsert of ours.
-    # Lifecycle via the staging module: atexit removal + stale-sibling prune,
-    # so per-app sqlite dirs don't accumulate across sessions (ADVICE r4).
-    from meos_rs_spark.functions.staging import adopt_app_dir
-
-    db_root = _scratch(sf_dir, "trips_db")
-    db_dir = os.path.join(db_root, spark.sparkContext.applicationId)
-    adopt_app_dir(db_dir, db_root)
+    # _scratch is applicationId-namespaced with the staging lifecycle
+    # (atexit removal + stale-sibling prune), which is exactly the
+    # another-session's-delete-must-never-land-mid-upsert invariant this
+    # block used to implement by hand (ADVICE r4)
+    db_dir = _scratch(spark, sf_dir, "trips_db")
+    os.makedirs(db_dir, exist_ok=True)
     db_path = os.path.join(db_dir, "trips.sqlite")
     for suffix in ("", "-wal", "-shm"):
         if os.path.exists(db_path + suffix):

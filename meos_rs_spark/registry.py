@@ -103,6 +103,12 @@ FORCE_VERIFY: tuple[str, ...] = (
     "stream_foreachbatch_sink",
     "text_decontaminate",
     "text_token_count",
+    # third review pass: the upsert split moved to a scalar subquery (the
+    # eager-leg BNLJ the lint couldn't see), and the LSH bucket kernel got
+    # the asNondeterministic duplicate-evaluation pin — one representative
+    # row re-earned for each
+    "snk_upsert_merge",
+    "sim_ann_lsh",
 )
 
 

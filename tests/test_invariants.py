@@ -323,7 +323,7 @@ def test_compaction_collapses_files(spark):
     # run the sink, then audit the layout it left behind
     n_rows = _q(spark, "snk_compaction").count()
     assert n_rows > 0
-    n_in = len(_part_files(spark, _scratch(SF_SMOKE, "events_fragmented")))
-    n_out = len(_part_files(spark, _scratch(SF_SMOKE, "events_compacted")))
+    n_in = len(_part_files(spark, _scratch(spark, SF_SMOKE, "events_fragmented")))
+    n_out = len(_part_files(spark, _scratch(spark, SF_SMOKE, "events_compacted")))
     assert n_in == 64
     assert 1 <= n_out < n_in

@@ -32,11 +32,13 @@ R7_EXPECTED_HEAD = (
     # registration order)
     "mm_resize",
     "mm_frame_sample",
+    "sim_ann_lsh",
+    "snk_upsert_merge",
     "stream_session_windows",
     "stream_foreachbatch_sink",
     "text_token_count",
     "text_decontaminate",
-    # oldest-green refill: the 10 r2-era greens, then the 33 oldest
+    # oldest-green refill: the 10 r2-era greens, then the oldest
     # r3-era greens, registration order within each round
     "rel_join_semi",
     "rel_join_anti",
@@ -79,8 +81,6 @@ R7_EXPECTED_HEAD = (
     "scalar_math",
     "scalar_case_coalesce",
     "scalar_json",
-    "scalar_arrays",
-    "scalar_regexp",
 )
 
 
