@@ -19,7 +19,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import DoubleType, IntegerType
+from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
 
 # WGS84 ellipsoid
 _A = 6378137.0
@@ -37,8 +37,15 @@ _M6 = 35.0 * _E2**3 / 3072.0
 
 
 def normalize_lon(lon: np.ndarray) -> np.ndarray:
-    """Wrap arbitrary 'longitude-like' doubles into [-180, 180)."""
-    return (lon + 180.0) % 360.0 - 180.0
+    """Wrap arbitrary 'longitude-like' doubles into [-180, 180).
+
+    The plain modulo can round to exactly 360.0 for inputs one ulp below a
+    wrap boundary (e.g. -180.0000000000000028), yielding 180.0 — outside
+    the contract, and utm_zone would derive the nonexistent zone 61 with a
+    central meridian 3° away (review find, r7). 180.0 is folded to its
+    equivalent -180.0."""
+    r = (lon + 180.0) % 360.0 - 180.0
+    return np.where(r >= 180.0, -180.0, r)
 
 
 def utm_zone(lon: np.ndarray) -> np.ndarray:
@@ -167,30 +174,34 @@ _lcc93_numpy = lcc_2sp(
 )
 
 
-@pandas_udf(DoubleType())
-def lcc93_x_udf(lon: pd.Series, lat: pd.Series) -> pd.Series:
-    x, _ = _lcc93_numpy(lon.to_numpy(np.float64), lat.to_numpy(np.float64))
-    return pd.Series(x)
+# Struct-returning wrappers: one Arrow crossing per batch and ONE kernel
+# evaluation per point. The per-component wrappers they replace each ran
+# the full transcendental kernel and discarded the other outputs, so a
+# query selecting every component paid the projection 2-3x (review find,
+# r7). Same pattern serde.py uses for TRAJ_WKB_PARSED.
 
 
-@pandas_udf(DoubleType())
-def lcc93_y_udf(lon: pd.Series, lat: pd.Series) -> pd.Series:
-    _, y = _lcc93_numpy(lon.to_numpy(np.float64), lat.to_numpy(np.float64))
-    return pd.Series(y)
+# explicit StructType (not a DDL string): a DDL returnType parses lazily
+# against the ACTIVE session, which does not exist when this module is
+# imported at test-collection time
+_UTM_TYPE = StructType([
+    StructField("zone", IntegerType()),
+    StructField("easting", DoubleType()),
+    StructField("northing", DoubleType()),
+])
+_LCC_TYPE = StructType([
+    StructField("x", DoubleType()),
+    StructField("y", DoubleType()),
+])
 
 
-@pandas_udf(IntegerType())
-def utm_zone_udf(lon: pd.Series) -> pd.Series:
-    return pd.Series(utm_zone(lon.to_numpy(dtype=np.float64)))
+@pandas_udf(_UTM_TYPE)
+def utm_udf(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+    z, e, n = _utm_numpy(lon.to_numpy(np.float64), lat.to_numpy(np.float64))
+    return pd.DataFrame({"zone": z, "easting": e, "northing": n})
 
 
-@pandas_udf(DoubleType())
-def utm_easting_udf(lon: pd.Series, lat: pd.Series) -> pd.Series:
-    _, e, _ = _utm_numpy(lon.to_numpy(np.float64), lat.to_numpy(np.float64))
-    return pd.Series(e)
-
-
-@pandas_udf(DoubleType())
-def utm_northing_udf(lon: pd.Series, lat: pd.Series) -> pd.Series:
-    _, _, n = _utm_numpy(lon.to_numpy(np.float64), lat.to_numpy(np.float64))
-    return pd.Series(n)
+@pandas_udf(_LCC_TYPE)
+def lcc93_udf(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+    x, y = _lcc93_numpy(lon.to_numpy(np.float64), lat.to_numpy(np.float64))
+    return pd.DataFrame({"x": x, "y": y})

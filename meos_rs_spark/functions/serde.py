@@ -37,12 +37,20 @@ _WKT_RE = r"^POINT\(([-0-9.]+) ([-0-9.]+)\)@([0-9]{4}-[0-9]{2}-[0-9]{2} [0-9:.]+
 
 
 def parse_point_wkt(col: Column) -> Column:
-    """F1: instant WKT → struct(lon, lat, ts) (tgeompoint_in, tinst.rs:21-38)."""
+    """F1: instant WKT → struct(lon, lat, ts) (tgeompoint_in, tinst.rs:21-38).
+
+    Total under Spark 4's default ANSI mode: a malformed or variant input
+    yields a NULL-field struct instead of aborting the job — regexp_extract
+    returns '' on no match, and CAST''/to_timestamp'' RAISE under ANSI
+    (review find, r7; reproduced live on 'garbage' and on a timestamp
+    without the 6-digit fraction). try_cast/try_to_timestamp give the
+    tolerant tgeompoint_in semantics the malformed-ingest query relies on;
+    well-formed inputs parse identically."""
     return F.struct(
-        F.regexp_extract(col, _WKT_RE, 1).cast("double").alias("lon"),
-        F.regexp_extract(col, _WKT_RE, 2).cast("double").alias("lat"),
-        F.to_timestamp(
-            F.regexp_extract(col, _WKT_RE, 3), "yyyy-MM-dd HH:mm:ss.SSSSSS"
+        F.regexp_extract(col, _WKT_RE, 1).try_cast("double").alias("lon"),
+        F.regexp_extract(col, _WKT_RE, 2).try_cast("double").alias("lat"),
+        F.try_to_timestamp(
+            F.regexp_extract(col, _WKT_RE, 3), F.lit("yyyy-MM-dd HH:mm:ss.SSSSSS")
         ).cast("timestamp_ntz").alias("ts"),
     )
 

@@ -156,13 +156,25 @@ def _plan_digest(df: DataFrame) -> str | None:
     Connect), which disables memoization and falls back to always-write.
     """
     try:
-        plan = df._jdf.queryExecution().analyzed().toString()
+        analyzed = df._jdf.queryExecution().analyzed()
+        # Spark's own canonicalized form: exprIds normalized structurally
+        # (references preserved) while string literals stay VERBATIM — the
+        # text relabeler it replaces rewrote '#<digits>' inside literal
+        # values too, so plans differing only in a literal like 'a#100' vs
+        # 'a#200' digested identically and the memo served the wrong
+        # staged table (review find, r7; reproduced live). The homegrown
+        # _canon_plan remains only as the fallback when the JVM lazy val
+        # is unreachable.
+        try:
+            plan = analyzed.canonicalized().toString()
+        except Exception:
+            plan = _canon_plan(analyzed.toString())
         files = "\0".join(sorted(df.inputFiles()))
     except Exception:
         return None
     if "LocalRelation" in plan or "LogicalRDD" in plan:
         return None
-    return hashlib.sha256((_canon_plan(plan) + "\1" + files).encode()).hexdigest()
+    return hashlib.sha256((plan + "\1" + files).encode()).hexdigest()
 
 
 def _canon_plan(plan: str) -> str:

@@ -67,11 +67,17 @@ def dedup_monotonic(df: DataFrame, key: str = "mmsi", ts: str = "ts", tiebreak: 
     dedup→assemble pipeline instead of two. No Python.
     """
     w = Window.partitionBy(key).orderBy(ts, tiebreak)
-    prev = F.lag(ts).over(w)
+    # null-safe: the DEDUP_QUALIFY twin's PARTITION BY mmsi, ts groups
+    # NULL timestamps together and keeps exactly one, so a NULL ts must
+    # compare EQUAL to a NULL predecessor (the old __prev_ts.isNull() test
+    # conflated first-row with prev-is-NULL and kept every NULL-ts row —
+    # review find, r7, latent while events.ts is non-null). row_number
+    # identifies the true first row and shares the same window.
     return (
-        df.withColumn("__prev_ts", prev)
-        .filter(F.col("__prev_ts").isNull() | (F.col(ts) != F.col("__prev_ts")))
-        .drop("__prev_ts")
+        df.withColumn("__prev_ts", F.lag(ts).over(w))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) | ~F.col(ts).eqNullSafe(F.col("__prev_ts")))
+        .drop("__prev_ts", "__rn")
     )
 
 
@@ -157,9 +163,28 @@ def merge_trajs(a: Column, b: Column) -> Column:
         )
 
     pts = F.array_sort(F.concat(_tag(a["points"], 0), _tag(b["points"], 1)))
-    deduped = F.filter(
+    # dedup by pairing each element with its predecessor's ts FIRST
+    # (zip_with against the shifted ts array), then filtering on the pair.
+    # The previous shape captured the whole sorted array inside the filter
+    # lambda via F.get(pts, i-1): higher-order functions are interpreted
+    # with no common-subexpression elimination, so the concat+tag+sort
+    # pipeline re-ran per element — O(n² log n) per row (review find, r7).
+    # Here the pts subtree is referenced a constant number of times. The
+    # predecessor carries a validity flag rather than a NULL sentinel so a
+    # (hypothetical) NULL ts still compares exactly like the old
+    # position-0 test.
+    prev = F.concat(
+        F.array(F.struct(F.lit(False).alias("has"), F.lit(None).cast("timestamp_ntz").alias("ts"))),
+        F.transform(pts, lambda p: F.struct(F.lit(True).alias("has"), p["ts"].alias("ts"))),
+    )
+    paired = F.zip_with(
         pts,
-        lambda p, i: (i == 0) | (p["ts"] != F.get(pts, i - 1)["ts"]),
+        F.slice(prev, 1, F.size(pts)),
+        lambda p, pv: F.struct(p.alias("p"), pv.alias("pv")),
+    )
+    deduped = F.filter(
+        paired,
+        lambda t: ~t["pv"]["has"] | (t["p"]["ts"] != t["pv"]["ts"]),
     )
     return F.struct(
         a["interp"].alias("interp"),
@@ -167,7 +192,9 @@ def merge_trajs(a: Column, b: Column) -> Column:
         b["upper_inc"].alias("upper_inc"),
         F.transform(
             deduped,
-            lambda p: F.struct(p["ts"].alias("ts"), p["lon"].alias("lon"), p["lat"].alias("lat")),
+            lambda t: F.struct(
+                t["p"]["ts"].alias("ts"), t["p"]["lon"].alias("lon"), t["p"]["lat"].alias("lat")
+            ),
         ).alias("points"),
     )
 
@@ -176,12 +203,15 @@ def merge_trajs(a: Column, b: Column) -> Column:
 
 
 def start_ts(traj: Column) -> Column:
-    """temporal_start_timestamptz (meos/src/temp.rs:50-52)."""
-    return F.element_at(traj["points"], 1)["ts"]
+    """temporal_start_timestamptz (meos/src/temp.rs:50-52). Total: an empty
+    points array yields NULL — element_at RAISES on out-of-bounds under
+    Spark 4's default ANSI mode (review find, r7; merge_trajs feeds empty
+    sequences through its coalesce literals), F.get returns NULL."""
+    return F.get(traj["points"], 0)["ts"]
 
 
 def end_ts(traj: Column) -> Column:
-    return F.element_at(traj["points"], -1)["ts"]
+    return F.get(traj["points"], F.size(traj["points"]) - 1)["ts"]
 
 
 def num_instants(traj: Column) -> Column:
@@ -220,12 +250,13 @@ def path_length(traj: Column, scale: int = 6) -> Column:
     IEEE-exact sqrt (identical on any engine); each segment is rounded to
     ``scale`` digits before the fold so the sum is associative/deterministic.
     """
+    dt = f"decimal(28,{scale})"  # accumulator scale follows the rounding scale
     return F.aggregate(
         _seg_dists(traj),
-        F.lit(0).cast("decimal(28,6)"),
-        # re-cast after each add: Spark widens DECIMAL(28,6)+DECIMAL(28,6) to
-        # (29,6) which would break the fold's type contract
-        lambda acc, d: (acc + F.round(d, scale).cast("decimal(28,6)")).cast("decimal(28,6)"),
+        F.lit(0).cast(dt),
+        # re-cast after each add: Spark widens DECIMAL(28,s)+DECIMAL(28,s) to
+        # (29,s) which would break the fold's type contract
+        lambda acc, d: (acc + F.round(d, scale).cast(dt)).cast(dt),
     ).cast("double")
 
 

@@ -147,8 +147,13 @@ def snk_jsonl_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH {POSITS_CTE},
 merged AS (
+  -- arrival-order (event_id) dedup, matching dedup_monotonic inside each
+  -- half's assemble: duplicates never straddle the time-split halves, so
+  -- this is the whole pipeline's collision rule (the old ORDER BY lon,
+  -- lat pinned a value-ordered rule the engine never implemented —
+  -- latent while the fixture has no duplicate (mmsi, ts) groups)
   SELECT * FROM posits
-  QUALIFY row_number() OVER (PARTITION BY mmsi, ts ORDER BY lon, lat) = 1
+  QUALIFY row_number() OVER (PARTITION BY mmsi, ts ORDER BY event_id) = 1
 )
 SELECT mmsi, count(*) AS n_points, min(ts) AS t_start, max(ts) AS t_end
 FROM merged GROUP BY mmsi

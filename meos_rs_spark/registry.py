@@ -109,6 +109,11 @@ FORCE_VERIFY: tuple[str, ...] = (
     # row re-earned for each
     "snk_upsert_merge",
     "sim_ann_lsh",
+    # fourth review pass (kernel layer): the CRS queries moved to single
+    # struct-returning kernels, and the WKT parse became total under ANSI
+    "traj_transform_utm",
+    "traj_transform_lcc",
+    "serde_wkt_malformed",
 )
 
 

@@ -32,6 +32,9 @@ R7_EXPECTED_HEAD = (
     # registration order)
     "mm_resize",
     "mm_frame_sample",
+    "traj_transform_utm",
+    "traj_transform_lcc",
+    "serde_wkt_malformed",
     "sim_ann_lsh",
     "snk_upsert_merge",
     "stream_session_windows",
@@ -78,9 +81,6 @@ R7_EXPECTED_HEAD = (
     "scalar_strings",
     "scalar_dates",
     "scalar_ts_roundtrip",
-    "scalar_math",
-    "scalar_case_coalesce",
-    "scalar_json",
 )
 
 

@@ -227,3 +227,26 @@ def test_stale_sibling_pruning_respects_liveness(tmp_path):
     assert os.path.isdir(fresh)
     assert os.path.isdir(idle_live)
     assert os.path.isdir(me)
+
+
+def test_plan_digest_distinguishes_exprid_shaped_literals(spark):
+    """Regression for the r7 memo collision: two plans differing ONLY in a
+    string literal that happens to look like an exprId ('a#100' vs
+    'a#200') must digest differently — the old text relabeler rewrote
+    '#<digits>' inside literal values and the memo served the first
+    filter's staged rows for the second query."""
+    from meos_rs_spark.functions import staging
+    from tests.conftest import SF_SMOKE
+
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    import pyspark.sql.functions as F
+
+    d1 = staging._plan_digest(d.filter(F.col("lang") == "a#100"))
+    d2 = staging._plan_digest(d.filter(F.col("lang") == "a#200"))
+    assert d1 is not None and d2 is not None
+    assert d1 != d2
+    # and the original guarantee still holds: the same query built twice
+    # (fresh exprIds) digests identically
+    b1 = staging._plan_digest(d.filter(F.col("lang") == "x").groupBy("source").count())
+    b2 = staging._plan_digest(d.filter(F.col("lang") == "x").groupBy("source").count())
+    assert b1 == b2

@@ -130,3 +130,59 @@ def test_z_length_fold_handles_singleton_group(spark):
     )
     row2 = df2.selectExpr(f"{Z_LENGTH3D_EXPR} AS length3d").collect()[0]
     assert row2.length3d == 13.0
+
+
+def test_merge_of_halves_equals_whole_with_duplicate_timestamps(spark):
+    """The r7 review found the halves==whole invariant was only ever tested
+    on duplicate-free data. Craft events where a duplicate (mmsi, ts) pair
+    straddles the parity split (min event_id ODD, so the old
+    stored-side-wins path would keep the wrong point), and verify the
+    traj_equality recipe — dedup once, split, assemble, merge — equals
+    whole-set assembly of the deduped stream."""
+    import datetime as dt
+
+    from meos_rs_spark.functions.trajectory import assemble, dedup_monotonic, merge_trajs
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # (event_id, mmsi, ts, lon, lat): ts#1 duplicated across parities
+        (1, 7, t0, 10.0, 1.0),                               # odd, the keeper
+        (2, 7, t0, 99.0, 9.0),                               # even duplicate
+        (3, 7, t0 + dt.timedelta(hours=1), 11.0, 1.5),
+        (4, 7, t0 + dt.timedelta(hours=2), 12.0, 2.0),
+        (6, 7, t0 + dt.timedelta(hours=2), 55.0, 5.0),       # same-parity dup
+        (5, 7, t0 + dt.timedelta(hours=3), 13.0, 2.5),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, mmsi long, ts timestamp_ntz, lon double, lat double")
+
+    deduped = dedup_monotonic(df)
+    whole = assemble(deduped, min_size=1).select("mmsi", F.col("traj").alias("tw"))
+    halves = [
+        assemble(deduped.filter(F.col("event_id") % 2 == i), min_size=1).select(
+            "mmsi", F.col("traj").alias(f"t{i}")
+        )
+        for i in (0, 1)
+    ]
+    j = whole.join(halves[0], "mmsi").join(halves[1], "mmsi")
+    merged = merge_trajs(F.col("t0"), F.col("t1"))
+    row = j.select((merged["points"] == F.col("tw")["points"]).alias("eq"),
+                   F.col("tw")["points"].alias("pts")).first()
+    assert row.eq, row
+    # the kept duplicate is the min-event_id row (arrival order), and the
+    # same-parity duplicate collapsed too
+    got = [(p.lon, p.lat) for p in row.pts]
+    assert got == [(10.0, 1.0), (11.0, 1.5), (12.0, 2.0), (13.0, 2.5)]
+
+
+def test_dedup_monotonic_null_ts_matches_qualify_twin(spark):
+    """NULL timestamps form ONE group per key in the DEDUP_QUALIFY twin
+    (PARTITION BY mmsi, ts): dedup_monotonic must keep exactly one NULL-ts
+    row, not all of them (review find, r7)."""
+    from meos_rs_spark.functions.trajectory import dedup_monotonic
+
+    df = spark.createDataFrame(
+        [(1, 7, None), (2, 7, None), (3, 7, "2024-01-01 00:00:00"), (4, 7, "2024-01-01 00:00:00")],
+        "event_id long, mmsi long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    kept = dedup_monotonic(df).select("event_id").orderBy("event_id").collect()
+    assert [r.event_id for r in kept] == [1, 3]
