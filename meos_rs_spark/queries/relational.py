@@ -1052,9 +1052,16 @@ def rel_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("st.c") >= 0).cast("int")).cast("bigint").alias("n_clicked"),
         F.sum((F.col("st.p") >= 0).cast("int")).cast("bigint").alias("n_purchased"),
         F.sum(F.when(F.col("st.p") >= 0, F.col("st.p") - F.col("st.v"))).cast("bigint").alias("sum_conv_us"),
+        # try_divide: a purchase-free corpus makes the denominator 0, which
+        # DuckDB renders NULL but Spark 4 ANSI `/` raises DIVIDE_BY_ZERO —
+        # one funnel with no conversions must not abort the job (review
+        # find, r7; latent while the fixture converts)
         (
-            F.sum(F.when(F.col("st.p") >= 0, F.col("st.p") - F.col("st.v"))).cast("double")
-            / F.sum((F.col("st.p") >= 0).cast("int")) / F.lit(1000000.0)
+            F.try_divide(
+                F.sum(F.when(F.col("st.p") >= 0, F.col("st.p") - F.col("st.v"))).cast("double"),
+                F.sum((F.col("st.p") >= 0).cast("int")),
+            )
+            / F.lit(1000000.0)
         ).alias("avg_conv_sec"),
     )
 

@@ -67,8 +67,13 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = emb.filter(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe"), F.col("enorm").alias("pnorm")
     )
+    # try_divide: a zero-norm vector (a real hazard at scale — failed-encoder
+    # all-zero embeddings) must yield NULL like the oracle's x/0, not abort
+    # the job (Spark 4 ANSI raises DIVIDE_BY_ZERO on plain `/`); both engines
+    # then sort the NULL below every real score under DESC NULLS LAST
     scored = emb.join(broadcast(probes), F.col("vec_id") != F.col("probe_id")).withColumn(
-        "cosine", seq_dot(F.col("pe"), F.col("embedding")) / (F.col("pnorm") * F.col("enorm"))
+        "cosine",
+        F.try_divide(seq_dot(F.col("pe"), F.col("embedding")), F.col("pnorm") * F.col("enorm")),
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), "vec_id")
     return (
@@ -448,13 +453,18 @@ def sim_prefix_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("prenorm").alias("ppnorm"),
         F.col("enorm").alias("pnorm"),
     )
+    # try_divide on both passes: zero-norm vectors (or an all-zero PREFIX of
+    # a nonzero vector — even likelier) yield NULL like the oracle's x/0
+    # instead of an ANSI DIVIDE_BY_ZERO job abort; see sim_cosine_topk
     coarse = emb.join(broadcast(probes), F.col("vec_id") != F.col("probe_id")).withColumn(
-        "pcos", seq_dot(F.col("ppre"), F.col("pre")) / (F.col("ppnorm") * F.col("prenorm"))
+        "pcos",
+        F.try_divide(seq_dot(F.col("ppre"), F.col("pre")), F.col("ppnorm") * F.col("prenorm")),
     )
     wc = Window.partitionBy("probe_id").orderBy(F.col("pcos").desc(), "vec_id")
     cand = coarse.withColumn("__rn", F.row_number().over(wc)).filter(F.col("__rn") <= _COARSE_K)
     fine = cand.withColumn(
-        "cosine", seq_dot(F.col("pe"), F.col("embedding")) / (F.col("pnorm") * F.col("enorm"))
+        "cosine",
+        F.try_divide(seq_dot(F.col("pe"), F.col("embedding")), F.col("pnorm") * F.col("enorm")),
     )
     wf = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), "vec_id")
     return (
@@ -977,8 +987,10 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         corpus.join(broadcast(probes), F.col("vec_id") != F.col("probe_id"))
         .withColumn(
+            # try_divide: zero-norm vectors give NULL like the oracle's x/0,
+            # not an ANSI DIVIDE_BY_ZERO job abort (see sim_cosine_topk)
             "rel",
-            seq_dot(F.col("pe"), F.col("ce")) / (F.sqrt("pn2") * F.sqrt("cn2")),
+            F.try_divide(seq_dot(F.col("pe"), F.col("ce")), F.sqrt("pn2") * F.sqrt("cn2")),
         )
     )
     wp = Window.partitionBy("probe_id").orderBy(F.col("rel").desc(), F.col("vec_id").asc())
@@ -999,7 +1011,7 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         return df.withColumn("__rk", F.row_number().over(w)).filter(F.col("__rk") == 1)
 
     def pairsim(e_other, n_other):
-        return seq_dot(F.col("ce"), e_other) / (F.sqrt("cn2") * F.sqrt(n_other))
+        return F.try_divide(seq_dot(F.col("ce"), e_other), F.sqrt("cn2") * F.sqrt(n_other))
 
     s1 = pick(cand.withColumn("mmr", F.col("rel"))).select(
         "probe_id", "vec_id", "ce", "cn2", "rel", "mmr"

@@ -38,16 +38,15 @@ QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) = 1
     doc="keep only posits that strictly advance the clock (04_to_file.rs:92-96)",
 )
 def win_lag_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # lag-form of the dedup: window partitioned by user_id alone so downstream
-    # per-user operators reuse the single hash partitioning (see
-    # functions.trajectory.dedup_monotonic)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev = F.lag("ts").over(w)
-    return (
-        _events(spark, sf_dir)
-        .withColumn("__prev", prev)
-        .filter(F.col("__prev").isNull() | (F.col("ts") != F.col("__prev")))
-        .select("event_id", "user_id", "ts", "value")
+    # the named-operator face of functions.trajectory.dedup_monotonic —
+    # reusing it picks up the null-safe comparison (a NULL ts must compare
+    # EQUAL to a NULL predecessor to match the QUALIFY twin's PARTITION BY
+    # user_id, ts, which keeps exactly one NULL-ts row; the old inline
+    # lag-form here kept them all — latent while events.ts is non-null)
+    from meos_rs_spark.functions.trajectory import dedup_monotonic
+
+    return dedup_monotonic(_events(spark, sf_dir), key="user_id").select(
+        "event_id", "user_id", "ts", "value"
     )
 
 

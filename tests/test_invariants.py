@@ -327,3 +327,50 @@ def test_compaction_collapses_files(spark):
     n_out = len(_part_files(spark, _scratch(spark, SF_SMOKE, "events_compacted")))
     assert n_in == 64
     assert 1 <= n_out < n_in
+
+
+def test_cosine_division_is_total_on_zero_norm(spark):
+    """The r7 review found the Column-level cosine divisions
+    (seq_dot/(norm*norm)) abort under Spark 4 ANSI on a zero-norm vector,
+    while the DuckDB oracle's x/0 renders NULL — one failed-encoder all-zero
+    embedding must not kill a 100 TB job. try_divide gives the oracle's NULL;
+    this drives the exact expression shape the queries use."""
+    from meos_rs_spark.functions.embeddings import l2norm, seq_dot
+
+    df = spark.createDataFrame(
+        [(0, [0.0] * 4, [1.0, 0.0, 0.0, 0.0]), (1, [1.0, 2.0, 0.0, 0.0], [1.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>, pe array<double>",
+    ).withColumn("enorm", l2norm("embedding")).withColumn("pnorm", l2norm("pe"))
+    rows = (
+        df.withColumn(
+            "cosine",
+            F.try_divide(seq_dot(F.col("pe"), F.col("embedding")), F.col("pnorm") * F.col("enorm")),
+        )
+        .orderBy("vec_id")
+        .collect()
+    )
+    assert rows[0].cosine is None  # zero-norm → NULL, job survives
+    assert abs(rows[1].cosine - (1.0 / (5.0**0.5))) < 1e-12
+
+
+def test_funnel_average_is_total_without_purchases(spark):
+    """rel_funnel_steps' avg_conv_sec divides by the purchase count; a
+    purchase-free corpus must yield NULL (the oracle's NULL/0) rather than
+    an ANSI DIVIDE_BY_ZERO abort (review find, r7)."""
+    import datetime as dt
+
+    from meos_rs_spark.registry import load_registry
+    import json, tempfile, os
+
+    ev = spark.createDataFrame(
+        [
+            (1, 1, dt.datetime(2024, 1, 1), "view", 1.0, "{}"),
+            (2, 1, dt.datetime(2024, 1, 2), "click", 2.0, "{}"),
+        ],
+        "event_id long, user_id long, ts timestamp_ntz, event_type string, value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(os.path.join(d, "events.parquet"))
+        row = load_registry()["rel_funnel_steps"].fn(spark, d).collect()[0]
+    assert row.n_viewed == 1 and row.n_clicked == 1 and row.n_purchased == 0
+    assert row.avg_conv_sec is None and row.sum_conv_us is None
