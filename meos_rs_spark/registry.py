@@ -114,6 +114,15 @@ FORCE_VERIFY: tuple[str, ...] = (
     "traj_transform_utm",
     "traj_transform_lcc",
     "serde_wkt_malformed",
+    # fifth review pass (ANSI totality): cosine/funnel divisions moved to
+    # try_divide (NULL, not DIVIDE_BY_ZERO abort, on zero-norm vectors /
+    # purchase-free funnels); win_lag_dedup now reuses the null-safe
+    # dedup_monotonic
+    "sim_cosine_topk",
+    "sim_prefix_rerank",
+    "sim_mmr_rerank",
+    "rel_funnel_steps",
+    "win_lag_dedup",
 )
 
 

@@ -21,10 +21,10 @@ from meos_rs_spark.registry import (
 
 # Round-7 rotation computed from CORRECTNESS_r01..r06: zero reds, one
 # never-checked (mm_jpeg_features, new this round), then FORCE_VERIFY (the
-# two pixel-real multimodal rewrites plus the four late-r7 review-fix
-# queries, all re-earning their rows), then the oldest-green refill: the
-# 10 remaining r2-era greens followed by the 33 oldest r3-era greens,
-# registration order within each round.
+# two pixel-real multimodal rewrites plus the review-pass queries re-earning
+# their rows — passes 2-5), then the oldest-green refill: the 10 remaining
+# r2-era greens followed by the oldest r3-era greens, registration order
+# within each round.
 R7_EXPECTED_HEAD = (
     # never-checked backlog (new this round)
     "mm_jpeg_features",
@@ -35,12 +35,17 @@ R7_EXPECTED_HEAD = (
     "traj_transform_utm",
     "traj_transform_lcc",
     "serde_wkt_malformed",
+    "sim_cosine_topk",
     "sim_ann_lsh",
+    "sim_prefix_rerank",
+    "sim_mmr_rerank",
     "snk_upsert_merge",
     "stream_session_windows",
     "stream_foreachbatch_sink",
     "text_token_count",
     "text_decontaminate",
+    "rel_funnel_steps",
+    "win_lag_dedup",
     # oldest-green refill: the 10 r2-era greens, then the oldest
     # r3-era greens, registration order within each round
     "rel_join_semi",
@@ -76,11 +81,6 @@ R7_EXPECTED_HEAD = (
     "rel_global_metrics",
     "rel_filter_agg",
     "rel_correlated_subquery",
-    "rel_salted_agg",
-    "rel_disjunctive_join",
-    "scalar_strings",
-    "scalar_dates",
-    "scalar_ts_roundtrip",
 )
 
 
