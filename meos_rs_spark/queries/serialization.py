@@ -351,11 +351,15 @@ _GAP_US = 21_600_000_000  # 6h session gap for the sequence-set form
     "serde_wkt_seqset",
     oracle=f"""
 WITH {POSITS_CTE},
+dedup AS (
+  SELECT * FROM posits
+  QUALIFY row_number() OVER (PARTITION BY mmsi, ts ORDER BY event_id) = 1
+),
 flagged AS (
   SELECT mmsi, ts, lon, lat,
          CASE WHEN lag(ts) OVER w IS NULL
                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {_GAP_US} THEN 1 ELSE 0 END AS new_s
-  FROM posits WINDOW w AS (PARTITION BY mmsi ORDER BY ts, event_id)
+  FROM dedup WINDOW w AS (PARTITION BY mmsi ORDER BY ts, event_id)
 ),
 sessions AS (
   SELECT mmsi, ts, lon, lat,
@@ -383,13 +387,20 @@ FROM per_session GROUP BY mmsi
     "TSet = trajectory with gaps, tset.rs:10-49); 3 points per sequence for bounded output",
 )
 def serde_wkt_seqset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meos_rs_spark.functions.trajectory import dedup_monotonic
+
     w = Window.partitionBy("mmsi").orderBy("ts", "event_id")
     wrun = w.rowsBetween(Window.unboundedPreceding, 0)
     gap_us = F.expr("unix_micros(CAST(ts AS TIMESTAMP))") - F.expr(
         "unix_micros(CAST(lag(ts) OVER (PARTITION BY mmsi ORDER BY ts, event_id) AS TIMESTAMP))"
     )
+    # dedup FIRST like the sibling WKT queries (serde_wkt_forms, serde_mfjson):
+    # without it a duplicate (mmsi, ts) makes the per-session cap and the
+    # string_agg ordering tie on ts with no total tiebreak — row-distribution-
+    # dependent output on BOTH engines (review find, r7; latent while the
+    # fixture has no duplicate groups). After dedup every ordering is total.
     sess = (
-        posits(spark, sf_dir)
+        dedup_monotonic(posits(spark, sf_dir))
         .withColumn("new_s", F.when(gap_us.isNull() | (gap_us > _GAP_US), 1).otherwise(0))
         .withColumn("sid", F.sum("new_s").over(wrun))
     )

@@ -123,6 +123,8 @@ FORCE_VERIFY: tuple[str, ...] = (
     "sim_mmr_rerank",
     "rel_funnel_steps",
     "win_lag_dedup",
+    # sixth sweep: seqset now dedups before gap-splitting (total orderings)
+    "serde_wkt_seqset",
 )
 
 

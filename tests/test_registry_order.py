@@ -32,6 +32,7 @@ R7_EXPECTED_HEAD = (
     # registration order)
     "mm_resize",
     "mm_frame_sample",
+    "serde_wkt_seqset",
     "traj_transform_utm",
     "traj_transform_lcc",
     "serde_wkt_malformed",
@@ -80,7 +81,6 @@ R7_EXPECTED_HEAD = (
     "rel_set_ops",
     "rel_global_metrics",
     "rel_filter_agg",
-    "rel_correlated_subquery",
 )
 
 
