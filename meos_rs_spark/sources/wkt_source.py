@@ -69,11 +69,20 @@ class WktPositsReader(DataSourceReader):
                 m = _LINE_RE.match(line.strip())
                 if not m:
                     continue  # malformed lines are skipped, not fatal
+                try:
+                    # the regex's [0-9:.]+ admits timestamps strptime's .%f
+                    # rejects (no fraction, 7+ fraction digits, stray dots) —
+                    # those must also skip, not abort the scan (review find,
+                    # r7: one 'POINT(1 2)@2024-01-01 00:00:00+00' line used
+                    # to raise ValueError and kill the whole job)
+                    ts = datetime.strptime(m.group(4), "%Y-%m-%d %H:%M:%S.%f")
+                except ValueError:
+                    continue
                 yield (
                     int(m.group(1)),
                     float(m.group(2)),
                     float(m.group(3)),
-                    datetime.strptime(m.group(4), "%Y-%m-%d %H:%M:%S.%f"),
+                    ts,
                     base,
                 )
 

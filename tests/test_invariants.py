@@ -374,3 +374,22 @@ def test_funnel_average_is_total_without_purchases(spark):
         row = load_registry()["rel_funnel_steps"].fn(spark, d).collect()[0]
     assert row.n_viewed == 1 and row.n_clicked == 1 and row.n_purchased == 0
     assert row.avg_conv_sec is None and row.sum_conv_us is None
+
+
+def test_wkt_source_skips_unparseable_timestamps(tmp_path):
+    """The wktposits reader's regex admits timestamps strptime's .%f rejects
+    (no fraction / 7+ digits); those lines must skip like any malformed line
+    instead of raising ValueError and killing the scan (review find, r7)."""
+    from meos_rs_spark.sources.wkt_source import WktPositsReader, _FilePartition
+
+    p = tmp_path / "posits.txt"
+    p.write_text(
+        "1;POINT(1.5 2.5)@2024-01-01 00:00:00.000001+00\n"  # good
+        "2;POINT(1 2)@2024-01-01 00:00:00+00\n"             # no fraction → skip
+        "3;POINT(1 2)@2024-01-01 00:00:00.1234567+00\n"     # 7 digits → skip
+        "garbage line\n"                                     # regex-rejected
+        "4;POINT(-3.25 4.75)@2024-06-01 12:30:45.500000+00\n"  # good
+    )
+    rows = list(WktPositsReader({"path": str(tmp_path)}).read(_FilePartition(str(p))))
+    assert [r[0] for r in rows] == [1, 4]
+    assert rows[1][1] == -3.25 and rows[1][2] == 4.75
