@@ -88,43 +88,9 @@ DRIVER_WINDOW = 50
 #: oldest-green rotation to reach it (r5 ADVICE: new code benefits most
 #: from a driver row). Clear entries once the round's artifact lands.
 FORCE_VERIFY: tuple[str, ...] = (
-    # r7: both rewritten pixel-real — resize now decodes, nearest-neighbor
-    # resamples (numpy), re-encodes and re-decodes with the resized-pixel
-    # md5 oracled (new output schema); frame-sample now really decodes each
-    # sampled frame as an 8×8 PNG with its decoded-pixel md5 oracled (and,
-    # late r7, reads them through a real Y4M container with new columns)
-    "mm_resize",
-    "mm_frame_sample",
-    # late-r7 review fixes whose implementations changed materially:
-    # session-window oracle gained the event_id tie-break; the foreachBatch
-    # store moved under the app-namespaced lifecycle dir; decontaminate was
-    # rewritten one-pass; n_bytes became a real byte count
-    "stream_session_windows",
-    "stream_foreachbatch_sink",
-    "text_decontaminate",
-    "text_token_count",
-    # third review pass: the upsert split moved to a scalar subquery (the
-    # eager-leg BNLJ the lint couldn't see), and the LSH bucket kernel got
-    # the asNondeterministic duplicate-evaluation pin — one representative
-    # row re-earned for each
-    "snk_upsert_merge",
-    "sim_ann_lsh",
-    # fourth review pass (kernel layer): the CRS queries moved to single
-    # struct-returning kernels, and the WKT parse became total under ANSI
-    "traj_transform_utm",
-    "traj_transform_lcc",
-    "serde_wkt_malformed",
-    # fifth review pass (ANSI totality): cosine/funnel divisions moved to
-    # try_divide (NULL, not DIVIDE_BY_ZERO abort, on zero-norm vectors /
-    # purchase-free funnels); win_lag_dedup now reuses the null-safe
-    # dedup_monotonic
-    "sim_cosine_topk",
-    "sim_prefix_rerank",
-    "sim_mmr_rerank",
-    "rel_funnel_steps",
-    "win_lag_dedup",
-    # sixth sweep: seqset now dedups before gap-splitting (total orderings)
-    "serde_wkt_seqset",
+    # r8: none yet — all 18 r7 entries earned green CORRECTNESS_r07 rows
+    # and were cleared (r7 VERDICT item 1). Add any query whose semantics
+    # change this round.
 )
 
 

@@ -3,8 +3,8 @@ FIRST 50 entries of __spark_entry__.queries() only (observed in r2), so the
 round's verification targets must occupy exactly those positions.
 
 Since round 6 the head is COMPUTED from the committed CORRECTNESS_r*.json
-artifacts (registry.compute_verify_head). R7_EXPECTED_HEAD pins the tuple
-the r1-r6 artifacts produce; when the driver lands CORRECTNESS_r07.json the
+artifacts (registry.compute_verify_head). R8_EXPECTED_HEAD pins the tuple
+the r1-r7 artifacts produce; when the driver lands CORRECTNESS_r08.json the
 pin goes stale and this test fails — the next round's first task is then
 reviewing the freshly computed rotation and re-pinning it here.
 """
@@ -19,68 +19,62 @@ from meos_rs_spark.registry import (
     verify_order_head,
 )
 
-# Round-7 rotation computed from CORRECTNESS_r01..r06: zero reds, one
-# never-checked (mm_jpeg_features, new this round), then FORCE_VERIFY (the
-# two pixel-real multimodal rewrites plus the review-pass queries re-earning
-# their rows — passes 2-5), then the oldest-green refill: the 10 remaining
-# r2-era greens followed by the oldest r3-era greens, registration order
-# within each round.
-R7_EXPECTED_HEAD = (
-    # never-checked backlog (new this round)
-    "mm_jpeg_features",
-    # changed-this-round re-verification (registry.FORCE_VERIFY,
-    # registration order)
-    "mm_resize",
-    "mm_frame_sample",
-    "serde_wkt_seqset",
-    "traj_transform_utm",
-    "traj_transform_lcc",
-    "serde_wkt_malformed",
-    "sim_cosine_topk",
-    "sim_ann_lsh",
-    "sim_prefix_rerank",
-    "sim_mmr_rerank",
-    "snk_upsert_merge",
-    "stream_session_windows",
-    "stream_foreachbatch_sink",
-    "text_token_count",
-    "text_decontaminate",
-    "rel_funnel_steps",
-    "win_lag_dedup",
-    # oldest-green refill: the 10 r2-era greens, then the oldest
-    # r3-era greens, registration order within each round
-    "rel_join_semi",
-    "rel_join_anti",
-    "rel_join_range",
-    "rel_join_band_bucketed",
-    "rel_join_asof",
-    "rel_join_multiway",
-    "rel_distinct",
-    "rel_count_distinct",
-    "rel_rollup",
-    "rel_cube",
-    "traj_assembly",
-    "traj_extent",
-    "traj_merge",
-    "traj_equality",
-    "traj_accessors",
-    "traj_length_speed",
-    "traj_value_at_time",
-    "traj_shift_scale",
-    "traj_sample",
-    "traj_ever_always",
-    "traj_arith",
-    "traj_time_buckets",
-    "traj_azimuth",
-    "traj_speed_segments",
-    "traj_at_box",
-    "traj_project_mercator",
-    "traj_length_haversine",
-    "src_csv_roundtrip",
-    "rel_topk_orders",
-    "rel_set_ops",
-    "rel_global_metrics",
-    "rel_filter_agg",
+# Round-8 rotation computed from CORRECTNESS_r01..r07: zero reds, zero
+# never-checked, empty FORCE_VERIFY (all 18 r7 entries earned green r07
+# rows and were cleared), so the head is pure oldest-green refill: the 20
+# remaining r3-era greens followed by the 30 oldest r4-era greens,
+# registration order within each round.
+R8_EXPECTED_HEAD = (
+    "rel_correlated_subquery",
+    "rel_salted_agg",
+    "rel_disjunctive_join",
+    "scalar_strings",
+    "scalar_dates",
+    "scalar_ts_roundtrip",
+    "scalar_math",
+    "scalar_case_coalesce",
+    "scalar_json",
+    "scalar_arrays",
+    "scalar_regexp",
+    "scalar_maps",
+    "trajsim_hausdorff",
+    "trajsim_nearest_approach",
+    "win_rownum_truncate",
+    "win_rank_dense",
+    "win_lead_gap",
+    "win_rolling_frame",
+    "win_running_total",
+    "win_ntile_first_last",
+    "box_stbox_z",
+    "box_stbox_expand",
+    "box_tbox_algebra",
+    "dedup_components",
+    "serde_hexwkb",
+    "serde_mfjson_ingest",
+    "serde_wkb_roundtrip",
+    "traj_stbox_z_path",
+    "traj_sessionize",
+    "traj_simplify_dp",
+    "traj_spanset_coverage",
+    "traj_tbool_duration",
+    "traj_minus_box",
+    "traj_tcount_sweep",
+    "traj_tcentroid",
+    "traj_twavg",
+    "traj_resample_linear",
+    "traj_at_value",
+    "traj_tmax_sweep",
+    "traj_cumulative_length",
+    "traj_interp_mixed",
+    "serde_e2e_pipeline",
+    "sim_ann_ivf",
+    "sim_pq_ann",
+    "sim_ann_multiprobe",
+    "src_partition_pruning",
+    "src_schema_evolution",
+    "src_orc_roundtrip",
+    "src_csv_malformed",
+    "src_python_datasource",
 )
 
 
@@ -92,10 +86,10 @@ def test_head_is_exactly_the_driver_window():
     assert tuple(names[:50]) == head
 
 
-def test_computed_head_matches_the_round7_pin():
+def test_computed_head_matches_the_round8_pin():
     # Stale-pin alarm: fails as soon as a new CORRECTNESS artifact lands,
     # forcing the next round to review + re-pin the rotation.
-    assert verify_order_head() == R7_EXPECTED_HEAD
+    assert verify_order_head() == R8_EXPECTED_HEAD
 
 
 def test_head_priority_rule():
