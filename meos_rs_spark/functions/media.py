@@ -647,9 +647,13 @@ def avi_encode_mjpeg(
         usec_per_frame, maxbytes * fps, 0, 0x10,  # flags: AVIF_HASINDEX
         len(jpeg_frames), 0, 1, maxbytes, width, height, 0, 0, 0, 0,
     )
+    # AVISTREAMHEADER: fccType/fccHandler, then dwFlags, wPriority,
+    # wLanguage, dwInitialFrames, dwScale, dwRate, dwStart, dwLength,
+    # dwSuggestedBufferSize, dwQuality, dwSampleSize (9 DWORDs + 2 WORDs),
+    # then rcFrame — 56 bytes total per the spec
     strh = (
-        b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps,
-                                        0, len(jpeg_frames), maxbytes, 0, 0, 0)
+        b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps,
+                                        0, len(jpeg_frames), maxbytes, 0, 0)
         + struct.pack("<hhhh", 0, 0, width, height)
     )
     strf = struct.pack(

@@ -174,7 +174,14 @@ def _plan_digest(df: DataFrame) -> str | None:
         return None
     if "LocalRelation" in plan or "LogicalRDD" in plan:
         return None
-    return hashlib.sha256((plan + "\1" + files).encode()).hexdigest()
+    # canonicalized() normalizes output alias NAMES away, so two stage()
+    # calls under one table name differing only in column aliases would
+    # digest identically and the memo would serve the first build's parquet
+    # with stale column names (r7 ADVICE item 2) — mix the output schema in
+    schema = df.schema.simpleString()
+    return hashlib.sha256(
+        (plan + "\1" + files + "\2" + schema).encode()
+    ).hexdigest()
 
 
 def _canon_plan(plan: str) -> str:
@@ -230,8 +237,15 @@ def fan_out(df: DataFrame, *keys: str) -> DataFrame:
     added. One shared policy for every call site (dedup shingles, the
     multimodal payload stages)."""
     spark = df.sparkSession
-    par = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
+    try:
+        # .rdd / sparkContext raise under Spark Connect; the guard is a
+        # local-mode fixture mitigation only, so degrade to a no-op there
+        # (matching _plan_digest's Connect fallback — r7 ADVICE item 3)
+        par = spark.sparkContext.defaultParallelism
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if n < par:
         df = df.repartition(par, *keys)
     return df
 

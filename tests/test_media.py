@@ -461,6 +461,21 @@ def test_avi_mjpeg_roundtrip_including_odd_chunk_padding():
         assert err.max() <= 2
 
 
+def test_avi_strh_is_spec_sized_for_external_parsers():
+    """AVISTREAMHEADER is 56 bytes (9 DWORDs + 2 WORDs + rcFrame); a larger
+    strh shifts dwSampleSize/rcFrame for strict external parsers even though
+    the in-repo decoder reads dwScale/dwRate at fixed spec offsets (r7
+    ADVICE item 1)."""
+    data = avi_encode_mjpeg([b"\xff\xd8\xff\xd9"], 8, 8, fps=25)
+    at = data.find(b"strh")
+    assert at > 0
+    (size,) = struct.unpack_from("<I", data, at + 4)
+    assert size == 56
+    # rcFrame sits at the spec offset: right/bottom == width/height
+    right, bottom = struct.unpack_from("<hh", data, at + 8 + 52)
+    assert (right, bottom) == (8, 8)
+
+
 def test_avi_decode_hand_assembled_minimal_file():
     """An AVI assembled from the RIFF spec by hand (no encoder): one vids/
     MJPG stream, one frame chunk. strh layout: fccType, fccHandler,

@@ -250,3 +250,20 @@ def test_plan_digest_distinguishes_exprid_shaped_literals(spark):
     b1 = staging._plan_digest(d.filter(F.col("lang") == "x").groupBy("source").count())
     b2 = staging._plan_digest(d.filter(F.col("lang") == "x").groupBy("source").count())
     assert b1 == b2
+
+
+def test_plan_digest_distinguishes_output_alias_names(spark):
+    """Regression for r7 ADVICE item 2: canonicalized() normalizes output
+    alias NAMES away, so two plans differing only in column aliases used to
+    digest identically — the memo would serve the first build's parquet
+    with stale column names and downstream resolution would fail."""
+    from meos_rs_spark.functions import staging
+    from tests.conftest import SF_SMOKE
+
+    import pyspark.sql.functions as F
+
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    a1 = staging._plan_digest(d.select(F.length("text").alias("n_chars")))
+    a2 = staging._plan_digest(d.select(F.length("text").alias("text_len")))
+    assert a1 is not None and a2 is not None
+    assert a1 != a2

@@ -33,6 +33,7 @@ import sys
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 TABLES = [
@@ -82,7 +83,7 @@ def scale_fixture(src: str, dst: str, factor: int) -> None:
         hi = 0
         for table, col in cols:
             arr = pq.read_table(os.path.join(src, f"{table}.parquet"), columns=[col])
-            hi = max(hi, pa.compute.max(arr[col]).as_py() or 0)
+            hi = max(hi, pc.max(arr[col]).as_py() or 0)
         offsets[domain] = hi + 1
     col_offset = {
         (table, col): offsets[domain]
