@@ -54,6 +54,40 @@ KEY_DOMAINS = {
     "vecid": [("embeddings", "vec_id")],
 }
 
+#: --skew: fact-side columns where one hot key absorbs its residue class.
+#: In replicas r>0, rows whose BASE key shares the hot key's residue mod m
+#: are reassigned the hot key itself (un-offset), so at R=10 one
+#: customer/supplier/vessel ends up holding ~(m-1+R)/(m*R) ≈ 22-25% of the
+#: whole fact table — the "one MMSI ≫ others" case (SURVEY §4, r7 VERDICT
+#: item 3). Only FK/grouping columns are skewed; PK columns offset
+#: normally, so referential integrity holds (the hot key exists in
+#: replica 0's dimension slice) and replica dimensions merely go childless.
+#: residue modulus m: hot fraction ≈ (m-1+R)/(m*R); m=4 → ~22.5% at R=10.
+#: SPARK_GRAFT_SKEW_MOD overrides (m=2 → ~47.5%: the heavier contest the
+#: salted-join probe uses to find the salt's crossover point).
+_SKEW_MOD = int(os.environ.get("SPARK_GRAFT_SKEW_MOD", "4"))
+SKEW_FACT: dict[tuple[str, str], int] = {
+    ("orders", "o_custkey"): _SKEW_MOD,
+    ("lineitem", "l_suppkey"): _SKEW_MOD,
+    ("events", "user_id"): _SKEW_MOD,
+}
+
+#: --skew: every doc whose base doc_id ≡ 0 (mod 50) gets ONE shared
+#: template text verbatim in replicas r>0 (no per-replica substitution) —
+#: the "boilerplate page repeated across a crawl" case. At R=10 that is
+#: ~900 identical docs on a 50k corpus: far past the LSH bucket cap
+#: (dedup.MAX_BUCKET=64), so the cap must be observed binding.
+SKEW_DOC_MOD = 50
+
+
+def _hot_key(src: str, table: str, col: str) -> int:
+    """The key carrying the most mass in the source fact table (min key on
+    ties) — deterministic, so the skewed fixture is reproducible."""
+    arr = pq.read_table(os.path.join(src, f"{table}.parquet"), columns=[col])
+    vc = arr[col].to_pandas().value_counts()
+    return int(min(vc[vc == vc.max()].index))
+
+
 def _subst_table(r: int) -> dict[int, int] | None:
     """Per-replica character substitution (str.translate table).
 
@@ -75,8 +109,20 @@ def _subst_table(r: int) -> dict[int, int] | None:
     return tab
 
 
-def scale_fixture(src: str, dst: str, factor: int) -> None:
+def scale_fixture(src: str, dst: str, factor: int, skew: bool = False) -> None:
     os.makedirs(dst, exist_ok=True)
+    hot: dict[tuple[str, str], int] = {}
+    hot_text: str | None = None
+    if skew:
+        hot = {
+            (t, c): _hot_key(src, t, c) for (t, c) in SKEW_FACT
+        }
+        docs = pq.read_table(
+            os.path.join(src, "documents.parquet"), columns=["doc_id", "text"]
+        ).to_pandas()
+        tmpl = docs[docs["doc_id"] % SKEW_DOC_MOD == 0]
+        hot_text = str(tmpl.loc[tmpl["doc_id"].idxmin(), "text"])
+        print(f"skew hot keys: { {f'{t}.{c}': k for (t, c), k in hot.items()} }")
     # key offsets: one per domain, from the domain's max key in the source
     offsets: dict[str, int] = {}
     for domain, cols in KEY_DOMAINS.items():
@@ -107,12 +153,20 @@ def scale_fixture(src: str, dst: str, factor: int) -> None:
             rep = base.copy(deep=False)
             for (t, col), off in col_offset.items():
                 if t == table:
-                    rep[col] = base[col] + r * off
+                    newcol = base[col] + r * off
+                    if r and (t, col) in hot:
+                        hk = hot[(t, col)]
+                        mod = SKEW_FACT[(t, col)]
+                        newcol = newcol.where(base[col] % mod != hk % mod, hk)
+                    rep[col] = newcol
             if table == "documents":
                 tab = _subst_table(r)
-                rep["text"] = (
+                text = (
                     base["text"] if tab is None else base["text"].str.translate(tab)
                 )
+                if r and hot_text is not None:
+                    text = text.where(base["doc_id"] % SKEW_DOC_MOD != 0, hot_text)
+                rep["text"] = text
             if table == "embeddings" and r:
                 rep["embedding"] = base["embedding"].map(
                     lambda v, k=r: np.roll(v, k)
@@ -127,15 +181,18 @@ def scale_fixture(src: str, dst: str, factor: int) -> None:
 
 
 def main() -> None:
-    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    argv = [a for a in sys.argv[1:] if a != "--skew"]
+    skew = "--skew" in sys.argv[1:]
+    factor = int(argv[0]) if len(argv) > 0 else 10
+    src = argv[1] if len(argv) > 1 else "/root/testdata/sf0.1"
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    suffix = "skew" if skew else ""
     dst = (
-        sys.argv[3]
-        if len(sys.argv) > 3
-        else os.path.join(repo, ".scale", f"sf1_x{factor}")
+        argv[2]
+        if len(argv) > 2
+        else os.path.join(repo, ".scale", f"sf1_x{factor}{suffix}")
     )
-    scale_fixture(src, dst, factor)
+    scale_fixture(src, dst, factor, skew=skew)
     print(f"wrote {dst}")
 
 

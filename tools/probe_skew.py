@@ -1,0 +1,254 @@
+"""Round-8 skew probe (r7 VERDICT item 3): measure the engine under a
+genuinely HOT key, not just more keys.
+
+``gen_scale --skew`` concentrates ~22.5% of each fact table on one
+customer / supplier / vessel and plants ~900 identical copies of one doc
+template (see ``tools/gen_scale.py``); this runner then measures, in one
+sitting on the same session (min-of-2, staging memo off — bench.py's
+honest-timing protocol):
+
+1. the skew-affected bench queries on the skewed ×10 fixture vs the
+   uniform ×10 fixture (same row counts, so the ratio isolates the skew);
+2. the LSH bucket census: how many (band, key) buckets exceed
+   ``dedup.MAX_BUCKET`` and how many doc slots the cap drops — the cap
+   must be observed BINDING on the skewed corpus and idle on the uniform
+   one;
+3. the salted-join contest: ``rel_salted_join`` vs its unsalted twin
+   (same merge-hint SMJ shape, no salt) on the skewed fixture, with AQE
+   skew-join disabled (the bucketed-layout case the salt defends) and
+   re-enabled (AQE as the first-line defense on plain shuffles).
+
+``python -m tools.probe_skew [skew_dir] [uniform_dir]`` prints a markdown
+fragment for SCALE_r08.md.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+#: bench queries whose input tables carry the planted hot keys (events /
+#: lineitem / orders / documents); the embeddings-only ANN family and the
+#: map-only text/codec passes see identical per-row work either way.
+AFFECTED = [
+    "flagship_trip_pipeline",
+    "rel_pricing_summary",
+    "rel_join_multiway",
+    "win_running_total",
+    "traj_assembly",
+    "traj_resample_linear",
+    "traj_stbox_z_path",
+    "traj_transform_utm",
+    "dedup_minhash_lsh",
+]
+
+
+def _timed(fn, runs: int = 2) -> tuple[float, int]:
+    best, n = float("inf"), 0
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        n = fn()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3), n
+
+
+def lsh_bucket_census(spark, sf_dir: str) -> dict:
+    """(band, key) bucket-size census over the SAME banding the query runs —
+    buckets above MAX_BUCKET are the ones ``dedup_minhash_lsh`` drops whole."""
+    from meos_rs_spark.queries.dedup import (
+        MAX_BUCKET,
+        N_BANDS,
+        ROWS_PER_BAND,
+        _staged_sig,
+    )
+
+    sig = _staged_sig(spark, sf_dir)
+    band_cols = [
+        F.md5(
+            F.concat_ws("|", *[f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)])
+        ).alias(f"band{b}")
+        for b in range(N_BANDS)
+    ]
+    buckets = (
+        sig.select("doc_id", *band_cols)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("key"))
+                        for b in range(N_BANDS)
+                    ]
+                )
+            ).alias("bk"),
+        )
+        .groupBy("bk.band_id", "bk.key")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    row = buckets.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("sz").alias("max_bucket"),
+        F.sum(F.when(F.col("sz") > MAX_BUCKET, 1).otherwise(0)).alias("n_over_cap"),
+        F.sum(F.when(F.col("sz") > MAX_BUCKET, F.col("sz")).otherwise(0)).alias(
+            "doc_slots_dropped"
+        ),
+    ).collect()[0]
+    return {**row.asDict(), "cap": MAX_BUCKET}
+
+
+def _agg(joined):
+    return joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
+
+
+def salt_contest(spark, sf_dir: str) -> list[tuple[str, str, float, bool]]:
+    """rel_salted_join's mechanism vs its unsalted twin, scan-isolated.
+
+    End-to-end timings at toy scale are scan-dominated (the whole events
+    table is a few tens of MB), which buries the join-stage delta the salt
+    targets — at 100 TB the scan is distributed and the skewed shuffle
+    join IS the bottleneck. So the fact projection is persisted first and
+    only the join+agg is timed. AQE's skew-join thresholds are likewise
+    lowered to scale-equivalent values (default 256 MB assumes cluster
+    partitions; the hot partition here is ~15 MB) for the AQE leg — at
+    real scale the default thresholds bind by themselves.
+
+    Returns (plan, aqe, seconds, plan_shows_skew_split) rows.
+    """
+    from meos_rs_spark.queries.relational import _JSALT
+    from meos_rs_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 25).cast("int").alias("__nkey"),
+        F.pmod(F.hash("event_id"), F.lit(_JSALT)).alias("__salt"),
+        "value",
+    )
+    ev = ev.persist()
+    ev.count()
+    nation = load_table(spark, sf_dir, "nation")
+    dim_plain = nation.select("n_nationkey", "n_name").hint("merge")
+    dim_salted = nation.select(
+        "n_nationkey",
+        "n_name",
+        F.explode(F.sequence(F.lit(0), F.lit(_JSALT - 1))).alias("__salt"),
+    ).hint("merge")
+
+    # builders, not DataFrames: a fresh frame per timed run forces a fresh
+    # QueryExecution — re-collecting ONE adaptive frame would reuse its
+    # already-materialized shuffle stages and time only the final stage
+    def unsalted():
+        return _agg(ev.join(dim_plain, ev.__nkey == dim_plain.n_nationkey))
+
+    def salted():
+        return _agg(
+            ev.join(
+                dim_salted,
+                (ev.__nkey == dim_salted.n_nationkey)
+                & (ev.__salt == dim_salted.__salt),
+            )
+        )
+
+    rows = []
+    skew_confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "4m",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2m",
+        # the join output feeds the groupBy's exchange; without force, the
+        # no-extra-shuffle rule vetoes the split even when the partition
+        # qualifies
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }
+    for plan, build, aqe in (
+        ("unsalted SMJ", unsalted, "off"),
+        ("unsalted SMJ", unsalted, "on (scale-equiv thresholds)"),
+        ("salted (key, salt) SMJ", salted, "off"),
+    ):
+        if aqe == "off":
+            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        else:
+            for k, v in skew_confs.items():
+                spark.conf.set(k, v)
+        last = None
+
+        def run():
+            nonlocal last
+            last = build()
+            # collect(), not count(): count() builds and runs a SEPARATE
+            # QueryExecution, so the frame's own executedPlan would stay
+            # isFinalPlan=false and the skew-split check would read a
+            # never-executed plan
+            return len(last.collect())
+
+        t, _ = _timed(run, runs=3)
+        final = last._jdf.queryExecution().executedPlan().toString()
+        rows.append((plan, aqe, t, "isSkewJoin=true" in final or "skew=true" in final))
+    # restore defaults so later sections see the stock session
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    for k in list(skew_confs)[1:]:
+        spark.conf.unset(k)
+    ev.unpersist()
+    return rows
+
+
+def main() -> None:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    skew_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(repo, ".scale", "sf1_x10skew")
+    unif_dir = sys.argv[2] if len(sys.argv) > 2 else os.path.join(repo, ".scale", "sf1_x10")
+
+    from meos_rs_spark.registry import load_registry
+    from meos_rs_spark.session import get_spark
+
+    registry = load_registry()
+    spark = get_spark(app_name="meos-rs-spark-skew-probe")
+    spark.conf.set("spark.meos.staging.memo", "false")
+
+    # warm-up at the smallest sf (codegen + Arrow workers hot, as bench.py)
+    warm = "/root/testdata/sf0.001"
+    for name in AFFECTED:
+        registry[name].fn(spark, warm).count()
+
+    print("## Affected bench queries: uniform ×10 vs skewed ×10 (min-of-2 sec)\n")
+    print("| query | uniform ×10 | skewed ×10 | skew/uniform |")
+    print("|---|---|---|---|")
+    for name in AFFECTED:
+        fn = registry[name].fn
+        tu, _ = _timed(lambda: fn(spark, unif_dir).count())
+        ts, _ = _timed(lambda: fn(spark, skew_dir).count())
+        print(f"| {name} | {tu} | {ts} | {ts / tu:.2f} |", flush=True)
+
+    print("\n## LSH bucket-cap census (dedup.MAX_BUCKET binding?)\n")
+    print("| fixture | buckets | max size | over cap | doc slots dropped |")
+    print("|---|---|---|---|---|")
+    for label, d in (("uniform ×10", unif_dir), ("skewed ×10", skew_dir)):
+        c = lsh_bucket_census(spark, d)
+        print(
+            f"| {label} | {c['n_buckets']} | {c['max_bucket']} | "
+            f"{c['n_over_cap']} | {c['doc_slots_dropped']} |",
+            flush=True,
+        )
+
+    print(
+        "\n## Salted vs unsalted join, scan-isolated join+agg stage "
+        "(min-of-3 sec)\n"
+    )
+    contest_dirs = [(os.path.basename(skew_dir), skew_dir)]
+    heavy = os.path.join(repo, ".scale", "sf1_x20skew2")
+    if os.path.isdir(heavy):
+        contest_dirs.append((os.path.basename(heavy) + " (47.9% hot)", heavy))
+    print("| fixture | plan | AQE skew-join | time | skew split in plan |")
+    print("|---|---|---|---|---|")
+    for label, d in contest_dirs:
+        for plan, aqe, t, split in salt_contest(spark, d):
+            print(f"| {label} | {plan} | {aqe} | {t} | {split} |", flush=True)
+
+
+if __name__ == "__main__":
+    main()
