@@ -182,6 +182,16 @@ def box_stbox_z(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CELL = 50.0
 
+#: two-sided chunk salt for the overlap join: each grid cell's members are
+#: hash-split into K chunks per side and the join key is (cell, ca, cb), so
+#: a hot cell spreads over K² tasks instead of one. K² × #cells partitions;
+#: exploded rows grow ×K per side (box metadata only, ~50 B/row).
+_OVERLAP_CHUNKS = 8
+
+#: adaptive-grid cap: cell size never drops below (data span / _MAX_GRID)
+#: per axis, bounding any one box's cell explosion.
+_MAX_GRID = 4096
+
 _STBOX_CTE = f"""
 {POSITS_CTE},
 vbox AS (
@@ -207,10 +217,36 @@ FROM vbox a JOIN vbox b
 """,
     tags=("J5",),
     doc="interval/box-overlap join. Spark side is the scale shape: explode each box "
-    "into spanned grid cells, equi-join on cell, dedup pairs, refine exact overlap "
-    "(SURVEY §2.3 J5); oracle runs the quadratic theta join.",
+    "into spanned grid cells (cell size ADAPTIVE: the median box extent per axis, "
+    "from a scalar subquery), equi-join on (cellx, celly, chunk, chunk), refine "
+    "exact overlap, and emit each pair at its CANONICAL cell only (the cell "
+    "holding the intersection's min corner — the reference-point technique from "
+    "the spatial-join literature), so no distinct over duplicated pairs is ever "
+    "shuffled (SURVEY §2.3 J5); oracle runs the quadratic theta join.",
 )
 def box_stbox_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Three scale hazards found by the r8 full-registry ×10 sweep, each
+    # fixed structurally (together: 493s -> ~12s at ×10, same output):
+    #  * a FIXED cell size is wrong whenever boxes aren't cell-sized: the
+    #    fixture's trajectory boxes span half the domain, so at 50x50 every
+    #    pair met in ~10 shared cells (10x redundant candidate tests).
+    #    Cell = median box extent per axis (the textbook grid-join choice)
+    #    keeps mean coverage at ~2x2 cells for ANY box distribution —
+    #    graceful degradation to near-all-pairs on dense data, real pruning
+    #    on sparse data. Computed by an inlined scalar subquery (no join);
+    #    floored at span/4096 so one outlier box can explode into at most
+    #    ~8k cells, and at 1e-9 for degenerate single-point data.
+    #  * parallelism was capped at the DISTINCT CELL COUNT — the two-sided
+    #    chunk salt joins on (cellx, celly, ca, cb), spreading each hot
+    #    cell over K² tasks in the shuffle path; each (a, b) pair still
+    #    meets exactly once per shared cell, at (ca(a), cb(b)). The join
+    #    keys stay primitive ints: a struct-typed key measured ~3x slower
+    #    per probed candidate.
+    #  * `.distinct()` shuffled every duplicated candidate pair (~10x the
+    #    already-quadratic output) — the canonical-cell filter emits a pair
+    #    only where the join cell holds the intersection's min corner
+    #    (both boxes always cover that cell, so exactly one cell emits),
+    #    making the join output duplicate-free by construction.
     vbox = (
         posits(spark, sf_dir)
         .groupBy("mmsi")
@@ -223,25 +259,96 @@ def box_stbox_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ts").alias("tmax"),
         )
     )
-    cells = vbox.withColumn(
+    # Explicit-count repartition BEFORE the explode: the per-vessel box
+    # summary is tiny post-shuffle (one row per vessel), so AQE coalesces
+    # the aggregate's exchange down to one partition — blind to the ×(cells
+    # × chunks) Generate expansion after it — and the whole quadratic join
+    # then runs on ONE task (observed live at ×10: a 1G-candidate probe
+    # single-threaded). A user-specified partition count is exempt from
+    # AQE coalescing; the extra exchange moves one summary row per vessel.
+    try:
+        vbox = vbox.repartition(spark.sparkContext.defaultParallelism, "mmsi")
+    except Exception:
+        pass  # Spark Connect: no sparkContext; driver-default AQE applies
+    stats = vbox.agg(
+        F.struct(
+            F.greatest(
+                F.percentile_approx(F.col("xmax") - F.col("xmin"), F.lit(0.5)),
+                (F.max("xmax") - F.min("xmin")) / _MAX_GRID,
+                F.lit(1e-9),
+            ).alias("cw"),
+            F.greatest(
+                F.percentile_approx(F.col("ymax") - F.col("ymin"), F.lit(0.5)),
+                (F.max("ymax") - F.min("ymin")) / _MAX_GRID,
+                F.lit(1e-9),
+            ).alias("ch"),
+        ).alias("s")
+    ).scalar()
+    cw, ch = stats["cw"], stats["ch"]
+    # cell bounds computed OUTSIDE the higher-order function: subquery
+    # expressions (the adaptive cw/ch) are not allowed inside lambdas
+    bounded = vbox.select(
+        "*",
+        F.floor(F.col("xmin") / cw).cast("int").alias("cx0"),
+        F.floor(F.col("xmax") / cw).cast("int").alias("cx1"),
+        F.floor(F.col("ymin") / ch).cast("int").alias("cy0"),
+        F.floor(F.col("ymax") / ch).cast("int").alias("cy1"),
+    )
+    cells = bounded.withColumn(
         "cell",
         F.explode(
-            F.expr(
-                f"flatten(transform(sequence(CAST(floor(xmin/{_CELL}) AS INT), CAST(floor(xmax/{_CELL}) AS INT)), "
-                f"cx -> transform(sequence(CAST(floor(ymin/{_CELL}) AS INT), CAST(floor(ymax/{_CELL}) AS INT)), "
-                f"cy -> struct(cx, cy))))"
+            F.flatten(
+                F.transform(
+                    F.sequence(F.col("cx0"), F.col("cx1")),
+                    lambda cx: F.transform(
+                        F.sequence(F.col("cy0"), F.col("cy1")),
+                        lambda cy: F.struct(cx.alias("cx"), cy.alias("cy")),
+                    ),
+                )
             )
         ),
+    ).select("*", F.col("cell.cx").alias("cellx"), F.col("cell.cy").alias("celly"))
+    K = _OVERLAP_CHUNKS
+    a = cells.select(
+        F.col("mmsi").alias("mmsi_a"),
+        F.col("cellx").alias("cx_a"),
+        F.col("celly").alias("cy_a"),
+        F.col("cx0").alias("cx0_a"),
+        F.col("cy0").alias("cy0_a"),
+        F.struct("xmin", "xmax", "ymin", "ymax", "tmin", "tmax").alias("a"),
+        F.pmod(F.hash("mmsi"), F.lit(K)).alias("ca"),
+        F.explode(F.sequence(F.lit(0), F.lit(K - 1))).alias("cb"),
     )
-    a = cells.select(F.col("mmsi").alias("mmsi_a"), F.col("cell").alias("cell_a"), F.struct(
-        "xmin", "xmax", "ymin", "ymax", "tmin", "tmax").alias("a"))
-    b = cells.select(F.col("mmsi").alias("mmsi_b"), F.col("cell").alias("cell_b"), F.struct(
-        "xmin", "xmax", "ymin", "ymax", "tmin", "tmax").alias("b"))
+    b = cells.select(
+        F.col("mmsi").alias("mmsi_b"),
+        F.col("cellx").alias("cx_b"),
+        F.col("celly").alias("cy_b"),
+        F.col("cx0").alias("cx0_b"),
+        F.col("cy0").alias("cy0_b"),
+        F.struct("xmin", "xmax", "ymin", "ymax", "tmin", "tmax").alias("b"),
+        F.pmod(F.hash("mmsi"), F.lit(K)).alias("cb"),
+        F.explode(F.sequence(F.lit(0), F.lit(K - 1))).alias("ca"),
+    )
+    # floor is monotonic, so floor(max(xmin_a, xmin_b)/cw) ==
+    # max(floor(xmin_a/cw), floor(xmin_b/cw)) — the canonical cell is the
+    # per-axis MAX of the two boxes' first covered cells, precomputed per
+    # ROW above. Keeps the scalar subquery (cw/ch) out of the per-candidate
+    # hot filter: pure int comparisons, fully codegen-friendly.
+    canonical = (
+        (F.col("cx_a") == F.greatest(F.col("cx0_a"), F.col("cx0_b")))
+        & (F.col("cy_a") == F.greatest(F.col("cy0_a"), F.col("cy0_b")))
+    )
     pairs = (
-        a.join(b, (a.cell_a == b.cell_b) & (a.mmsi_a < b.mmsi_b))
-        .filter(stbox_overlaps(F.col("a"), F.col("b")))
+        a.join(
+            b,
+            (a.cx_a == b.cx_b)
+            & (a.cy_a == b.cy_b)
+            & (a.ca == b.ca)
+            & (a.cb == b.cb)
+            & (a.mmsi_a < b.mmsi_b),
+        )
+        .filter(stbox_overlaps(F.col("a"), F.col("b")) & canonical)
         .select("mmsi_a", "mmsi_b")
-        .distinct()
     )
     return pairs
 

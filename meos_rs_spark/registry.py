@@ -88,9 +88,12 @@ DRIVER_WINDOW = 50
 #: oldest-green rotation to reach it (r5 ADVICE: new code benefits most
 #: from a driver row). Clear entries once the round's artifact lands.
 FORCE_VERIFY: tuple[str, ...] = (
-    # r8: none yet — all 18 r7 entries earned green CORRECTNESS_r07 rows
-    # and were cleared (r7 VERDICT item 1). Add any query whose semantics
-    # change this round.
+    # r8: the overlap join was rewritten for the scale defects the
+    # full-registry ×10 sweep exposed (adaptive cell size via scalar
+    # subquery, two-sided chunk salt, canonical-cell emission replacing
+    # distinct, explicit-count repartition against AQE coalesce-before-
+    # explode) — same output, materially different plan; re-earn its row
+    "box_stbox_overlap_join",
 )
 
 

@@ -20,11 +20,12 @@ from meos_rs_spark.registry import (
 )
 
 # Round-8 rotation computed from CORRECTNESS_r01..r07: zero reds, zero
-# never-checked, empty FORCE_VERIFY (all 18 r7 entries earned green r07
-# rows and were cleared), so the head is pure oldest-green refill: the 20
-# remaining r3-era greens followed by the 30 oldest r4-era greens,
-# registration order within each round.
+# never-checked, then FORCE_VERIFY (the overlap-join scale rewrite
+# re-earning its row), then pure oldest-green refill: the 20 remaining
+# r3-era greens followed by the oldest r4-era greens, registration order
+# within each round.
 R8_EXPECTED_HEAD = (
+    "box_stbox_overlap_join",
     "rel_correlated_subquery",
     "rel_salted_agg",
     "rel_disjunctive_join",
@@ -74,7 +75,6 @@ R8_EXPECTED_HEAD = (
     "src_schema_evolution",
     "src_orc_roundtrip",
     "src_csv_malformed",
-    "src_python_datasource",
 )
 
 

@@ -1,0 +1,110 @@
+"""Round-8 full-registry scale sweep (r7 VERDICT item 4): the ×10 scale
+curve previously covered only the 16 bench queries; a scale-sensitive plan
+outside that set (the window-heavy SCD2/gap-islands family, the iterative
+``dedup_components``, the sink family) would have been invisible. This runs
+EVERY registered query once at sf0.1 and once at the uniform ×10 fixture in
+one sitting and reports t(×10)/t(0.1) per query.
+
+Protocol: one driver-default session, staging memo off (every timing does
+full work), one warm-up pass per query at sf0.001 (codegen + Arrow workers
+hot, as bench.py), ONE timed run per scale (203 queries × 2 scales; the
+verdict asks for wall-clock per query, not min-of-N) — then a confirm
+re-run at both scales for any query whose ratio exceeds the flag threshold,
+keeping the better (min) time, so a host-noise spike on a single run
+cannot flag a query falsely.
+
+``python -m tools.run_registry_scale [base_dir] [big_dir] [out_json]``
+prints one line per query and writes a JSON summary.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+#: flag threshold: the r7 bench suite's worst measured ×10 ratio was 3.2
+#: (traj_transform_lcc); anything beyond it is an outlier to investigate.
+FLAG_RATIO = 3.2
+
+WARM_DIR = "/root/testdata/sf0.001"
+
+
+def _run(fn, spark, d) -> tuple[float, int]:
+    t0 = time.perf_counter()
+    n = fn(spark, d).count()
+    return round(time.perf_counter() - t0, 3), n
+
+
+def main() -> None:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    big = sys.argv[2] if len(sys.argv) > 2 else os.path.join(repo, ".scale", "sf1_x10")
+    out = sys.argv[3] if len(sys.argv) > 3 else "/tmp/registry_scale.json"
+
+    from meos_rs_spark.registry import load_registry
+    from meos_rs_spark.session import get_spark
+
+    registry = load_registry()
+    spark = get_spark(app_name="meos-rs-spark-registry-scale")
+    spark.conf.set("spark.meos.staging.memo", "false")
+
+    results: dict[str, dict] = {}
+    t_start = time.time()
+    for name, spec in registry.items():
+        try:
+            _run(spec.fn, spark, WARM_DIR)
+            tb, nb = _run(spec.fn, spark, base)
+            tg, ng = _run(spec.fn, spark, big)
+            ratio = round(tg / tb, 2) if tb > 0 else float("inf")
+            if ratio > FLAG_RATIO:
+                # confirm: a single noisy run must not flag a query
+                tb = min(tb, _run(spec.fn, spark, base)[0])
+                tg = min(tg, _run(spec.fn, spark, big)[0])
+                ratio = round(tg / tb, 2) if tb > 0 else float("inf")
+            results[name] = {
+                "t_base": tb,
+                "t_x10": tg,
+                "ratio": ratio,
+                "rows_base": nb,
+                "rows_x10": ng,
+                "flag": ratio > FLAG_RATIO,
+            }
+            mark = "  <-- FLAG" if ratio > FLAG_RATIO else ""
+            print(
+                f"{name}: {tb}s -> {tg}s  ratio {ratio}  "
+                f"(rows {nb} -> {ng}){mark}",
+                flush=True,
+            )
+        except Exception as exc:  # record, keep sweeping
+            results[name] = {"error": f"{type(exc).__name__}: {exc}"[:300]}
+            print(f"{name}: ERROR {type(exc).__name__}: {exc}"[:200], flush=True)
+
+    flagged = [n for n, r in results.items() if r.get("flag")]
+    errored = [n for n, r in results.items() if "error" in r]
+    summary = {
+        "n_queries": len(results),
+        "n_flagged": len(flagged),
+        "flagged": flagged,
+        "n_errored": len(errored),
+        "errored": errored,
+        "wall_clock_total_sec": round(time.time() - t_start, 1),
+        "flag_ratio": FLAG_RATIO,
+        "base": base,
+        "big": big,
+        "queries": results,
+    }
+    with open(out, "w", encoding="utf-8") as fh:
+        json.dump(summary, fh, indent=1)
+    print(
+        f"\n{len(results)} queries, {len(flagged)} flagged (> {FLAG_RATIO}x), "
+        f"{len(errored)} errored, {summary['wall_clock_total_sec']}s total -> {out}",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()
