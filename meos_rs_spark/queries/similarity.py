@@ -16,7 +16,7 @@ classic band-partition ANN layout. No N×N crossJoin anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
@@ -90,9 +90,9 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # functions.embeddings.plane_signs (kept in lockstep)
 
 
-def _bucket_expr_duck(col: str) -> str:
+def _bucket_expr_duck(col: str, planes: int = N_PLANES) -> str:
     bits = []
-    for p in range(N_PLANES):
+    for p in range(planes):
         plane = (
             f"list_transform(generate_series(0, {DIM} - 1), j -> "
             f"CASE WHEN instr('89abcdef', substr(md5('{p}' || '-' || j), 1, 1)) > 0 "
@@ -101,6 +101,54 @@ def _bucket_expr_duck(col: str) -> str:
         dot = f"list_dot_product({plane}, CAST({col} AS DOUBLE[]))"
         bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
     return " + ".join(bits)
+
+
+# --- adaptive bucket granularity for the all-PAIRS LSH queries --------------
+#
+# A FIXED plane count makes same-bucket pair joins quadratic: with B = 2^8
+# buckets, candidate pairs are Σ b_i² ≈ N²/B — the r8 full-registry ×10
+# sweep measured sim_knn_graph at 16.7× and sim_embedding_neardup at 11.3×
+# wall for 10× data (pairs grew ×100). The pair queries therefore mask a
+# 16-plane code down to P = clamp(ceil(log2(N / TARGET)), 4, 16) bits, P
+# from a scalar subquery over the corpus count: bucket count tracks N, mean
+# bucket size stays ≈ TARGET, and total pair work stays LINEAR in N at any
+# scale. Dropping the low bits of the 16-plane code is exactly "use only
+# the first P hyperplanes", so the DuckDB oracle mirrors it with the same
+# masked expression. Probe-style queries (sim_ann_lsh/multiprobe) keep the
+# fixed 8-plane bucket: their work is one bucket scan per probe — linear.
+
+ADAPT_MAX_PLANES = 16
+ADAPT_MIN_PLANES = 4
+ADAPT_TARGET_BUCKET = 16
+
+_ADAPT_P_DUCK = (
+    f"least({ADAPT_MAX_PLANES}, greatest({ADAPT_MIN_PLANES}, "
+    f"CAST(ceil(log2(greatest((SELECT count(*) FROM embeddings), 1) "
+    f"/ {ADAPT_TARGET_BUCKET}.0)) AS INT)))"
+)
+
+
+def _bucket_expr_duck_adaptive(col: str) -> str:
+    return f"(({_bucket_expr_duck(col, ADAPT_MAX_PLANES)}) % (1 << {_ADAPT_P_DUCK}))"
+
+
+def _adaptive_bucket(emb: DataFrame) -> Column:
+    """Spark twin of ``_bucket_expr_duck_adaptive``: 16-plane code masked to
+    the corpus-sized plane count (scalar subquery, inlined — no join)."""
+    n = emb.select(F.col("vec_id")).agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    ).scalar()
+    p = F.least(
+        F.lit(ADAPT_MAX_PLANES),
+        F.greatest(
+            F.lit(ADAPT_MIN_PLANES),
+            F.ceil(F.log2(F.greatest(n, F.lit(1.0)) / ADAPT_TARGET_BUCKET)).cast("int"),
+        ),
+    )
+    code = make_lsh_bucket_udf(ADAPT_MAX_PLANES, DIM)(F.col("embedding"))
+    # 2^p as integer pow (shiftleft needs a literal bit count); exact for
+    # p <= 16 in double arithmetic
+    return F.pmod(code, F.pow(F.lit(2.0), p).cast("int"))
 
 
 @register(
@@ -151,7 +199,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_embedding_neardup",
     oracle=f"""
 WITH bucketed AS (
-  SELECT vec_id, embedding, {_bucket_expr_duck('embedding')} AS bucket
+  SELECT vec_id, embedding, {_bucket_expr_duck_adaptive('embedding')} AS bucket
   FROM embeddings
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -161,13 +209,14 @@ WHERE {_duck_cosine('a.embedding', 'b.embedding')} >= 0.5
 """,
     tags=("sim", "dedup", "lsh"),
     doc="embedding-cosine near-dup: same-bucket pairs filtered by cosine ≥ 0.5 "
-    "(bucket join bounds the pair space; threshold tuned to fixture geometry)",
+    "(ADAPTIVE bucket granularity: plane count tracks corpus size, so the "
+    "pair space stays linear in N — see _adaptive_bucket)",
 )
 def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    bucketed = emb.withColumn(
-        "bucket", make_lsh_bucket_udf(N_PLANES, DIM)(F.col("embedding"))
-    ).select("vec_id", "embedding", "bucket")
+    bucketed = emb.withColumn("bucket", _adaptive_bucket(emb)).select(
+        "vec_id", "embedding", "bucket"
+    )
     a = bucketed.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), F.col("bucket").alias("ba")
     )
@@ -483,7 +532,7 @@ _KNN_K = 3
     "sim_knn_graph",
     oracle=f"""
 WITH bucketed AS (
-  SELECT vec_id, label, embedding, {_bucket_expr_duck('embedding')} AS bucket
+  SELECT vec_id, label, embedding, {_bucket_expr_duck_adaptive('embedding')} AS bucket
   FROM embeddings
 ),
 pairs AS (
@@ -500,16 +549,17 @@ QUALIFY row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) <= {_KNN_
     tags=("sim", "lsh", "graph"),
     doc=f"k-NN GRAPH build (every corpus vector's top-{_KNN_K} neighbors, not "
     "just a probe set's): the adjacency list behind graph-based clustering "
-    "and kNN-graph dedup. Same-bucket pairs only (sign-LSH, corpus bucketed "
-    "once), so the pair count is sum of squared bucket sizes — bounded and "
-    "uniform under random hyperplanes — instead of N²; per-source top-k via "
-    "one window over the pair stream",
+    "and kNN-graph dedup. Same-bucket pairs only (sign-LSH with ADAPTIVE "
+    "bucket granularity: plane count tracks corpus size, so mean bucket "
+    "size stays ~constant and the pair count stays LINEAR in N at any "
+    "scale — see _adaptive_bucket); per-source top-k via one window over "
+    "the pair stream",
 )
 def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    bucketed = emb.withColumn(
-        "bucket", make_lsh_bucket_udf(N_PLANES, DIM)(F.col("embedding"))
-    ).select("vec_id", "label", "embedding", "bucket")
+    bucketed = emb.withColumn("bucket", _adaptive_bucket(emb)).select(
+        "vec_id", "label", "embedding", "bucket"
+    )
     a = bucketed.select(
         F.col("vec_id").alias("src"), F.col("embedding").alias("ea"), F.col("bucket").alias("ba")
     )
@@ -680,7 +730,7 @@ def _pr_iter_sql(prev: str, cur: str) -> str:
 
 _PR_ORACLE = f"""
 WITH bucketed AS (
-  SELECT vec_id, embedding, {_bucket_expr_duck('embedding')} AS bucket FROM embeddings
+  SELECT vec_id, embedding, {_bucket_expr_duck_adaptive('embedding')} AS bucket FROM embeddings
 ),
 pairs AS (
   SELECT a.vec_id AS src, b.vec_id AS dst,

@@ -94,6 +94,13 @@ FORCE_VERIFY: tuple[str, ...] = (
     # distinct, explicit-count repartition against AQE coalesce-before-
     # explode) — same output, materially different plan; re-earn its row
     "box_stbox_overlap_join",
+    # r8: the all-pairs LSH family moved to adaptive bucket granularity
+    # (plane count tracks corpus size; pair work linear in N — the sweep
+    # measured 16.7×/11.3×/11.8× wall at ×10 under the fixed 8-plane
+    # bucketing). Output changes with the bucketing; re-earn rows.
+    "sim_knn_graph",
+    "sim_embedding_neardup",
+    "sim_pagerank",
 )
 
 

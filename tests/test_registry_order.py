@@ -20,12 +20,15 @@ from meos_rs_spark.registry import (
 )
 
 # Round-8 rotation computed from CORRECTNESS_r01..r07: zero reds, zero
-# never-checked, then FORCE_VERIFY (the overlap-join scale rewrite
-# re-earning its row), then pure oldest-green refill: the 20 remaining
+# never-checked, then FORCE_VERIFY (the overlap-join scale rewrite and
+# the adaptive-bucket LSH family re-earning rows), then oldest-green refill: the 20 remaining
 # r3-era greens followed by the oldest r4-era greens, registration order
 # within each round.
 R8_EXPECTED_HEAD = (
     "box_stbox_overlap_join",
+    "sim_embedding_neardup",
+    "sim_knn_graph",
+    "sim_pagerank",
     "rel_correlated_subquery",
     "rel_salted_agg",
     "rel_disjunctive_join",
@@ -72,9 +75,6 @@ R8_EXPECTED_HEAD = (
     "sim_pq_ann",
     "sim_ann_multiprobe",
     "src_partition_pruning",
-    "src_schema_evolution",
-    "src_orc_roundtrip",
-    "src_csv_malformed",
 )
 
 

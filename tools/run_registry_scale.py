@@ -22,6 +22,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -33,10 +34,37 @@ FLAG_RATIO = 3.2
 WARM_DIR = "/root/testdata/sf0.001"
 
 
+#: per-run watchdog: a query stuck past this (e.g. a plan whose parallelism
+#: collapsed, as the overlap join's had) is cancelled and recorded as a
+#: timeout instead of blocking the remaining ~200 queries.
+RUN_TIMEOUT_SEC = 300
+
+
 def _run(fn, spark, d) -> tuple[float, int]:
-    t0 = time.perf_counter()
-    n = fn(spark, d).count()
-    return round(time.perf_counter() - t0, 3), n
+    box: dict = {}
+
+    def target():
+        try:
+            t0 = time.perf_counter()
+            n = fn(spark, d).count()
+            box["t"], box["n"] = round(time.perf_counter() - t0, 3), n
+        except BaseException as exc:  # surfaced to the sweep loop
+            box["err"] = exc
+
+    th = threading.Thread(target=target, daemon=True)
+    th.start()
+    th.join(RUN_TIMEOUT_SEC)
+    if th.is_alive():
+        try:
+            spark.sparkContext.cancelAllJobs()
+        except Exception:
+            pass
+        th.join(30)
+        if "t" not in box and "err" not in box:
+            raise TimeoutError(f"run exceeded {RUN_TIMEOUT_SEC}s (cancelled)")
+    if "err" in box:
+        raise box["err"]
+    return box["t"], box["n"]
 
 
 def main() -> None:
