@@ -15,7 +15,9 @@ multi-× host-level slowdowns (observed: identical plans, same session,
 2.5s vs 49s), and steady-state is the number that transfers to a real
 cluster. Run-to-run plan and data are identical, so min-of-2 measures the
 engine, not the neighbor's workload. For that to hold, staging-table
-memoization is DISABLED here (``spark.meos.staging.memo=false``): with the
+memoization is DISABLED (``spark.meos.staging.memo=false``, set by
+``tools.probekit.bench_session`` — the shared session/warm-up/timing
+plumbing all probe tooling uses): with the
 memo on, the second run of a staging-backed query (dedup_minhash_lsh,
 dedup_semantic) would skip the producing stages and the parquet write
 entirely, and the reported min would understate the query's real cost
@@ -26,7 +28,6 @@ from __future__ import annotations
 
 import json
 import os
-import time
 
 BENCH_QUERIES = [
     "flagship_trip_pipeline",
@@ -71,33 +72,19 @@ BENCH_QUERIES = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from meos_rs_spark.registry import load_registry
-    from meos_rs_spark.session import get_spark
+    from tools.probekit import bench_session, timed_count, warm_up
 
-    spark = get_spark(app_name="meos-rs-spark-bench")
-    # min-of-2 must time two FULL executions: disable staging memoization so
-    # the second run of a staging-backed query repeats the producing stages
-    # and the parquet write instead of memo-hitting (see module docstring)
-    spark.conf.set("spark.meos.staging.memo", "false")
+    spark = bench_session("meos-rs-spark-bench")
     registry = load_registry()
 
-    # warm-up: run every bench query once at the smallest sf so JVM/codegen
-    # compilation and Python-worker startup aren't billed to the timed runs
-    # (plans are identical, so codegen and Arrow workers are hot)
-    warm_dir = "/root/testdata/sf0.001"
-    if os.path.isdir(warm_dir):
-        for name in BENCH_QUERIES:
-            registry[name].fn(spark, warm_dir).count()
+    if os.path.isdir("/root/testdata/sf0.001"):
+        warm_up(registry, BENCH_QUERIES, spark)
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        spec = registry[name]
-        runs = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            n = spec.fn(spark, sf_dir).count()
-            runs.append(round(time.perf_counter() - t0, 3))
-        timings[name] = min(runs)
+        fn = registry[name].fn
+        timings[name], n, runs = timed_count(lambda: fn(spark, sf_dir).count())
         print(f"# {name}: {timings[name]}s ({n} rows; runs={runs})", flush=True)
 
     total = round(sum(timings.values()), 3)

@@ -26,11 +26,12 @@ from __future__ import annotations
 
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import pyspark.sql.functions as F  # noqa: E402
+
+from tools.probekit import timed_count  # noqa: E402
 
 #: bench queries whose input tables carry the planted hot keys (events /
 #: lineitem / orders / documents); the embeddings-only ANN family and the
@@ -46,15 +47,6 @@ AFFECTED = [
     "traj_transform_utm",
     "dedup_minhash_lsh",
 ]
-
-
-def _timed(fn, runs: int = 2) -> tuple[float, int]:
-    best, n = float("inf"), 0
-    for _ in range(runs):
-        t0 = time.perf_counter()
-        n = fn()
-        best = min(best, time.perf_counter() - t0)
-    return round(best, 3), n
 
 
 def lsh_bucket_census(spark, sf_dir: str) -> dict:
@@ -187,7 +179,7 @@ def salt_contest(spark, sf_dir: str) -> list[tuple[str, str, float, bool]]:
             # never-executed plan
             return len(last.collect())
 
-        t, _ = _timed(run, runs=3)
+        t, _, _ = timed_count(run, runs=3)
         final = last._jdf.queryExecution().executedPlan().toString()
         rows.append((plan, aqe, t, "isSkewJoin=true" in final or "skew=true" in final))
     # restore defaults so later sections see the stock session
@@ -204,24 +196,19 @@ def main() -> None:
     unif_dir = sys.argv[2] if len(sys.argv) > 2 else os.path.join(repo, ".scale", "sf1_x10")
 
     from meos_rs_spark.registry import load_registry
-    from meos_rs_spark.session import get_spark
+    from tools.probekit import bench_session, warm_up
 
     registry = load_registry()
-    spark = get_spark(app_name="meos-rs-spark-skew-probe")
-    spark.conf.set("spark.meos.staging.memo", "false")
-
-    # warm-up at the smallest sf (codegen + Arrow workers hot, as bench.py)
-    warm = "/root/testdata/sf0.001"
-    for name in AFFECTED:
-        registry[name].fn(spark, warm).count()
+    spark = bench_session("meos-rs-spark-skew-probe")
+    warm_up(registry, AFFECTED, spark)
 
     print("## Affected bench queries: uniform ×10 vs skewed ×10 (min-of-2 sec)\n")
     print("| query | uniform ×10 | skewed ×10 | skew/uniform |")
     print("|---|---|---|---|")
     for name in AFFECTED:
         fn = registry[name].fn
-        tu, _ = _timed(lambda: fn(spark, unif_dir).count())
-        ts, _ = _timed(lambda: fn(spark, skew_dir).count())
+        tu, _, _ = timed_count(lambda: fn(spark, unif_dir).count())
+        ts, _, _ = timed_count(lambda: fn(spark, skew_dir).count())
         print(f"| {name} | {tu} | {ts} | {ts / tu:.2f} |", flush=True)
 
     print("\n## LSH bucket-cap census (dedup.MAX_BUCKET binding?)\n")

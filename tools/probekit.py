@@ -1,0 +1,59 @@
+"""Shared measurement plumbing for the probe/bench tooling (r7 VERDICT
+item 7): ``bench.py``, ``tools/probe_skew.py``, and
+``tools/run_registry_scale.py`` each grew their own copy of the same
+three steps — build the driver-default session with staging memoization
+off, warm a query set at the smallest sf, and time ``fn(spark, dir)
+.count()`` min-of-N — and three copies drift. One module, no behavior
+change: the session config, the warm-up protocol, and the timing loop are
+byte-for-byte what the three callers did inline.
+
+Why memo-off everywhere: with the staging memo on, the second run of a
+staging-backed query (dedup_minhash_lsh, dedup_semantic) skips the
+producing stages and the parquet write, and a min-of-N would understate
+the query's real cost (r5 ADVICE, high). Every timed run must do full
+work.
+
+Why warm-up at sf0.001: JVM/codegen compilation and Python-worker startup
+are one-time costs that a per-query timing would otherwise bill to the
+first query measured; plans are identical across scales, so one pass at
+the smallest fixture leaves codegen and the Arrow workers hot.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Iterable
+
+WARM_DIR = "/root/testdata/sf0.001"
+
+
+def bench_session(app_name: str):
+    """Driver-default session with honest timings: staging memo OFF."""
+    from meos_rs_spark.session import get_spark
+
+    spark = get_spark(app_name=app_name)
+    spark.conf.set("spark.meos.staging.memo", "false")
+    return spark
+
+
+def warm_up(registry, names: Iterable[str], spark, warm_dir: str = WARM_DIR) -> None:
+    """One pass per query at the smallest sf so compilation isn't billed."""
+    for name in names:
+        registry[name].fn(spark, warm_dir).count()
+
+
+def timed_count(fn: Callable[[], int], runs: int = 2) -> tuple[float, int, list[float]]:
+    """min-of-N wall-clock of ``fn()`` (a thunk ending in .count()).
+
+    min-of-N because this box is a shared VM with intermittent multi-×
+    host-level slowdowns (observed: identical plans, same session, 2.5s vs
+    49s); steady-state is the number that transfers to a real cluster, and
+    with the memo off every run does full work. Returns (best, rows, all
+    runs) — bench.py prints the full run list so the spread is on record.
+    """
+    times, n = [], 0
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        n = fn()
+        times.append(round(time.perf_counter() - t0, 3))
+    return min(times), n, times

@@ -27,11 +27,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from tools.probekit import WARM_DIR  # noqa: E402
+
 #: flag threshold: the r7 bench suite's worst measured ×10 ratio was 3.2
 #: (traj_transform_lcc); anything beyond it is an outlier to investigate.
 FLAG_RATIO = 3.2
-
-WARM_DIR = "/root/testdata/sf0.001"
 
 
 #: per-run watchdog: a query stuck past this (e.g. a plan whose parallelism
@@ -74,11 +74,10 @@ def main() -> None:
     out = sys.argv[3] if len(sys.argv) > 3 else "/tmp/registry_scale.json"
 
     from meos_rs_spark.registry import load_registry
-    from meos_rs_spark.session import get_spark
+    from tools.probekit import bench_session
 
     registry = load_registry()
-    spark = get_spark(app_name="meos-rs-spark-registry-scale")
-    spark.conf.set("spark.meos.staging.memo", "false")
+    spark = bench_session("meos-rs-spark-registry-scale")
 
     results: dict[str, dict] = {}
     t_start = time.time()
