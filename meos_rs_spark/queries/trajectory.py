@@ -1615,7 +1615,11 @@ def traj_at_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- temporal MAX aggregate (sweep over active sessions) --------------------
 
-_TMAX_TILE_US = 21_600_000_000  # 6h tiles bucket the interval join
+#: interval-tree depth cap: rank space holds up to 2^40 distinct boundary
+#: instants (far beyond any conceivable run); probe levels above
+#: bitlen(max_rank) are pruned at runtime by a scalar-subquery filter, so
+#: the constant only fixes the PLAN shape, not the work done
+_TMAX_MAX_LEVEL = 40
 
 
 @register(
@@ -1652,10 +1656,14 @@ GROUP BY b.ts
     "set): each 6h-gap session carries its max lon as a constant value; at "
     "every session boundary the sweep reports how many sessions are active "
     "and the max of their values. The oracle states it as an interval join; "
-    "the Spark side buckets both sides into 6h time tiles and equi-joins on "
-    "the tile before the range refinement — a boundary instant lives in "
-    "exactly one tile, so no pair dedup is needed and no nested-loop join "
-    "appears at any scale",
+    "the Spark side runs an INTERVAL-TREE stabbing-max in rank space — "
+    "n_active by the same +1/-1 change-point sweep traj_tcount_sweep uses, "
+    "max by assigning each session to the unique tree node where its rank "
+    "interval splits and resolving per-node prefix/suffix running maxima "
+    "with window functions. No boundary×session pair is ever materialized "
+    "(the r8 ×10 sweep measured the old tile join 15.6× for 10× data: its "
+    "candidate row count is Σ n_active — density-quadratic at any tile "
+    "width); every intermediate here is O(N + B·log B) rows",
 )
 def traj_tmax_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("mmsi").orderBy("ts", "event_id")
@@ -1670,24 +1678,115 @@ def traj_tmax_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("mmsi", "session_id")
         .agg(F.min("ts").alias("t_start"), F.max("ts").alias("t_end"), F.max("lon").alias("v"))
     )
-    tile = lambda c: (F.expr(f"unix_micros(CAST({c} AS TIMESTAMP))") / _TMAX_TILE_US).cast("bigint")
-    span_tiles = spans.select(
-        "t_start", "t_end", "v",
-        F.explode(F.sequence(tile("t_start"), tile("t_end"))).alias("tile"),
-    )
-    bounds = (
+    # Rank space: the distinct boundary instants, densely numbered. The
+    # global row_number window runs over change points only (2 per session
+    # pre-distinct) — the traj_tcount_sweep convention; every later window
+    # is partitioned by (level, node).
+    bnd = (
         spans.select(F.col("t_start").alias("ts"))
         .unionByName(spans.select(F.col("t_end").alias("ts")))
         .distinct()
-        .withColumn("tile", tile("ts"))
+        .withColumn("rank", F.row_number().over(Window.orderBy("ts")) - 1)
     )
-    joined = bounds.join(span_tiles, "tile").filter(
-        (F.col("ts") >= F.col("t_start")) & (F.col("ts") <= F.col("t_end"))
+    # n_active(r) = #(ra <= r) - #(rb < r): per-instant start/end counts,
+    # then one running sum over the change-point stream (ends at r itself
+    # still count as active — BETWEEN is inclusive on both sides).
+    s_cnt = spans.groupBy(F.col("t_start").alias("ts")).agg(F.count(F.lit(1)).alias("n_s"))
+    e_cnt = spans.groupBy(F.col("t_end").alias("ts")).agg(F.count(F.lit(1)).alias("n_e"))
+    wsweep = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
+    active = (
+        bnd.join(s_cnt, "ts", "left")
+        .join(e_cnt, "ts", "left")
+        .select(
+            "ts",
+            "rank",
+            F.coalesce("n_s", F.lit(0)).alias("n_s"),
+            F.coalesce("n_e", F.lit(0)).alias("n_e"),
+        )
+        .withColumn(
+            "n_active",
+            F.sum("n_s").over(wsweep) - (F.sum("n_e").over(wsweep) - F.col("n_e")),
+        )
+        .select("ts", "rank", "n_active")
     )
-    return joined.groupBy("ts").agg(
-        F.count(F.lit(1)).alias("n_active"),
-        F.max("v").alias("max_lon"),
+    # Sessions in rank coordinates: ra/rb are exact (every session endpoint
+    # IS a boundary instant, so both lookups hit).
+    ra = bnd.select(F.col("ts").alias("t_start"), F.col("rank").alias("ra"))
+    rb = bnd.select(F.col("ts").alias("t_end"), F.col("rank").alias("rb"))
+    sp = spans.join(ra, "t_start").join(rb, "t_end").select("ra", "rb", "v")
+    # Instant sessions (ra == rb) cover exactly their own boundary: a rank
+    # equi-join stands in for the level-0 tree node.
+    inst = (
+        sp.filter(F.col("ra") == F.col("rb"))
+        .groupBy(F.col("ra").alias("rank"))
+        .agg(F.max("v").alias("m"))
+        .select("rank", "m")
     )
+    # Interval-tree node of a spanning session: the level where ra and rb
+    # first share a prefix — level = bitlen(ra XOR rb) (bin() gives the
+    # exact bit length; no float log), node = ra >> level. By construction
+    # the session crosses the node's midpoint, so for a boundary in the
+    # node's LEFT half coverage reduces to ra <= r (its rb lies right of
+    # the midpoint, hence right of r) and in the RIGHT half to rb >= r —
+    # each a running max over the per-node rank-ordered event stream.
+    seg = (
+        sp.filter(F.col("ra") != F.col("rb"))
+        .withColumn("lvl", F.length(F.bin(F.expr("ra ^ rb"))).cast("int"))
+        .withColumn("node", F.expr("shiftright(ra, lvl)"))
+    )
+    span_left = seg.select(
+        "lvl", "node", F.col("ra").alias("ord"), F.lit(0).alias("kind"), "v",
+        F.lit(None).cast("int").alias("rank"),
+    )
+    span_right = seg.select(
+        "lvl", "node", F.col("rb").alias("ord"), F.lit(0).alias("kind"), "v",
+        F.lit(None).cast("int").alias("rank"),
+    )
+    # Boundary probes: one row per (boundary, ancestor level), kept to the
+    # levels the corpus can populate (bitlen of the max rank — a scalar
+    # subquery, so the plan shape is scale-free while the runtime explode
+    # is log2(B) rows per boundary).
+    max_lvl = F.length(
+        F.bin(bnd.agg(F.greatest(F.max("rank"), F.lit(1)).alias("x")).scalar())
+    ).cast("int")
+    probes = (
+        bnd.select("rank", F.explode(F.sequence(F.lit(1), F.lit(_TMAX_MAX_LEVEL))).alias("lvl"))
+        .filter(F.col("lvl") <= max_lvl)
+        .select(
+            "lvl",
+            F.expr("shiftright(rank, lvl)").alias("node"),
+            F.col("rank").alias("ord"),
+            F.lit(1).alias("kind"),
+            F.lit(None).cast("double").alias("v"),
+            "rank",
+            (F.expr("(rank >> (lvl - 1)) & 1") == 0).alias("is_left"),
+        )
+    )
+    wl = Window.partitionBy("lvl", "node").orderBy("ord", "kind").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    left_res = (
+        span_left.unionByName(probes.filter("is_left").drop("is_left"))
+        .withColumn("m", F.max(F.when(F.col("kind") == 0, F.col("v"))).over(wl))
+        .filter(F.col("kind") == 1)
+        .select("rank", "m")
+    )
+    wr = Window.partitionBy("lvl", "node").orderBy(F.desc("ord"), F.asc("kind")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    right_res = (
+        span_right.unionByName(probes.filter(~F.col("is_left")).drop("is_left"))
+        .withColumn("m", F.max(F.when(F.col("kind") == 0, F.col("v"))).over(wr))
+        .filter(F.col("kind") == 1)
+        .select("rank", "m")
+    )
+    maxes = (
+        inst.unionByName(left_res)
+        .unionByName(right_res)
+        .groupBy("rank")
+        .agg(F.max("m").alias("max_lon"))
+    )
+    return active.join(maxes, "rank").select("ts", "n_active", "max_lon")
 
 
 # --- AIS cleaning: implied-speed outlier filter ------------------------------

@@ -101,6 +101,12 @@ FORCE_VERIFY: tuple[str, ...] = (
     "sim_knn_graph",
     "sim_embedding_neardup",
     "sim_pagerank",
+    # r8: tmax rewritten from the tile stabbing join (candidate rows =
+    # Σ n_active — density-quadratic at any tile width; 15.6× wall at ×10)
+    # to an interval-tree stabbing-max in rank space (windows only, no
+    # pair materialization; 43.5s → 4.7s at ×10). Output oracle-identical,
+    # plan completely different; re-earn its row.
+    "traj_tmax_sweep",
 )
 
 

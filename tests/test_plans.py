@@ -211,8 +211,8 @@ def test_salted_join_is_smj_on_salted_key(spark):
 
 
 def test_tmax_sweep_interval_join_is_equi(spark):
-    # the boundary-vs-span interval join must ride the 6h tile equi-key,
-    # never a nested loop over raw ranges
+    # the interval-tree stabbing-max must stay on equi-joins (rank lookups,
+    # instant-span rank join) and windows, never a nested loop over ranges
     plan = _plan(spark, "traj_tmax_sweep")
     assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
     assert "CartesianProduct" not in plan, plan[:2000]

@@ -20,12 +20,13 @@ from meos_rs_spark.registry import (
 )
 
 # Round-8 rotation computed from CORRECTNESS_r01..r07: zero reds, zero
-# never-checked, then FORCE_VERIFY (the overlap-join scale rewrite and
-# the adaptive-bucket LSH family re-earning rows), then oldest-green refill: the 20 remaining
-# r3-era greens followed by the oldest r4-era greens, registration order
-# within each round.
+# never-checked, then FORCE_VERIFY (the overlap-join scale rewrite, the
+# tmax interval-tree rewrite, and the adaptive-bucket LSH family re-earning
+# rows), then oldest-green refill: the 20 remaining r3-era greens followed
+# by the oldest r4-era greens, registration order within each round.
 R8_EXPECTED_HEAD = (
     "box_stbox_overlap_join",
+    "traj_tmax_sweep",
     "sim_embedding_neardup",
     "sim_knn_graph",
     "sim_pagerank",
@@ -67,7 +68,6 @@ R8_EXPECTED_HEAD = (
     "traj_twavg",
     "traj_resample_linear",
     "traj_at_value",
-    "traj_tmax_sweep",
     "traj_cumulative_length",
     "traj_interp_mixed",
     "serde_e2e_pipeline",
