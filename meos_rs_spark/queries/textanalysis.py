@@ -164,16 +164,23 @@ FROM grams GROUP BY doc_id
     doc="rolling char-8-gram hash fingerprint (min digest = deterministic doc signature)",
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Both outputs are per-document, so the whole query is map-side array
+    # algebra — no explode, no shuffle. The old explode + groupBy/
+    # countDistinct formulation shuffled one 32-char digest row per gram
+    # (~1k rows/doc; the r8 ×10 sweep measured it 22.4s for an
+    # embarrassingly parallel computation). The gram array is aliased in
+    # its own projection and referenced twice below; CollapseProject keeps
+    # non-cheap multiply-referenced aliases in place, so the transform()
+    # evaluates once per document.
     d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 8)
     grams = d.select(
         "doc_id",
-        F.explode(
-            F.expr("transform(sequence(1, length(text) - 7), i -> md5(substr(text, i, 8)))")
-        ).alias("gh"),
+        F.expr("transform(sequence(1, length(text) - 7), i -> md5(substr(text, i, 8)))").alias("g"),
     )
-    return grams.groupBy("doc_id").agg(
-        F.min("gh").alias("fingerprint"),
-        F.countDistinct("gh").alias("n_distinct_grams"),
+    return grams.select(
+        "doc_id",
+        F.array_min("g").alias("fingerprint"),
+        F.size(F.array_distinct("g")).cast("bigint").alias("n_distinct_grams"),
     )
 
 

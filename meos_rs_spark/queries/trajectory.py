@@ -764,8 +764,16 @@ def _simplify_group(key, pdf):
     "via applyInPandas per vessel (numpy stack implementation, Arrow batches)",
 )
 def traj_simplify_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meos_rs_spark.functions.staging import fan_out
+
+    # fan_out before the groupBy: the posits projection is a few MB even at
+    # ×10, so AQE coalesces the group exchange toward one partition and the
+    # per-group Python work (pandas build + sort + DP per vessel) runs
+    # serially — the r8 sweep measured 72s at ×10 for a ~3s kernel. The
+    # keyed user repartition is AQE-coalesce-exempt and already satisfies
+    # the groupBy's ClusteredDistribution, so no second exchange appears.
     return (
-        posits(spark, sf_dir)
+        fan_out(posits(spark, sf_dir), "mmsi")
         .groupBy("mmsi")
         .applyInPandas(
             _simplify_group,

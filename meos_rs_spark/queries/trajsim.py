@@ -475,9 +475,16 @@ def _vessel_hull(key, pdf: pd.DataFrame) -> pd.DataFrame:
     "hulls; invariants check hull area <= bbox area and vertex bounds.",
 )
 def traj_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meos_rs_spark.functions.staging import fan_out
+
+    # fan_out before the groupBy — same serial-Python hazard as
+    # traj_simplify_dp: the 3-column projection is small enough for AQE to
+    # coalesce the group exchange to ~1 partition, serializing the
+    # per-vessel hull calls (r8 sweep: 51s at ×10 for a seconds-scale
+    # kernel); the keyed user repartition is AQE-exempt and feeds the
+    # groupBy's distribution directly.
     return (
-        posits(spark, sf_dir)
-        .select("mmsi", "lon", "lat")
+        fan_out(posits(spark, sf_dir).select("mmsi", "lon", "lat"), "mmsi")
         .groupBy("mmsi")
         .applyInPandas(_vessel_hull, schema=_HULL_SCHEMA)
     )

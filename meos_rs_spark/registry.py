@@ -107,6 +107,16 @@ FORCE_VERIFY: tuple[str, ...] = (
     # pair materialization; 43.5s → 4.7s at ×10). Output oracle-identical,
     # plan completely different; re-earn its row.
     "traj_tmax_sweep",
+    # r8: per-vessel applyInPandas queries gained a fan_out before the
+    # groupBy (AQE was coalescing the small group exchange to ~1 partition,
+    # serializing the Python stage: 51s → 4.9s at ×10 for the hull), and
+    # the fingerprint moved from explode + countDistinct shuffle to
+    # map-side array algebra (22.4s → 0.4s at ×10). Outputs unchanged
+    # (golden/oracle-pinned), plans materially different; re-earn rows.
+    # (traj_simplify_dp got the same fan_out but already sits in the r8
+    # oldest-green refill.)
+    "traj_convex_hull",
+    "text_fingerprint",
 )
 
 
