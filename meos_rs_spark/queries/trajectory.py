@@ -1630,66 +1630,24 @@ def traj_at_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TMAX_MAX_LEVEL = 40
 
 
-@register(
-    "traj_tmax_sweep",
-    oracle=f"""
-WITH {POSITS_CTE},
-flagged AS (
-  SELECT mmsi, ts, lon, event_id,
-         CASE WHEN lag(ts) OVER w IS NULL
-                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000 THEN 1 ELSE 0 END AS new_session
-  FROM posits WINDOW w AS (PARTITION BY mmsi ORDER BY ts, event_id)
-),
-sessions AS (
-  SELECT mmsi, ts, lon,
-         SUM(new_session) OVER (PARTITION BY mmsi ORDER BY ts, event_id
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-  FROM flagged
-),
-spans AS (
-  SELECT mmsi, session_id, min(ts) AS t_start, max(ts) AS t_end, max(lon) AS v
-  FROM sessions GROUP BY mmsi, session_id
-),
-bounds AS (
-  SELECT DISTINCT ts FROM (
-    SELECT t_start AS ts FROM spans UNION ALL SELECT t_end FROM spans
-  )
-)
-SELECT b.ts, count(*) AS n_active, max(s.v) AS max_lon
-FROM bounds b JOIN spans s ON b.ts BETWEEN s.t_start AND s.t_end
-GROUP BY b.ts
-""",
-    tags=("TSet", "A7"),
-    doc="temporal MAX aggregate (MEOS tmax over a step-interpolated sequence "
-    "set): each 6h-gap session carries its max lon as a constant value; at "
-    "every session boundary the sweep reports how many sessions are active "
-    "and the max of their values. The oracle states it as an interval join; "
-    "the Spark side runs an INTERVAL-TREE stabbing-max in rank space — "
-    "n_active by the same +1/-1 change-point sweep traj_tcount_sweep uses, "
-    "max by assigning each session to the unique tree node where its rank "
-    "interval splits and resolving per-node prefix/suffix running maxima "
-    "with window functions. No boundary×session pair is ever materialized "
-    "(the r8 ×10 sweep measured the old tile join 15.6× for 10× data: its "
-    "candidate row count is Σ n_active — density-quadratic at any tile "
-    "width); every intermediate here is O(N + B·log B) rows",
-)
-def traj_tmax_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = Window.partitionBy("mmsi").orderBy("ts", "event_id")
-    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
-    gap_us = F.expr("unix_micros(CAST(ts AS TIMESTAMP))") - F.expr(
-        "unix_micros(CAST(lag(ts) OVER (PARTITION BY mmsi ORDER BY ts, event_id) AS TIMESTAMP))"
-    )
-    spans = (
-        posits(spark, sf_dir)
-        .withColumn("new_session", F.when(gap_us.isNull() | (gap_us > 21_600_000_000), 1).otherwise(0))
-        .withColumn("session_id", F.sum("new_session").over(wrun))
-        .groupBy("mmsi", "session_id")
-        .agg(F.min("ts").alias("t_start"), F.max("ts").alias("t_end"), F.max("lon").alias("v"))
-    )
-    # Rank space: the distinct boundary instants, densely numbered. The
-    # global row_number window runs over change points only (2 per session
-    # pre-distinct) — the traj_tcount_sweep convention; every later window
-    # is partitioned by (level, node).
+def interval_stab_max(spans: DataFrame) -> DataFrame:
+    """Distributed interval-stabbing aggregate: for every distinct interval
+    endpoint, how many of the (t_start, t_end, v) intervals cover it and the
+    max of their values — (ts, n_active, max_lon), inclusive on both ends.
+
+    Never materializes an endpoint×interval pair (the candidate count of any
+    tile-bucketed stabbing join is Σ n_active — density-quadratic at any
+    tile width). Instead: rank space over the distinct endpoints; n_active
+    via the +1/-1 change-point sweep; max via an interval tree — each
+    spanning interval sits at the unique node where its rank interval
+    splits (level = bitlen(ra XOR rb), node = ra >> level), so it crosses
+    that node's midpoint and coverage of a left-half endpoint reduces to
+    ra <= r (prefix running max) and of a right-half endpoint to rb >= r
+    (suffix running max). Instant intervals (ra == rb) contribute by rank
+    equi-join. Every intermediate is O(N + B·log B) rows; the only global
+    window orders the B distinct endpoints (the traj_tcount_sweep
+    convention).
+    """
     bnd = (
         spans.select(F.col("t_start").alias("ts"))
         .unionByName(spans.select(F.col("t_end").alias("ts")))
@@ -1717,26 +1675,18 @@ def traj_tmax_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("ts", "rank", "n_active")
     )
-    # Sessions in rank coordinates: ra/rb are exact (every session endpoint
-    # IS a boundary instant, so both lookups hit).
+    # Intervals in rank coordinates: ra/rb are exact (every endpoint IS a
+    # boundary instant, so both lookups hit).
     ra = bnd.select(F.col("ts").alias("t_start"), F.col("rank").alias("ra"))
     rb = bnd.select(F.col("ts").alias("t_end"), F.col("rank").alias("rb"))
     sp = spans.join(ra, "t_start").join(rb, "t_end").select("ra", "rb", "v")
-    # Instant sessions (ra == rb) cover exactly their own boundary: a rank
-    # equi-join stands in for the level-0 tree node.
     inst = (
         sp.filter(F.col("ra") == F.col("rb"))
         .groupBy(F.col("ra").alias("rank"))
         .agg(F.max("v").alias("m"))
         .select("rank", "m")
     )
-    # Interval-tree node of a spanning session: the level where ra and rb
-    # first share a prefix — level = bitlen(ra XOR rb) (bin() gives the
-    # exact bit length; no float log), node = ra >> level. By construction
-    # the session crosses the node's midpoint, so for a boundary in the
-    # node's LEFT half coverage reduces to ra <= r (its rb lies right of
-    # the midpoint, hence right of r) and in the RIGHT half to rb >= r —
-    # each a running max over the per-node rank-ordered event stream.
+    # bin() gives the exact bit length — no float log.
     seg = (
         sp.filter(F.col("ra") != F.col("rb"))
         .withColumn("lvl", F.length(F.bin(F.expr("ra ^ rb"))).cast("int"))
@@ -1750,10 +1700,10 @@ def traj_tmax_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lvl", "node", F.col("rb").alias("ord"), F.lit(0).alias("kind"), "v",
         F.lit(None).cast("int").alias("rank"),
     )
-    # Boundary probes: one row per (boundary, ancestor level), kept to the
+    # Endpoint probes: one row per (endpoint, ancestor level), kept to the
     # levels the corpus can populate (bitlen of the max rank — a scalar
     # subquery, so the plan shape is scale-free while the runtime explode
-    # is log2(B) rows per boundary).
+    # is log2(B) rows per endpoint).
     max_lvl = F.length(
         F.bin(bnd.agg(F.greatest(F.max("rank"), F.lit(1)).alias("x")).scalar())
     ).cast("int")
@@ -1795,6 +1745,67 @@ def traj_tmax_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("m").alias("max_lon"))
     )
     return active.join(maxes, "rank").select("ts", "n_active", "max_lon")
+
+
+@register(
+    "traj_tmax_sweep",
+    oracle=f"""
+WITH {POSITS_CTE},
+flagged AS (
+  SELECT mmsi, ts, lon, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000 THEN 1 ELSE 0 END AS new_session
+  FROM posits WINDOW w AS (PARTITION BY mmsi ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT mmsi, ts, lon,
+         SUM(new_session) OVER (PARTITION BY mmsi ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+),
+spans AS (
+  SELECT mmsi, session_id, min(ts) AS t_start, max(ts) AS t_end, max(lon) AS v
+  FROM sessions GROUP BY mmsi, session_id
+),
+bounds AS (
+  SELECT DISTINCT ts FROM (
+    SELECT t_start AS ts FROM spans UNION ALL SELECT t_end FROM spans
+  )
+)
+SELECT b.ts, count(*) AS n_active, max(s.v) AS max_lon
+FROM bounds b JOIN spans s ON b.ts BETWEEN s.t_start AND s.t_end
+GROUP BY b.ts
+""",
+    tags=("TSet", "A7"),
+    doc="temporal MAX aggregate (MEOS tmax over a step-interpolated sequence "
+    "set): each 6h-gap session carries its max lon as a constant value; at "
+    "every session boundary the sweep reports how many sessions are active "
+    "and the max of their values. The oracle states it as an interval join; "
+    "the Spark side runs an INTERVAL-TREE stabbing-max in rank space — "
+    "n_active by the same +1/-1 change-point sweep traj_tcount_sweep uses, "
+    "max by assigning each session to the unique tree node where its rank "
+    "interval splits and resolving per-node prefix/suffix running maxima "
+    "with window functions. No boundary×session pair is ever materialized "
+    "(the r8 ×10 sweep measured the old tile join 15.6× for 10× data: its "
+    "candidate row count is Σ n_active — density-quadratic at any tile "
+    "width); every intermediate here is O(N + B·log B) rows. Algorithm in "
+    "interval_stab_max (adversarially tested against a brute-force stab in "
+    "tests/test_trajectory.py)",
+)
+def traj_tmax_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("mmsi").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    gap_us = F.expr("unix_micros(CAST(ts AS TIMESTAMP))") - F.expr(
+        "unix_micros(CAST(lag(ts) OVER (PARTITION BY mmsi ORDER BY ts, event_id) AS TIMESTAMP))"
+    )
+    spans = (
+        posits(spark, sf_dir)
+        .withColumn("new_session", F.when(gap_us.isNull() | (gap_us > 21_600_000_000), 1).otherwise(0))
+        .withColumn("session_id", F.sum("new_session").over(wrun))
+        .groupBy("mmsi", "session_id")
+        .agg(F.min("ts").alias("t_start"), F.max("ts").alias("t_end"), F.max("lon").alias("v"))
+    )
+    return interval_stab_max(spans)
 
 
 # --- AIS cleaning: implied-speed outlier filter ------------------------------

@@ -186,3 +186,58 @@ def test_dedup_monotonic_null_ts_matches_qualify_twin(spark):
     ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     kept = dedup_monotonic(df).select("event_id").orderBy("event_id").collect()
     assert [r.event_id for r in kept] == [1, 3]
+
+
+# --- interval_stab_max: adversarial contest vs a brute-force stab -----------
+
+
+def _brute_stab(spans: list[tuple[int, int, float]]) -> dict[int, tuple[int, float]]:
+    """O(B·N) reference: for every distinct endpoint ts, (n_active, max_v)
+    over spans with t_start <= ts <= t_end (both inclusive)."""
+    bounds = sorted({t for a, b, _ in spans for t in (a, b)})
+    out = {}
+    for ts in bounds:
+        hits = [v for a, b, v in spans if a <= ts <= b]
+        out[ts] = (len(hits), max(hits))
+    return out
+
+
+def _run_stab(spark, spans: list[tuple[int, int, float]]) -> dict[int, tuple[int, float]]:
+    from meos_rs_spark.queries.trajectory import interval_stab_max
+
+    df = spark.createDataFrame(
+        [(a, b, v) for a, b, v in spans], "t_start long, t_end long, v double"
+    )
+    rows = interval_stab_max(df).collect()
+    return {r.ts: (r.n_active, r.max_lon) for r in rows}
+
+
+def test_interval_stab_max_handcrafted_edges(spark):
+    """Nested, duplicate, instant, and chained spans — the shapes the AIS
+    fixture may never combine: an instant inside a long span, two identical
+    spans, a span whose end equals another's start (both active at the
+    shared endpoint), and full nesting."""
+    spans = [
+        (0, 100, 1.0),   # umbrella
+        (10, 20, 9.0),   # nested
+        (10, 20, 9.0),   # exact duplicate (n_active must count both)
+        (15, 15, 5.0),   # instant inside the nest
+        (20, 30, 2.0),   # chained: starts where the nest ends
+        (100, 100, 7.0), # instant at the umbrella's right edge
+    ]
+    assert _run_stab(spark, spans) == _brute_stab(spans)
+
+
+def test_interval_stab_max_randomized_vs_brute(spark):
+    """Randomized contest on a rank space big enough to exercise several
+    tree levels (fixed seed — deterministic)."""
+    import random
+
+    rng = random.Random(20260815)
+    for trial in range(3):
+        spans = []
+        for i in range(120):
+            a = rng.randrange(0, 500)
+            b = a if rng.random() < 0.3 else min(499, a + rng.randrange(0, 200))
+            spans.append((a, b, float(rng.randrange(-50, 50))))
+        assert _run_stab(spark, spans) == _brute_stab(spans), f"trial {trial}"
