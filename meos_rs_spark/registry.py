@@ -117,6 +117,13 @@ FORCE_VERIFY: tuple[str, ...] = (
     # oldest-green refill.)
     "traj_convex_hull",
     "text_fingerprint",
+    # r8: both as-of joins moved from the per-user probe×event equi-join
+    # (intermediate multiplies the fact by ~the probe-day count — the ×10
+    # sweep measured 10.3×/10.5×) to the sorted-merge form: probes union
+    # into the event stream, one window per direction. Outputs unchanged
+    # (oracle-pinned); re-earn rows.
+    "rel_join_asof",
+    "rel_join_asof_nearest",
 )
 
 

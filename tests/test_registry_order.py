@@ -21,10 +21,11 @@ from meos_rs_spark.registry import (
 
 # Round-8 rotation computed from CORRECTNESS_r01..r07: zero reds, zero
 # never-checked, then FORCE_VERIFY (the overlap-join scale rewrite, the
-# tmax interval-tree rewrite, the adaptive-bucket LSH family, and the
-# fan_out/map-side rewrites of hull + fingerprint re-earning rows), then
-# oldest-green refill: the 20 remaining r3-era greens followed by the
-# oldest r4-era greens, registration order within each round.
+# tmax interval-tree rewrite, the adaptive-bucket LSH family, the
+# sorted-merge as-of joins, and the fan_out/map-side rewrites of hull +
+# fingerprint re-earning rows), then oldest-green refill: the 20 remaining
+# r3-era greens followed by the oldest r4-era greens, registration order
+# within each round.
 R8_EXPECTED_HEAD = (
     "box_stbox_overlap_join",
     "traj_tmax_sweep",
@@ -32,6 +33,8 @@ R8_EXPECTED_HEAD = (
     "sim_knn_graph",
     "sim_pagerank",
     "text_fingerprint",
+    "rel_join_asof",
+    "rel_join_asof_nearest",
     "traj_convex_hull",
     "rel_correlated_subquery",
     "rel_salted_agg",
@@ -74,8 +77,6 @@ R8_EXPECTED_HEAD = (
     "traj_cumulative_length",
     "traj_interp_mixed",
     "serde_e2e_pipeline",
-    "sim_ann_ivf",
-    "sim_pq_ann",
 )
 
 
