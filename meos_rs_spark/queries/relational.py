@@ -265,6 +265,78 @@ def rel_join_band_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- J6: as-of join --------------------------------------------------------
 
 
+def asof_merge(events: DataFrame, probes: DataFrame, direction: str = "backward") -> DataFrame:
+    """Sorted-merge as-of join (the pandas ``merge_asof`` shape, distributed):
+    ``events`` is (user_id, ts, value), ``probes`` is (user_id, pts); both
+    ord columns must share a dtype. Probes union into the event stream and
+    one per-user running struct-extremum window answers every probe, so the
+    intermediate stays N + P rows — never the probe×event pairs a user-key
+    equi-join materializes (which multiply the fact by the probe count per
+    key and grow with the time domain).
+
+    direction="backward": (user_id, pts, last_value, last_ts) for the last
+    event at-or-before each probe; probes with no prior event are dropped
+    (inner-join semantics). direction="both": (user_id, pts, back_ts,
+    back_value, fwd_ts, fwd_value) with NULLs where a side has no candidate.
+
+    Events sort before probes at equal ord in both directions, so each
+    side's comparison is inclusive (ts <= pts / ts >= pts). Values ride a
+    struct-extremum — not last(ignorenulls) — so a legitimately NULL event
+    value surfaces as NULL, exactly like arg_max/arg_min. Ties on (user,
+    ts) resolve deterministically to the extremal value of the tied group
+    (max for backward, min for forward).
+    """
+    ord_t = dict(events.dtypes)["ts"]
+    val_t = dict(events.dtypes)["value"]
+    ev_s = events.select(
+        "user_id",
+        F.col("ts").alias("ord"),
+        F.lit(0).alias("kind"),
+        "value",
+        F.lit(None).cast(ord_t).alias("pts"),
+    )
+    pr_s = probes.select(
+        "user_id",
+        F.col("pts").alias("ord"),
+        F.lit(1).alias("kind"),
+        F.lit(None).cast(val_t).alias("value"),
+        "pts",
+    )
+    merged = ev_s.unionByName(pr_s)
+    w_asc = Window.partitionBy("user_id").orderBy("ord", "kind").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ev_struct = F.when(F.col("kind") == 0, F.struct("ord", "value"))
+    back_ev = F.max(ev_struct).over(w_asc)
+    if direction == "backward":
+        return (
+            merged.select(
+                "user_id", "pts", "kind",
+                back_ev["value"].alias("last_value"),
+                back_ev["ord"].alias("last_ts"),
+            )
+            .filter((F.col("kind") == 1) & F.col("last_ts").isNotNull())
+            .select("user_id", "pts", "last_value", "last_ts")
+        )
+    if direction != "both":
+        raise ValueError(f"direction must be 'backward' or 'both', got {direction!r}")
+    w_desc = Window.partitionBy("user_id").orderBy(F.desc("ord"), F.asc("kind")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    fwd_ev = F.min(ev_struct).over(w_desc)
+    return (
+        merged.select(
+            "user_id", "pts", "kind",
+            back_ev["ord"].alias("back_ts"),
+            back_ev["value"].alias("back_value"),
+            fwd_ev["ord"].alias("fwd_ts"),
+            fwd_ev["value"].alias("fwd_value"),
+        )
+        .filter(F.col("kind") == 1)
+        .drop("kind")
+    )
+
+
 @register(
     "rel_join_asof",
     oracle="""
@@ -292,38 +364,7 @@ def rel_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = ev.select(
         "user_id", F.expr("date_trunc('day', ts) + INTERVAL 1 DAY").alias("pts")
     ).distinct()
-    # merge streams: events (kind 0) sort before probes (kind 1) at equal
-    # ts, so an event AT the probe instant counts (ts <= pts inclusive)
-    ev_s = ev.select(
-        "user_id",
-        F.col("ts").alias("ord"),
-        F.lit(0).alias("kind"),
-        "value",
-        F.lit(None).cast("timestamp_ntz").alias("pts"),
-    )
-    pr_s = probes.select(
-        "user_id",
-        F.col("pts").alias("ord"),
-        F.lit(1).alias("kind"),
-        F.lit(None).cast("double").alias("value"),
-        "pts",
-    )
-    w = Window.partitionBy("user_id").orderBy("ord", "kind").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    # value via struct-extremum, not last(ignorenulls): a legitimately NULL
-    # event value must surface as NULL, exactly like arg_max
-    last_ev = F.max(F.when(F.col("kind") == 0, F.struct("ord", "value"))).over(w)
-    return (
-        ev_s.unionByName(pr_s)
-        .select(
-            "user_id", "pts", "kind",
-            last_ev["value"].alias("last_value"),
-            last_ev["ord"].alias("last_ts"),
-        )
-        .filter((F.col("kind") == 1) & F.col("last_ts").isNotNull())
-        .select("user_id", "pts", "last_value", "last_ts")
-    )
+    return asof_merge(ev.select("user_id", "ts", "value"), probes, "backward")
 
 
 # --- multi-way join (TPC-H Q5 shape) ---------------------------------------
@@ -986,43 +1027,7 @@ def rel_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = ev.select(
         "user_id", F.expr("date_trunc('day', ts) + INTERVAL 1 DAY").alias("pts")
     ).distinct()
-    ev_s = ev.select(
-        "user_id",
-        F.col("ts").alias("ord"),
-        F.lit(0).alias("kind"),
-        "value",
-        F.lit(None).cast("timestamp_ntz").alias("pts"),
-    )
-    pr_s = probes.select(
-        "user_id",
-        F.col("pts").alias("ord"),
-        F.lit(1).alias("kind"),
-        F.lit(None).cast("double").alias("value"),
-        "pts",
-    )
-    # events sort before probes at the same instant in BOTH directions, so
-    # each side's comparison is inclusive (ts <= pts, ts >= pts)
-    w_asc = Window.partitionBy("user_id").orderBy("ord", "kind").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    w_desc = Window.partitionBy("user_id").orderBy(F.desc("ord"), F.asc("kind")).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    ev_struct = F.when(F.col("kind") == 0, F.struct("ord", "value"))
-    back_ev = F.max(ev_struct).over(w_asc)
-    fwd_ev = F.min(ev_struct).over(w_desc)
-    agg = (
-        ev_s.unionByName(pr_s)
-        .select(
-            "user_id", "pts", "kind",
-            back_ev["ord"].alias("back_ts"),
-            back_ev["value"].alias("back_value"),
-            fwd_ev["ord"].alias("fwd_ts"),
-            fwd_ev["value"].alias("fwd_value"),
-        )
-        .filter(F.col("kind") == 1)
-        .drop("kind")
-    )
+    agg = asof_merge(ev.select("user_id", "ts", "value"), probes, "both")
     us = lambda c: F.expr(f"unix_micros(CAST({c} AS TIMESTAMP))")  # noqa: E731
     nearest = (
         F.when(F.col("back_ts").isNull(), F.col("fwd_value"))

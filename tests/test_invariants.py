@@ -393,3 +393,64 @@ def test_wkt_source_skips_unparseable_timestamps(tmp_path):
     rows = list(WktPositsReader({"path": str(tmp_path)}).read(_FilePartition(str(p))))
     assert [r[0] for r in rows] == [1, 4]
     assert rows[1][1] == -3.25 and rows[1][2] == 4.75
+
+
+# --- asof_merge: adversarial contest vs a brute-force as-of ------------------
+
+
+def _brute_asof(events, probes):
+    """Reference: per probe, extremal event at-or-before (back) and
+    at-or-after (fwd); ties on ts resolve to the extremal value of the tied
+    group (max backward / min forward — asof_merge's documented rule)."""
+    out = {}
+    for u, pts in probes:
+        back = [(ts, v) for uu, ts, v in events if uu == u and ts <= pts]
+        fwd = [(ts, v) for uu, ts, v in events if uu == u and ts >= pts]
+        bt, bv = max(back) if back else (None, None)
+        ft, fv = min(fwd) if fwd else (None, None)
+        out[(u, pts)] = (bt, bv, ft, fv)
+    return out
+
+
+def test_asof_merge_randomized_vs_brute(spark):
+    """Seeded randomized contest including ts TIES (absent from the events
+    fixture) and probes outside the event range on both sides."""
+    import random
+
+    from meos_rs_spark.queries.relational import asof_merge
+
+    rng = random.Random(20260815)
+    events = [
+        (rng.randrange(1, 6), rng.randrange(0, 40), float(rng.randrange(-9, 9)))
+        for _ in range(160)
+    ]
+    probes = sorted({(rng.randrange(1, 6), rng.randrange(-5, 46)) for _ in range(60)})
+    ev = spark.createDataFrame(events, "user_id long, ts long, value double")
+    pr = spark.createDataFrame(list(probes), "user_id long, pts long")
+    exp = _brute_asof(events, probes)
+
+    both = {
+        (r.user_id, r.pts): (r.back_ts, r.back_value, r.fwd_ts, r.fwd_value)
+        for r in asof_merge(ev, pr, "both").collect()
+    }
+    assert both == exp
+
+    back = {
+        (r.user_id, r.pts): (r.last_ts, r.last_value)
+        for r in asof_merge(ev, pr, "backward").collect()
+    }
+    exp_back = {k: (bt, bv) for k, (bt, bv, _, _) in exp.items() if bt is not None}
+    assert back == exp_back
+
+
+def test_asof_merge_null_event_value_surfaces(spark):
+    """A legitimately NULL event value at the as-of instant must surface as
+    NULL (struct-extremum semantics), not be skipped for an older value."""
+    from meos_rs_spark.queries.relational import asof_merge
+
+    ev = spark.createDataFrame(
+        [(1, 10, 5.0), (1, 20, None)], "user_id long, ts long, value double"
+    )
+    pr = spark.createDataFrame([(1, 25)], "user_id long, pts long")
+    row = asof_merge(ev, pr, "backward").collect()[0]
+    assert row.last_ts == 20 and row.last_value is None
