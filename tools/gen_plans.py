@@ -6,6 +6,11 @@ bench.py query (per-node detail sections elided). Run from the repo root:
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 HEADER = """# Physical plans — headline bench queries (sf0.001 shapes)
 
 `df.explain("formatted")` operator trees (per-node detail sections elided)
@@ -30,7 +35,8 @@ def main() -> None:
         plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
         tree = plan.split("\n\n")[0]
         out.append(f"## {name}\n\n```\n{tree.strip()}\n```\n")
-    with open("PLANS.md", "w") as fh:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "PLANS.md"), "w") as fh:
         fh.write("\n".join(out))
     print(f"PLANS.md written ({len(BENCH_QUERIES)} queries)")
 
