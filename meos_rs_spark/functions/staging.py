@@ -225,7 +225,7 @@ def _memo_trusted(df: DataFrame, app_dir: str) -> bool:
     return True
 
 
-def fan_out(df: DataFrame, *keys: str) -> DataFrame:
+def fan_out(df: DataFrame, *keys: str, force: bool = False) -> DataFrame:
     """Spread an under-split scan across the session's parallelism.
 
     A small fixture table arrives as ONE parquet split, which would
@@ -235,17 +235,25 @@ def fan_out(df: DataFrame, *keys: str) -> DataFrame:
     per-key work downstream reuses the partitioning; at real scale the scan
     already has >= parallelism splits and this is a no-op — no shuffle is
     added. One shared policy for every call site (dedup shingles, the
-    multimodal payload stages)."""
+    multimodal payload stages).
+
+    ``force=True`` repartitions UNCONDITIONALLY: callers that feed a
+    grouped applyInPandas need the explicit (AQE-coalesce-exempt) keyed
+    exchange itself, because otherwise the groupBy inserts its own
+    exchange whose few-MB output AQE coalesces to ~1 partition — a hazard
+    independent of the SCAN's partition count, so the n < par guard tests
+    the wrong thing for them (r8 review find). The forced exchange replaces
+    the groupBy's, so no extra shuffle appears in the plan."""
     spark = df.sparkSession
     try:
-        # .rdd / sparkContext raise under Spark Connect; the guard is a
+        # .rdd / sparkContext raise under Spark Connect; the probe is a
         # local-mode fixture mitigation only, so degrade to a no-op there
         # (matching _plan_digest's Connect fallback — r7 ADVICE item 3)
         par = spark.sparkContext.defaultParallelism
         n = df.rdd.getNumPartitions()
     except Exception:
         return df
-    if n < par:
+    if force or n < par:
         df = df.repartition(par, *keys)
     return df
 

@@ -180,8 +180,6 @@ def box_stbox_z(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- J5: STBox overlap join, grid-bucketed ---------------------------------
 
-_CELL = 50.0
-
 #: two-sided chunk salt for the overlap join: each grid cell's members are
 #: hash-split into K chunks per side and the join key is (cell, ca, cb), so
 #: a hot cell spreads over K² tasks instead of one. K² × #cells partitions;
@@ -189,8 +187,13 @@ _CELL = 50.0
 _OVERLAP_CHUNKS = 8
 
 #: adaptive-grid cap: cell size never drops below (data span / _MAX_GRID)
-#: per axis, bounding any one box's cell explosion.
-_MAX_GRID = 4096
+#: per axis, so one domain-spanning outlier box streams at most
+#: _MAX_GRID² ≈ 1M cell rows (the nested explode below streams them — no
+#: single flattened array is ever materialized). 1024, not 4096: the
+#: per-box worst case is the per-axis cap SQUARED, and pruning resolution
+#: beyond 1024²/axis buys nothing the median-extent term doesn't already
+#: provide on non-degenerate data (r8 review find).
+_MAX_GRID = 1024
 
 _STBOX_CTE = f"""
 {POSITS_CTE},
@@ -234,8 +237,8 @@ def box_stbox_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     #    keeps mean coverage at ~2x2 cells for ANY box distribution —
     #    graceful degradation to near-all-pairs on dense data, real pruning
     #    on sparse data. Computed by an inlined scalar subquery (no join);
-    #    floored at span/4096 so one outlier box can explode into at most
-    #    ~8k cells, and at 1e-9 for degenerate single-point data.
+    #    floored at span/_MAX_GRID per axis (bounding one outlier box's
+    #    streamed cell rows) and at 1e-9 for degenerate single-point data.
     #  * parallelism was capped at the DISTINCT CELL COUNT — the two-sided
     #    chunk salt joins on (cellx, celly, ca, cb), spreading each hot
     #    cell over K² tasks in the shuffle path; each (a, b) pair still
@@ -282,32 +285,36 @@ def box_stbox_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.max("ymax") - F.min("ymin")) / _MAX_GRID,
                 F.lit(1e-9),
             ).alias("ch"),
+            F.min("xmin").alias("x0"),
+            F.min("ymin").alias("y0"),
         ).alias("s")
     ).scalar()
     cw, ch = stats["cw"], stats["ch"]
-    # cell bounds computed OUTSIDE the higher-order function: subquery
-    # expressions (the adaptive cw/ch) are not allowed inside lambdas
+    x0, y0 = stats["x0"], stats["y0"]
+    # Cell bounds computed OUTSIDE the higher-order function: subquery
+    # expressions (the adaptive cw/ch) are not allowed inside lambdas.
+    # Indexes are ANCHORED at the data min, not the coordinate origin —
+    # un-anchored floor(xmin/cw) with a tiny adaptive cw (degenerate or
+    # tightly clustered data far from 0) produces indexes ≫ 2^31 and
+    # CAST_OVERFLOW under ANSI; anchoring bounds them to ~_MAX_GRID, and
+    # bigint removes the ceiling entirely (r8 review find). floor() keeps
+    # the canonical-cell identity floor(max(u,v)) == max(floor(u), floor(v))
+    # regardless of anchor.
     bounded = vbox.select(
         "*",
-        F.floor(F.col("xmin") / cw).cast("int").alias("cx0"),
-        F.floor(F.col("xmax") / cw).cast("int").alias("cx1"),
-        F.floor(F.col("ymin") / ch).cast("int").alias("cy0"),
-        F.floor(F.col("ymax") / ch).cast("int").alias("cy1"),
+        F.floor((F.col("xmin") - x0) / cw).cast("bigint").alias("cx0"),
+        F.floor((F.col("xmax") - x0) / cw).cast("bigint").alias("cx1"),
+        F.floor((F.col("ymin") - y0) / ch).cast("bigint").alias("cy0"),
+        F.floor((F.col("ymax") - y0) / ch).cast("bigint").alias("cy1"),
     )
-    cells = bounded.withColumn(
-        "cell",
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.sequence(F.col("cx0"), F.col("cx1")),
-                    lambda cx: F.transform(
-                        F.sequence(F.col("cy0"), F.col("cy1")),
-                        lambda cy: F.struct(cx.alias("cx"), cy.alias("cy")),
-                    ),
-                )
-            )
-        ),
-    ).select("*", F.col("cell.cx").alias("cellx"), F.col("cell.cy").alias("celly"))
+    # two chained explodes, not one flattened array: a domain-spanning
+    # outlier box covers up to _MAX_GRID cells PER AXIS, and flattening
+    # would materialize the full cx×cy cross product as one in-row array
+    # before the Generate; nested Generates stream it row by row
+    cells = (
+        bounded.withColumn("cellx", F.explode(F.sequence(F.col("cx0"), F.col("cx1"))))
+        .withColumn("celly", F.explode(F.sequence(F.col("cy0"), F.col("cy1"))))
+    )
     K = _OVERLAP_CHUNKS
     a = cells.select(
         F.col("mmsi").alias("mmsi_a"),

@@ -766,14 +766,16 @@ def _simplify_group(key, pdf):
 def traj_simplify_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meos_rs_spark.functions.staging import fan_out
 
-    # fan_out before the groupBy: the posits projection is a few MB even at
-    # ×10, so AQE coalesces the group exchange toward one partition and the
-    # per-group Python work (pandas build + sort + DP per vessel) runs
-    # serially — the r8 sweep measured 72s at ×10 for a ~3s kernel. The
-    # keyed user repartition is AQE-coalesce-exempt and already satisfies
-    # the groupBy's ClusteredDistribution, so no second exchange appears.
+    # forced fan_out before the groupBy: the posits projection is a few MB
+    # even at ×10, so AQE coalesces the group exchange toward one partition
+    # and the per-group Python work (pandas build + sort + DP per vessel)
+    # runs serially — the r8 sweep measured 72s at ×10 for a ~3s kernel.
+    # The keyed user repartition is AQE-coalesce-exempt and satisfies the
+    # groupBy's ClusteredDistribution, so no second exchange appears;
+    # force=True because the hazard is the GROUP exchange's size, not the
+    # scan's split count that the unforced guard tests.
     return (
-        fan_out(posits(spark, sf_dir), "mmsi")
+        fan_out(posits(spark, sf_dir), "mmsi", force=True)
         .groupBy("mmsi")
         .applyInPandas(
             _simplify_group,
@@ -1623,13 +1625,6 @@ def traj_at_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- temporal MAX aggregate (sweep over active sessions) --------------------
 
-#: interval-tree depth cap: rank space holds up to 2^40 distinct boundary
-#: instants (far beyond any conceivable run); probe levels above
-#: bitlen(max_rank) are pruned at runtime by a scalar-subquery filter, so
-#: the constant only fixes the PLAN shape, not the work done
-_TMAX_MAX_LEVEL = 40
-
-
 def interval_stab_max(spans: DataFrame) -> DataFrame:
     """Distributed interval-stabbing aggregate: for every distinct interval
     endpoint, how many of the (t_start, t_end, v) intervals cover it and the
@@ -1700,16 +1695,16 @@ def interval_stab_max(spans: DataFrame) -> DataFrame:
         "lvl", "node", F.col("rb").alias("ord"), F.lit(0).alias("kind"), "v",
         F.lit(None).cast("int").alias("rank"),
     )
-    # Endpoint probes: one row per (endpoint, ancestor level), kept to the
-    # levels the corpus can populate (bitlen of the max rank — a scalar
-    # subquery, so the plan shape is scale-free while the runtime explode
-    # is log2(B) rows per endpoint).
+    # Endpoint probes: one row per (endpoint, ancestor level), generated
+    # directly up to the levels the corpus can populate — bitlen of the max
+    # rank, a scalar subquery usable as a sequence() bound (it's not inside
+    # a lambda), so the explode emits exactly log2(B) rows per endpoint
+    # instead of a fixed over-count filtered afterwards.
     max_lvl = F.length(
         F.bin(bnd.agg(F.greatest(F.max("rank"), F.lit(1)).alias("x")).scalar())
     ).cast("int")
     probes = (
-        bnd.select("rank", F.explode(F.sequence(F.lit(1), F.lit(_TMAX_MAX_LEVEL))).alias("lvl"))
-        .filter(F.col("lvl") <= max_lvl)
+        bnd.select("rank", F.explode(F.sequence(F.lit(1), max_lvl)).alias("lvl"))
         .select(
             "lvl",
             F.expr("shiftright(rank, lvl)").alias("node"),

@@ -477,14 +477,15 @@ def _vessel_hull(key, pdf: pd.DataFrame) -> pd.DataFrame:
 def traj_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meos_rs_spark.functions.staging import fan_out
 
-    # fan_out before the groupBy — same serial-Python hazard as
+    # forced fan_out before the groupBy — same serial-Python hazard as
     # traj_simplify_dp: the 3-column projection is small enough for AQE to
     # coalesce the group exchange to ~1 partition, serializing the
     # per-vessel hull calls (r8 sweep: 51s at ×10 for a seconds-scale
     # kernel); the keyed user repartition is AQE-exempt and feeds the
-    # groupBy's distribution directly.
+    # groupBy's distribution directly. force=True: the hazard is the group
+    # exchange's size, not the scan's split count.
     return (
-        fan_out(posits(spark, sf_dir).select("mmsi", "lon", "lat"), "mmsi")
+        fan_out(posits(spark, sf_dir).select("mmsi", "lon", "lat"), "mmsi", force=True)
         .groupBy("mmsi")
         .applyInPandas(_vessel_hull, schema=_HULL_SCHEMA)
     )

@@ -57,14 +57,15 @@ KEY_DOMAINS = {
 #: --skew: fact-side columns where one hot key absorbs its residue class.
 #: In replicas r>0, rows whose BASE key shares the hot key's residue mod m
 #: are reassigned the hot key itself (un-offset), so at R=10 one
-#: customer/supplier/vessel ends up holding ~(m-1+R)/(m*R) ≈ 22-25% of the
+#: customer/supplier/vessel ends up holding ~(R-1)/(m*R) ≈ 22.5% of the
 #: whole fact table — the "one MMSI ≫ others" case (SURVEY §4, r7 VERDICT
 #: item 3). Only FK/grouping columns are skewed; PK columns offset
 #: normally, so referential integrity holds (the hot key exists in
 #: replica 0's dimension slice) and replica dimensions merely go childless.
-#: residue modulus m: hot fraction ≈ (m-1+R)/(m*R); m=4 → ~22.5% at R=10.
-#: SPARK_GRAFT_SKEW_MOD overrides (m=2 → ~47.5%: the heavier contest the
-#: salted-join probe uses to find the salt's crossover point).
+#: residue modulus m: hot fraction ≈ (R-1)/(m*R) — replica 0 keeps its
+#: base keys, each of the R-1 others donates its 1/m residue class; m=4 →
+#: 22.5% at R=10. SPARK_GRAFT_SKEW_MOD overrides (m=2 → ~47.5% at R=20:
+#: the heavier contest the salted-join probe uses for the crossover).
 _SKEW_MOD = int(os.environ.get("SPARK_GRAFT_SKEW_MOD", "4"))
 SKEW_FACT: dict[tuple[str, str], int] = {
     ("orders", "o_custkey"): _SKEW_MOD,

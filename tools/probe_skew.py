@@ -112,6 +112,17 @@ def salt_contest(spark, sf_dir: str) -> list[tuple[str, str, float, bool]]:
     partitions; the hot partition here is ~15 MB) for the AQE leg — at
     real scale the default thresholds bind by themselves.
 
+    AQE partition COALESCING is disabled for every leg (same
+    scale-equivalence argument, opposite direction): at toy scale the
+    whole salted shuffle is a few tens of MB, so stock 64 MB advisory
+    coalescing merges ALL its partitions — hot key, salt spread and all —
+    into one task, and the contest would measure that artifact instead of
+    the hot-key serialization the salt targets; at 100 TB every post-
+    shuffle partition exceeds the advisory size and no such merge exists.
+    (The r8 review caught the previous version of this function leaking
+    the AQE leg's lowered advisory size into the salted leg — the
+    salted-vs-unsalted ratio it reported measured config drift.)
+
     Returns (plan, aqe, seconds, plan_shows_skew_split) rows.
     """
     from meos_rs_spark.queries.relational import _JSALT
@@ -148,6 +159,7 @@ def salt_contest(spark, sf_dir: str) -> list[tuple[str, str, float, bool]]:
         )
 
     rows = []
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     skew_confs = {
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
@@ -163,6 +175,14 @@ def salt_contest(spark, sf_dir: str) -> list[tuple[str, str, float, bool]]:
         ("unsalted SMJ", unsalted, "on (scale-equiv thresholds)"),
         ("salted (key, salt) SMJ", salted, "off"),
     ):
+        # every leg starts from STOCK confs: the "on" leg's lowered
+        # advisoryPartitionSizeInBytes changes AQE coalescing for every
+        # shuffle, so leaving it set would time the salted "off" leg under
+        # a different partition layout than the unsalted "off" leg it is
+        # contrasted with (r8 review find — the salted-vs-unsalted ratio
+        # would measure config drift, not the salt)
+        for k in skew_confs:
+            spark.conf.unset(k)
         if aqe == "off":
             spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
         else:
@@ -183,8 +203,8 @@ def salt_contest(spark, sf_dir: str) -> list[tuple[str, str, float, bool]]:
         final = last._jdf.queryExecution().executedPlan().toString()
         rows.append((plan, aqe, t, "isSkewJoin=true" in final or "skew=true" in final))
     # restore defaults so later sections see the stock session
-    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
-    for k in list(skew_confs)[1:]:
+    spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+    for k in skew_confs:
         spark.conf.unset(k)
     ev.unpersist()
     return rows
@@ -200,7 +220,8 @@ def main() -> None:
 
     registry = load_registry()
     spark = bench_session("meos-rs-spark-skew-probe")
-    warm_up(registry, AFFECTED, spark)
+    if os.path.isdir("/root/testdata/sf0.001"):  # same guard as bench.py
+        warm_up(registry, AFFECTED, spark)
 
     print("## Affected bench queries: uniform ×10 vs skewed ×10 (min-of-2 sec)\n")
     print("| query | uniform ×10 | skewed ×10 | skew/uniform |")

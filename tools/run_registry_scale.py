@@ -40,11 +40,24 @@ FLAG_RATIO = 3.2
 RUN_TIMEOUT_SEC = 300
 
 
+class SweepAbort(Exception):
+    """A timed-out run survived cancellation: its orphan jobs would share
+    the session with — and silently inflate — every later timing, so the
+    sweep must stop rather than record corrupted ratios."""
+
+
 def _run(fn, spark, d) -> tuple[float, int]:
     box: dict = {}
+    group = f"registry-scale-{id(box)}"
 
     def target():
         try:
+            # job group is driver-thread-local: tagging inside the worker
+            # thread lets the watchdog cancel THIS query's jobs precisely
+            try:
+                spark.sparkContext.setJobGroup(group, "registry-scale run", True)
+            except Exception:
+                pass
             t0 = time.perf_counter()
             n = fn(spark, d).count()
             box["t"], box["n"] = round(time.perf_counter() - t0, 3), n
@@ -54,14 +67,23 @@ def _run(fn, spark, d) -> tuple[float, int]:
     th = threading.Thread(target=target, daemon=True)
     th.start()
     th.join(RUN_TIMEOUT_SEC)
-    if th.is_alive():
+    timed_out = th.is_alive()
+    if timed_out:
         try:
-            spark.sparkContext.cancelAllJobs()
+            spark.sparkContext.cancelJobGroup(group)
         except Exception:
-            pass
+            try:
+                spark.sparkContext.cancelAllJobs()
+            except Exception:
+                pass
         th.join(30)
-        if "t" not in box and "err" not in box:
-            raise TimeoutError(f"run exceeded {RUN_TIMEOUT_SEC}s (cancelled)")
+        if th.is_alive():
+            raise SweepAbort(
+                f"run exceeded {RUN_TIMEOUT_SEC}s and survived cancellation"
+            )
+        # the thread usually dies with a cancellation exception in box —
+        # report the timeout, not the opaque Py4J error it decayed into
+        raise TimeoutError(f"run exceeded {RUN_TIMEOUT_SEC}s (cancelled)")
     if "err" in box:
         raise box["err"]
     return box["t"], box["n"]
@@ -106,6 +128,10 @@ def main() -> None:
                 f"(rows {nb} -> {ng}){mark}",
                 flush=True,
             )
+        except SweepAbort as exc:  # orphan jobs would corrupt later timings
+            results[name] = {"error": f"SweepAbort: {exc}"[:300]}
+            print(f"{name}: ABORTING SWEEP — {exc}", flush=True)
+            break
         except Exception as exc:  # record, keep sweeping
             results[name] = {"error": f"{type(exc).__name__}: {exc}"[:300]}
             print(f"{name}: ERROR {type(exc).__name__}: {exc}"[:200], flush=True)
