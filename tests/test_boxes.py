@@ -56,3 +56,35 @@ def test_tbox_truth_tables(spark):
 def test_int_to_tbox_wkt(spark):
     df = spark.range(1, 3).select(int_to_tbox_wkt(F.col("id").cast("int")).alias("w"))
     assert [r.w for r in df.collect()] == ["TBOXINT X([1, 2))", "TBOXINT X([2, 3))"]
+
+
+def test_overlap_join_degenerate_point_data_far_from_origin(spark, tmp_path):
+    """All posits at one point far from the coordinate origin: the adaptive
+    cell width bottoms out at its 1e-9 floor, and an UN-anchored
+    floor(xmin/cw) would index ~1e11 — CAST_OVERFLOW under ANSI (r8 review
+    find). Anchoring at the data min keeps indexes ~0; every vessel's box
+    is the same point, so all C(3,2) pairs overlap."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from meos_rs_spark.queries.boxes import box_stbox_overlap_join
+
+    rows = []
+    for i, u in enumerate((1, 2, 3)):
+        for j in range(3):
+            rows.append(
+                {
+                    "event_id": i * 3 + j,
+                    "ts": pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=j),
+                    "user_id": u,
+                    "event_type": "posit",
+                    "value": 100.0,          # lon — identical everywhere
+                    "props": '{"k": 100}',   # lat — identical everywhere
+                }
+            )
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame(rows)), str(tmp_path / "events.parquet"))
+    got = sorted(
+        (r.mmsi_a, r.mmsi_b) for r in box_stbox_overlap_join(spark, str(tmp_path)).collect()
+    )
+    assert got == [(1, 2), (1, 3), (2, 3)]
