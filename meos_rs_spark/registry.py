@@ -88,42 +88,9 @@ DRIVER_WINDOW = 50
 #: oldest-green rotation to reach it (r5 ADVICE: new code benefits most
 #: from a driver row). Clear entries once the round's artifact lands.
 FORCE_VERIFY: tuple[str, ...] = (
-    # r8: the overlap join was rewritten for the scale defects the
-    # full-registry ×10 sweep exposed (adaptive cell size via scalar
-    # subquery, two-sided chunk salt, canonical-cell emission replacing
-    # distinct, explicit-count repartition against AQE coalesce-before-
-    # explode) — same output, materially different plan; re-earn its row
-    "box_stbox_overlap_join",
-    # r8: the all-pairs LSH family moved to adaptive bucket granularity
-    # (plane count tracks corpus size; pair work linear in N — the sweep
-    # measured 16.7×/11.3×/11.8× wall at ×10 under the fixed 8-plane
-    # bucketing). Output changes with the bucketing; re-earn rows.
-    "sim_knn_graph",
-    "sim_embedding_neardup",
-    "sim_pagerank",
-    # r8: tmax rewritten from the tile stabbing join (candidate rows =
-    # Σ n_active — density-quadratic at any tile width; 15.6× wall at ×10)
-    # to an interval-tree stabbing-max in rank space (windows only, no
-    # pair materialization; 43.5s → 4.7s at ×10). Output oracle-identical,
-    # plan completely different; re-earn its row.
-    "traj_tmax_sweep",
-    # r8: per-vessel applyInPandas queries gained a fan_out before the
-    # groupBy (AQE was coalescing the small group exchange to ~1 partition,
-    # serializing the Python stage: 51s → 4.9s at ×10 for the hull), and
-    # the fingerprint moved from explode + countDistinct shuffle to
-    # map-side array algebra (22.4s → 0.4s at ×10). Outputs unchanged
-    # (golden/oracle-pinned), plans materially different; re-earn rows.
-    # (traj_simplify_dp got the same fan_out but already sits in the r8
-    # oldest-green refill.)
-    "traj_convex_hull",
-    "text_fingerprint",
-    # r8: both as-of joins moved from the per-user probe×event equi-join
-    # (intermediate multiplies the fact by ~the probe-day count — the ×10
-    # sweep measured 10.3×/10.5×) to the sorted-merge form: probes union
-    # into the event stream, one window per direction. Outputs unchanged
-    # (oracle-pinned); re-earn rows.
-    "rel_join_asof",
-    "rel_join_asof_nearest",
+    # r9: cleared — all nine r8 rewrites re-earned green rows in
+    # CORRECTNESS_r08.json (overlap join, tmax interval-tree, LSH trio,
+    # hull fan_out, fingerprint array algebra, both as-of merges).
 )
 
 

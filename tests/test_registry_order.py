@@ -3,8 +3,8 @@ FIRST 50 entries of __spark_entry__.queries() only (observed in r2), so the
 round's verification targets must occupy exactly those positions.
 
 Since round 6 the head is COMPUTED from the committed CORRECTNESS_r*.json
-artifacts (registry.compute_verify_head). R8_EXPECTED_HEAD pins the tuple
-the r1-r7 artifacts produce; when the driver lands CORRECTNESS_r08.json the
+artifacts (registry.compute_verify_head). R9_EXPECTED_HEAD pins the tuple
+the r1-r8 artifacts produce; when the driver lands CORRECTNESS_r09.json the
 pin goes stale and this test fails — the next round's first task is then
 reviewing the freshly computed rotation and re-pinning it here.
 """
@@ -19,64 +19,62 @@ from meos_rs_spark.registry import (
     verify_order_head,
 )
 
-# Round-8 rotation computed from CORRECTNESS_r01..r07: zero reds, zero
-# never-checked, then FORCE_VERIFY (the overlap-join scale rewrite, the
-# tmax interval-tree rewrite, the adaptive-bucket LSH family, the
-# sorted-merge as-of joins, and the fan_out/map-side rewrites of hull +
-# fingerprint re-earning rows), then oldest-green refill: the 20 remaining
-# r3-era greens followed by the oldest r4-era greens, registration order
-# within each round.
-R8_EXPECTED_HEAD = (
-    "box_stbox_overlap_join",
-    "traj_tmax_sweep",
-    "sim_embedding_neardup",
-    "sim_knn_graph",
-    "sim_pagerank",
-    "text_fingerprint",
-    "rel_join_asof",
-    "rel_join_asof_nearest",
-    "traj_convex_hull",
-    "rel_correlated_subquery",
-    "rel_salted_agg",
-    "rel_disjunctive_join",
-    "scalar_strings",
-    "scalar_dates",
-    "scalar_ts_roundtrip",
-    "scalar_math",
-    "scalar_case_coalesce",
-    "scalar_json",
-    "scalar_arrays",
-    "scalar_regexp",
-    "scalar_maps",
-    "trajsim_hausdorff",
-    "trajsim_nearest_approach",
-    "win_rownum_truncate",
-    "win_rank_dense",
-    "win_lead_gap",
-    "win_rolling_frame",
-    "win_running_total",
-    "win_ntile_first_last",
-    "box_stbox_z",
-    "box_stbox_expand",
-    "box_tbox_algebra",
-    "dedup_components",
-    "serde_hexwkb",
-    "serde_mfjson_ingest",
-    "serde_wkb_roundtrip",
-    "traj_stbox_z_path",
-    "traj_sessionize",
-    "traj_simplify_dp",
-    "traj_spanset_coverage",
-    "traj_tbool_duration",
-    "traj_minus_box",
-    "traj_tcount_sweep",
-    "traj_tcentroid",
-    "traj_twavg",
-    "traj_resample_linear",
-    "traj_at_value",
-    "traj_cumulative_length",
-    "traj_interp_mixed",
-    "serde_e2e_pipeline",
+# Round-9 rotation computed from CORRECTNESS_r01..r08: zero reds, zero
+# never-checked, zero forced (all nine r8 rewrites re-earned green r8 rows,
+# FORCE_VERIFY cleared), so the window is pure oldest-green refill: the 24
+# remaining r4-era greens followed by the 26 oldest r5-era greens,
+# registration order within each round.
+R9_EXPECTED_HEAD = (
+    "sim_ann_ivf",
+    "sim_pq_ann",
+    "sim_ann_multiprobe",
+    "src_partition_pruning",
+    "src_schema_evolution",
+    "src_orc_roundtrip",
+    "src_csv_malformed",
+    "src_python_datasource",
+    "src_binaryfile_ingest",
+    "snk_compaction",
+    "snk_cdc_apply",
+    "snk_jdbc_upsert",
+    "rel_conditional_agg",
+    "rel_bloom_join",
+    "rel_bitmap_distinct",
+    "ttype_tint_step",
+    "ttype_ttext_ops",
+    "ttype_tbool_algebra",
+    "ttype_tfloat_sync_arith",
+    "trajsim_dtw_frechet",
+    "trajsim_nearest_instant",
+    "trajsim_tdwithin",
+    "trajsim_tdistance",
+    "trajsim_lcss_erp",
+    "dedup_minhash_estimate",
+    "dedup_containment",
+    "traj_stops",
+    "traj_space_time_grid",
+    "traj_geofence_events",
+    "traj_od_matrix",
+    "sim_kmeans_iter",
+    "sim_ann_recall",
+    "dedup_semantic",
+    "stream_interval_join",
+    "stream_doc_curation",
+    "stream_fingerprint_dedup",
+    "text_repetition",
+    "text_curation_pipeline",
+    "text_top_ngrams",
+    "text_tfidf_topterms",
+    "text_chunking",
+    "text_unigram_logprob",
+    "dedup_chunk_level",
+    "text_entropy",
+    "text_pii_scrub",
+    "text_gopher_rules",
+    "rel_pivot",
+    "rel_unpivot",
+    "rel_percentiles",
+    "rel_grouping_sets",
 )
 
 
@@ -88,10 +86,10 @@ def test_head_is_exactly_the_driver_window():
     assert tuple(names[:50]) == head
 
 
-def test_computed_head_matches_the_round8_pin():
+def test_computed_head_matches_the_round9_pin():
     # Stale-pin alarm: fails as soon as a new CORRECTNESS artifact lands,
     # forcing the next round to review + re-pin the rotation.
-    assert verify_order_head() == R8_EXPECTED_HEAD
+    assert verify_order_head() == R9_EXPECTED_HEAD
 
 
 def test_head_priority_rule():
