@@ -243,17 +243,30 @@ def fan_out(df: DataFrame, *keys: str, force: bool = False) -> DataFrame:
     exchange whose few-MB output AQE coalesces to ~1 partition — a hazard
     independent of the SCAN's partition count, so the n < par guard tests
     the wrong thing for them (r8 review find). The forced exchange replaces
-    the groupBy's, so no extra shuffle appears in the plan."""
+    the groupBy's, so no extra shuffle appears in the plan. Under Spark
+    Connect (no sparkContext) the forced path must NOT degrade to a no-op
+    — the AQE-serialization hazard it exists for is execution-side, not
+    classic-API-side — so it falls back to the session's shuffle-partition
+    count, which repartition(n, ...) makes equally AQE-coalesce-exempt
+    (r8 ADVICE item 1)."""
     spark = df.sparkSession
+    if force:
+        # No .rdd probe here: the scan's split count is irrelevant to the
+        # group-exchange hazard, and .rdd raises under Connect.
+        try:
+            par = spark.sparkContext.defaultParallelism
+        except Exception:
+            par = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        return df.repartition(par, *keys)
     try:
-        # .rdd / sparkContext raise under Spark Connect; the probe is a
-        # local-mode fixture mitigation only, so degrade to a no-op there
-        # (matching _plan_digest's Connect fallback — r7 ADVICE item 3)
+        # .rdd / sparkContext raise under Spark Connect; the unforced probe
+        # is a local-mode fixture mitigation only, so degrade to a no-op
+        # there (matching _plan_digest's Connect fallback — r7 ADVICE 3)
         par = spark.sparkContext.defaultParallelism
         n = df.rdd.getNumPartitions()
     except Exception:
         return df
-    if force or n < par:
+    if n < par:
         df = df.repartition(par, *keys)
     return df
 

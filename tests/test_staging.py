@@ -152,6 +152,42 @@ def test_estimate_single_stage_per_build(spark):
         spark.conf.set("spark.meos.staging.memo", "true")
 
 
+def test_fan_out_force_skips_the_rdd_probe(spark):
+    """force=True must never touch df.rdd: the scan-split probe answers the
+    wrong question for group-exchange callers, and .rdd raises under Spark
+    Connect — where the forced path used to silently no-op, returning the
+    AQE-serial-Python hazard it exists to fix (r8 ADVICE item 1)."""
+    import pytest
+
+    df = spark.range(100).withColumn("k", F.col("id") % 7)
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(
+            type(df),
+            "rdd",
+            property(lambda self: (_ for _ in ()).throw(RuntimeError("Connect: no rdd"))),
+        )
+        out = staging.fan_out(df, "k", force=True)
+    assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+
+def test_fan_out_force_falls_back_to_shuffle_partitions_under_connect(spark):
+    """With no sparkContext at all (Spark Connect), force=True must still
+    land an explicit-count (AQE-coalesce-exempt) keyed exchange, sized by
+    the session's shuffle-partition conf (r8 ADVICE item 1)."""
+    import pytest
+
+    df = spark.range(100).withColumn("k", F.col("id") % 7)
+    expected = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(
+            type(spark),
+            "sparkContext",
+            property(lambda self: (_ for _ in ()).throw(RuntimeError("Connect"))),
+        )
+        out = staging.fan_out(df, "k", force=True)
+    assert out.rdd.getNumPartitions() == expected
+
+
 def test_canon_plan_preserves_exprid_cross_references():
     """Stable relabeling, not deletion: 'x#1 = x#2' (join of two attrs) and
     'x#1 = x#1' (self-comparison) must digest differently, while fresh

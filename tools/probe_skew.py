@@ -170,43 +170,51 @@ def salt_contest(spark, sf_dir: str) -> list[tuple[str, str, float, bool]]:
         # qualifies
         "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
     }
-    for plan, build, aqe in (
-        ("unsalted SMJ", unsalted, "off"),
-        ("unsalted SMJ", unsalted, "on (scale-equiv thresholds)"),
-        ("salted (key, salt) SMJ", salted, "off"),
-    ):
-        # every leg starts from STOCK confs: the "on" leg's lowered
-        # advisoryPartitionSizeInBytes changes AQE coalescing for every
-        # shuffle, so leaving it set would time the salted "off" leg under
-        # a different partition layout than the unsalted "off" leg it is
-        # contrasted with (r8 review find — the salted-vs-unsalted ratio
-        # would measure config drift, not the salt)
+    # try/finally: an exception in any leg must not leak the disabled
+    # coalescing / per-leg skew confs (or the persisted fact) into the
+    # shared session — later probe sections would time under drifted confs,
+    # the exact failure class the per-leg reset exists for (r8 ADVICE 2)
+    try:
+        for plan, build, aqe in (
+            ("unsalted SMJ", unsalted, "off"),
+            ("unsalted SMJ", unsalted, "on (scale-equiv thresholds)"),
+            ("salted (key, salt) SMJ", salted, "off"),
+        ):
+            # every leg starts from STOCK confs: the "on" leg's lowered
+            # advisoryPartitionSizeInBytes changes AQE coalescing for every
+            # shuffle, so leaving it set would time the salted "off" leg
+            # under a different partition layout than the unsalted "off"
+            # leg it is contrasted with (r8 review find — the salted-vs-
+            # unsalted ratio would measure config drift, not the salt)
+            for k in skew_confs:
+                spark.conf.unset(k)
+            if aqe == "off":
+                spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+            else:
+                for k, v in skew_confs.items():
+                    spark.conf.set(k, v)
+            last = None
+
+            def run():
+                nonlocal last
+                last = build()
+                # collect(), not count(): count() builds and runs a SEPARATE
+                # QueryExecution, so the frame's own executedPlan would stay
+                # isFinalPlan=false and the skew-split check would read a
+                # never-executed plan
+                return len(last.collect())
+
+            t, _, _ = timed_count(run, runs=3)
+            final = last._jdf.queryExecution().executedPlan().toString()
+            rows.append(
+                (plan, aqe, t, "isSkewJoin=true" in final or "skew=true" in final)
+            )
+    finally:
+        # restore defaults so later sections see the stock session
+        spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
         for k in skew_confs:
             spark.conf.unset(k)
-        if aqe == "off":
-            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
-        else:
-            for k, v in skew_confs.items():
-                spark.conf.set(k, v)
-        last = None
-
-        def run():
-            nonlocal last
-            last = build()
-            # collect(), not count(): count() builds and runs a SEPARATE
-            # QueryExecution, so the frame's own executedPlan would stay
-            # isFinalPlan=false and the skew-split check would read a
-            # never-executed plan
-            return len(last.collect())
-
-        t, _, _ = timed_count(run, runs=3)
-        final = last._jdf.queryExecution().executedPlan().toString()
-        rows.append((plan, aqe, t, "isSkewJoin=true" in final or "skew=true" in final))
-    # restore defaults so later sections see the stock session
-    spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
-    for k in skew_confs:
-        spark.conf.unset(k)
-    ev.unpersist()
+        ev.unpersist()
     return rows
 
 
