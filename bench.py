@@ -9,19 +9,26 @@ LSH dedup, cosine top-k. Each timing covers plan build + execution to a
 count/collect the way the reference times plan-exec (ais_to_db.rs:117,
 142-148).
 
-Each query is timed twice and the MIN is reported (both runs printed on
-stderr-style comment lines): this box is a shared VM with intermittent
-multi-× host-level slowdowns (observed: identical plans, same session,
-2.5s vs 49s), and steady-state is the number that transfers to a real
-cluster. Run-to-run plan and data are identical, so min-of-2 measures the
-engine, not the neighbor's workload. For that to hold, staging-table
-memoization is DISABLED (``spark.meos.staging.memo=false``, set by
-``tools.probekit.bench_session`` — the shared session/warm-up/timing
-plumbing all probe tooling uses): with the
-memo on, the second run of a staging-backed query (dedup_minhash_lsh,
-dedup_semantic) would skip the producing stages and the parquet write
-entirely, and the reported min would understate the query's real cost
-(r5 ADVICE, high). Both timed runs now do full work.
+Each query is timed three times and the MIN is reported (all runs printed
+on comment lines AND carried in the JSON's ``noise`` block): this box is a
+shared VM with intermittent multi-× host-level slowdowns (observed:
+identical plans, same session, 2.5s vs 49s; BENCH_r08's committed reading
+was ~18% uniform host noise), and steady-state is the number that
+transfers to a real cluster. Run-to-run plan and data are identical, so
+min-of-3 measures the engine, not the neighbor's workload. For that to
+hold, staging-table memoization is DISABLED (``spark.meos.staging.memo=
+false``) and every query starts from the canonical session confs
+(``tools.probekit.reset_confs`` — the same helper the contest probes use
+per leg, so a crashed probe can never leak confs into a bench number;
+r8 VERDICT item 3): with the memo on, a repeat run of a staging-backed
+query (dedup_minhash_lsh, dedup_semantic) would skip the producing stages
+and the parquet write entirely, and the reported min would understate the
+query's real cost (r5 ADVICE, high). Every timed run does full work.
+
+The JSON line self-describes its noise floor: 1-minute load average before
+and after the sweep, the full per-query run lists, and ``spread_max`` (the
+worst max/min ratio across queries — ≲1.1 is a quiet box; ≳1.4 says rerun
+before concluding anything).
 """
 
 from __future__ import annotations
@@ -72,7 +79,13 @@ BENCH_QUERIES = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from meos_rs_spark.registry import load_registry
-    from tools.probekit import bench_session, timed_count, warm_up
+    from tools.probekit import (
+        bench_session,
+        load1,
+        reset_confs,
+        timed_count,
+        warm_up,
+    )
 
     spark = bench_session("meos-rs-spark-bench")
     registry = load_registry()
@@ -81,14 +94,22 @@ def main() -> None:
         warm_up(registry, BENCH_QUERIES, spark)
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
+    load_start = load1()
     timings: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
         fn = registry[name].fn
-        timings[name], n, runs = timed_count(lambda: fn(spark, sf_dir).count())
-        print(f"# {name}: {timings[name]}s ({n} rows; runs={runs})", flush=True)
+        reset_confs(spark)  # canonical session per query, by construction
+        timings[name], n, all_runs[name] = timed_count(
+            lambda: fn(spark, sf_dir).count()
+        )
+        print(f"# {name}: {timings[name]}s ({n} rows; runs={all_runs[name]})", flush=True)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spread_max = round(
+        max(max(r) / min(r) for r in all_runs.values() if min(r) > 0), 3
+    )
     print(
         json.dumps(
             {
@@ -97,6 +118,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "noise": {
+                    "load1_start": load_start,
+                    "load1_end": load1(),
+                    "spread_max": spread_max,
+                    "runs": all_runs,
+                },
             }
         ),
         flush=True,

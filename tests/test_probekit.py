@@ -6,7 +6,14 @@ driver's per-round BENCH artifact."""
 
 from __future__ import annotations
 
-from tools.probekit import WARM_DIR, timed_count
+from tools.probekit import (
+    CANONICAL_CONFS,
+    CONTEST_CONFS,
+    WARM_DIR,
+    load1,
+    reset_confs,
+    timed_count,
+)
 
 
 def test_timed_count_returns_min_rows_and_all_runs():
@@ -23,6 +30,55 @@ def test_timed_count_returns_min_rows_and_all_runs():
     assert best == min(runs)
     # rounded to ms like the inline loops it replaced
     assert all(r == round(r, 3) for r in runs)
+
+
+def test_timed_count_defaults_to_min_of_three():
+    """r8 VERDICT item 3: the committed BENCH artifact must be the
+    noise-filtered reading — min-of-2 left ~18% host noise in BENCH_r08."""
+    calls = []
+    timed_count(lambda: calls.append(1) or 1)
+    assert len(calls) == 3
+
+
+def test_reset_confs_returns_the_session_to_canonical(spark):
+    """Conf hygiene by construction (the r8 salt-contest drift class): after
+    a leg sets any contest conf, reset_confs must erase it and re-apply the
+    canonical overrides."""
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    spark.conf.set("spark.meos.staging.memo", "true")
+    reset_confs(spark)
+    # contest confs are back to engine defaults (unset → default values)
+    assert (
+        spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+        != "2m"
+    )
+    assert (
+        spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+        == "true"
+    )
+    # canonical overrides re-applied
+    for k, v in CANONICAL_CONFS.items():
+        assert spark.conf.get(k) == v
+    # restore the test-session default (conftest expects the memo on)
+    spark.conf.set("spark.meos.staging.memo", "true")
+
+
+def test_contest_conf_list_covers_the_salt_contest_legs():
+    """Every conf probe_skew's legs set must be in the shared reset list —
+    a key outside it silently escapes the per-leg reset."""
+    import inspect
+
+    import tools.probe_skew as ps
+
+    src = inspect.getsource(ps.salt_contest)
+    assert "assert set(skew_confs) <= set(CONTEST_CONFS)" in src
+    assert "spark.sql.adaptive.coalescePartitions.enabled" in CONTEST_CONFS
+
+
+def test_load1_reads_the_host():
+    v = load1()
+    assert v is None or (isinstance(v, float) and v >= 0.0)
 
 
 def test_warm_dir_is_the_smallest_fixture():

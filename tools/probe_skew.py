@@ -158,8 +158,9 @@ def salt_contest(spark, sf_dir: str) -> list[tuple[str, str, float, bool]]:
             )
         )
 
+    from tools.probekit import CONTEST_CONFS, reset_confs
+
     rows = []
-    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     skew_confs = {
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
@@ -170,6 +171,9 @@ def salt_contest(spark, sf_dir: str) -> list[tuple[str, str, float, bool]]:
         # qualifies
         "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
     }
+    # every conf a leg touches must be in the shared reset list, or the
+    # per-leg reset silently stops covering it (the r8 drift class)
+    assert set(skew_confs) <= set(CONTEST_CONFS)
     # try/finally: an exception in any leg must not leak the disabled
     # coalescing / per-leg skew confs (or the persisted fact) into the
     # shared session — later probe sections would time under drifted confs,
@@ -180,14 +184,17 @@ def salt_contest(spark, sf_dir: str) -> list[tuple[str, str, float, bool]]:
             ("unsalted SMJ", unsalted, "on (scale-equiv thresholds)"),
             ("salted (key, salt) SMJ", salted, "off"),
         ):
-            # every leg starts from STOCK confs: the "on" leg's lowered
+            # every leg starts from the CANONICAL confs (probekit.
+            # reset_confs — shared with bench.py): the "on" leg's lowered
             # advisoryPartitionSizeInBytes changes AQE coalescing for every
             # shuffle, so leaving it set would time the salted "off" leg
             # under a different partition layout than the unsalted "off"
             # leg it is contrasted with (r8 review find — the salted-vs-
             # unsalted ratio would measure config drift, not the salt)
-            for k in skew_confs:
-                spark.conf.unset(k)
+            reset_confs(spark)
+            spark.conf.set(
+                "spark.sql.adaptive.coalescePartitions.enabled", "false"
+            )
             if aqe == "off":
                 spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
             else:
@@ -210,10 +217,8 @@ def salt_contest(spark, sf_dir: str) -> list[tuple[str, str, float, bool]]:
                 (plan, aqe, t, "isSkewJoin=true" in final or "skew=true" in final)
             )
     finally:
-        # restore defaults so later sections see the stock session
-        spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
-        for k in skew_confs:
-            spark.conf.unset(k)
+        # restore the canonical session so later sections time clean
+        reset_confs(spark)
         ev.unpersist()
     return rows
 

@@ -26,13 +26,62 @@ from typing import Callable, Iterable
 
 WARM_DIR = "/root/testdata/sf0.001"
 
+#: Every session conf any probe/contest leg is allowed to touch. The r8
+#: salt contest published a 1.8×/2.5× "salt win" that was really one leg
+#: inheriting another's lowered advisoryPartitionSizeInBytes — per-leg conf
+#: hygiene must be by construction, not by review (r8 VERDICT item 3), so
+#: the reset helper and the legs share ONE list: a leg setting a conf
+#: outside it is a bug the probe tests catch.
+CONTEST_CONFS: tuple[str, ...] = (
+    "spark.sql.adaptive.coalescePartitions.enabled",
+    "spark.sql.adaptive.skewJoin.enabled",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+    "spark.sql.adaptive.forceOptimizeSkewedJoin",
+)
+
+#: The canonical timing overrides on top of the driver-default session —
+#: the ONLY confs a timed run may hold beyond get_spark's defaults.
+CANONICAL_CONFS: dict[str, str] = {
+    # honest timings: every run does full staging work (r5 ADVICE, high)
+    "spark.meos.staging.memo": "false",
+}
+
+
+def reset_confs(spark) -> None:
+    """Return the session to the canonical timing state.
+
+    Unsets every contest-touchable conf and re-applies the canonical
+    overrides, so each timed query/leg starts from the same session no
+    matter what ran before it — the shared-session equivalent of a fresh
+    driver session."""
+    for k in CONTEST_CONFS:
+        try:
+            spark.conf.unset(k)
+        except Exception:
+            pass
+    for k, v in CANONICAL_CONFS.items():
+        spark.conf.set(k, v)
+
+
+def load1() -> float | None:
+    """1-minute load average — recorded next to timings so a noisy reading
+    self-describes (this box is a shared VM; see BENCH noise history)."""
+    import os
+
+    try:
+        return round(os.getloadavg()[0], 2)
+    except OSError:
+        return None
+
 
 def bench_session(app_name: str):
     """Driver-default session with honest timings: staging memo OFF."""
     from meos_rs_spark.session import get_spark
 
     spark = get_spark(app_name=app_name)
-    spark.conf.set("spark.meos.staging.memo", "false")
+    reset_confs(spark)
     return spark
 
 
@@ -42,14 +91,17 @@ def warm_up(registry, names: Iterable[str], spark, warm_dir: str = WARM_DIR) -> 
         registry[name].fn(spark, warm_dir).count()
 
 
-def timed_count(fn: Callable[[], int], runs: int = 2) -> tuple[float, int, list[float]]:
+def timed_count(fn: Callable[[], int], runs: int = 3) -> tuple[float, int, list[float]]:
     """min-of-N wall-clock of ``fn()`` (a thunk ending in .count()).
 
     min-of-N because this box is a shared VM with intermittent multi-×
     host-level slowdowns (observed: identical plans, same session, 2.5s vs
     49s); steady-state is the number that transfers to a real cluster, and
-    with the memo off every run does full work. Returns (best, rows, all
-    runs) — bench.py prints the full run list so the spread is on record.
+    with the memo off every run does full work. Default N=3 since r9 (r8
+    VERDICT item 3: BENCH_r08's committed reading carried ~18% host noise
+    that the builder's own min-of-3 quiet-box rerun filtered). Returns
+    (best, rows, all runs) — bench.py prints the full run list so the
+    spread is on record.
     """
     times, n = [], 0
     for _ in range(runs):
