@@ -360,6 +360,215 @@ def box_stbox_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs
 
 
+# --- J5 banded: overlap WITHIN a time band (the production shape) ----------
+
+#: Δ = 30 min in microseconds: pairs count as an encounter when their boxes
+#: overlap spatially and their time intervals come within Δ of overlapping
+#: (the reference's parameterized tbox adjacency family, tbox.rs:104-106).
+_BAND_US = 1_800_000_000
+
+#: day-wide time cells for the banded join's third grid axis — cells must
+#: be ≥ the band so each side spills into at most one extra cell per Δ.
+_TCELL_US = 86_400_000_000
+
+_DAYBOX_CTE = f"""
+{POSITS_CTE},
+vdbox AS (
+  SELECT mmsi, CAST(date_trunc('day', ts) AS DATE) AS d,
+         min(lon) AS xmin, max(lon) AS xmax,
+         min(lat) AS ymin, max(lat) AS ymax,
+         min(ts) AS tmin, max(ts) AS tmax
+  FROM posits GROUP BY mmsi, CAST(date_trunc('day', ts) AS DATE)
+)
+"""
+
+
+@register(
+    "box_stbox_overlap_banded",
+    oracle=f"""
+WITH {_DAYBOX_CTE},
+pairs AS (
+  SELECT a.mmsi AS ma, a.d AS da, b.mmsi AS mb, b.d AS db
+  FROM vdbox a JOIN vdbox b
+    ON a.mmsi < b.mmsi
+   AND a.xmin <= b.xmax AND b.xmin <= a.xmax
+   AND a.ymin <= b.ymax AND b.ymin <= a.ymax
+   AND a.tmax >= b.tmin - INTERVAL 30 MINUTE
+   AND a.tmin <= b.tmax + INTERVAL 30 MINUTE
+),
+contrib AS (
+  SELECT ma AS mmsi, da AS d, 1 AS c FROM pairs
+  UNION ALL SELECT mb, db, 1 FROM pairs
+  UNION ALL SELECT mmsi, d, 0 FROM vdbox
+)
+SELECT mmsi, strftime(d, '%Y-%m-%d') AS d, CAST(SUM(c) AS BIGINT) AS n_enc
+FROM contrib GROUP BY mmsi, d
+""",
+    tags=("J5",),
+    doc="box-overlap join WITHIN a time band — the production parameterization "
+    "of J5 (reference predicate family tbox.rs:104-106; r8 VERDICT item 6): "
+    "per-(vessel, day) boxes pair when they overlap spatially and their time "
+    "intervals come within Δ=30min of overlapping; output is the per-box "
+    "encounter count (one row per box — linear in input by construction). "
+    "Spark side adds a TIME axis to the parent's adaptive grid join (day "
+    "cells; the Δ-expanded side spills into adjacent cells), keeps the "
+    "two-sided chunk salt and emits each pair at its canonical 3D cell only, "
+    "so candidates track qualifying pairs instead of all same-cell pairs and "
+    "the time axis prunes cross-day candidates the parent join must probe. "
+    "Oracle runs the quadratic theta join.",
+)
+def box_stbox_overlap_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The parent query (box_stbox_overlap_join) is the stress pin: whole-
+    # trajectory boxes, unbounded time, inherently quadratic output when
+    # domains stack. This is the shape real users run: bounded-time boxes
+    # (per vessel-day), a Δ time band, and a per-box aggregate — output is
+    # one row per input box. The grid join gains a third (time) axis so the
+    # candidate set is banded by construction; the band refinement is exact
+    # µs arithmetic (matching the oracle's INTERVAL arithmetic exactly).
+    vbox = (
+        posits(spark, sf_dir)
+        .groupBy("mmsi", F.to_date("ts").alias("d"))
+        .agg(
+            F.min("lon").alias("xmin"),
+            F.max("lon").alias("xmax"),
+            F.min("lat").alias("ymin"),
+            F.max("lat").alias("ymax"),
+            F.min("ts").alias("tmin"),
+            F.max("ts").alias("tmax"),
+        )
+        .select(
+            "*",
+            F.unix_micros(F.col("tmin").cast("timestamp")).alias("t0us"),
+            F.unix_micros(F.col("tmax").cast("timestamp")).alias("t1us"),
+        )
+    )
+    # explicit-count repartition before the explodes — same AQE-coalesce-
+    # before-Generate hazard as the parent (aqe-coalesce trap, r8)
+    try:
+        vbox = vbox.repartition(
+            spark.sparkContext.defaultParallelism, "mmsi", "d"
+        )
+    except Exception:
+        pass  # Spark Connect: no sparkContext; driver-default AQE applies
+    # adaptive spatial cells, exactly the parent's policy: median box extent
+    # per axis, floored at span/_MAX_GRID and 1e-9 (see the parent's notes)
+    stats = vbox.agg(
+        F.struct(
+            F.greatest(
+                F.percentile_approx(F.col("xmax") - F.col("xmin"), F.lit(0.5)),
+                (F.max("xmax") - F.min("xmin")) / _MAX_GRID,
+                F.lit(1e-9),
+            ).alias("cw"),
+            F.greatest(
+                F.percentile_approx(F.col("ymax") - F.col("ymin"), F.lit(0.5)),
+                (F.max("ymax") - F.min("ymin")) / _MAX_GRID,
+                F.lit(1e-9),
+            ).alias("ch"),
+            F.min("xmin").alias("x0"),
+            F.min("ymin").alias("y0"),
+        ).alias("s")
+    ).scalar()
+    cw, ch = stats["cw"], stats["ch"]
+    x0, y0 = stats["x0"], stats["y0"]
+    # spatial cell bounds anchored at the data min (ANSI-overflow guard,
+    # same as the parent); time cells in exact integer µs via `div` — the
+    # a-side covers the Δ-EXPANDED interval, the b-side the raw one, so
+    # band-passing pairs meet in ≥1 shared time cell and non-banded ones
+    # are pruned before the refinement ever sees them.
+    bounded = vbox.select(
+        "*",
+        F.floor((F.col("xmin") - x0) / cw).cast("bigint").alias("cx0"),
+        F.floor((F.col("xmax") - x0) / cw).cast("bigint").alias("cx1"),
+        F.floor((F.col("ymin") - y0) / ch).cast("bigint").alias("cy0"),
+        F.floor((F.col("ymax") - y0) / ch).cast("bigint").alias("cy1"),
+        F.expr(f"(t0us - {_BAND_US}) div {_TCELL_US}").alias("cta0"),
+        F.expr(f"(t1us + {_BAND_US}) div {_TCELL_US}").alias("cta1"),
+        F.expr(f"t0us div {_TCELL_US}").alias("ctb0"),
+        F.expr(f"t1us div {_TCELL_US}").alias("ctb1"),
+    )
+    K = _OVERLAP_CHUNKS
+    a = (
+        bounded.withColumn("cellx", F.explode(F.sequence("cx0", "cx1")))
+        .withColumn("celly", F.explode(F.sequence("cy0", "cy1")))
+        .withColumn("cellt", F.explode(F.sequence("cta0", "cta1")))
+        .select(
+            F.col("mmsi").alias("mmsi_a"),
+            F.col("d").alias("d_a"),
+            "cellx",
+            "celly",
+            "cellt",
+            F.col("cx0").alias("cx0_a"),
+            F.col("cy0").alias("cy0_a"),
+            F.col("cta0").alias("ct0_a"),
+            F.struct("xmin", "xmax", "ymin", "ymax", "t0us", "t1us").alias("a"),
+            F.pmod(F.hash("mmsi", "d"), F.lit(K)).alias("ca"),
+            F.explode(F.sequence(F.lit(0), F.lit(K - 1))).alias("cb"),
+        )
+    )
+    b = (
+        bounded.withColumn("cellx", F.explode(F.sequence("cx0", "cx1")))
+        .withColumn("celly", F.explode(F.sequence("cy0", "cy1")))
+        .withColumn("cellt", F.explode(F.sequence("ctb0", "ctb1")))
+        .select(
+            F.col("mmsi").alias("mmsi_b"),
+            F.col("d").alias("d_b"),
+            F.col("cellx").alias("cx_b"),
+            F.col("celly").alias("cy_b"),
+            F.col("cellt").alias("ct_b"),
+            F.col("cx0").alias("cx0_b"),
+            F.col("cy0").alias("cy0_b"),
+            F.col("ctb0").alias("ct0_b"),
+            F.struct("xmin", "xmax", "ymin", "ymax", "t0us", "t1us").alias("b"),
+            F.pmod(F.hash("mmsi", "d"), F.lit(K)).alias("cb"),
+            F.explode(F.sequence(F.lit(0), F.lit(K - 1))).alias("ca"),
+        )
+    )
+    # canonical 3D cell: the per-axis MAX of the two sides' first covered
+    # cells (the a-side's time range is the Δ-expanded one, so its first
+    # cell is floor((t0us-Δ)/W) — the same value the canonical test uses,
+    # keeping the emit-once identity exact per axis, as in the parent)
+    canonical = (
+        (F.col("cellx") == F.greatest(F.col("cx0_a"), F.col("cx0_b")))
+        & (F.col("celly") == F.greatest(F.col("cy0_a"), F.col("cy0_b")))
+        & (F.col("cellt") == F.greatest(F.col("ct0_a"), F.col("ct0_b")))
+    )
+    banded_overlap = (
+        (F.col("a.xmin") <= F.col("b.xmax"))
+        & (F.col("b.xmin") <= F.col("a.xmax"))
+        & (F.col("a.ymin") <= F.col("b.ymax"))
+        & (F.col("b.ymin") <= F.col("a.ymax"))
+        & (F.col("a.t1us") >= F.col("b.t0us") - F.lit(_BAND_US))
+        & (F.col("a.t0us") <= F.col("b.t1us") + F.lit(_BAND_US))
+    )
+    pairs = (
+        a.join(
+            b,
+            (a.cellx == b.cx_b)
+            & (a.celly == b.cy_b)
+            & (a.cellt == b.ct_b)
+            & (a.ca == b.ca)
+            & (a.cb == b.cb)
+            & (a.mmsi_a < b.mmsi_b),
+        )
+        .filter(banded_overlap & canonical)
+        .select("mmsi_a", "d_a", "mmsi_b", "d_b")
+    )
+    # per-box encounter count WITHOUT a join-back: each pair contributes 1
+    # to both of its boxes, every box contributes a 0 row, one aggregation
+    contrib = (
+        pairs.select(F.col("mmsi_a").alias("mmsi"), F.col("d_a").alias("d"), F.lit(1).alias("c"))
+        .unionAll(
+            pairs.select(F.col("mmsi_b").alias("mmsi"), F.col("d_b").alias("d"), F.lit(1).alias("c"))
+        )
+        .unionAll(vbox.select("mmsi", "d", F.lit(0).alias("c")))
+    )
+    return (
+        contrib.groupBy("mmsi", "d")
+        .agg(F.sum("c").cast("long").alias("n_enc"))
+        .select("mmsi", F.date_format("d", "yyyy-MM-dd").alias("d"), "n_enc")
+    )
+
+
 # --- STBOX expand (spatial buffer) ------------------------------------------
 
 _EXPAND_D = 15.0

@@ -19,12 +19,14 @@ from meos_rs_spark.registry import (
     verify_order_head,
 )
 
-# Round-9 rotation computed from CORRECTNESS_r01..r08: zero reds, zero
-# never-checked, zero forced (all nine r8 rewrites re-earned green r8 rows,
-# FORCE_VERIFY cleared), so the window is pure oldest-green refill: the 24
-# remaining r4-era greens followed by the 26 oldest r5-era greens,
-# registration order within each round.
+# Round-9 rotation computed from CORRECTNESS_r01..r08: zero reds, one
+# never-checked (box_stbox_overlap_banded — NEW this round, r8 VERDICT
+# item 6), zero forced (all nine r8 rewrites re-earned green r8 rows,
+# FORCE_VERIFY cleared), then pure oldest-green refill: the 24 remaining
+# r4-era greens followed by the oldest r5-era greens, registration order
+# within each round (rel_grouping_sets drops out to make room).
 R9_EXPECTED_HEAD = (
+    "box_stbox_overlap_banded",
     "sim_ann_ivf",
     "sim_pq_ann",
     "sim_ann_multiprobe",
@@ -74,7 +76,6 @@ R9_EXPECTED_HEAD = (
     "rel_pivot",
     "rel_unpivot",
     "rel_percentiles",
-    "rel_grouping_sets",
 )
 
 
