@@ -81,6 +81,36 @@ def test_load1_reads_the_host():
     assert v is None or (isinstance(v, float) and v >= 0.0)
 
 
+def test_shuffle_delta_attributes_a_querys_shuffle(spark):
+    """The r9 sweep columns: a groupBy's shuffle volume must show up in the
+    delta between two stage-set snapshots, with max-task ≤ total."""
+    from pyspark.sql import functions as F
+
+    from tools.probekit import shuffle_delta, shuffle_stage_keys
+
+    before = shuffle_stage_keys(spark)
+    assert before is not None  # classic local session: store reachable
+    df = spark.range(0, 200_000).select(
+        (F.col("id") % 97).alias("k"), F.col("id").alias("v")
+    )
+    df.groupBy("k").agg(F.sum("v")).count()
+    d = shuffle_delta(spark, before)
+    assert d is not None and d["n_stages"] >= 2
+    assert d["shuffle_write"] > 0 and d["shuffle_read"] > 0
+    assert 0 < d["max_task_read"] <= d["shuffle_read"]
+    assert 0 < d["max_task_write"] <= d["shuffle_write"]
+    # and a no-op window attributes nothing
+    again = shuffle_stage_keys(spark)
+    empty = shuffle_delta(spark, again)
+    assert empty == {
+        "shuffle_read": 0,
+        "shuffle_write": 0,
+        "max_task_read": 0,
+        "max_task_write": 0,
+        "n_stages": 0,
+    }
+
+
 def test_warm_dir_is_the_smallest_fixture():
     assert WARM_DIR.endswith("sf0.001")
 

@@ -85,6 +85,83 @@ def bench_session(app_name: str):
     return spark
 
 
+# --- shuffle-volume capture (r8 VERDICT item 4) ------------------------------
+#
+# Local wall-clock on 32 fast cores can hide a single-task bottleneck: a
+# query whose whole shuffle lands on one partition still finishes quickly
+# at toy scale, then serializes a 1000-executor cluster. Shuffle bytes
+# read/written and the MAX single-task shuffle bytes are the cheapest
+# honest proxy for cluster behavior, read from the JVM AppStatusStore
+# (works with the UI disabled). Per-query attribution: snapshot the stage
+# set before the run, aggregate over stages that appeared after. Caveat:
+# the store retains ~1000 stages; a single query spanning more than that
+# undercounts its own earliest stages (none do today).
+
+
+def _iter_scala_seq(seq):
+    it = seq.iterator()
+    while it.hasNext():
+        yield it.next()
+
+
+def _status_store(spark):
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    store = sc._jsc.sc().statusStore()
+    empty = jvm.java.util.ArrayList()
+    quant = sc._gateway.new_array(jvm.double, 1)
+    quant[0] = 1.0
+    return store, empty, quant
+
+
+def shuffle_stage_keys(spark) -> set | None:
+    """(stageId, attemptId) of every stage the status store currently holds.
+    None when the store is unreachable (Spark Connect) — callers degrade."""
+    try:
+        store, empty, quant = _status_store(spark)
+        stages = store.stageList(empty, False, False, quant, empty)
+        return {(s.stageId(), s.attemptId()) for s in _iter_scala_seq(stages)}
+    except Exception:
+        return None
+
+
+def shuffle_delta(spark, before: set | None) -> dict | None:
+    """Aggregate shuffle metrics over stages that appeared since ``before``
+    (a ``shuffle_stage_keys`` snapshot): total shuffle bytes read/written,
+    the max single-TASK shuffle bytes per direction (the skew/bottleneck
+    signature wall-clock hides behind 32 fast cores), and the stage count."""
+    if before is None:
+        return None
+    try:
+        store, empty, quant = _status_store(spark)
+        stages = store.stageList(empty, False, False, quant, empty)
+        read = write = n = 0
+        max_read = max_write = 0.0
+        for s in _iter_scala_seq(stages):
+            key = (s.stageId(), s.attemptId())
+            if key in before:
+                continue
+            n += 1
+            read += s.shuffleReadBytes()
+            write += s.shuffleWriteBytes()
+            opt = store.taskSummary(key[0], key[1], quant)
+            if opt.isDefined():
+                m = opt.get()
+                max_read = max(max_read, m.shuffleReadMetrics().readBytes().apply(0))
+                max_write = max(
+                    max_write, m.shuffleWriteMetrics().writeBytes().apply(0)
+                )
+        return {
+            "shuffle_read": int(read),
+            "shuffle_write": int(write),
+            "max_task_read": int(max_read),
+            "max_task_write": int(max_write),
+            "n_stages": n,
+        }
+    except Exception:
+        return None
+
+
 def warm_up(registry, names: Iterable[str], spark, warm_dir: str = WARM_DIR) -> None:
     """One pass per query at the smallest sf so compilation isn't billed."""
     for name in names:

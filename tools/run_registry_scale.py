@@ -13,6 +13,13 @@ re-run at both scales for any query whose ratio exceeds the flag threshold,
 keeping the better (min) time, so a host-noise spike on a single run
 cannot flag a query falsely.
 
+Since r9 each timed leg also records shuffle volume (total bytes
+read/written, max single-TASK shuffle bytes, stage count — from the JVM
+AppStatusStore via ``tools.probekit.shuffle_delta``) and flags any query
+whose max-partition SHARE of the shuffle grows with scale: the single-task
+bottleneck signature that 32 fast local cores hide behind wall-clock
+(r8 VERDICT item 4).
+
 ``python -m tools.run_registry_scale [base_dir] [big_dir] [out_json]``
 prints one line per query and writes a JSON summary.
 """
@@ -27,7 +34,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from tools.probekit import WARM_DIR  # noqa: E402
+from tools.probekit import WARM_DIR, shuffle_delta, shuffle_stage_keys  # noqa: E402
 
 #: flag threshold: the r7 bench suite's worst measured ×10 ratio was 3.2
 #: (traj_transform_lcc); anything beyond it is an outlier to investigate.
@@ -40,15 +47,27 @@ FLAG_RATIO = 3.2
 RUN_TIMEOUT_SEC = 300
 
 
+def _share(s: dict | None) -> float:
+    """max single-task shuffle-read bytes as a share of total shuffle read."""
+    if not s or s["shuffle_read"] <= 0:
+        return 0.0
+    return round(s["max_task_read"] / s["shuffle_read"], 4)
+
+
+def _mb(s: dict | None) -> str:
+    return f"{s['shuffle_read'] / 1048576:.1f}" if s else "?"
+
+
 class SweepAbort(Exception):
     """A timed-out run survived cancellation: its orphan jobs would share
     the session with — and silently inflate — every later timing, so the
     sweep must stop rather than record corrupted ratios."""
 
 
-def _run(fn, spark, d) -> tuple[float, int]:
+def _run(fn, spark, d, capture: bool = False) -> tuple[float, int, dict | None]:
     box: dict = {}
     group = f"registry-scale-{id(box)}"
+    before = shuffle_stage_keys(spark) if capture else None
 
     def target():
         try:
@@ -86,7 +105,7 @@ def _run(fn, spark, d) -> tuple[float, int]:
         raise TimeoutError(f"run exceeded {RUN_TIMEOUT_SEC}s (cancelled)")
     if "err" in box:
         raise box["err"]
-    return box["t"], box["n"]
+    return box["t"], box["n"], (shuffle_delta(spark, before) if capture else None)
 
 
 def main() -> None:
@@ -106,14 +125,27 @@ def main() -> None:
     for name, spec in registry.items():
         try:
             _run(spec.fn, spark, WARM_DIR)
-            tb, nb = _run(spec.fn, spark, base)
-            tg, ng = _run(spec.fn, spark, big)
+            tb, nb, sb = _run(spec.fn, spark, base, capture=True)
+            tg, ng, sg = _run(spec.fn, spark, big, capture=True)
             ratio = round(tg / tb, 2) if tb > 0 else float("inf")
             if ratio > FLAG_RATIO:
                 # confirm: a single noisy run must not flag a query
                 tb = min(tb, _run(spec.fn, spark, base)[0])
                 tg = min(tg, _run(spec.fn, spark, big)[0])
                 ratio = round(tg / tb, 2) if tb > 0 else float("inf")
+            # max-partition share: the single-task bottleneck signature 32
+            # fast local cores hide behind wall-clock (r8 VERDICT item 4).
+            # Flag when the share GROWS with scale on a non-trivial shuffle:
+            # at scale a healthy plan's max-task share shrinks (more
+            # partitions of the same advisory size); one that grows is
+            # concentrating the shuffle onto fewer tasks.
+            share_b = _share(sb)
+            share_g = _share(sg)
+            skew_flag = (
+                sg is not None
+                and sg["shuffle_read"] > 4 * 1024 * 1024
+                and share_g > 2 * share_b + 0.05
+            )
             results[name] = {
                 "t_base": tb,
                 "t_x10": tg,
@@ -121,11 +153,24 @@ def main() -> None:
                 "rows_base": nb,
                 "rows_x10": ng,
                 "flag": ratio > FLAG_RATIO,
+                "shuffle_base": sb,
+                "shuffle_x10": sg,
+                "max_task_share_base": share_b,
+                "max_task_share_x10": share_g,
+                "skew_flag": skew_flag,
             }
             mark = "  <-- FLAG" if ratio > FLAG_RATIO else ""
+            if skew_flag:
+                mark += "  <-- SKEW-SHARE"
+            shuf = (
+                f"  shuf {_mb(sb)}->{_mb(sg)}MB maxshare "
+                f"{share_b:.2f}->{share_g:.2f}"
+                if sb and sg
+                else ""
+            )
             print(
                 f"{name}: {tb}s -> {tg}s  ratio {ratio}  "
-                f"(rows {nb} -> {ng}){mark}",
+                f"(rows {nb} -> {ng}){shuf}{mark}",
                 flush=True,
             )
         except SweepAbort as exc:  # orphan jobs would corrupt later timings
@@ -137,11 +182,14 @@ def main() -> None:
             print(f"{name}: ERROR {type(exc).__name__}: {exc}"[:200], flush=True)
 
     flagged = [n for n, r in results.items() if r.get("flag")]
+    skew_flagged = [n for n, r in results.items() if r.get("skew_flag")]
     errored = [n for n, r in results.items() if "error" in r]
     summary = {
         "n_queries": len(results),
         "n_flagged": len(flagged),
         "flagged": flagged,
+        "n_skew_flagged": len(skew_flagged),
+        "skew_flagged": skew_flagged,
         "n_errored": len(errored),
         "errored": errored,
         "wall_clock_total_sec": round(time.time() - t_start, 1),
@@ -154,6 +202,7 @@ def main() -> None:
         json.dump(summary, fh, indent=1)
     print(
         f"\n{len(results)} queries, {len(flagged)} flagged (> {FLAG_RATIO}x), "
+        f"{len(skew_flagged)} skew-share flagged, "
         f"{len(errored)} errored, {summary['wall_clock_total_sec']}s total -> {out}",
         flush=True,
     )
