@@ -540,6 +540,21 @@ def box_stbox_overlap_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("a.t1us") >= F.col("b.t0us") - F.lit(_BAND_US))
         & (F.col("a.t0us") <= F.col("b.t1us") + F.lit(_BAND_US))
     )
+    # Explicit-count co-partitioned exchanges on the join keys (same key
+    # order, same count, both sides): the exploded cell tables are a few MB
+    # post-shuffle at fixture scale, so AQE coalesces the join's exchanges
+    # toward ONE task — blind to the candidate-pair expansion the probe
+    # does per partition — and the whole refinement serializes (measured
+    # 40s at sf0.1 for ~11M qualifying pairs, max-task share 0.44). A
+    # user-specified count is AQE-coalesce-exempt and satisfies the join's
+    # clustered distribution, so no second exchange appears; at real scale
+    # these exchanges exceed the advisory size and spread on their own.
+    try:
+        par = spark.sparkContext.defaultParallelism
+        a = a.repartition(par, "cellx", "celly", "cellt", "ca", "cb")
+        b = b.repartition(par, "cx_b", "cy_b", "ct_b", "ca", "cb")
+    except Exception:
+        pass  # Spark Connect: no sparkContext; driver-default AQE applies
     pairs = (
         a.join(
             b,

@@ -201,6 +201,60 @@ def _traj_state_fn(key, pdf_iter, state):
     )
 
 
+def traj_state_fn_evicting(key, pdf_iter, state):
+    """Long-lived variant of :func:`_traj_state_fn`: same accumulator, plus
+    event-time-timeout EVICTION for keys idle past the watermark horizon.
+
+    ``_traj_state_fn`` + ``NoTimeout`` is correct for the registered
+    finite ``availableNow`` replay (state is bounded by the fixture's key
+    count), but a 100 TB deployment sees unbounded key churn — without an
+    eviction path the state store grows with every vessel EVER seen, which
+    is the canonical long-running-stream killer (r8 VERDICT item 7). This
+    variant is the deployment recipe: pair it with ``withWatermark`` and
+    ``timeoutConf=GroupStateTimeout.EventTimeTimeout``; a vessel idle for
+    ``_EVICT_IDLE_MS`` of event time past the watermark emits nothing
+    further and its state row is dropped (trajectory closed). A vessel
+    reappearing later starts a fresh trajectory — sessionized semantics,
+    matching the reference's gap-split assembly
+    (meos/examples/04_to_file.rs:92-116) rather than the replay twin's
+    whole-history extent. tools/probe_stream_state.py measures the
+    resulting flat-after-watermark state curve across ~100 micro-batches.
+    """
+    import pandas as pd
+
+    if state.hasTimedOut:
+        # idle past the horizon: drop the state row; emit nothing (the
+        # last update-mode emission already carried the final extent)
+        state.remove()
+        return
+
+    if state.exists:
+        n, tmin, tmax = state.get
+    else:
+        n, tmin, tmax = 0, None, None
+    for pdf in pdf_iter:
+        if len(pdf) == 0:
+            continue
+        us = pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000  # → µs
+        n += len(pdf)
+        bmin, bmax = int(us.min()), int(us.max())
+        tmin = bmin if tmin is None else min(tmin, bmin)
+        tmax = bmax if tmax is None else max(tmax, bmax)
+    state.update((n, tmin, tmax))
+    # evict once the watermark moves _EVICT_IDLE_MS past this batch — i.e.
+    # the vessel sent nothing for that long in event time (must be strictly
+    # beyond the current watermark, which max(wm, 0) + idle guarantees)
+    state.setTimeoutTimestamp(max(state.getCurrentWatermarkMs(), 0) + _EVICT_IDLE_MS)
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_points": [n], "t_start_us": [tmin], "t_end_us": [tmax]}
+    )
+
+
+#: event-time idle horizon before a vessel's state row is evicted (10 min —
+#: the probe and tests override nothing; they drive event time instead)
+_EVICT_IDLE_MS = 600_000
+
+
 @register(
     "stream_stateful_assembly",
     oracle="""

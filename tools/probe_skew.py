@@ -93,6 +93,58 @@ def lsh_bucket_census(spark, sf_dir: str) -> dict:
     return {**row.asDict(), "cap": MAX_BUCKET}
 
 
+#: r9 (r8 VERDICT item 5): the r8 structural rewrites were contested only on
+#: uniform/degenerate shapes — the skew probe ran BEFORE they landed. Each
+#: is re-contested here on the hot-vessel fixtures (22.5% and 47.9% of all
+#: events on one vessel): the chunk-salted grid join (hot vessel's domain-
+#: spanning box lands in EVERY cell), the rank-space interval tree (one
+#: vessel's sessions dominate the tree), the sorted-merge as-of (one user
+#: dominates the merged stream), and the new banded variant. Per leg the
+#: shuffle max-task share is recorded (probekit.shuffle_delta) — the salt
+#: is observed binding when the share stays ~1/partitions under skew.
+R8_REWRITES = [
+    "box_stbox_overlap_join",
+    "box_stbox_overlap_banded",
+    "traj_tmax_sweep",
+    "rel_join_asof",
+    "rel_join_asof_nearest",
+]
+
+#: single runs for the output-quadratic stress pin (~50 s/leg); min-of-N
+#: adds little when the signal sought is a multi-× superlinear blowup.
+_REWRITE_RUNS = {"box_stbox_overlap_join": 1}
+
+
+def rewrite_skew_contest(spark, legs: list[tuple[str, str]]) -> None:
+    """Time each r8-rewrite query per fixture leg, with shuffle max-task share."""
+    from meos_rs_spark.registry import load_registry
+    from tools.probekit import (
+        reset_confs,
+        shuffle_delta,
+        shuffle_stage_keys,
+        timed_count,
+    )
+
+    registry = load_registry()
+    print("| query | fixture | sec | rows | shuffle MB | max-task share |")
+    print("|---|---|---|---|---|---|")
+    for name in R8_REWRITES:
+        fn = registry[name].fn
+        for label, d in legs:
+            reset_confs(spark)
+            runs = _REWRITE_RUNS.get(name, 2)
+            before = shuffle_stage_keys(spark)
+            t, n, _ = timed_count(lambda: fn(spark, d).count(), runs=runs)
+            s = shuffle_delta(spark, before)
+            # the delta spans all N identical runs: per-run bytes = total/N
+            # (max_task is already per task, so the share divides by the
+            # PER-RUN read or it would be diluted N×)
+            per_run = s["shuffle_read"] / runs if s else 0
+            mb = f"{per_run / 1048576:.1f}" if s else "?"
+            share = f"{s['max_task_read'] / per_run:.3f}" if per_run > 0 else "?"
+            print(f"| {name} | {label} | {t} | {n} | {mb} | {share} |", flush=True)
+
+
 def _agg(joined):
     return joined.groupBy("n_name").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -255,6 +307,16 @@ def main() -> None:
             f"{c['n_over_cap']} | {c['doc_slots_dropped']} |",
             flush=True,
         )
+
+    print("\n## r8 rewrites under hot-vessel skew (r8 VERDICT item 5)\n")
+    rewrite_legs = [("uniform ×10", unif_dir), ("skewed ×10 (22.5% hot)", skew_dir)]
+    unif20 = os.path.join(repo, ".scale", "sf1_x20")
+    heavy20 = os.path.join(repo, ".scale", "sf1_x20skew2")
+    if os.path.isdir(unif20):
+        rewrite_legs.append(("uniform ×20", unif20))
+    if os.path.isdir(heavy20):
+        rewrite_legs.append(("skewed ×20 (47.9% hot)", heavy20))
+    rewrite_skew_contest(spark, rewrite_legs)
 
     print(
         "\n## Salted vs unsalted join, scan-isolated join+agg stage "
