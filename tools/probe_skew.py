@@ -110,9 +110,14 @@ R8_REWRITES = [
     "rel_join_asof_nearest",
 ]
 
-#: single runs for the output-quadratic stress pin (~50 s/leg); min-of-N
+#: single runs for the output-quadratic pair joins (~50-110 s/leg); min-of-N
 #: adds little when the signal sought is a multi-× superlinear blowup.
-_REWRITE_RUNS = {"box_stbox_overlap_join": 1}
+_REWRITE_RUNS = {"box_stbox_overlap_join": 1, "box_stbox_overlap_banded": 1}
+
+#: the pair joins' qualifying-pair mass is quadratic on replicated fixtures
+#: (×4 output at ×20 vs ×10) — contest them on the ×10 uniform/skew pair
+#: only; the cheap rewrites run all four legs including the 47.9% fixture.
+_X10_ONLY = {"box_stbox_overlap_join", "box_stbox_overlap_banded"}
 
 
 def rewrite_skew_contest(spark, legs: list[tuple[str, str]]) -> None:
@@ -131,6 +136,8 @@ def rewrite_skew_contest(spark, legs: list[tuple[str, str]]) -> None:
     for name in R8_REWRITES:
         fn = registry[name].fn
         for label, d in legs:
+            if name in _X10_ONLY and "×20" in label:
+                continue
             reset_confs(spark)
             runs = _REWRITE_RUNS.get(name, 2)
             before = shuffle_stage_keys(spark)
