@@ -256,7 +256,13 @@ def fan_out(df: DataFrame, *keys: str, force: bool = False) -> DataFrame:
         try:
             par = spark.sparkContext.defaultParallelism
         except Exception:
-            par = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+            # shuffle.partitions may be non-numeric ('auto' on managed
+            # platforms) — fall back to the engine default rather than
+            # crashing the very environment this branch exists for
+            try:
+                par = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+            except (ValueError, TypeError):
+                par = 200
         return df.repartition(par, *keys)
     try:
         # .rdd / sparkContext raise under Spark Connect; the unforced probe

@@ -195,6 +195,35 @@ _OVERLAP_CHUNKS = 8
 #: provide on non-degenerate data (r8 review find).
 _MAX_GRID = 1024
 
+def _adaptive_cell_stats(vbox: DataFrame):
+    """Adaptive grid parameters as ONE scalar subquery over a box table
+    with xmin/xmax/ymin/ymax columns: cell = median box extent per axis
+    (the textbook grid-join choice — graceful degradation to near-all-pairs
+    on dense data, real pruning on sparse), floored at span/_MAX_GRID per
+    axis (bounds one outlier box's streamed cell rows) and at 1e-9 for
+    degenerate single-point data; origin anchored at the data min (ANSI
+    int-overflow guard, r8 review find). ONE shared implementation for
+    both J5 variants so the hard-won floors/anchor can't drift between
+    them (r9 review find). Returns (cw, ch, x0, y0) scalar Columns."""
+    stats = vbox.agg(
+        F.struct(
+            F.greatest(
+                F.percentile_approx(F.col("xmax") - F.col("xmin"), F.lit(0.5)),
+                (F.max("xmax") - F.min("xmin")) / _MAX_GRID,
+                F.lit(1e-9),
+            ).alias("cw"),
+            F.greatest(
+                F.percentile_approx(F.col("ymax") - F.col("ymin"), F.lit(0.5)),
+                (F.max("ymax") - F.min("ymin")) / _MAX_GRID,
+                F.lit(1e-9),
+            ).alias("ch"),
+            F.min("xmin").alias("x0"),
+            F.min("ymin").alias("y0"),
+        ).alias("s")
+    ).scalar()
+    return stats["cw"], stats["ch"], stats["x0"], stats["y0"]
+
+
 _STBOX_CTE = f"""
 {POSITS_CTE},
 vbox AS (
@@ -273,24 +302,7 @@ def box_stbox_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         vbox = vbox.repartition(spark.sparkContext.defaultParallelism, "mmsi")
     except Exception:
         pass  # Spark Connect: no sparkContext; driver-default AQE applies
-    stats = vbox.agg(
-        F.struct(
-            F.greatest(
-                F.percentile_approx(F.col("xmax") - F.col("xmin"), F.lit(0.5)),
-                (F.max("xmax") - F.min("xmin")) / _MAX_GRID,
-                F.lit(1e-9),
-            ).alias("cw"),
-            F.greatest(
-                F.percentile_approx(F.col("ymax") - F.col("ymin"), F.lit(0.5)),
-                (F.max("ymax") - F.min("ymin")) / _MAX_GRID,
-                F.lit(1e-9),
-            ).alias("ch"),
-            F.min("xmin").alias("x0"),
-            F.min("ymin").alias("y0"),
-        ).alias("s")
-    ).scalar()
-    cw, ch = stats["cw"], stats["ch"]
-    x0, y0 = stats["x0"], stats["y0"]
+    cw, ch, x0, y0 = _adaptive_cell_stats(vbox)
     # Cell bounds computed OUTSIDE the higher-order function: subquery
     # expressions (the adaptive cw/ch) are not allowed inside lambdas.
     # Indexes are ANCHORED at the data min, not the coordinate origin —
@@ -450,26 +462,8 @@ def box_stbox_overlap_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     except Exception:
         pass  # Spark Connect: no sparkContext; driver-default AQE applies
-    # adaptive spatial cells, exactly the parent's policy: median box extent
-    # per axis, floored at span/_MAX_GRID and 1e-9 (see the parent's notes)
-    stats = vbox.agg(
-        F.struct(
-            F.greatest(
-                F.percentile_approx(F.col("xmax") - F.col("xmin"), F.lit(0.5)),
-                (F.max("xmax") - F.min("xmin")) / _MAX_GRID,
-                F.lit(1e-9),
-            ).alias("cw"),
-            F.greatest(
-                F.percentile_approx(F.col("ymax") - F.col("ymin"), F.lit(0.5)),
-                (F.max("ymax") - F.min("ymin")) / _MAX_GRID,
-                F.lit(1e-9),
-            ).alias("ch"),
-            F.min("xmin").alias("x0"),
-            F.min("ymin").alias("y0"),
-        ).alias("s")
-    ).scalar()
-    cw, ch = stats["cw"], stats["ch"]
-    x0, y0 = stats["x0"], stats["y0"]
+    # adaptive spatial cells, exactly the parent's policy (shared helper)
+    cw, ch, x0, y0 = _adaptive_cell_stats(vbox)
     # spatial cell bounds anchored at the data min (ANSI-overflow guard,
     # same as the parent); time cells in exact integer µs via `div` — the
     # a-side covers the Δ-EXPANDED interval, the b-side the raw one, so

@@ -8,7 +8,8 @@ sitting on the same session (min-of-2, staging memo off — bench.py's
 honest-timing protocol):
 
 1. the skew-affected bench queries on the skewed ×10 fixture vs the
-   uniform ×10 fixture (same row counts, so the ratio isolates the skew);
+   uniform ×10 fixture (same row counts, so the ratio isolates the skew;
+   min-of-3 since r9 — timed_count's default);
 2. the LSH bucket census: how many (band, key) buckets exceed
    ``dedup.MAX_BUCKET`` and how many doc slots the cap drops — the cap
    must be observed BINDING on the skewed corpus and idle on the uniform
@@ -295,7 +296,7 @@ def main() -> None:
     if os.path.isdir("/root/testdata/sf0.001"):  # same guard as bench.py
         warm_up(registry, AFFECTED, spark)
 
-    print("## Affected bench queries: uniform ×10 vs skewed ×10 (min-of-2 sec)\n")
+    print("## Affected bench queries: uniform ×10 vs skewed ×10 (min-of-3 sec)\n")
     print("| query | uniform ×10 | skewed ×10 | skew/uniform |")
     print("|---|---|---|---|")
     for name in AFFECTED:

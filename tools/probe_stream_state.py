@@ -181,8 +181,12 @@ def main() -> None:
         v, ratio = verdict(curve)
         expected_grow = name == "custom_noevict"
         n = len(curve)
-        pts = [curve[min(n - 1, (n * q) // 100)]["rows"] for q in (25, 50, 75)]
-        end = curve[-1] if curve else {"rows": 0, "bytes": 0}
+        if n:
+            pts = [curve[min(n - 1, (n * q) // 100)]["rows"] for q in (25, 50, 75)]
+            end = curve[-1]
+        else:  # deadline hit before any stateful progress — keep the run
+            pts = [0, 0, 0]
+            end = {"rows": 0, "bytes": 0}
         results[name] = {
             "curve": curve,
             "verdict": v,

@@ -135,16 +135,21 @@ def main() -> None:
                 ratio = round(tg / tb, 2) if tb > 0 else float("inf")
             # max-partition share: the single-task bottleneck signature 32
             # fast local cores hide behind wall-clock (r8 VERDICT item 4).
-            # Flag when the share GROWS with scale on a non-trivial shuffle:
-            # at scale a healthy plan's max-task share shrinks (more
-            # partitions of the same advisory size); one that grows is
-            # concentrating the shuffle onto fewer tasks.
+            # Two triggers: (a) the share GROWS with scale on a non-trivial
+            # shuffle — a healthy plan's share shrinks as partitions
+            # multiply; (b) ABSOLUTE concentration on a shuffle too big for
+            # AQE coalescing to explain — under the stock 64 MB advisory a
+            # healthy >128 MB shuffle coalesces to ≥2 partitions (share
+            # ≤ ~0.5), so >0.6 there is a real partitioning defect, not the
+            # local-mode artifact. (Growth alone can't fire once the base
+            # share is ≥ ~0.48 — the both-scales-serialized case needs (b).)
             share_b = _share(sb)
             share_g = _share(sg)
-            skew_flag = (
+            big = sg is not None and sg["shuffle_read"] > 4 * 1024 * 1024
+            skew_flag = (big and share_g > 2 * share_b + 0.05) or (
                 sg is not None
-                and sg["shuffle_read"] > 4 * 1024 * 1024
-                and share_g > 2 * share_b + 0.05
+                and sg["shuffle_read"] > 128 * 1024 * 1024
+                and share_g > 0.6
             )
             results[name] = {
                 "t_base": tb,
