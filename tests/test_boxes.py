@@ -88,3 +88,61 @@ def test_overlap_join_degenerate_point_data_far_from_origin(spark, tmp_path):
         (r.mmsi_a, r.mmsi_b) for r in box_stbox_overlap_join(spark, str(tmp_path)).collect()
     )
     assert got == [(1, 2), (1, 3), (2, 3)]
+
+
+def test_banded_overlap_degenerate_point_data_pre_epoch(spark, tmp_path):
+    """The banded variant under both degeneracies at once: all posits at
+    one far-from-origin point (adaptive cell width bottoms at 1e-9 — the
+    parent's ANSI-overflow case, guarded by the now-shared anchored
+    helper) AND pre-1970 timestamps (negative epoch µs, where the time
+    cells' `div` truncates toward zero instead of flooring — emit-once
+    must survive because any MONOTONE cell map preserves the
+    cell(max)=max(cell) identity). Three vessels over two days:
+
+    * day 1 (1969-12-30): vessels 1, 2, 3 all present within minutes →
+      same-day encounters for every pair;
+    * day 2 (1969-12-31): only vessel 1, at 00:10 — within Δ=30 min of
+      vessel 2's day-1 23:50 posit (cross-midnight, adjacent time cells)
+      but > Δ from vessel 3's day-1 latest at 23:00.
+
+    Expected n_enc: v1d1=2 (v2d1, v3d1), v2d1=3 (v1d1, v3d1, v1d2),
+    v3d1=2 (v1d1, v2d1), v1d2=1 (v2d1). Same-vessel pairs (v1d1↔v1d2)
+    are excluded by mmsi_a < mmsi_b."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from meos_rs_spark.queries.boxes import box_stbox_overlap_banded
+
+    def posit(eid, user, ts):
+        return {
+            "event_id": eid,
+            "ts": pd.Timestamp(ts),
+            "user_id": user,
+            "event_type": "posit",
+            "value": 100.0,
+            "props": '{"k": 100}',
+        }
+
+    rows = [
+        posit(0, 1, "1969-12-30 12:00"),
+        posit(1, 1, "1969-12-30 12:05"),
+        posit(2, 2, "1969-12-30 12:02"),
+        posit(3, 2, "1969-12-30 23:50"),
+        posit(4, 3, "1969-12-30 11:58"),
+        posit(5, 3, "1969-12-30 23:00"),
+        posit(6, 1, "1969-12-31 00:10"),
+    ]
+    pq.write_table(
+        pa.Table.from_pandas(pd.DataFrame(rows)), str(tmp_path / "events.parquet")
+    )
+    got = {
+        (r.mmsi, r.d): r.n_enc
+        for r in box_stbox_overlap_banded(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        (1, "1969-12-30"): 2,
+        (2, "1969-12-30"): 3,
+        (3, "1969-12-30"): 2,
+        (1, "1969-12-31"): 1,
+    }
