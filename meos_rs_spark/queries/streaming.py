@@ -175,14 +175,13 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- stateful trajectory accumulation (applyInPandasWithState) -------------
 
 
-def _traj_state_fn(key, pdf_iter, state):
-    """Custom stateful trajectory accumulator (GroupState): maintains
-    (n_points, min_ts_us, max_ts_us) per vessel across
-    micro-batches — the applyInPandasWithState analog of the reference's
-    incremental upsert (ais_to_db.rs:156-161): new posits extend the stored
-    trajectory's state."""
-    import pandas as pd
-
+def _accumulate_extent(state, pdf_iter):
+    """Shared accumulator core of both stateful trajectory variants:
+    fold this batch's posits into the stored (n_points, min_ts_us,
+    max_ts_us) GroupState and return the updated triple. ONE
+    implementation so the replay twin and the evicting deployment recipe
+    cannot drift (r9 review find — same hazard class as the J5 grid
+    joins' shared `_adaptive_cell_stats`)."""
     if state.exists:
         n, tmin, tmax = state.get
     else:
@@ -196,6 +195,18 @@ def _traj_state_fn(key, pdf_iter, state):
         tmin = bmin if tmin is None else min(tmin, bmin)
         tmax = bmax if tmax is None else max(tmax, bmax)
     state.update((n, tmin, tmax))
+    return n, tmin, tmax
+
+
+def _traj_state_fn(key, pdf_iter, state):
+    """Custom stateful trajectory accumulator (GroupState): maintains
+    (n_points, min_ts_us, max_ts_us) per vessel across
+    micro-batches — the applyInPandasWithState analog of the reference's
+    incremental upsert (ais_to_db.rs:156-161): new posits extend the stored
+    trajectory's state."""
+    import pandas as pd
+
+    n, tmin, tmax = _accumulate_extent(state, pdf_iter)
     yield pd.DataFrame(
         {"user_id": [key[0]], "n_points": [n], "t_start_us": [tmin], "t_end_us": [tmax]}
     )
@@ -228,19 +239,7 @@ def traj_state_fn_evicting(key, pdf_iter, state):
         state.remove()
         return
 
-    if state.exists:
-        n, tmin, tmax = state.get
-    else:
-        n, tmin, tmax = 0, None, None
-    for pdf in pdf_iter:
-        if len(pdf) == 0:
-            continue
-        us = pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000  # → µs
-        n += len(pdf)
-        bmin, bmax = int(us.min()), int(us.max())
-        tmin = bmin if tmin is None else min(tmin, bmin)
-        tmax = bmax if tmax is None else max(tmax, bmax)
-    state.update((n, tmin, tmax))
+    n, tmin, tmax = _accumulate_extent(state, pdf_iter)
     # evict once the watermark moves _EVICT_IDLE_MS past this batch — i.e.
     # the vessel sent nothing for that long in event time (must be strictly
     # beyond the current watermark, which max(wm, 0) + idle guarantees)

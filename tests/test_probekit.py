@@ -81,6 +81,47 @@ def test_load1_reads_the_host():
     assert v is None or (isinstance(v, float) and v >= 0.0)
 
 
+def test_task_share_per_run_semantics():
+    """One share definition for every probe artifact: max task bytes over
+    the PER-RUN total (a delta spans all N identical runs)."""
+    from tools.probekit import task_share
+
+    d = {"shuffle_read": 100, "max_task_read": 30}
+    assert task_share(d) == 0.3
+    assert task_share(d, runs=2) == 0.6
+    assert task_share(None) == 0.0
+    assert task_share({"shuffle_read": 0, "max_task_read": 0}) == 0.0
+
+
+def test_sweep_runner_loop_survives_multiple_queries(spark, monkeypatch, tmp_path):
+    """Regression for the r9 `big`-shadowing bug: the skew-flag block
+    assigned a bool to the ×10 fixture-dir variable, so every query after
+    the FIRST ran against `True` and errored — the sweep must complete
+    multiple registry entries against real dirs end to end."""
+    import json
+    import sys
+
+    import meos_rs_spark.registry as registry_mod
+    import tools.run_registry_scale as rrs
+
+    full = registry_mod.load_registry()
+    sub = {n: full[n] for n in ("rel_global_metrics", "scalar_strings")}
+    monkeypatch.setattr(registry_mod, "load_registry", lambda: sub)
+    out = tmp_path / "sweep.json"
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        ["run_registry_scale", "/root/testdata/sf0.001", "/root/testdata/sf0.001", str(out)],
+    )
+    rrs.main()
+    got = json.loads(out.read_text())
+    assert got["n_queries"] == 2
+    assert got["errored"] == []
+    for name in sub:
+        row = got["queries"][name]
+        assert "error" not in row and row["t_base"] > 0
+
+
 def test_shuffle_delta_attributes_a_querys_shuffle(spark):
     """The r9 sweep columns: a groupBy's shuffle volume must show up in the
     delta between two stage-set snapshots, with max-task ≤ total."""

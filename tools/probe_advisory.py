@@ -55,6 +55,7 @@ def main() -> None:
         reset_confs,
         shuffle_delta,
         shuffle_stage_keys,
+        task_share,
         timed_count,
         warm_up,
     )
@@ -77,12 +78,11 @@ def main() -> None:
             if conf:
                 spark.conf.set(_ADVISORY, conf)
             try:
+                runs = 2
                 before = shuffle_stage_keys(spark)
-                t, _, _ = timed_count(lambda: fn(spark, big).count(), runs=2)
+                t, _, _ = timed_count(lambda: fn(spark, big).count(), runs=runs)
                 s = shuffle_delta(spark, before)
-                per_run = s["shuffle_read"] / 2 if s else 0
-                share = s["max_task_read"] / per_run if per_run > 0 else float("nan")
-                rows.append((t, share))
+                rows.append((t, task_share(s, runs)))
             finally:
                 reset_confs(spark)
         (t0, s0), (t1, s1) = rows

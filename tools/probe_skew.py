@@ -4,8 +4,8 @@ genuinely HOT key, not just more keys.
 ``gen_scale --skew`` concentrates ~22.5% of each fact table on one
 customer / supplier / vessel and plants ~900 identical copies of one doc
 template (see ``tools/gen_scale.py``); this runner then measures, in one
-sitting on the same session (min-of-2, staging memo off — bench.py's
-honest-timing protocol):
+sitting on the same session (min-of-3 since r9, staging memo off —
+bench.py's honest-timing protocol):
 
 1. the skew-affected bench queries on the skewed ×10 fixture vs the
    uniform ×10 fixture (same row counts, so the ratio isolates the skew;
@@ -128,6 +128,7 @@ def rewrite_skew_contest(spark, legs: list[tuple[str, str]]) -> None:
         reset_confs,
         shuffle_delta,
         shuffle_stage_keys,
+        task_share,
         timed_count,
     )
 
@@ -145,11 +146,9 @@ def rewrite_skew_contest(spark, legs: list[tuple[str, str]]) -> None:
             t, n, _ = timed_count(lambda: fn(spark, d).count(), runs=runs)
             s = shuffle_delta(spark, before)
             # the delta spans all N identical runs: per-run bytes = total/N
-            # (max_task is already per task, so the share divides by the
-            # PER-RUN read or it would be diluted N×)
             per_run = s["shuffle_read"] / runs if s else 0
             mb = f"{per_run / 1048576:.1f}" if s else "?"
-            share = f"{s['max_task_read'] / per_run:.3f}" if per_run > 0 else "?"
+            share = f"{task_share(s, runs):.3f}" if per_run > 0 else "?"
             print(f"| {name} | {label} | {t} | {n} | {mb} | {share} |", flush=True)
 
 

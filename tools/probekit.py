@@ -162,6 +162,20 @@ def shuffle_delta(spark, before: set | None) -> dict | None:
         return None
 
 
+def task_share(delta: dict | None, runs: int = 1) -> float:
+    """Max single-TASK shuffle-read bytes as a share of the PER-RUN total.
+
+    A ``shuffle_delta`` spans all N identical timed runs (per-run read =
+    total/N) while ``max_task_read`` is already per task — dividing by the
+    full total would dilute the share N×. ONE implementation for every
+    probe (sweep, skew contest, advisory demo) so the published 'share'
+    means the same thing in every artifact (r9 review find). 0.0 when the
+    delta is unavailable or the window was shuffle-free."""
+    if not delta or delta["shuffle_read"] <= 0 or runs <= 0:
+        return 0.0
+    return round(delta["max_task_read"] / (delta["shuffle_read"] / runs), 4)
+
+
 def warm_up(registry, names: Iterable[str], spark, warm_dir: str = WARM_DIR) -> None:
     """One pass per query at the smallest sf so compilation isn't billed."""
     for name in names:

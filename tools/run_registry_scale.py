@@ -34,7 +34,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from tools.probekit import WARM_DIR, shuffle_delta, shuffle_stage_keys  # noqa: E402
+from tools.probekit import (  # noqa: E402
+    WARM_DIR,
+    shuffle_delta,
+    shuffle_stage_keys,
+    task_share,
+)
 
 #: flag threshold: the r7 bench suite's worst measured ×10 ratio was 3.2
 #: (traj_transform_lcc); anything beyond it is an outlier to investigate.
@@ -45,13 +50,6 @@ FLAG_RATIO = 3.2
 #: collapsed, as the overlap join's had) is cancelled and recorded as a
 #: timeout instead of blocking the remaining ~200 queries.
 RUN_TIMEOUT_SEC = 300
-
-
-def _share(s: dict | None) -> float:
-    """max single-task shuffle-read bytes as a share of total shuffle read."""
-    if not s or s["shuffle_read"] <= 0:
-        return 0.0
-    return round(s["max_task_read"] / s["shuffle_read"], 4)
 
 
 def _mb(s: dict | None) -> str:
@@ -143,10 +141,11 @@ def main() -> None:
             # ≤ ~0.5), so >0.6 there is a real partitioning defect, not the
             # local-mode artifact. (Growth alone can't fire once the base
             # share is ≥ ~0.48 — the both-scales-serialized case needs (b).)
-            share_b = _share(sb)
-            share_g = _share(sg)
-            big = sg is not None and sg["shuffle_read"] > 4 * 1024 * 1024
-            skew_flag = (big and share_g > 2 * share_b + 0.05) or (
+            share_b = task_share(sb)  # capture legs are single runs
+            share_g = task_share(sg)
+            # (named `nontrivial`, NOT `big` — that's the fixture dir)
+            nontrivial = sg is not None and sg["shuffle_read"] > 4 * 1024 * 1024
+            skew_flag = (nontrivial and share_g > 2 * share_b + 0.05) or (
                 sg is not None
                 and sg["shuffle_read"] > 128 * 1024 * 1024
                 and share_g > 0.6
