@@ -341,3 +341,22 @@ def test_tfloat_sync_single_pair_shuffle(spark):
     plan = _plan(spark, "ttype_tfloat_sync_arith")
     assert "Join" not in plan, plan[:2000]
     assert plan.count("Exchange hashpartitioning") <= 2, plan[:3000]
+
+
+def test_banded_overlap_join_shape(spark):
+    """The banded J5 variant's 100 TB shape (r9): an equi-join on the 3D
+    cell + chunk keys (never cartesian/BNLJ), and the serialization guard —
+    explicit-count (AQE-coalesce-exempt) exchanges feeding the join on both
+    sides plus the pre-explode vbox exchange, visible as user-specified
+    repartitions in the plan. Without them the few-MB cell exchanges
+    coalesce to ~1 task and the candidate refinement runs serially
+    (measured 40s at sf0.1 — SCALE_r09.md §1)."""
+    plan = _plan(spark, "box_stbox_overlap_banded")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # an equi join (AQE may pick BHJ at toy scale; SMJ/SHJ at real scale)
+    assert "Join" in plan and ("HashJoin" in plan or "SortMergeJoin" in plan)
+    # the user-specified (AQE-exempt) exchanges: vbox pre-explode + both
+    # join sides — REPARTITION_BY_NUM is the plan marker for an
+    # explicit-count repartition
+    assert plan.count("REPARTITION_BY_NUM") >= 3
