@@ -81,8 +81,10 @@ def main() -> None:
     from meos_rs_spark.registry import load_registry
     from tools.probekit import (
         bench_session,
+        cpu_ticks,
         load1,
         reset_confs,
+        steal_pct,
         timed_count,
         warm_up,
     )
@@ -95,6 +97,7 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
     load_start = load1()
+    ticks_start = cpu_ticks()
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
@@ -123,6 +126,9 @@ def main() -> None:
                 "noise": {
                     "load1_start": load_start,
                     "load1_end": load1(),
+                    # hypervisor steal over the sweep: the host-contention
+                    # signal the guest load average cannot see
+                    "steal_pct": steal_pct(ticks_start, cpu_ticks()),
                     "spread_max": spread_max,
                     "runs": all_runs,
                 },

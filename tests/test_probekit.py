@@ -81,6 +81,16 @@ def test_load1_reads_the_host():
     assert v is None or (isinstance(v, float) and v >= 0.0)
 
 
+def test_steal_pct_math_and_host_read():
+    from tools.probekit import cpu_ticks, steal_pct
+
+    assert steal_pct((10, 1000), (20, 2000)) == 1.0
+    assert steal_pct(None, (1, 2)) is None
+    assert steal_pct((1, 2), (1, 2)) is None  # no elapsed ticks
+    t = cpu_ticks()
+    assert t is None or (t[1] >= t[0] >= 0)
+
+
 def test_task_share_per_run_semantics():
     """One share definition for every probe artifact: max task bytes over
     the PER-RUN total (a delta spans all N identical runs)."""

@@ -76,6 +76,26 @@ def load1() -> float | None:
         return None
 
 
+def cpu_ticks() -> tuple[int, int] | None:
+    """(steal_ticks, total_ticks) from /proc/stat, None off-Linux. Steal is
+    the host-contention signal the guest's OWN load average cannot see: an
+    11 s bench at load 0.6 and an 8.3 s bench at load 1.6 were both
+    measured on this VM — the difference lives in hypervisor steal."""
+    try:
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+        return (vals[7] if len(vals) > 7 else 0), sum(vals)
+    except Exception:
+        return None
+
+
+def steal_pct(before: tuple[int, int] | None, after: tuple[int, int] | None) -> float | None:
+    """% of CPU time stolen by the hypervisor between two cpu_ticks()."""
+    if not before or not after or after[1] <= before[1]:
+        return None
+    return round(100.0 * (after[0] - before[0]) / (after[1] - before[1]), 2)
+
+
 def bench_session(app_name: str):
     """Driver-default session with honest timings: staging memo OFF."""
     from meos_rs_spark.session import get_spark
