@@ -91,6 +91,28 @@ def test_steal_pct_math_and_host_read():
     assert t is None or (t[1] >= t[0] >= 0)
 
 
+def test_cpu_ticks_denominator_excludes_guest_fields(tmp_path, monkeypatch):
+    """r9 ADVICE: guest/guest_nice (fields 9-10) are already folded into
+    user/nice on Linux, so the total must be user..steal only — summing all
+    ten fields double-counts guest time and understates steal exactly on
+    the guest-heavy hosts the metric exists for."""
+    import builtins
+
+    from tools import probekit
+
+    #            user nice sys idle iowait irq softirq steal guest gnice
+    line = "cpu  100  10   20  500  5      1   2       50    30    3\n"
+    stat = tmp_path / "stat"
+    stat.write_text(line)
+    real_open = builtins.open
+    monkeypatch.setattr(
+        builtins,
+        "open",
+        lambda f, *a, **k: real_open(stat if f == "/proc/stat" else f, *a, **k),
+    )
+    assert probekit.cpu_ticks() == (50, 100 + 10 + 20 + 500 + 5 + 1 + 2 + 50)
+
+
 def test_task_share_per_run_semantics():
     """One share definition for every probe artifact: max task bytes over
     the PER-RUN total (a delta spans all N identical runs)."""

@@ -3,10 +3,13 @@ FIRST 50 entries of __spark_entry__.queries() only (observed in r2), so the
 round's verification targets must occupy exactly those positions.
 
 Since round 6 the head is COMPUTED from the committed CORRECTNESS_r*.json
-artifacts (registry.compute_verify_head). R9_EXPECTED_HEAD pins the tuple
-the r1-r8 artifacts produce; when the driver lands CORRECTNESS_r09.json the
+artifacts (registry.compute_verify_head). R10_EXPECTED_HEAD pins the tuple
+the r1-r9 artifacts produce; when the driver lands CORRECTNESS_r10.json the
 pin goes stale and this test fails — the next round's first task is then
-reviewing the freshly computed rotation and re-pinning it here.
+reviewing the freshly computed rotation and re-pinning it here. Per r9
+ADVICE, any commit that changes the computed head (a new CORRECTNESS
+artifact OR a registry change) must carry the matching re-pin in the SAME
+commit so the gate never goes red between commits.
 """
 
 from __future__ import annotations
@@ -19,63 +22,63 @@ from meos_rs_spark.registry import (
     verify_order_head,
 )
 
-# Round-9 rotation computed from CORRECTNESS_r01..r08: zero reds, one
-# never-checked (box_stbox_overlap_banded — NEW this round, r8 VERDICT
-# item 6), zero forced (all nine r8 rewrites re-earned green r8 rows,
-# FORCE_VERIFY cleared), then pure oldest-green refill: the 24 remaining
-# r4-era greens followed by the oldest r5-era greens, registration order
-# within each round (rel_grouping_sets drops out to make room).
-R9_EXPECTED_HEAD = (
-    "box_stbox_overlap_banded",
-    "sim_ann_ivf",
-    "sim_pq_ann",
-    "sim_ann_multiprobe",
-    "src_partition_pruning",
-    "src_schema_evolution",
-    "src_orc_roundtrip",
-    "src_csv_malformed",
-    "src_python_datasource",
-    "src_binaryfile_ingest",
-    "snk_compaction",
-    "snk_cdc_apply",
-    "snk_jdbc_upsert",
-    "rel_conditional_agg",
-    "rel_bloom_join",
-    "rel_bitmap_distinct",
-    "ttype_tint_step",
-    "ttype_ttext_ops",
-    "ttype_tbool_algebra",
-    "ttype_tfloat_sync_arith",
-    "trajsim_dtw_frechet",
-    "trajsim_nearest_instant",
-    "trajsim_tdwithin",
-    "trajsim_tdistance",
-    "trajsim_lcss_erp",
-    "dedup_minhash_estimate",
-    "dedup_containment",
-    "traj_stops",
-    "traj_space_time_grid",
-    "traj_geofence_events",
-    "traj_od_matrix",
-    "sim_kmeans_iter",
-    "sim_ann_recall",
-    "dedup_semantic",
-    "stream_interval_join",
-    "stream_doc_curation",
-    "stream_fingerprint_dedup",
-    "text_repetition",
-    "text_curation_pipeline",
-    "text_top_ngrams",
-    "text_tfidf_topterms",
-    "text_chunking",
-    "text_unigram_logprob",
-    "dedup_chunk_level",
-    "text_entropy",
-    "text_pii_scrub",
-    "text_gopher_rules",
-    "rel_pivot",
-    "rel_unpivot",
-    "rel_percentiles",
+# Round-10 rotation computed from CORRECTNESS_r01..r09: zero reds, zero
+# never-checked (box_stbox_overlap_banded earned its first green row r9),
+# zero forced (FORCE_VERIFY empty — no r9 work changed query semantics),
+# so the head is pure oldest-green refill: the 17 remaining r5-era greens
+# followed by the 33 oldest r6-era greens, registration order within each
+# round (all 50 r9-pinned queries just earned fresh rows and rotate out).
+R10_EXPECTED_HEAD = (
+    "rel_grouping_sets",
+    "rel_salted_join",
+    "rel_cohort_retention",
+    "rel_scd2_intervals",
+    "text_hash_split",
+    "text_quota_sample",
+    "text_shard_packing",
+    "text_length_histogram",
+    "text_mixture_weights",
+    "scalar_try_arith",
+    "scalar_bitwise",
+    "win_percent_rank_cume",
+    "win_range_interval",
+    "win_event_transitions",
+    "win_running_distinct",
+    "win_rolling_median",
+    "win_gap_islands",
+    "box_tbox_predicates",
+    "box_int_to_tbox",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_normalized",
+    "flagship_trip_pipeline",
+    "mm_metadata",
+    "mm_audio_features",
+    "mm_decode_features",
+    "serde_wkt_roundtrip",
+    "serde_mfjson",
+    "serde_wkt_forms",
+    "traj_unnest_instants",
+    "traj_speed_filter",
+    "traj_turning_points",
+    "traj_zorder_key",
+    "traj_ewma",
+    "snk_jsonl_trips",
+    "src_catalog_bootstrap",
+    "snk_partitioned_write",
+    "snk_bucketed_join",
+    "stream_tumbling_counts",
+    "stream_stateful_assembly",
+    "stream_sliding_counts",
+    "stream_dedup_watermark",
+    "text_quality",
+    "text_langid",
+    "rel_projection_rename",
+    "rel_group_having",
+    "rel_pricing_summary",
+    "rel_join_inner_broadcast",
 )
 
 
@@ -87,10 +90,10 @@ def test_head_is_exactly_the_driver_window():
     assert tuple(names[:50]) == head
 
 
-def test_computed_head_matches_the_round9_pin():
+def test_computed_head_matches_the_round10_pin():
     # Stale-pin alarm: fails as soon as a new CORRECTNESS artifact lands,
     # forcing the next round to review + re-pin the rotation.
-    assert verify_order_head() == R9_EXPECTED_HEAD
+    assert verify_order_head() == R10_EXPECTED_HEAD
 
 
 def test_head_priority_rule():

@@ -80,11 +80,16 @@ def cpu_ticks() -> tuple[int, int] | None:
     """(steal_ticks, total_ticks) from /proc/stat, None off-Linux. Steal is
     the host-contention signal the guest's OWN load average cannot see: an
     11 s bench at load 0.6 and an 8.3 s bench at load 1.6 were both
-    measured on this VM — the difference lives in hypervisor steal."""
+    measured on this VM — the difference lives in hypervisor steal.
+
+    Total is user..steal (fields 1-8) only: on Linux, guest and guest_nice
+    (fields 9-10) are already folded into user/nice, so summing all fields
+    would double-count guest time and understate steal on guest-heavy
+    hosts — the exact boxes this metric exists for (r9 ADVICE)."""
     try:
         with open("/proc/stat") as f:
             vals = [int(x) for x in f.readline().split()[1:]]
-        return (vals[7] if len(vals) > 7 else 0), sum(vals)
+        return (vals[7] if len(vals) > 7 else 0), sum(vals[:8])
     except Exception:
         return None
 
