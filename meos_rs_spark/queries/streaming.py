@@ -254,6 +254,48 @@ def traj_state_fn_evicting(key, pdf_iter, state):
 _EVICT_IDLE_MS = 600_000
 
 
+_STATE_OUTPUT = "user_id long, n_points long, t_start_us long, t_end_us long"
+_STATE_SCHEMA = "n long, tmin long, tmax long"
+
+
+def evicting_assembly(ev: DataFrame, watermark: str) -> DataFrame:
+    """The ONE construction of the evicting stateful pipeline: watermark →
+    per-vessel applyInPandasWithState with EventTimeTimeout eviction.
+
+    Shared by the registered ``stream_stateful_evicting`` (45-day watermark
+    so the finite replay keeps whole-history extents and the grouped-
+    assembly oracle stays exact), the key-churn pytest and the state-growth
+    probe (1-minute watermark so eviction actually fires). Factored so the
+    deployment recipe the probes measure is byte-for-byte the pipeline the
+    driver verifies."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            traj_state_fn_evicting,
+            outputStructType=_STATE_OUTPUT,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def _final_state_per_user(latest: DataFrame) -> DataFrame:
+    """Update-mode memory sinks hold one row per (user, batch); keep each
+    user's final accumulator state (max n_points — monotone per key)."""
+    w_latest = F.row_number().over(
+        Window.partitionBy("user_id").orderBy(F.col("n_points").desc())
+    )
+    return (
+        latest.withColumn("__rn", w_latest)
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "n_points", "t_start_us", "t_end_us")
+    )
+
+
 @register(
     "stream_stateful_assembly",
     oracle="""
@@ -275,32 +317,58 @@ def stream_stateful_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("user_id")
         .applyInPandasWithState(
             _traj_state_fn,
-            outputStructType="user_id long, n_points long, t_start_us long, t_end_us long",
-            stateStructType="n long, tmin long, tmax long",
+            outputStructType=_STATE_OUTPUT,
+            stateStructType=_STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    name = _sink_name("stream_stateful_assembly", sf_dir)
-    spark.catalog.dropTempView(name)
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
+    latest = _run_to_memory_sink(
+        out, spark, _sink_name("stream_stateful_assembly", sf_dir), "update"
     )
-    q.awaitTermination()
-    # update mode emits one row per (user, batch); keep the final state per user
-    latest = spark.table(name)
-    w_latest = F.row_number().over(
-        Window.partitionBy("user_id").orderBy(F.col("n_points").desc())
+    return _final_state_per_user(latest)
+
+
+@register(
+    "stream_stateful_evicting",
+    oracle="""
+SELECT user_id, count(*) AS n_points,
+       epoch_us(min(ts)) AS t_start_us,
+       epoch_us(max(ts)) AS t_end_us
+FROM events GROUP BY user_id
+""",
+    tags=("ST", "A5", "A6"),
+    doc="the DEPLOYMENT shape of stateful trajectory assembly: same "
+    "applyInPandasWithState accumulator, but with event-time-timeout "
+    "EVICTION active (watermark + setTimeoutTimestamp + hasTimedOut/"
+    "remove) so a long-running stream's state store stays bounded under "
+    "unbounded key churn; replayed availableNow, final state must still "
+    "equal the batch aggregate",
+)
+def stream_stateful_evicting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered twin of :func:`stream_stateful_assembly` running the
+    eviction-capable state function (r9 VERDICT item 3: the deployment
+    recipe earns its own driver CORRECTNESS row instead of living only as
+    a helper + pytest).
+
+    The idle horizon is the 45-day :data:`DEDUP_WATERMARK`: during the
+    finite fixture replay (~30-day event span,
+    tests/test_streaming_bounds.py) the watermark never overtakes any
+    vessel's timeout, so no state row is evicted mid-replay and the
+    whole-history grouped-assembly oracle is exact — while the SAME
+    pipeline under a short watermark demonstrably evicts (the key-churn
+    pytest and tools/probe_stream_state.py drive it at 1 minute).
+    Reference semantics: incremental trajectory upsert,
+    meos-polars/examples/ais_to_db.rs:156-161; gap-split assembly,
+    meos/examples/04_to_file.rs:92-116."""
+    ev = _stream_events(spark, sf_dir)
+    latest = _run_to_memory_sink(
+        evicting_assembly(ev, DEDUP_WATERMARK),
+        spark,
+        _sink_name("stream_stateful_evicting", sf_dir),
+        "update",
     )
-    return (
-        latest.withColumn("__rn", w_latest)
-        .filter(F.col("__rn") == 1)
-        .select("user_id", "n_points", "t_start_us", "t_end_us")
-    )
+    return _final_state_per_user(latest)
 
 
 # --- sliding window aggregation --------------------------------------------

@@ -22,13 +22,16 @@ from meos_rs_spark.registry import (
     verify_order_head,
 )
 
-# Round-10 rotation computed from CORRECTNESS_r01..r09: zero reds, zero
-# never-checked (box_stbox_overlap_banded earned its first green row r9),
-# zero forced (FORCE_VERIFY empty — no r9 work changed query semantics),
-# so the head is pure oldest-green refill: the 17 remaining r5-era greens
-# followed by the 33 oldest r6-era greens, registration order within each
-# round (all 50 r9-pinned queries just earned fresh rows and rotate out).
+# Round-10 rotation computed from CORRECTNESS_r01..r09: one never-checked
+# (stream_stateful_evicting — NEW this round, r9 VERDICT item 3 promoting
+# the eviction deployment recipe to a registered query) leads, zero reds,
+# zero forced (FORCE_VERIFY empty — no r9 work changed query semantics);
+# then pure oldest-green refill: the 17 remaining r5-era greens followed
+# by the oldest r6-era greens, registration order within each round
+# (rel_join_inner_broadcast drops out to make room; all 50 r9-pinned
+# queries just earned fresh rows and rotate out).
 R10_EXPECTED_HEAD = (
+    "stream_stateful_evicting",
     "rel_grouping_sets",
     "rel_salted_join",
     "rel_cohort_retention",
@@ -78,7 +81,6 @@ R10_EXPECTED_HEAD = (
     "rel_projection_rename",
     "rel_group_having",
     "rel_pricing_summary",
-    "rel_join_inner_broadcast",
 )
 
 

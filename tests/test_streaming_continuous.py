@@ -160,28 +160,18 @@ def test_continuous_trigger_runs_map_only_pipeline(spark):
 
 
 def test_evicting_stateful_assembly_bounds_state_under_key_churn(spark):
-    """``traj_state_fn_evicting`` (the long-lived deployment recipe, r8
-    VERDICT item 7): with every row a brand-new key and event time driven
-    by the data, the state store must evict keys idle past the
-    watermark+idle horizon instead of growing with every key ever seen —
-    the registered NoTimeout accumulator is availableNow-replay-only."""
-    from pyspark.sql.streaming.state import GroupStateTimeout
-
-    from meos_rs_spark.queries.streaming import traj_state_fn_evicting
+    """The REGISTERED ``stream_stateful_evicting`` pipeline (r9 VERDICT
+    item 3 promoted the r8-item-7 recipe to a driver-verified query): with
+    every row a brand-new key and event time driven by the data, the state
+    store must evict keys idle past the watermark+idle horizon instead of
+    growing with every key ever seen — the registered NoTimeout
+    accumulator is availableNow-replay-only. Same ``evicting_assembly``
+    builder the registered query runs, just under a 1-minute watermark so
+    eviction fires inside the test window."""
+    from meos_rs_spark.queries.streaming import evicting_assembly
     from tools.probe_stream_state import _ROWS_PER_BATCH, _source, drive
 
-    out = (
-        _source(spark)
-        .withWatermark("ts", "1 minute")
-        .groupBy("user_id")
-        .applyInPandasWithState(
-            traj_state_fn_evicting,
-            outputStructType="user_id long, n_points long, t_start_us long, t_end_us long",
-            stateStructType="n long, tmin long, tmax long",
-            outputMode="update",
-            timeoutConf=GroupStateTimeout.EventTimeTimeout,
-        )
-    )
+    out = evicting_assembly(_source(spark), "1 minute")
     curve = drive(spark, out, n_batches=15, deadline_s=120)
     assert curve, "no state metrics reported"
     # keys seen so far grow 600/batch forever; retained state is bounded by

@@ -68,13 +68,13 @@ def _legs(spark) -> dict:
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from meos_rs_spark.queries.streaming import (
+        _STATE_OUTPUT,
+        _STATE_SCHEMA,
         _traj_state_fn,
-        traj_state_fn_evicting,
+        evicting_assembly,
     )
 
     src = _source(spark)
-    out_schema = "user_id long, n_points long, t_start_us long, t_end_us long"
-    state_schema = "n long, tmin long, tmax long"
     return {
         "window_agg": src.withWatermark("ts", "30 minutes")
         .groupBy(F.window("ts", "5 minutes"), "user_id")
@@ -82,19 +82,13 @@ def _legs(spark) -> dict:
         "dedup": src.withWatermark("ts", "30 minutes").dropDuplicates(
             ["user_id", "ts"]
         ),
-        "custom_evict": src.withWatermark("ts", "30 minutes")
-        .groupBy("user_id")
-        .applyInPandasWithState(
-            traj_state_fn_evicting,
-            outputStructType=out_schema,
-            stateStructType=state_schema,
-            outputMode="update",
-            timeoutConf=GroupStateTimeout.EventTimeTimeout,
-        ),
+        # byte-for-byte the registered stream_stateful_evicting pipeline,
+        # just under a short watermark so eviction fires within the probe
+        "custom_evict": evicting_assembly(src, "30 minutes"),
         "custom_noevict": src.groupBy("user_id").applyInPandasWithState(
             _traj_state_fn,
-            outputStructType=out_schema,
-            stateStructType=state_schema,
+            outputStructType=_STATE_OUTPUT,
+            stateStructType=_STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         ),
