@@ -120,3 +120,54 @@ def test_embedding_rotation_preserves_norms(scaled):
         rep = np.asarray(reps[vec_id + off])  # replica r=1
         assert sorted(rep) == pytest.approx(sorted(base))  # same multiset
         assert not np.array_equal(rep, base)  # decorrelated
+
+
+# --- time-extended variant (r9 VERDICT item 4) ------------------------------
+
+
+@pytest.fixture(scope="module")
+def time_scaled(tmp_path_factory):
+    from tools.gen_scale import scale_fixture_time
+
+    dst = str(tmp_path_factory.mktemp("scale") / "t3")
+    scale_fixture_time(SRC, dst, 3)
+    return dst
+
+
+def test_time_fixture_extends_span_not_keys(time_scaled):
+    """Same vessels, R× the time span: the growth shape real fleets have —
+    replica boxes must occupy disjoint time bands so banded pair joins
+    grow linearly instead of measuring replica stacking."""
+    from tools.gen_scale import _TIME_GAP
+
+    base = _read(SRC, "events")
+    ext = _read(time_scaled, "events")
+    assert len(ext) == 3 * len(base)
+    # same vessel population — keys do NOT scale
+    assert set(ext.user_id) == set(base.user_id)
+    # event_id stays a unique row id
+    assert ext.event_id.is_unique
+    # replica time bands are disjoint by more than every banded horizon
+    period = (base.ts.max() - base.ts.min()) + _TIME_GAP
+    for r in range(3):
+        band = ext[(ext.event_id >= r * (base.event_id.max() + 1))
+                   & (ext.event_id < (r + 1) * (base.event_id.max() + 1))]
+        assert band.ts.min() == base.ts.min() + r * period
+        assert band.ts.max() == base.ts.max() + r * period
+    assert _TIME_GAP >= pd.Timedelta(days=1)  # > J5 band, sessions, asof probes
+    # per-vessel series replicate exactly: same per-key posit counts × R
+    assert (
+        ext.groupby("user_id").size() == 3 * base.groupby("user_id").size()
+    ).all()
+    # positions untouched: each replica re-sails the same tracks
+    assert (ext["value"].to_numpy()[: len(base)] == base["value"].to_numpy()).all()
+
+
+def test_time_fixture_copies_non_temporal_tables(time_scaled):
+    for t in TABLES:
+        if t == "events":
+            continue
+        src_schema = pq.read_schema(os.path.join(SRC, f"{t}.parquet"))
+        dst_schema = pq.read_schema(os.path.join(time_scaled, f"{t}.parquet"))
+        assert src_schema.equals(dst_schema), t
+        assert len(_read(time_scaled, t)) == len(_read(SRC, t)), t

@@ -154,6 +154,56 @@ def test_sweep_runner_loop_survives_multiple_queries(spark, monkeypatch, tmp_pat
         assert "error" not in row and row["t_base"] > 0
 
 
+def test_sweep_runner_only_filter_and_advisory_leg(spark, monkeypatch, tmp_path):
+    """r9 VERDICT item 5: the advisory=2m re-run is a standing sweep column.
+    Forcing the trigger (share > -1 on any shuffle > -1 bytes) must produce
+    the adv2m time/share fields and a bool artifact-vs-persists verdict for
+    a query with a real shuffle; --only must restrict the sweep to the
+    named queries and reject unknown names."""
+    import json
+    import sys
+
+    import pytest
+
+    import tools.run_registry_scale as rrs
+
+    monkeypatch.setattr(rrs, "ADV_SHARE_TRIGGER", -1.0)
+    monkeypatch.setattr(rrs, "NONTRIVIAL_SHUFFLE", -1)
+    adv_default = spark.conf.get(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    )
+    out = tmp_path / "sweep.json"
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        [
+            "run_registry_scale",
+            "/root/testdata/sf0.001",
+            "/root/testdata/sf0.001",
+            str(out),
+            "--only=rel_global_metrics",
+        ],
+    )
+    rrs.main()
+    got = json.loads(out.read_text())
+    assert got["n_queries"] == 1 and got["errored"] == []
+    row = got["queries"]["rel_global_metrics"]
+    assert row["t_x10_adv2m"] is not None and row["t_x10_adv2m"] > 0
+    assert row["max_task_share_x10_adv2m"] is not None
+    assert isinstance(row["aqe_artifact"], bool)
+    # the leg must leave the session canonical (advisory conf restored)
+    assert (
+        spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+        == adv_default
+    )
+
+    monkeypatch.setattr(
+        sys, "argv", ["run_registry_scale", "--only=no_such_query"]
+    )
+    with pytest.raises(SystemExit, match="no_such_query"):
+        rrs.main()
+
+
 def test_shuffle_delta_attributes_a_querys_shuffle(spark):
     """The r9 sweep columns: a groupBy's shuffle volume must show up in the
     delta between two stage-set snapshots, with max-task ≤ total."""

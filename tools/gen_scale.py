@@ -181,19 +181,84 @@ def scale_fixture(src: str, dst: str, factor: int, skew: bool = False) -> None:
         print(f"{table}: {len(base)} -> {len(out)} rows")
 
 
+#: --time: gap between replica time bands. Must exceed every banded/as-of
+#: horizon in the registry (the J5 Δ is 30 min, gap-split sessions 30 min,
+#: asof probes 1 day) so cross-replica rows can never pair.
+_TIME_GAP = pd.Timedelta(days=2)
+
+
+def scale_fixture_time(src: str, dst: str, factor: int) -> None:
+    """Time-extended replication: same keys, ``factor``× the time span.
+
+    The key-remapped ×R fixture (``scale_fixture``) replicates every key
+    domain IN PLACE, so whole-domain pair joins (the J5 family) measure
+    output-quadratic replica STACKING — R copies of every box occupy the
+    same space-time volume and all cross-pair (r9 VERDICT item 4: banded
+    ×10 ran 104 s on ~1B qualifying pairs and the honest metric retreated
+    to per-pair cost). Real fleets don't grow that way: more data means
+    more TIME under the same vessels. This variant keeps ``user_id`` (and
+    every other key's per-replica slice disjoint only where uniqueness
+    demands it: ``event_id``) and shifts replica r's timestamps by
+    ``r * (span + _TIME_GAP)``, so replica time bands are disjoint beyond
+    every banded horizon and qualifying pairs grow ~linearly — the growth
+    shape the §1 linear-wall claim is actually about. lon/lat derive from
+    ``value``/``props`` (FIXTURES.md §1), which are untouched, so each
+    replica re-sails the same tracks in a later epoch.
+
+    Only ``events`` is time-bearing; every other table copies through
+    unchanged (the targeted queries — J5 pair joins, tmax sweep, as-of
+    merges — read events alone).
+    """
+    os.makedirs(dst, exist_ok=True)
+    for table in TABLES:
+        src_path = os.path.join(src, f"{table}.parquet")
+        schema = pq.read_schema(src_path)
+        base = pq.read_table(src_path).to_pandas()
+        if table != "events":
+            pq.write_table(
+                pa.Table.from_pandas(base, schema=schema, preserve_index=False),
+                os.path.join(dst, f"{table}.parquet"),
+            )
+            print(f"{table}: copied, {len(base)} rows")
+            continue
+        period = (base["ts"].max() - base["ts"].min()) + _TIME_GAP
+        eid_off = int(base["event_id"].max()) + 1
+        replicas = []
+        for r in range(factor):
+            rep = base.copy(deep=False)
+            rep["event_id"] = base["event_id"] + r * eid_off
+            rep["ts"] = base["ts"] + r * period
+            replicas.append(rep)
+        out = pd.concat(replicas, ignore_index=True)
+        pq.write_table(
+            pa.Table.from_pandas(out, schema=schema, preserve_index=False),
+            os.path.join(dst, f"{table}.parquet"),
+        )
+        print(
+            f"{table}: {len(base)} -> {len(out)} rows, "
+            f"span {base['ts'].min()} .. {out['ts'].max()}"
+        )
+
+
 def main() -> None:
-    argv = [a for a in sys.argv[1:] if a != "--skew"]
+    argv = [a for a in sys.argv[1:] if a not in ("--skew", "--time")]
     skew = "--skew" in sys.argv[1:]
+    time_mode = "--time" in sys.argv[1:]
+    if skew and time_mode:
+        raise SystemExit("--skew and --time are separate fixtures")
     factor = int(argv[0]) if len(argv) > 0 else 10
     src = argv[1] if len(argv) > 1 else "/root/testdata/sf0.1"
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    suffix = "skew" if skew else ""
+    suffix = "skew" if skew else "t" if time_mode else ""
     dst = (
         argv[2]
         if len(argv) > 2
         else os.path.join(repo, ".scale", f"sf1_x{factor}{suffix}")
     )
-    scale_fixture(src, dst, factor, skew=skew)
+    if time_mode:
+        scale_fixture_time(src, dst, factor)
+    else:
+        scale_fixture(src, dst, factor, skew=skew)
     print(f"wrote {dst}")
 
 

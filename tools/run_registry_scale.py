@@ -20,8 +20,20 @@ whose max-partition SHARE of the shuffle grows with scale: the single-task
 bottleneck signature that 32 fast local cores hide behind wall-clock
 (r8 VERDICT item 4).
 
-``python -m tools.run_registry_scale [base_dir] [big_dir] [out_json]``
-prints one line per query and writes a JSON summary.
+Since r10 any query whose stock ×10 share exceeds ``ADV_SHARE_TRIGGER``
+earns an extra ×10 leg under a 2 MB ``advisoryPartitionSizeInBytes`` (the
+one-off ``tools/probe_advisory.py`` demo made standing, r9 VERDICT item 5):
+at toy scale AQE legitimately coalesces a small exchange into one
+partition, so a share near 1.0 is ambiguous. If the 2 MB advisory collapses
+the share the concentration was the coalescing artifact and the skew flag
+is suppressed; a share that PERSISTS under the advisory is a real
+partitioning defect and flags. Every sweep row self-classifies — no
+separate probe run needed.
+
+``python -m tools.run_registry_scale [base_dir] [big_dir] [out_json]
+[--only=q1,q2,...]`` prints one line per query and writes a JSON summary;
+``--only`` restricts the sweep to the named queries (targeted fixtures,
+e.g. the time-extended ×10).
 """
 
 from __future__ import annotations
@@ -35,7 +47,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tools.probekit import (  # noqa: E402
+    CONTEST_CONFS,
     WARM_DIR,
+    reset_confs,
     shuffle_delta,
     shuffle_stage_keys,
     task_share,
@@ -50,6 +64,16 @@ FLAG_RATIO = 3.2
 #: collapsed, as the overlap join's had) is cancelled and recorded as a
 #: timeout instead of blocking the remaining ~200 queries.
 RUN_TIMEOUT_SEC = 300
+
+#: stock ×10 max-task share above which the advisory=2m leg runs. 0.6 is
+#: the same bound the absolute skew trigger uses: below it AQE coalescing
+#: to ≤2 partitions explains the share without any defect.
+ADV_SHARE_TRIGGER = 0.6
+
+#: shuffle volume below which share numbers carry no signal at all
+NONTRIVIAL_SHUFFLE = 4 * 1024 * 1024
+
+_ADVISORY = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
 
 
 def _mb(s: dict | None) -> str:
@@ -108,14 +132,27 @@ def _run(fn, spark, d, capture: bool = False) -> tuple[float, int, dict | None]:
 
 def main() -> None:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    big = sys.argv[2] if len(sys.argv) > 2 else os.path.join(repo, ".scale", "sf1_x10")
-    out = sys.argv[3] if len(sys.argv) > 3 else "/tmp/registry_scale.json"
+    only: set[str] | None = None
+    argv = []
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = {q.strip() for q in a[len("--only="):].split(",") if q.strip()}
+        else:
+            argv.append(a)
+    base = argv[0] if len(argv) > 0 else "/root/testdata/sf0.1"
+    big = argv[1] if len(argv) > 1 else os.path.join(repo, ".scale", "sf1_x10")
+    out = argv[2] if len(argv) > 2 else "/tmp/registry_scale.json"
 
     from meos_rs_spark.registry import load_registry
     from tools.probekit import bench_session
 
+    assert _ADVISORY in CONTEST_CONFS  # reset_confs must cover what we set
     registry = load_registry()
+    if only is not None:
+        missing = only - set(registry)
+        if missing:
+            raise SystemExit(f"--only names unknown queries: {sorted(missing)}")
+        registry = {n: s for n, s in registry.items() if n in only}
     spark = bench_session("meos-rs-spark-registry-scale")
 
     results: dict[str, dict] = {}
@@ -144,11 +181,27 @@ def main() -> None:
             share_b = task_share(sb)  # capture legs are single runs
             share_g = task_share(sg)
             # (named `nontrivial`, NOT `big` — that's the fixture dir)
-            nontrivial = sg is not None and sg["shuffle_read"] > 4 * 1024 * 1024
-            skew_flag = (nontrivial and share_g > 2 * share_b + 0.05) or (
-                sg is not None
-                and sg["shuffle_read"] > 128 * 1024 * 1024
-                and share_g > 0.6
+            nontrivial = sg is not None and sg["shuffle_read"] > NONTRIVIAL_SHUFFLE
+            # standing advisory leg (r9 VERDICT item 5): a concentrated
+            # stock share re-runs under a 2 MB advisory; collapse there
+            # classifies the concentration as the AQE-coalescing artifact
+            # and suppresses the skew flag, persistence confirms it.
+            t_adv = share_adv = None
+            if nontrivial and share_g > ADV_SHARE_TRIGGER:
+                try:
+                    spark.conf.set(_ADVISORY, "2m")
+                    t_adv, _, s_adv = _run(spec.fn, spark, big, capture=True)
+                    share_adv = task_share(s_adv)
+                finally:
+                    reset_confs(spark)
+            aqe_artifact = share_adv is not None and share_adv <= ADV_SHARE_TRIGGER
+            skew_flag = not aqe_artifact and (
+                (nontrivial and share_g > 2 * share_b + 0.05)
+                or (
+                    sg is not None
+                    and sg["shuffle_read"] > 128 * 1024 * 1024
+                    and share_g > 0.6
+                )
             )
             results[name] = {
                 "t_base": tb,
@@ -161,6 +214,9 @@ def main() -> None:
                 "shuffle_x10": sg,
                 "max_task_share_base": share_b,
                 "max_task_share_x10": share_g,
+                "t_x10_adv2m": t_adv,
+                "max_task_share_x10_adv2m": share_adv,
+                "aqe_artifact": aqe_artifact,
                 "skew_flag": skew_flag,
             }
             mark = "  <-- FLAG" if ratio > FLAG_RATIO else ""
@@ -172,6 +228,11 @@ def main() -> None:
                 if sb and sg
                 else ""
             )
+            if share_adv is not None:
+                shuf += (
+                    f" adv2m {share_adv:.2f}"
+                    + (" (AQE artifact)" if aqe_artifact else " (PERSISTS)")
+                )
             print(
                 f"{name}: {tb}s -> {tg}s  ratio {ratio}  "
                 f"(rows {nb} -> {ng}){shuf}{mark}",
@@ -187,6 +248,7 @@ def main() -> None:
 
     flagged = [n for n, r in results.items() if r.get("flag")]
     skew_flagged = [n for n, r in results.items() if r.get("skew_flag")]
+    aqe_artifacts = [n for n, r in results.items() if r.get("aqe_artifact")]
     errored = [n for n, r in results.items() if "error" in r]
     summary = {
         "n_queries": len(results),
@@ -194,6 +256,8 @@ def main() -> None:
         "flagged": flagged,
         "n_skew_flagged": len(skew_flagged),
         "skew_flagged": skew_flagged,
+        "adv_share_trigger": ADV_SHARE_TRIGGER,
+        "aqe_artifacts": aqe_artifacts,
         "n_errored": len(errored),
         "errored": errored,
         "wall_clock_total_sec": round(time.time() - t_start, 1),
