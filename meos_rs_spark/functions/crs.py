@@ -21,19 +21,11 @@ import pandas as pd
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
 
-# WGS84 ellipsoid
+# WGS84 ellipsoid + UTM constants
 _A = 6378137.0
 _F = 1.0 / 298.257223563
-_E2 = _F * (2.0 - _F)
-_EP2 = _E2 / (1.0 - _E2)
 _K0 = 0.9996
 _FALSE_E = 500000.0
-
-# meridian-arc series coefficients (Snyder eq. 3-21)
-_M0 = 1.0 - _E2 / 4.0 - 3.0 * _E2**2 / 64.0 - 5.0 * _E2**3 / 256.0
-_M2 = 3.0 * _E2 / 8.0 + 3.0 * _E2**2 / 32.0 + 45.0 * _E2**3 / 1024.0
-_M4 = 15.0 * _E2**2 / 256.0 + 45.0 * _E2**3 / 1024.0
-_M6 = 35.0 * _E2**3 / 3072.0
 
 
 def normalize_lon(lon: np.ndarray) -> np.ndarray:
@@ -53,41 +45,79 @@ def utm_zone(lon: np.ndarray) -> np.ndarray:
     return (np.floor((normalize_lon(lon) + 180.0) / 6.0) + 1.0).astype(np.int32)
 
 
-def _utm_numpy(lon: np.ndarray, lat: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """(zone, easting, northing) — Snyder 8-9..8-13, northern-hemisphere
-    convention (no 10 000 km false northing; the fixture 'lat' is >= 0)."""
-    lon_n = normalize_lon(np.asarray(lon, dtype=np.float64))
-    lat_c = np.clip(np.asarray(lat, dtype=np.float64), -84.0, 84.0)
-    zone = utm_zone(lon_n)
-    lam0 = np.deg2rad(zone * 6.0 - 183.0)
-    phi = np.deg2rad(lat_c)
-    lam = np.deg2rad(lon_n)
+def tm_series(
+    a: float,
+    f: float,
+    phi: np.ndarray,
+    lam: np.ndarray,
+    lam0: np.ndarray | float,
+    phi0_deg: float = 0.0,
+    k0: float = _K0,
+    false_e: float = _FALSE_E,
+    false_n: float = 0.0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """The ONE transverse-mercator series (Snyder PP 1395 eqs 8-9..8-13,
+    public formulas), parameterized over ellipsoid + natural origin so any
+    EPSG TM zone (UTM, British National Grid, State Plane TM zones) is a
+    constant tuple away — the same generalization step ``lcc_2sp`` makes
+    for conics. ``phi``/``lam``/``lam0`` are radians (``lam0`` may vary per
+    point: UTM derives it from the zone); a non-equatorial natural origin
+    subtracts the meridian arc M(phi0) per Snyder 8-13.
+
+    Reference slot: the PROJ link at ``meos-sys/build.rs:6-14``.
+    """
+    e2 = f * (2.0 - f)
+    ep2 = e2 / (1.0 - e2)
+    m0c = 1.0 - e2 / 4.0 - 3.0 * e2**2 / 64.0 - 5.0 * e2**3 / 256.0
+    m2c = 3.0 * e2 / 8.0 + 3.0 * e2**2 / 32.0 + 45.0 * e2**3 / 1024.0
+    m4c = 15.0 * e2**2 / 256.0 + 45.0 * e2**3 / 1024.0
+    m6c = 35.0 * e2**3 / 3072.0
+
+    def arc(p: np.ndarray | float) -> np.ndarray | float:
+        # meridian arc M(phi), Snyder eq. 3-21
+        return a * (
+            m0c * p
+            - m2c * np.sin(2.0 * p)
+            + m4c * np.sin(4.0 * p)
+            - m6c * np.sin(6.0 * p)
+        )
 
     sin_p, cos_p, tan_p = np.sin(phi), np.cos(phi), np.tan(phi)
-    n = _A / np.sqrt(1.0 - _E2 * sin_p**2)
+    n = a / np.sqrt(1.0 - e2 * sin_p**2)
     t = tan_p**2
-    c = _EP2 * cos_p**2
+    c = ep2 * cos_p**2
     a_ = (lam - lam0) * cos_p
-    m = _A * (
-        _M0 * phi
-        - _M2 * np.sin(2.0 * phi)
-        + _M4 * np.sin(4.0 * phi)
-        - _M6 * np.sin(6.0 * phi)
-    )
-    easting = _FALSE_E + _K0 * n * (
+    m = arc(phi)
+    m_origin = arc(np.deg2rad(phi0_deg)) if phi0_deg else 0.0
+    easting = false_e + k0 * n * (
         a_
         + (1.0 - t + c) * a_**3 / 6.0
-        + (5.0 - 18.0 * t + t**2 + 72.0 * c - 58.0 * _EP2) * a_**5 / 120.0
+        + (5.0 - 18.0 * t + t**2 + 72.0 * c - 58.0 * ep2) * a_**5 / 120.0
     )
-    northing = _K0 * (
+    northing = false_n + k0 * (
         m
+        - m_origin
         + n
         * tan_p
         * (
             a_**2 / 2.0
             + (5.0 - t + 9.0 * c + 4.0 * c**2) * a_**4 / 24.0
-            + (61.0 - 58.0 * t + t**2 + 600.0 * c - 330.0 * _EP2) * a_**6 / 720.0
+            + (61.0 - 58.0 * t + t**2 + 600.0 * c - 330.0 * ep2) * a_**6 / 720.0
         )
+    )
+    return easting, northing
+
+
+def _utm_numpy(lon: np.ndarray, lat: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(zone, easting, northing) — WGS84 UTM via :func:`tm_series`,
+    northern-hemisphere convention (no 10 000 km false northing; the
+    fixture 'lat' is >= 0)."""
+    lon_n = normalize_lon(np.asarray(lon, dtype=np.float64))
+    lat_c = np.clip(np.asarray(lat, dtype=np.float64), -84.0, 84.0)
+    zone = utm_zone(lon_n)
+    lam0 = np.deg2rad(zone * 6.0 - 183.0)
+    easting, northing = tm_series(
+        _A, _F, np.deg2rad(lat_c), np.deg2rad(lon_n), lam0
     )
     return zone, easting, northing
 

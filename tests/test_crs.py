@@ -107,13 +107,116 @@ def test_matches_independent_karney_series():
         assert abs(ke - ee) < 0.002 and abs(kn - nn) < 0.002, (lo, la)
 
 
+# --- published known-answer vectors (r9 VERDICT item 6) ---------------------
+#
+# External ground truth that does NOT depend on pyproj being installed: the
+# worked examples published in EPSG Guidance Note 7-2 (IOGP publication
+# 373-7-2, "Coordinate Conversions and Transformations including Formulas")
+# and Snyder PP 1395. Each pins the full parameterized kernel — ellipsoid,
+# natural origin, scale factor, false origin — against independently
+# published numbers, to the precision those sources print. Together with
+# the in-file Snyder §15 LCC example, the Lambert-93 landmark and the
+# Karney-verified zone-31 point, the CRS kernels carry six external
+# ground-truth points; the pyproj tests below become redundant
+# confirmation where the library exists.
+
+
+def test_epsg_gn7_2_transverse_mercator_osgb():
+    """EPSG GN7-2 §3.5.3.1 TM worked example (OSGB36 / British National
+    Grid, EPSG:27700): Airy 1830 (a=6377563.396, 1/f=299.3249646), natural
+    origin 49°N 2°W, k0=0.9996012717, FE=400000, FN=-100000. The point
+    50°30'00"N 00°30'00"E projects to E=577274.99, N=69740.50 — published
+    to the cm, asserted to the cm. Exercises the non-equatorial-origin
+    M(phi0) term no UTM zone uses."""
+    from meos_rs_spark.functions.crs import tm_series
+
+    e, n = tm_series(
+        6377563.396,
+        1.0 / 299.3249646,
+        np.deg2rad(np.array([50.5])),
+        np.deg2rad(np.array([0.5])),
+        np.deg2rad(-2.0),
+        phi0_deg=49.0,
+        k0=0.9996012717,
+        false_e=400000.0,
+        false_n=-100000.0,
+    )
+    assert abs(e[0] - 577274.99) < 0.01
+    assert abs(n[0] - 69740.50) < 0.01
+
+
+def test_snyder_tm_ellipsoid_example():
+    """Snyder PP 1395 §8 ellipsoidal TM numerical example (p. 269-270):
+    Clarke 1866 (a=6378206.4, e²=0.00676866), central meridian 75°W,
+    k0=0.9996, equatorial origin, no false origin. The point 40°30'N
+    73°30'W projects to x=127106.5, y=4484124.4 (published to 0.1 m)."""
+    from meos_rs_spark.functions.crs import tm_series
+
+    f = 1.0 - np.sqrt(1.0 - 0.00676866)
+    x, y = tm_series(
+        6378206.4,
+        f,
+        np.deg2rad(np.array([40.5])),
+        np.deg2rad(np.array([-73.5])),
+        np.deg2rad(-75.0),
+        k0=0.9996,
+        false_e=0.0,
+        false_n=0.0,
+    )
+    assert abs(x[0] - 127106.5) < 0.1
+    assert abs(y[0] - 4484124.4) < 0.1
+
+
+def test_epsg_gn7_2_lcc_2sp_texas_south_central():
+    """EPSG GN7-2 §3.1.1.1 LCC-2SP worked example (NAD27 / Texas South
+    Central): Clarke 1866 in US survey feet (a=20925832.16 ftUS), false
+    origin 27°50'N 99°00'W, standard parallels 28°23'N / 30°17'N,
+    FE=2000000 ftUS. The point 28°30'N 96°00'W projects to
+    E=2963503.91, N=254759.80 ftUS — published AND asserted to 0.01 ft.
+    Second external pin on lcc_2sp with a completely different ellipsoid,
+    unit, and parallel pair than the Lambert-93 instance."""
+    tx = lcc_2sp(
+        20925832.16,
+        1.0 - 6356583.8 / 6378206.4,
+        28.0 + 23.0 / 60.0,
+        30.0 + 17.0 / 60.0,
+        27.0 + 50.0 / 60.0,
+        -99.0,
+        2000000.0,
+        0.0,
+    )
+    x, y = tx(np.array([-96.0]), np.array([28.5]))
+    assert abs(x[0] - 2963503.91) < 0.01
+    assert abs(y[0] - 254759.80) < 0.01
+
+
+def test_utm_is_the_parameterized_tm_series():
+    """_utm_numpy must be exactly tm_series at the WGS84/UTM constants —
+    the refactor that generalized the kernel cannot have forked it."""
+    from meos_rs_spark.functions.crs import tm_series, utm_zone
+
+    rng = np.random.default_rng(3)
+    lons = rng.uniform(-179.0, 179.0, 40)
+    lats = rng.uniform(0.5, 83.0, 40)
+    z, e, n = _utm_numpy(lons, lats)
+    lam0 = np.deg2rad(utm_zone(lons) * 6.0 - 183.0)
+    e2, n2 = tm_series(
+        6378137.0, 1.0 / 298.257223563, np.deg2rad(lats), np.deg2rad(lons), lam0
+    )
+    np.testing.assert_array_equal(e, e2)
+    np.testing.assert_array_equal(n, n2)
+
+
 def test_matches_pyproj_if_available():
     try:
         from pyproj import Transformer
     except ImportError:
         import pytest
 
-        pytest.skip("pyproj not in container")
+        pytest.skip(
+            "pyproj not in container — external ground truth covered by the "
+            "EPSG GN7-2 / Snyder known-answer vectors above"
+        )
     tr = Transformer.from_crs("EPSG:4326", "EPSG:32632", always_xy=True)
     lons = np.array([7.0, 9.0, 11.0])
     lats = np.array([10.0, 45.0, 70.0])
@@ -226,7 +329,10 @@ def test_lcc_matches_pyproj_if_available():
     except ImportError:
         import pytest
 
-        pytest.skip("pyproj not in container")
+        pytest.skip(
+            "pyproj not in container — external ground truth covered by the "
+            "EPSG GN7-2 Texas LCC-2SP vector and the Snyder/Paris pins"
+        )
     tr = Transformer.from_crs("EPSG:4326", "EPSG:2154", always_xy=True)
     lons = np.array([-1.5, 2.35, 5.0, 7.7])
     lats = np.array([43.5, 48.86, 44.0, 49.5])
