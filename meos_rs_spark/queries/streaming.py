@@ -351,13 +351,21 @@ def stream_stateful_evicting(spark: SparkSession, sf_dir: str) -> DataFrame:
     recipe earns its own driver CORRECTNESS row instead of living only as
     a helper + pytest).
 
-    The idle horizon is the 45-day :data:`DEDUP_WATERMARK`: during the
-    finite fixture replay (~30-day event span,
-    tests/test_streaming_bounds.py) the watermark never overtakes any
-    vessel's timeout, so no state row is evicted mid-replay and the
-    whole-history grouped-assembly oracle is exact — while the SAME
-    pipeline under a short watermark demonstrably evicts (the key-churn
-    pytest and tools/probe_stream_state.py drive it at 1 minute).
+    Why the whole-history oracle is exact here: the fixture is ONE
+    parquet file, so the availableNow file source replays it as ONE data
+    micro-batch — the watermark is still at its initial value while every
+    posit is processed (nothing is late; the 45-day
+    :data:`DEDUP_WATERMARK` delay keeps it below the ~30-day event span
+    regardless, tests/test_streaming_bounds.py), so each vessel's final
+    update-mode emission carries its whole-history extent. Timeouts fire
+    only at a later batch boundary; an eviction there removes state and
+    emits nothing, leaving the emitted extents untouched. (Under a
+    hypothetical multi-batch split with a vessel idle past the horizon
+    MID-replay, the query would degrade to its deployment semantics —
+    sessionized gap-split extents — which is the designed long-stream
+    behavior, not the replay twin's.) The SAME pipeline under a short
+    watermark demonstrably evicts: the key-churn pytest and
+    tools/probe_stream_state.py drive it at 1 minute.
     Reference semantics: incremental trajectory upsert,
     meos-polars/examples/ais_to_db.rs:156-161; gap-split assembly,
     meos/examples/04_to_file.rs:92-116."""

@@ -192,6 +192,10 @@ def main() -> None:
                     spark.conf.set(_ADVISORY, "2m")
                     t_adv, _, s_adv = _run(spec.fn, spark, big, capture=True)
                     share_adv = task_share(s_adv)
+                except SweepAbort:
+                    raise  # orphan jobs corrupt every later timing
+                except Exception:
+                    pass  # auxiliary leg: a failure must not void the row
                 finally:
                     reset_confs(spark)
             aqe_artifact = share_adv is not None and share_adv <= ADV_SHARE_TRIGGER
