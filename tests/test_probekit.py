@@ -204,6 +204,46 @@ def test_sweep_runner_only_filter_and_advisory_leg(spark, monkeypatch, tmp_path)
         rrs.main()
 
 
+def test_advisory_leg_null_capture_is_not_a_collapse(spark, monkeypatch, tmp_path):
+    """Review find (r10): task_share(None) is 0.0, so a failed shuffle
+    capture on the advisory leg used to read as an observed share
+    collapse — aqe_artifact True, skew flag suppressed, with no
+    measurement behind it. A None delta must stay null and must NOT
+    classify."""
+    import json
+    import sys
+
+    import tools.run_registry_scale as rrs
+
+    real_run = rrs._run
+
+    def run_dropping_advisory_capture(fn, spark_, d, capture=False):
+        t, n, s = real_run(fn, spark_, d, capture)
+        if capture and spark_.conf.get(rrs._ADVISORY, None) == "2m":
+            s = None  # simulate an unreachable status store on this leg
+        return t, n, s
+
+    monkeypatch.setattr(rrs, "_run", run_dropping_advisory_capture)
+    monkeypatch.setattr(rrs, "ADV_SHARE_TRIGGER", -1.0)
+    monkeypatch.setattr(rrs, "NONTRIVIAL_SHUFFLE", -1)
+    out = tmp_path / "sweep.json"
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        [
+            "run_registry_scale",
+            "/root/testdata/sf0.001",
+            "/root/testdata/sf0.001",
+            str(out),
+            "--only=rel_global_metrics",
+        ],
+    )
+    rrs.main()
+    row = json.loads(out.read_text())["queries"]["rel_global_metrics"]
+    assert row["max_task_share_x10_adv2m"] is None
+    assert row["aqe_artifact"] is False
+
+
 def test_shuffle_delta_attributes_a_querys_shuffle(spark):
     """The r9 sweep columns: a groupBy's shuffle volume must show up in the
     delta between two stage-set snapshots, with max-task ≤ total."""

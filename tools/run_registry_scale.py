@@ -191,7 +191,9 @@ def main() -> None:
                 try:
                     spark.conf.set(_ADVISORY, "2m")
                     t_adv, _, s_adv = _run(spec.fn, spark, big, capture=True)
-                    share_adv = task_share(s_adv)
+                    # a None delta (status store unreachable) is NOT an
+                    # observed collapse — it must stay null, not read 0.0
+                    share_adv = task_share(s_adv) if s_adv is not None else None
                 except SweepAbort:
                     raise  # orphan jobs corrupt every later timing
                 except Exception:
@@ -204,7 +206,7 @@ def main() -> None:
                 or (
                     sg is not None
                     and sg["shuffle_read"] > 128 * 1024 * 1024
-                    and share_g > 0.6
+                    and share_g > ADV_SHARE_TRIGGER
                 )
             )
             results[name] = {
