@@ -108,6 +108,84 @@ def tm_series(
     return easting, northing
 
 
+def tm_series_inverse(
+    a: float,
+    f: float,
+    x: np.ndarray,
+    y: np.ndarray,
+    lam0: np.ndarray | float,
+    phi0_deg: float = 0.0,
+    k0: float = _K0,
+    false_e: float = _FALSE_E,
+    false_n: float = 0.0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of :func:`tm_series` (Snyder PP 1395 eqs 8-16..8-25, the
+    footpoint-latitude route): grid (x, y) → (lon, lat) in degrees. The
+    reference's PROJ slot transforms both directions
+    (``meos-sys/build.rs:6-14``); this completes the self-contained
+    kernel's parity. Accuracy is the series' own (~1 mm equivalent inside
+    a zone) — the roundtrip property test pins forward∘inverse ≈ id to
+    1e-9 degrees."""
+    e2 = f * (2.0 - f)
+    ep2 = e2 / (1.0 - e2)
+    m0c = 1.0 - e2 / 4.0 - 3.0 * e2**2 / 64.0 - 5.0 * e2**3 / 256.0
+    m2c = 3.0 * e2 / 8.0 + 3.0 * e2**2 / 32.0 + 45.0 * e2**3 / 1024.0
+    m4c = 15.0 * e2**2 / 256.0 + 45.0 * e2**3 / 1024.0
+    m6c = 35.0 * e2**3 / 3072.0
+
+    def arc(p: float) -> float:
+        return a * (
+            m0c * p - m2c * np.sin(2.0 * p) + m4c * np.sin(4.0 * p) - m6c * np.sin(6.0 * p)
+        )
+
+    xp = np.asarray(x, dtype=np.float64) - false_e
+    m = (arc(np.deg2rad(phi0_deg)) if phi0_deg else 0.0) + (
+        np.asarray(y, dtype=np.float64) - false_n
+    ) / k0
+    mu = m / (a * m0c)
+    sq = np.sqrt(1.0 - e2)
+    e1 = (1.0 - sq) / (1.0 + sq)
+    # footpoint latitude, Snyder eq. 3-26
+    phi1 = (
+        mu
+        + (3.0 * e1 / 2.0 - 27.0 * e1**3 / 32.0) * np.sin(2.0 * mu)
+        + (21.0 * e1**2 / 16.0 - 55.0 * e1**4 / 32.0) * np.sin(4.0 * mu)
+        + (151.0 * e1**3 / 96.0) * np.sin(6.0 * mu)
+        + (1097.0 * e1**4 / 512.0) * np.sin(8.0 * mu)
+    )
+    sin1, cos1, tan1 = np.sin(phi1), np.cos(phi1), np.tan(phi1)
+    c1 = ep2 * cos1**2
+    t1 = tan1**2
+    w = 1.0 - e2 * sin1**2
+    n1 = a / np.sqrt(w)
+    r1 = a * (1.0 - e2) / w**1.5
+    d = xp / (n1 * k0)
+    phi = phi1 - (n1 * tan1 / r1) * (
+        d**2 / 2.0
+        - (5.0 + 3.0 * t1 + 10.0 * c1 - 4.0 * c1**2 - 9.0 * ep2) * d**4 / 24.0
+        + (61.0 + 90.0 * t1 + 298.0 * c1 + 45.0 * t1**2 - 252.0 * ep2 - 3.0 * c1**2)
+        * d**6
+        / 720.0
+    )
+    lam = lam0 + (
+        d
+        - (1.0 + 2.0 * t1 + c1) * d**3 / 6.0
+        + (5.0 - 2.0 * c1 + 28.0 * t1 - 3.0 * c1**2 + 8.0 * ep2 + 24.0 * t1**2)
+        * d**5
+        / 120.0
+    ) / cos1
+    return np.rad2deg(lam), np.rad2deg(phi)
+
+
+def utm_inverse(
+    zone: np.ndarray, easting: np.ndarray, northing: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """(lon, lat) from WGS84 UTM (zone, easting, northing) — the inverse
+    of :func:`_utm_numpy`, same northern-hemisphere convention."""
+    lam0 = np.deg2rad(np.asarray(zone, dtype=np.float64) * 6.0 - 183.0)
+    return tm_series_inverse(_A, _F, easting, northing, lam0)
+
+
 def _utm_numpy(lon: np.ndarray, lat: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(zone, easting, northing) — WGS84 UTM via :func:`tm_series`,
     northern-hemisphere convention (no 10 000 km false northing; the
@@ -235,3 +313,18 @@ def utm_udf(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
 def lcc93_udf(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
     x, y = _lcc93_numpy(lon.to_numpy(np.float64), lat.to_numpy(np.float64))
     return pd.DataFrame({"x": x, "y": y})
+
+
+@pandas_udf(DoubleType())
+def utm_roundtrip_err_udf(lon: pd.Series, lat: pd.Series) -> pd.Series:
+    """Degrees of error after lon/lat → UTM → lon/lat (max of the two
+    components). The forward leg normalizes longitude, so the reference
+    is the normalized input; callers must pre-filter |lat| <= 84 (the
+    forward clamp is lossy beyond it). One kernel pair per Arrow batch."""
+    ln = lon.to_numpy(np.float64)
+    lt = lat.to_numpy(np.float64)
+    zone, e, n = _utm_numpy(ln, lt)
+    lon2, lat2 = utm_inverse(zone, e, n)
+    return pd.Series(
+        np.maximum(np.abs(lon2 - normalize_lon(ln)), np.abs(lat2 - lt))
+    )

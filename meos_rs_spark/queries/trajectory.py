@@ -955,6 +955,48 @@ def traj_transform_lcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "traj_transform_utm_roundtrip",
+    # Honest NON-golden oracle for the CRS family: DuckDB can't run the
+    # kernel, but it CAN verify the invariant the kernel must satisfy —
+    # forward∘inverse == identity on every posit. The Spark leg counts
+    # posits whose roundtrip error exceeds 1e-6° (~0.1 m; the measured
+    # series error is ~1e-8°, a 100× margin); the oracle asserts that
+    # count is ZERO per vessel with the matching row census. A kernel
+    # regression in EITHER direction makes n_bad > 0 and the driver row
+    # red — unlike the VALUES-golden twins, this one re-derives nothing
+    # from the kernel under test.
+    oracle="""
+SELECT user_id AS mmsi, count(*) AS n_posits, CAST(0 AS BIGINT) AS n_bad
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS DOUBLE) <= 84.0
+GROUP BY user_id
+""",
+    tags=("L2d",),
+    doc="CRS transform ROUNDTRIP (the inverse direction of the PROJ slot, "
+    "meos-sys/build.rs:6-14): every posit through the full Snyder forward "
+    "+ inverse series in one vectorized pandas_udf; per-vessel census of "
+    "posits whose roundtrip error exceeds 1e-6 deg — must be zero, and the "
+    "oracle independently asserts exactly that",
+)
+def traj_transform_utm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meos_rs_spark.functions.crs import utm_roundtrip_err_udf
+
+    # |lat| <= 84: the forward clamp is lossy beyond the UTM domain (the
+    # fixture 'lat' is json props.$.k in [0, 99]); same filter in the oracle
+    p = posits(spark, sf_dir).filter(F.col("lat") <= 84.0)
+    return (
+        p.withColumn("__err", utm_roundtrip_err_udf(F.col("lon"), F.col("lat")))
+        .groupBy("mmsi")
+        .agg(
+            F.count(F.lit(1)).alias("n_posits"),
+            F.sum(F.when(F.col("__err") > 1e-6, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_bad"),
+        )
+    )
+
+
 # --- L2f: temporal boolean + duration-where-true ----------------------------
 
 

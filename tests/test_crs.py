@@ -190,6 +190,52 @@ def test_epsg_gn7_2_lcc_2sp_texas_south_central():
     assert abs(y[0] - 254759.80) < 0.01
 
 
+def test_epsg_gn7_2_tm_reverse_osgb():
+    """The GN7-2 OSGB worked example run in REVERSE: the published grid
+    coords (577274.99, 69740.50) must invert to 50°30'N 00°30'E. The
+    residual is exactly the cm-rounding of the published grid point
+    (~1e-7°), so 5e-7° pins it."""
+    from meos_rs_spark.functions.crs import tm_series_inverse
+
+    lon, lat = tm_series_inverse(
+        6377563.396,
+        1.0 / 299.3249646,
+        np.array([577274.99]),
+        np.array([69740.50]),
+        np.deg2rad(-2.0),
+        phi0_deg=49.0,
+        k0=0.9996012717,
+        false_e=400000.0,
+        false_n=-100000.0,
+    )
+    assert abs(lon[0] - 0.5) < 5e-7
+    assert abs(lat[0] - 50.5) < 5e-7
+
+
+def test_tm_roundtrip_property():
+    """hypothesis: forward∘inverse == identity for the TM series over the
+    usable UTM domain — same self-consistency bar the LCC kernel meets
+    (a wrong series coefficient cannot cancel through both directions).
+    2e-8° ≈ 2 mm: the truncation error of the inverse series itself."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from meos_rs_spark.functions.crs import utm_inverse
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        lon=st.floats(min_value=-179.99, max_value=179.99),
+        lat=st.floats(min_value=0.01, max_value=83.9),
+    )
+    def check(lon: float, lat: float) -> None:
+        z, e, n = _utm_numpy(np.array([lon]), np.array([lat]))
+        lon2, lat2 = utm_inverse(z, e, n)
+        assert abs(lon2[0] - lon) < 2e-8
+        assert abs(lat2[0] - lat) < 2e-8
+
+    check()
+
+
 def test_utm_is_the_parameterized_tm_series():
     """_utm_numpy must be exactly tm_series at the WGS84/UTM constants —
     the refactor that generalized the kernel cannot have forked it."""

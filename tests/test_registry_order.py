@@ -22,15 +22,19 @@ from meos_rs_spark.registry import (
     verify_order_head,
 )
 
-# Round-10 rotation computed from CORRECTNESS_r01..r09: one never-checked
-# (stream_stateful_evicting — NEW this round, r9 VERDICT item 3 promoting
-# the eviction deployment recipe to a registered query) leads, zero reds,
-# zero forced (FORCE_VERIFY empty — no r9 work changed query semantics);
-# then pure oldest-green refill: the 17 remaining r5-era greens followed
-# by the oldest r6-era greens, registration order within each round
-# (rel_join_inner_broadcast drops out to make room; all 50 r9-pinned
-# queries just earned fresh rows and rotate out).
+# Round-10 rotation computed from CORRECTNESS_r01..r09: two never-checked
+# lead in registration order (traj_transform_utm_roundtrip — the CRS
+# forward∘inverse invariant with its honest non-golden oracle — and
+# stream_stateful_evicting — r9 VERDICT item 3 promoting the eviction
+# deployment recipe to a registered query); zero reds, zero forced
+# (FORCE_VERIFY empty — no r10 work changed an existing query's
+# semantics); then pure oldest-green refill: the 17 remaining r5-era
+# greens followed by the oldest r6-era greens, registration order within
+# each round (rel_pricing_summary and rel_join_inner_broadcast drop out
+# to make room; all 50 r9-pinned queries just earned fresh rows and
+# rotate out).
 R10_EXPECTED_HEAD = (
+    "traj_transform_utm_roundtrip",
     "stream_stateful_evicting",
     "rel_grouping_sets",
     "rel_salted_join",
@@ -80,7 +84,6 @@ R10_EXPECTED_HEAD = (
     "text_langid",
     "rel_projection_rename",
     "rel_group_having",
-    "rel_pricing_summary",
 )
 
 
