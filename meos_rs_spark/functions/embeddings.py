@@ -33,10 +33,29 @@ def _stack(s: pd.Series) -> np.ndarray:
 
 @pandas_udf(DoubleType())
 def cosine(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Cosine similarity; a zero-norm side yields NULL on both engines.
+
+    DuckDB DOUBLE division by zero returns NULL (never NaN/inf), which
+    fails thresholds and sorts last under DESC — so a failed-encoder
+    all-zero embedding drops out of every oracle top-k. The Spark side
+    matches BY THE ARROW BOUNDARY, not by the arithmetic: numpy's 0/0 is
+    NaN, but ``pa.Array.from_pandas`` converts float64 NaN to null
+    (empirically verified on this stack), so the kernel's NaN arrives in
+    Spark as NULL and sorts/filters identically. The explicit den==0 mask
+    makes that load-bearing conversion visible in the code instead of
+    implicit (r10 review).
+
+    Known envelope (data-dependent, pinned nowhere because no fixture can
+    reach it): a NaN *component* in an embedding gives DuckDB NaN (sorts
+    FIRST under DESC) but Spark NULL (sorts last) — the Arrow boundary
+    cannot emit NaN doubles from a pandas_udf. Sanitize NaN embeddings
+    upstream if they can occur."""
     va, vb = _stack(a), _stack(b)
     num = _seq_dot(va, vb)
     den = np.sqrt(_seq_dot(va, va)) * np.sqrt(_seq_dot(vb, vb))
-    return pd.Series(num / den)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = num / den
+    return pd.Series(out).mask(den == 0.0, None)
 
 
 @pandas_udf(DoubleType())
@@ -57,7 +76,7 @@ def l2norm(a: pd.Series) -> pd.Series:
 
 def plane_signs(n_planes: int, dim: int) -> np.ndarray:
     """Deterministic ±1 hyperplanes from md5 parity — MUST stay in lockstep
-    with the SQL definition in queries/similarity.py (_PLANE_SIGN templates):
+    with the SQL definition in queries/similarity.py (``_bucket_expr_duck``):
     sign_pj = +1 iff the first hex char of md5('{p}-{j}') is in '89abcdef'."""
     import hashlib
 

@@ -34,10 +34,17 @@ Determinism contract (the oracles are unchanged):
 * NaN scores compare on an explicit ``(is_nan, score)`` pair: Spark and
   DuckDB both sort NaN STRICTLY ABOVE +Infinity (verified empirically —
   DESC puts NaN first, ASC puts it last, and +inf sorts below it), so a
-  NaN-scoring centroid must win an argmax (cosine against a zero-norm
-  centroid) even over an overflow-to-+inf score, and lose an argmin to
-  one — a NaN→+inf remap would conflate the two and hand such contests
-  to the lower cent_id. Ties still fall to the lowest cent_id.
+  NaN-from-DATA score must win an argmax even over an overflow-to-+inf
+  score, and lose an argmin to one — a NaN→+inf remap would conflate the
+  two and hand such contests to the lower cent_id;
+* a ZERO DENOMINATOR is a third class, not NaN: DuckDB DOUBLE division
+  yields NULL there (never NaN/inf), and NULL sorts LAST in both
+  directions — so a zero-norm centroid's cosine loses every contest in
+  the oracle, while numpy's 0/0 NaN would have WON the argmax and
+  swallowed the whole corpus (r10 review find). The kernel tracks the
+  NULL class explicitly: it loses to any non-NULL score, and an all-NULL
+  contest falls to the lowest cent_id (the oracle's ORDER BY tiebreak).
+  Ties still fall to the lowest cent_id.
 
 Side-table reads go through ``pyarrow.parquet.read_table`` on the staged
 directory (its dataset discovery skips ``_SUCCESS``/dot files and speaks
@@ -131,28 +138,50 @@ def make_nearest_centroid_udf(cents_path: str, *, metric: str):
             vnorm = np.sqrt(vn2)
         best_id = np.full(vecs.shape[0], -1, dtype=np.int64)
         best_score = None
+        no_null = np.zeros(vecs.shape[0], dtype=bool)
         for i in range(cents.shape[0]):
             cn2 = _self_dot(cents[i])
             dot = _dot_const(vecs, cents[i])
             if metric == "l2":
                 score = vn2 + cn2 - 2.0 * dot
+                null = no_null  # no division: the oracle cannot emit NULL
             else:
-                score = dot / (vnorm * np.sqrt(cn2))
-            # the engines sort NaN STRICTLY ABOVE +inf (module docstring),
-            # so NaN must beat an overflow-to-+inf score in the cosine
-            # argmax and lose to it in the L2 argmin — a NaN→+inf remap
-            # would conflate the two and let the tiebreak pick the wrong
-            # centroid. Compare on the (is_nan, score) pair instead.
-            nan = np.isnan(score)
-            score = np.where(nan, 0.0, score)  # value unused when nan is set
+                den = vnorm * np.sqrt(cn2)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    score = dot / den
+                # DuckDB DOUBLE division never yields NaN/inf on a zero
+                # denominator — it yields NULL, which sorts LAST in BOTH
+                # directions (NULLS LAST), i.e. loses every contest. numpy
+                # gives NaN here, which would WIN the cosine argmax (NaN
+                # sorts above +inf) — a zero-norm centroid would swallow
+                # the whole corpus while the oracle assigns it nothing
+                # (r10 review find; latent until a zero vector exists).
+                # Track the NULL class separately from genuine NaN data.
+                null = den == 0.0
+            # the engines sort (non-NULL) NaN STRICTLY ABOVE +inf (module
+            # docstring), so NaN-from-data must beat an overflow-to-+inf
+            # score in the cosine argmax and lose to it in the L2 argmin —
+            # a NaN→+inf remap would conflate the two and let the tiebreak
+            # pick the wrong centroid. Compare on the (is_nan, score) pair.
+            nan = np.isnan(score) & ~null
+            score = np.where(nan | null, 0.0, score)  # placeholder cells
             if best_score is None:
-                best_score, best_nan, best_id[:] = score.copy(), nan.copy(), ids[i]
+                best_score, best_nan = score.copy(), nan.copy()
+                best_null, best_id[:] = null.copy(), ids[i]
             else:
-                upd = better(
-                    nan, score, best_nan, best_score, largest=(metric == "cos")
+                # NULL-like loses to any non-NULL and keeps the incumbent
+                # against another NULL (ascending-id scan = lowest-id
+                # tiebreak, the oracle's ORDER BY ..., cent_id on all-NULL)
+                upd = (~null & best_null) | (
+                    ~null
+                    & ~best_null
+                    & better(
+                        nan, score, best_nan, best_score, largest=(metric == "cos")
+                    )
                 )
                 best_score[upd] = score[upd]
                 best_nan[upd] = nan[upd]
+                best_null[upd] = null[upd]
                 best_id[upd] = ids[i]
         return pd.Series(best_id)
 

@@ -28,6 +28,10 @@ N_PROBES = 5
 TOP_K = 10
 N_PLANES = 8
 DIM = 64
+#: re-rank depth of the sign-LSH queries (sim_ann_lsh, sim_ann_multiprobe) —
+#: interpolated into BOTH the oracle SQL and the Spark row_number filter so
+#: the pair cannot drift (the r7 hand-copy-divergence class)
+LSH_TOPK = 3
 
 _DOT_DUCK = "list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
 
@@ -166,7 +170,7 @@ cand AS (
 )
 SELECT probe_id, vec_id, label, cosine
 FROM cand
-QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) <= 3
+QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) <= {LSH_TOPK}
 """,
     tags=("sim", "lsh"),
     doc=f"ANN via {N_PLANES}-plane sign-LSH: corpus bucketed once, probes equi-join "
@@ -187,7 +191,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), "vec_id")
     return (
         cand.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= 3)
+        .filter(F.col("__rn") <= LSH_TOPK)
         .select("probe_id", "vec_id", "label", "cosine")
     )
 
@@ -1123,7 +1127,7 @@ cand AS (
 )
 SELECT probe_id, vec_id, label, cosine
 FROM cand
-QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) <= 3
+QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) <= {LSH_TOPK}
 """,
     tags=("sim", "lsh"),
     doc=f"multi-probe sign-LSH ANN (Lv et al. multi-probe LSH, the standard "
@@ -1150,6 +1154,6 @@ def sim_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), "vec_id")
     return (
         cand.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= 3)
+        .filter(F.col("__rn") <= LSH_TOPK)
         .select("probe_id", "vec_id", "label", "cosine")
     )

@@ -69,25 +69,52 @@ def test_nearest_tie_breaks_to_lowest_cent_id(spark):
         assert vecs.select(udf("embedding").alias("c")).first().c == 1, metric
 
 
-def test_nan_score_matches_engine_sort_order(spark):
-    """Both engines sort NaN as the LARGEST double (DESC → first, ASC →
-    last; verified empirically against Spark and DuckDB), so a zero-norm
-    centroid — cosine NaN against every vector — must WIN the cosine
-    argmax for all vectors, and a NaN L2 score must LOSE the argmin. The
-    kernel compares (is_nan, score) pairs to reproduce the window's pick
-    exactly."""
+def test_zero_norm_centroid_loses_like_the_oracle_null(spark):
+    """DuckDB DOUBLE division by zero yields NULL (never NaN), and NULL
+    sorts LAST in both directions — so a zero-norm centroid's cosine
+    loses every oracle contest. The kernel's numpy 0/0 is NaN, which the
+    r9-era compare treated as WINNING the argmax: that would have handed
+    the whole corpus to a zero-norm centroid while the oracle assigned it
+    nothing (r10 review find, fixed by the explicit NULL class)."""
     zero = [0.0] * 8
     good = [float(x + 1) for x in range(8)]
     path = _write_cents(spark, [(0, zero), (5, good)], "q_cents_nan")
     vecs = spark.createDataFrame([(0, good)], "vec_id long, embedding array<float>")
     cos = quantize.make_nearest_centroid_udf(path, metric="cos")
-    # ORDER BY ccos DESC, cent_id: NaN (cent 0) sorts before 1.0 (cent 5)
+    # ORDER BY ccos DESC, cent_id NULLS LAST: 1.0 (cent 5) beats NULL (cent 0)
+    assert vecs.select(cos("embedding").alias("c")).first().c == 5
+    l2 = quantize.make_nearest_centroid_udf(path, metric="l2")
+    # ORDER BY d2 ASC: no division, no NULL class — exact match (cent 5) wins
+    assert vecs.select(l2("embedding").alias("c")).first().c == 5
+
+
+def test_all_null_scores_fall_to_lowest_cent_id(spark):
+    """A zero-norm PROBE vector scores NULL against every centroid; the
+    oracle's ORDER BY ccos DESC, cent_id then picks the lowest cent_id —
+    the kernel's first-candidate-accepted + strict-update scan must too."""
+    zero = [0.0] * 8
+    a = [float(x + 1) for x in range(8)]
+    b = [float(8 - x) for x in range(8)]
+    path = _write_cents(spark, [(4, a), (2, b)], "q_cents_allnull")
+    vecs = spark.createDataFrame([(0, zero)], "vec_id long, embedding array<float>")
+    cos = quantize.make_nearest_centroid_udf(path, metric="cos")
+    assert vecs.select(cos("embedding").alias("c")).first().c == 2
+
+
+def test_nan_data_score_matches_engine_sort_order(spark):
+    """Genuine NaN DATA (a NaN component in a centroid) is the NaN class,
+    not the NULL class: both engines' division propagates it as NaN, which
+    sorts STRICTLY ABOVE +inf — it must WIN the cosine argmax and LOSE the
+    L2 argmin. Distinct from the zero-denominator case above."""
+    nan_cent = [float("nan")] + [1.0] * 7
+    good = [float(x + 1) for x in range(8)]
+    path = _write_cents(spark, [(0, nan_cent), (5, good)], "q_cents_nandata")
+    vecs = spark.createDataFrame([(0, good)], "vec_id long, embedding array<float>")
+    cos = quantize.make_nearest_centroid_udf(path, metric="cos")
+    # DESC: NaN (cent 0) sorts before 1.0 (cent 5)
     assert vecs.select(cos("embedding").alias("c")).first().c == 0
     l2 = quantize.make_nearest_centroid_udf(path, metric="l2")
-    # ORDER BY d2 ASC: finite d2 beats any NaN/inf — cent 5's vector IS the
-    # probe (d2=0), and the zero centroid scores a finite |v|^2 — so put
-    # the NaN elsewhere: l2 over these finite inputs can't go NaN, just
-    # assert the argmin is the exact-match centroid
+    # ASC: finite d2 (cent 5, exact match) beats NaN (cent 0)
     assert vecs.select(l2("embedding").alias("c")).first().c == 5
 
 
@@ -180,3 +207,40 @@ def test_side_cache_refreshes_on_overwrite(spark):
         spark.conf.set("spark.meos.staging.memo", "true")
     df2 = quantize._load_side(path)
     assert df2["cent_id"].tolist() == [7]
+
+
+def test_cosine_udf_zero_norm_is_null_like_duckdb(spark):
+    """Cross-engine e2e for the cosine UDF's zero-norm contract: DuckDB's
+    division by zero yields NULL; the Spark kernel's masked 0/0 must
+    arrive as NULL too (the Arrow boundary converts float64 NaN to null —
+    the mask makes it explicit). Both engines must also agree on the
+    finite values to the last bit (sequential fold)."""
+    import duckdb
+
+    from meos_rs_spark.functions.embeddings import cosine
+    from meos_rs_spark.queries.similarity import _duck_cosine
+
+    probe = [1.0, 2.0, 3.0, 4.0]
+    rows = [
+        (0, [4.0, 3.0, 2.0, 1.0]),
+        (1, [0.0, 0.0, 0.0, 0.0]),  # failed-encoder zero vector
+        (2, [1.0, 2.0, 3.0, 4.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, e array<double>")
+    p = F.array(*[F.lit(x) for x in probe])
+    got = {
+        r.vec_id: r.c
+        for r in df.select("vec_id", cosine(p, "e").alias("c")).collect()
+    }
+    assert got[1] is None  # NULL, not NaN: fails thresholds, sorts last
+    con = duckdb.connect()
+    vals = ", ".join(f"({i}, {list(e)}::DOUBLE[])" for i, e in rows)
+    ref = {
+        vid: c
+        for vid, c in con.sql(
+            f"SELECT vec_id, {_duck_cosine(str(probe) + '::DOUBLE[]', 'e')} "
+            f"FROM (VALUES {vals}) t(vec_id, e)"
+        ).fetchall()
+    }
+    assert ref[1] is None
+    assert got[0] == ref[0] and got[2] == ref[2]  # bit-exact finite legs
