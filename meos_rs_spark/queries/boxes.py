@@ -357,6 +357,21 @@ def box_stbox_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cx_a") == F.greatest(F.col("cx0_a"), F.col("cx0_b")))
         & (F.col("cy_a") == F.greatest(F.col("cy0_a"), F.col("cy0_b")))
     )
+    # Explicit-count co-partitioned exchanges on the join keys (same key
+    # order, same count, both sides) — the banded sibling's fix backported
+    # (r10 review): the exploded cell tables are a few MB post-shuffle at
+    # fixture scale, so AQE coalesces the join's exchanges toward ONE task
+    # — blind to the candidate-pair expansion the probe does per partition
+    # — and the quadratic refinement serializes. A user-specified count is
+    # AQE-coalesce-exempt and satisfies the join's clustered distribution
+    # (no second exchange); at real scale these exchanges exceed the
+    # advisory size and spread on their own.
+    try:
+        par = spark.sparkContext.defaultParallelism
+        a = a.repartition(par, "cx_a", "cy_a", "ca", "cb")
+        b = b.repartition(par, "cx_b", "cy_b", "ca", "cb")
+    except Exception:
+        pass  # Spark Connect: no sparkContext; driver-default AQE applies
     pairs = (
         a.join(
             b,

@@ -17,13 +17,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from meos_rs_spark.functions.determinism import fmt6_sql
 from meos_rs_spark.functions.trajectory import (
     POSITS_CTE,
     assemble,
-    avg_speed,
     dedup_monotonic,
-    duration_seconds,
     end_ts,
     merge_trajs,
     num_instants,
@@ -40,12 +37,22 @@ from meos_rs_spark.registry import register
 MIN_TRIP, MAX_TRIP = 5, 80
 
 # DuckDB twin of dedup+truncate+assemble (kept adjacent to the Spark impl).
-_ASSEMBLED_CTE = f"""
+#: posits + the monotonic dedup every assemble()-based Spark leg applies
+#: (one row per (mmsi, ts), lowest event_id wins — functions.trajectory.
+#: dedup_monotonic). Any oracle whose Spark twin goes through assemble()
+#: or dedup_monotonic MUST read FROM dedup, not posits: on duplicate-
+#: timestamp data the raw-posits twin diverges (r10 review find — the
+#: r7 traj_equality hazard class, swept across the file this round).
+_DEDUP_CTE = f"""
 {POSITS_CTE},
 dedup AS (
   SELECT * FROM posits
   QUALIFY row_number() OVER (PARTITION BY mmsi, ts ORDER BY event_id) = 1
-),
+)
+"""
+
+_ASSEMBLED_CTE = f"""
+{_DEDUP_CTE},
 trunc AS (
   SELECT * FROM dedup
   QUALIFY row_number() OVER (PARTITION BY mmsi ORDER BY ts, event_id) <= {MAX_TRIP}
@@ -225,15 +232,18 @@ both_halves AS (
   SELECT * FROM posits  -- merge(evens, odds) == dedup-by-ts over the union
 ),
 merged AS (
+  -- stored-side-wins, exactly merge_trajs' semantics: the kept point on a
+  -- ts collision is the stored (even) half's, lowest event_id within it —
+  -- NOT the lexicographically-smallest position the pre-r7 sort kept
   SELECT * FROM both_halves
-  QUALIFY row_number() OVER (PARTITION BY mmsi, ts ORDER BY lon, lat) = 1
+  QUALIFY row_number() OVER (PARTITION BY mmsi, ts ORDER BY event_id % 2, event_id) = 1
 )
 SELECT mmsi, count(*) AS n_points, min(ts) AS t_start, max(ts) AS t_end
 FROM merged GROUP BY mmsi
 """,
     tags=("A6",),
     doc="public.update(old, new, true) analog: assemble even/odd event halves separately, merge structs "
-    "(concat→sort→dedup-by-ts keeping lexicographically-first point), verify against whole-set assembly",
+    "(concat→sort→dedup-by-ts, STORED side winning a timestamp collision), verify against whole-set assembly",
 )
 def traj_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = posits(spark, sf_dir)
@@ -275,8 +285,6 @@ SELECT mmsi, 1 AS halves_eq_whole FROM posits GROUP BY mmsi
     "the oracle states the invariant (1 per vessel), the Spark side proves it",
 )
 def traj_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from meos_rs_spark.functions.trajectory import dedup_monotonic
-
     # dedup ONCE before splitting: a duplicate (mmsi, ts) pair straddling
     # the parity halves would make merge_trajs keep the stored side while
     # whole-set assembly keeps the min-event_id row — breaking the pinned
@@ -311,15 +319,17 @@ def traj_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "traj_accessors",
+    # FROM dedup, not posits: the Spark leg assembles (dedup_monotonic), so
+    # n_instants/subtype must count deduped instants (r10 review find)
     oracle=f"""
-WITH {POSITS_CTE}
+WITH {_DEDUP_CTE}
 SELECT mmsi,
        min(ts) AS start_ts,
        max(ts) AS end_ts,
        count(*) AS n_instants,
        epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us,
        CASE WHEN count(*) = 1 THEN 'Instant' ELSE 'Sequence' END AS subtype
-FROM posits GROUP BY mmsi
+FROM dedup GROUP BY mmsi
 """,
     tags=("F5", "F6", "L2a"),
     doc="start/end timestamp, num_instants, duration, subtype (temp.rs:50-52, lib.rs:29-34)",
@@ -345,13 +355,15 @@ def traj_accessors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "traj_length_speed",
+    # segments over dedup, not posits: the Spark leg assembles, so a
+    # duplicate-ts posit pair must not contribute a zero-duration segment
     oracle=f"""
-WITH {POSITS_CTE},
+WITH {_DEDUP_CTE},
 segs AS (
   SELECT mmsi, ts,
          sqrt( (lon - lag(lon) OVER w) * (lon - lag(lon) OVER w)
              + (lat - lag(lat) OVER w) * (lat - lag(lat) OVER w) ) AS seg
-  FROM posits
+  FROM dedup
   WINDOW w AS (PARTITION BY mmsi ORDER BY ts, event_id)
 )
 SELECT mmsi,
@@ -378,21 +390,24 @@ def traj_length_speed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "traj_value_at_time",
+    # bracketing over dedup: arg_max/max_by on a duplicate-ts pair is an
+    # engine-arbitrary tie — dedup makes the bracketing instant unique in
+    # BOTH legs (r10 review find; traj_resample_linear already did this)
     oracle=f"""
-WITH {POSITS_CTE},
+WITH {_DEDUP_CTE},
 probe AS (
   -- midpoint via integer micros: engines disagree on interval/2 semantics
   SELECT mmsi,
          min(ts) + to_microseconds((epoch_us(max(ts)) - epoch_us(min(ts))) // 2) AS pt
-  FROM posits GROUP BY mmsi
+  FROM dedup GROUP BY mmsi
 ),
 below AS (
   SELECT p.mmsi, p.pt, arg_max(e.lon, e.ts) AS lon0, arg_max(e.lat, e.ts) AS lat0, max(e.ts) AS t0
-  FROM probe p JOIN posits e ON e.mmsi = p.mmsi AND e.ts <= p.pt GROUP BY p.mmsi, p.pt
+  FROM probe p JOIN dedup e ON e.mmsi = p.mmsi AND e.ts <= p.pt GROUP BY p.mmsi, p.pt
 ),
 above AS (
   SELECT p.mmsi, arg_min(e.lon, e.ts) AS lon1, arg_min(e.lat, e.ts) AS lat1, min(e.ts) AS t1
-  FROM probe p JOIN posits e ON e.mmsi = p.mmsi AND e.ts > p.pt GROUP BY p.mmsi
+  FROM probe p JOIN dedup e ON e.mmsi = p.mmsi AND e.ts > p.pt GROUP BY p.mmsi
 )
 SELECT b.mmsi, b.pt,
        CASE WHEN a.t1 IS NULL THEN b.lon0
@@ -407,7 +422,7 @@ FROM below b LEFT JOIN above a ON a.mmsi = b.mmsi
     doc="value_at_timestamp with LINEAR interpolation (tseq.rs:59 interp mode) at each vessel's midpoint",
 )
 def traj_value_at_time(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pts = posits(spark, sf_dir)
+    pts = dedup_monotonic(posits(spark, sf_dir))
     probe = pts.groupBy("mmsi").agg(
         F.expr(
             "timestampadd(MICROSECOND, (unix_micros(CAST(max(ts) AS TIMESTAMP)) "
@@ -792,14 +807,16 @@ def traj_simplify_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH {POSITS_CTE},
 flagged AS (
-  SELECT mmsi, ts,
+  SELECT mmsi, ts, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000 THEN 1 ELSE 0 END AS new_s
   FROM posits WINDOW w AS (PARTITION BY mmsi ORDER BY ts, event_id)
 ),
 sessions AS (
+  -- (ts, event_id), matching the Spark leg and every sibling session CTE:
+  -- ts alone leaves the ROWS frame order among equal-ts peers unspecified
   SELECT mmsi, ts,
-         SUM(new_s) OVER (PARTITION BY mmsi ORDER BY ts
+         SUM(new_s) OVER (PARTITION BY mmsi ORDER BY ts, event_id
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
   FROM flagged
 ),
@@ -2085,23 +2102,25 @@ def traj_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "traj_interp_mixed",
+    # bracketing over dedup for the same tie-uniqueness reason as
+    # traj_value_at_time (r10 review find)
     oracle=f"""
-WITH {POSITS_CTE},
+WITH {_DEDUP_CTE},
 probe AS (
   SELECT mmsi,
          CASE WHEN mmsi % 2 = 0 THEN 'linear' ELSE 'step' END AS interp,
          min(ts) + to_microseconds((epoch_us(max(ts)) - epoch_us(min(ts))) // 2) AS pt
-  FROM posits GROUP BY mmsi
+  FROM dedup GROUP BY mmsi
 ),
 below AS (
   SELECT p.mmsi, p.interp, p.pt,
          arg_max(e.lon, e.ts) AS lon0, arg_max(e.lat, e.ts) AS lat0, max(e.ts) AS t0
-  FROM probe p JOIN posits e ON e.mmsi = p.mmsi AND e.ts <= p.pt
+  FROM probe p JOIN dedup e ON e.mmsi = p.mmsi AND e.ts <= p.pt
   GROUP BY p.mmsi, p.interp, p.pt
 ),
 above AS (
   SELECT p.mmsi, arg_min(e.lon, e.ts) AS lon1, arg_min(e.lat, e.ts) AS lat1, min(e.ts) AS t1
-  FROM probe p JOIN posits e ON e.mmsi = p.mmsi AND e.ts > p.pt GROUP BY p.mmsi
+  FROM probe p JOIN dedup e ON e.mmsi = p.mmsi AND e.ts > p.pt GROUP BY p.mmsi
 )
 SELECT b.mmsi, b.interp, b.pt,
        CASE WHEN b.interp = 'step' OR a.t1 IS NULL THEN b.lon0
@@ -2121,7 +2140,7 @@ FROM below b LEFT JOIN above a ON a.mmsi = b.mmsi
     "arg-extreme aggregations, no per-probe sort.",
 )
 def traj_interp_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pts = posits(spark, sf_dir)
+    pts = dedup_monotonic(posits(spark, sf_dir))
     probe = pts.groupBy("mmsi").agg(
         F.expr(
             "timestampadd(MICROSECOND, (unix_micros(CAST(max(ts) AS TIMESTAMP)) "

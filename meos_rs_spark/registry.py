@@ -88,9 +88,19 @@ DRIVER_WINDOW = 50
 #: oldest-green rotation to reach it (r5 ADVICE: new code benefits most
 #: from a driver row). Clear entries once the round's artifact lands.
 FORCE_VERIFY: tuple[str, ...] = (
-    # r9: cleared — all nine r8 rewrites re-earned green rows in
-    # CORRECTNESS_r08.json (overlap join, tmax interval-tree, LSH trio,
-    # hull fan_out, fingerprint array algebra, both as-of merges).
+    # r10 review sweep: six queries whose ORACLES were aligned with their
+    # Spark legs' dedup/tiebreak semantics (duplicate-timestamp hazard
+    # class — outputs identical on the duplicate-free fixtures, but the
+    # twins' SEMANTICS changed, so each re-earns a driver row), plus the
+    # parent overlap join, whose PLAN gained the banded sibling's
+    # explicit-count co-partitioned exchanges.
+    "traj_accessors",
+    "traj_length_speed",
+    "traj_value_at_time",
+    "traj_interp_mixed",
+    "traj_spanset_coverage",
+    "traj_merge",
+    "box_stbox_overlap_join",
 )
 
 

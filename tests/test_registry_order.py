@@ -24,18 +24,23 @@ from meos_rs_spark.registry import (
 
 # Round-10 rotation computed from CORRECTNESS_r01..r09: two never-checked
 # lead in registration order (traj_transform_utm_roundtrip — the CRS
-# forward∘inverse invariant with its honest non-golden oracle — and
-# stream_stateful_evicting — r9 VERDICT item 3 promoting the eviction
-# deployment recipe to a registered query); zero reds, zero forced
-# (FORCE_VERIFY empty — no r10 work changed an existing query's
-# semantics); then pure oldest-green refill: the 17 remaining r5-era
-# greens followed by the oldest r6-era greens, registration order within
-# each round (rel_pricing_summary and rel_join_inner_broadcast drop out
-# to make room; all 50 r9-pinned queries just earned fresh rows and
-# rotate out).
+# forward∘inverse invariant — and stream_stateful_evicting — the eviction
+# deployment recipe, r9 VERDICT item 3), then the seven r10 FORCE_VERIFY
+# entries (the review sweep's oracle-semantics alignments on the
+# duplicate-timestamp hazard class + the parent overlap join's
+# co-partitioned-exchange backport — each re-earns a driver row), then
+# pure oldest-green refill (17 r5-era + oldest r6-era, registration order
+# within each round).
 R10_EXPECTED_HEAD = (
     "traj_transform_utm_roundtrip",
     "stream_stateful_evicting",
+    "box_stbox_overlap_join",
+    "traj_merge",
+    "traj_accessors",
+    "traj_length_speed",
+    "traj_value_at_time",
+    "traj_spanset_coverage",
+    "traj_interp_mixed",
     "rel_grouping_sets",
     "rel_salted_join",
     "rel_cohort_retention",
@@ -76,15 +81,7 @@ R10_EXPECTED_HEAD = (
     "src_catalog_bootstrap",
     "snk_partitioned_write",
     "snk_bucketed_join",
-    "stream_tumbling_counts",
-    "stream_stateful_assembly",
-    "stream_sliding_counts",
-    "stream_dedup_watermark",
-    "text_quality",
-    "text_langid",
-    "rel_projection_rename",
-    "rel_group_having",
-)
+    "stream_tumbling_counts",)
 
 
 def test_head_is_exactly_the_driver_window():

@@ -241,3 +241,77 @@ def test_interval_stab_max_randomized_vs_brute(spark):
             b = a if rng.random() < 0.3 else min(499, a + rng.randrange(0, 200))
             spans.append((a, b, float(rng.randrange(-50, 50))))
         assert _run_stab(spark, spans) == _brute_stab(spans), f"trial {trial}"
+
+
+def test_duplicate_ts_twins_agree_cross_engine(spark, tmp_path):
+    """r10 review sweep: six query twins diverged on duplicate-(mmsi, ts)
+    data — oracles counted raw posits where the Spark legs dedup (or broke
+    ties arbitrarily). The fixtures are duplicate-free, so the driver gate
+    can never catch a regression here; this synthetic events table has a
+    duplicate pair straddling the traj_merge parity halves, one at a
+    bracketing boundary, and one at a session start, and every fixed twin
+    must agree exactly."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from meos_rs_spark.registry import load_registry
+    from tests.oracle import compare
+
+    def ev(eid, mmsi, ts, lon, lat):
+        import json
+
+        return (eid, pd.Timestamp(ts), mmsi, "posit", lon, json.dumps({"k": lat}))
+
+    rows = [
+        # vessel 7: duplicate ts at 00:10 across even/odd event parity
+        # (merge stored-side-wins), plus a duplicate at the midpoint
+        # bracket; 8h gap -> two sessions with the second session's start
+        # duplicated (spanset running-sum tiebreak)
+        ev(0, 7, "2024-01-01 00:00:00", 0.0, 0.0),
+        ev(2, 7, "2024-01-01 00:10:00", 3.0, 4.0),
+        ev(3, 7, "2024-01-01 00:10:00", 9.0, 9.0),   # dup ts, odd parity
+        ev(4, 7, "2024-01-01 01:00:00", 6.0, 8.0),
+        ev(5, 7, "2024-01-01 09:00:00", 7.0, 7.0),   # session 2 start...
+        ev(6, 7, "2024-01-01 09:00:00", 1.0, 1.0),   # ...duplicated
+        ev(8, 7, "2024-01-01 10:00:00", 2.0, 2.0),
+        # vessel 9: its ONLY two posits share one ts — oracle must call it
+        # an Instant (1 deduped point), not a Sequence
+        ev(9, 9, "2024-01-02 00:00:00", 5.0, 5.0),
+        ev(11, 9, "2024-01-02 00:00:00", 6.0, 6.0),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{tmp_path / 'events.parquet'}'"
+    )
+    reg = load_registry()
+    fixed = [
+        "traj_accessors",
+        "traj_length_speed",
+        "traj_value_at_time",
+        "traj_interp_mixed",
+        "traj_spanset_coverage",
+        "traj_merge",
+        "traj_assembly",  # control: was already dedup-correct
+    ]
+    for name in fixed:
+        sdf = reg[name].fn(spark, str(tmp_path))
+        ddf = con.sql(reg[name].oracle).df()
+        issues = compare(sdf, ddf, name)
+        assert not issues, issues
+    # and the dedup semantics themselves: vessel 9 is an Instant post-dedup
+    acc = {r.mmsi: r for r in reg["traj_accessors"].fn(spark, str(tmp_path)).collect()}
+    assert acc[9].subtype == "Instant" and acc[9].n_instants == 1
+    assert acc[7].n_instants == 5  # 7 posits, 2 dropped as dup-ts
