@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from meos_rs_spark.functions.determinism import money_avg, money_sum, money_sum_sql
+from meos_rs_spark.functions.determinism import epoch_us_sql, money_avg, money_sum, money_sum_sql
 from meos_rs_spark.registry import register
 from meos_rs_spark.sources.tables import load_table
 
@@ -282,7 +282,9 @@ def asof_merge(events: DataFrame, probes: DataFrame, direction: str = "backward"
     Events sort before probes at equal ord in both directions, so each
     side's comparison is inclusive (ts <= pts / ts >= pts). Values ride a
     struct-extremum — not last(ignorenulls) — so a legitimately NULL event
-    value surfaces as NULL, exactly like arg_max/arg_min. Ties on (user,
+    value surfaces as NULL (NOTE: unlike DuckDB's plain arg_max/arg_min,
+    which SKIP NULL values — the oracles mirror this with a struct
+    extremum + an explicit not-null field, r10 review find). Ties on (user,
     ts) resolve deterministically to the extremal value of the tied group
     (max for backward, min for forward).
     """
@@ -344,7 +346,14 @@ WITH probes AS (
   SELECT DISTINCT user_id, date_trunc('day', ts) + INTERVAL 1 DAY AS pts FROM events
 )
 SELECT p.user_id, p.pts,
-       arg_max(e.value, e.ts) AS last_value,
+       -- struct extremum, NOT arg_max: DuckDB arg_max tie-resolution is
+       -- scan-order-dependent and it SKIPS NULL values; the Spark leg's
+       -- max(struct(ts, value)) picks the max tied value and surfaces a
+       -- NULL at the as-of row. The nn field emulates Spark's
+       -- NULL-sorts-low struct ordering (DuckDB sorts struct-field NULLs
+       -- high) so tied-ts-with-NULL corners agree too (r10 review find,
+       -- both corners verified empirically on both engines).
+       (max(struct_pack(ts := e.ts, nn := e.value IS NOT NULL, v := e.value))).v AS last_value,
        max(e.ts) AS last_ts
 FROM probes p JOIN events e
   ON e.user_id = p.user_id AND e.ts <= p.pts
@@ -755,8 +764,13 @@ GROUP BY o.o_orderpriority
 def rel_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
+    # no broadcast hint: customer is SF-SCALED (150k rows/SF — TB-sized at
+    # the 100 TB target), not a fixed dim like nation/region; the hint
+    # would force an OOM build there. AQE picks broadcast at small SF on
+    # its own and shuffle-joins at scale (r10 review find — same
+    # discipline as rel_join_multiway's orders⋈customer leg).
     piv = (
-        o.join(broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("o_orderpriority")
         .pivot("c_mktsegment", list(_SEGMENTS))
         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"))
@@ -812,8 +826,9 @@ GROUP BY c.c_mktsegment
 def rel_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
+    # no broadcast hint on the SF-scaled customer (see rel_pivot)
     return (
-        o.join(broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             F.percentile("o_totalprice", F.lit(0.5)).alias("p50"),
@@ -997,9 +1012,14 @@ WITH probes AS (
 agg AS (
   SELECT p.user_id, p.pts,
          max(e.ts)            FILTER (WHERE e.ts <= p.pts) AS back_ts,
-         arg_max(e.value, e.ts) FILTER (WHERE e.ts <= p.pts) AS back_value,
+         -- struct extrema with the nn NULL-ordering shim, as in
+         -- rel_join_asof: arg_max/arg_min are tie-order-dependent and
+         -- NULL-skipping, the Spark struct extremum is neither
+         (max(struct_pack(ts := e.ts, nn := e.value IS NOT NULL, v := e.value))
+            FILTER (WHERE e.ts <= p.pts)).v AS back_value,
          min(e.ts)            FILTER (WHERE e.ts >= p.pts) AS fwd_ts,
-         arg_min(e.value, e.ts) FILTER (WHERE e.ts >= p.pts) AS fwd_value
+         (min(struct_pack(ts := e.ts, nn := e.value IS NOT NULL, v := e.value))
+            FILTER (WHERE e.ts >= p.pts)).v AS fwd_value
   FROM probes p JOIN events e ON e.user_id = p.user_id
   GROUP BY p.user_id, p.pts
 )
@@ -1028,7 +1048,7 @@ def rel_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.expr("date_trunc('day', ts) + INTERVAL 1 DAY").alias("pts")
     ).distinct()
     agg = asof_merge(ev.select("user_id", "ts", "value"), probes, "both")
-    us = lambda c: F.expr(f"unix_micros(CAST({c} AS TIMESTAMP))")  # noqa: E731
+    us = lambda c: F.expr(epoch_us_sql(c))  # noqa: E731 (canonical epoch form)
     nearest = (
         F.when(F.col("back_ts").isNull(), F.col("fwd_value"))
         .when(F.col("fwd_ts").isNull(), F.col("back_value"))
@@ -1160,7 +1180,7 @@ def rel_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     firsts = ev.groupBy("user_id").agg(F.date_trunc("week", F.min("ts")).alias("cohort"))
     sizes = firsts.groupBy("cohort").agg(F.count("*").alias("cohort_size"))
     activity = ev.select("user_id", F.date_trunc("week", "ts").alias("wk")).distinct()
-    us = lambda c: F.expr(f"unix_micros(CAST({c} AS TIMESTAMP))")  # noqa: E731
+    us = lambda c: F.expr(epoch_us_sql(c))  # noqa: E731 (canonical epoch form)
     week_off = ((us("wk") - us("cohort")) / F.lit(7 * 86400 * 1000000)).cast("bigint")
     return (
         activity.join(firsts, "user_id")
@@ -1213,7 +1233,6 @@ FROM v
     "total order.",
 )
 def rel_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -1347,7 +1366,6 @@ GROUP BY l.l_suppkey
     "with the match rate, not the fact size.",
 )
 def rel_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from meos_rs_spark.functions.determinism import money_sum
 
     dim = (
         load_table(spark, sf_dir, "supplier")

@@ -118,19 +118,16 @@ QUALIFY lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NOT NULL
 def win_lead_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     nxt = F.lead("ts").over(w)
+    # gap derived from the ONE lead column — the old duplicate SQL-string
+    # window spec could silently drift from `w` (r10 review find)
+    gap_us = F.expr("unix_micros(CAST(__nxt AS TIMESTAMP))") - F.expr(
+        "unix_micros(CAST(ts AS TIMESTAMP))"
+    )
     return (
         _events(spark, sf_dir)
-        .select(
-            "user_id",
-            "event_id",
-            (
-                F.expr("unix_micros(CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS TIMESTAMP))")
-                - F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
-            ).alias("gap_us"),
-            nxt.alias("__nxt"),
-        )
+        .select("user_id", "event_id", "ts", nxt.alias("__nxt"))
         .filter(F.col("__nxt").isNotNull())
-        .drop("__nxt")
+        .select("user_id", "event_id", gap_us.alias("gap_us"))
     )
 
 
@@ -369,12 +366,16 @@ def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH framed AS (
   SELECT user_id, event_id, value,
-         list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS BETWEEN 8 PRECEDING AND CURRENT ROW) AS frame
+         -- FILTER mirrors Spark collect_list, which DROPS NULL values
+         -- from the frame while DuckDB's list() keeps them (r10 review
+         -- find; frame_n and the median rank diverged on any NULL value)
+         list(value) FILTER (WHERE value IS NOT NULL)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 8 PRECEDING AND CURRENT ROW) AS frame
   FROM events
 )
 SELECT user_id, event_id, value,
-       len(frame) AS frame_n,
+       COALESCE(len(frame), 0) AS frame_n,
        list_sort(frame)[(len(frame) + 1) // 2] AS med9
 FROM framed
 """,
@@ -399,12 +400,17 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id", "value", F.collect_list("value").over(w).alias("frame")
     )
     n = F.size("frame")
+    # n > 0 guard: an all-NULL frame is empty post-collect_list, and ANSI
+    # element_at rejects index 0 — the oracle's NULL list yields NULL med9
+    # and a coalesced 0 count, so the guarded leg matches exactly
     return framed.select(
         "user_id",
         "event_id",
         "value",
         n.cast("bigint").alias("frame_n"),
-        F.element_at(F.array_sort("frame"), ((n + 1) / 2).cast("int")).alias("med9"),
+        F.when(
+            n > 0, F.element_at(F.array_sort("frame"), ((n + 1) / 2).cast("int"))
+        ).alias("med9"),
     )
 
 

@@ -101,6 +101,16 @@ FORCE_VERIFY: tuple[str, ...] = (
     "traj_spanset_coverage",
     "traj_merge",
     "box_stbox_overlap_join",
+    # second review batch (relational/windows): as-of oracles moved from
+    # tie-order-dependent NULL-skipping arg_max/arg_min to the Spark legs'
+    # struct-extremum semantics; rolling-median frames NULL-aligned;
+    # SF-scaled customer broadcasts un-hinted; lead-gap window de-duplicated.
+    "rel_join_asof",
+    "rel_join_asof_nearest",
+    "win_rolling_median",
+    "rel_pivot",
+    "rel_percentiles",
+    "win_lead_gap",
 )
 
 

@@ -454,3 +454,77 @@ def test_asof_merge_null_event_value_surfaces(spark):
     pr = spark.createDataFrame([(1, 25)], "user_id long, pts long")
     row = asof_merge(ev, pr, "backward").collect()[0]
     assert row.last_ts == 20 and row.last_value is None
+
+
+def test_null_and_tied_value_twins_agree_cross_engine(spark, tmp_path):
+    """r10 review sweep (second batch): the as-of oracles used DuckDB
+    arg_max/arg_min — tie-resolution scan-order-dependent AND
+    NULL-skipping — while asof_merge's struct extremum is deterministic
+    and NULL-surfacing; win_rolling_median's oracle list() kept NULL
+    frame values that Spark's collect_list drops. The fixtures carry no
+    NULL values and no duplicate (user_id, ts) groups, so the driver gate
+    can't catch a regression; this synthetic events table has both, plus
+    the tied-ts-with-NULL corner where the engines' struct NULL-ordering
+    differs (the nn shim), and the three fixed twins must agree exactly."""
+    import json
+
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from meos_rs_spark.registry import load_registry
+    from tests.oracle import compare
+
+    def ev(eid, uid, ts, val):
+        return (eid, pd.Timestamp(ts), uid, "x", val, json.dumps({"k": 1.0}))
+
+    rows = [
+        # user 1: duplicate ts with DISTINCT values (deterministic-tie
+        # corner) right at an as-of probe boundary
+        ev(0, 1, "2024-01-01 06:00:00", 1.0),
+        ev(1, 1, "2024-01-01 06:00:00", 2.0),
+        ev(2, 1, "2024-01-01 12:00:00", 5.0),
+        # user 2: NULL value at the as-of row (NULL-surfacing corner)
+        ev(3, 2, "2024-01-01 06:00:00", 7.0),
+        ev(4, 2, "2024-01-01 18:00:00", None),
+        # user 3: tied ts where one twin is NULL (the nn-shim corner:
+        # Spark sorts the NULL struct field low, DuckDB high)
+        ev(5, 3, "2024-01-01 06:00:00", None),
+        ev(6, 3, "2024-01-01 06:00:00", 4.0),
+        # user 4: NULLs inside a rolling frame
+        ev(7, 4, "2024-01-01 01:00:00", 10.0),
+        ev(8, 4, "2024-01-01 02:00:00", None),
+        ev(9, 4, "2024-01-01 03:00:00", 30.0),
+        ev(10, 4, "2024-01-01 04:00:00", None),
+        ev(11, 4, "2024-01-01 05:00:00", 20.0),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{tmp_path / 'events.parquet'}'"
+    )
+    reg = load_registry()
+    for name in ("rel_join_asof", "rel_join_asof_nearest", "win_rolling_median"):
+        sdf = reg[name].fn(spark, str(tmp_path))
+        ddf = con.sql(reg[name].oracle).df()
+        issues = compare(sdf, ddf, name)
+        assert not issues, issues
+    # the semantics themselves, not just parity:
+    back = {
+        r.user_id: r
+        for r in reg["rel_join_asof"].fn(spark, str(tmp_path)).collect()
+    }
+    assert back[1].last_value == 5.0  # probe day+1 sees the later event
+    assert back[2].last_value is None  # NULL at the as-of row SURFACES
+    assert back[3].last_value == 4.0  # tied ts: non-NULL wins the backward max

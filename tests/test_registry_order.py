@@ -23,13 +23,14 @@ from meos_rs_spark.registry import (
 )
 
 # Round-10 rotation computed from CORRECTNESS_r01..r09: two never-checked
-# lead in registration order (traj_transform_utm_roundtrip — the CRS
-# forward∘inverse invariant — and stream_stateful_evicting — the eviction
-# deployment recipe, r9 VERDICT item 3), then the seven r10 FORCE_VERIFY
-# entries (the review sweep's oracle-semantics alignments on the
-# duplicate-timestamp hazard class + the parent overlap join's
-# co-partitioned-exchange backport — each re-earns a driver row), then
-# pure oldest-green refill (17 r5-era + oldest r6-era, registration order
+# lead in registration order (traj_transform_utm_roundtrip, the CRS
+# forward∘inverse invariant, and stream_stateful_evicting, the eviction
+# deployment recipe — r9 VERDICT item 3), then the thirteen r10
+# FORCE_VERIFY entries (both review sweeps' oracle-semantics alignments —
+# duplicate-timestamp dedup/tiebreaks, as-of struct extrema, NULL frame
+# handling — plus the overlap-join exchange backport and the un-hinted
+# SF-scaled broadcasts; each re-earns a driver row), then pure
+# oldest-green refill (r5-era then oldest r6-era, registration order
 # within each round).
 R10_EXPECTED_HEAD = (
     "traj_transform_utm_roundtrip",
@@ -41,6 +42,12 @@ R10_EXPECTED_HEAD = (
     "traj_value_at_time",
     "traj_spanset_coverage",
     "traj_interp_mixed",
+    "rel_join_asof",
+    "rel_pivot",
+    "rel_percentiles",
+    "rel_join_asof_nearest",
+    "win_lead_gap",
+    "win_rolling_median",
     "rel_grouping_sets",
     "rel_salted_join",
     "rel_cohort_retention",
@@ -56,7 +63,6 @@ R10_EXPECTED_HEAD = (
     "win_range_interval",
     "win_event_transitions",
     "win_running_distinct",
-    "win_rolling_median",
     "win_gap_islands",
     "box_tbox_predicates",
     "box_int_to_tbox",
@@ -77,11 +83,7 @@ R10_EXPECTED_HEAD = (
     "traj_turning_points",
     "traj_zorder_key",
     "traj_ewma",
-    "snk_jsonl_trips",
-    "src_catalog_bootstrap",
-    "snk_partitioned_write",
-    "snk_bucketed_join",
-    "stream_tumbling_counts",)
+)
 
 
 def test_head_is_exactly_the_driver_window():
