@@ -154,7 +154,12 @@ FROM scanned
 )
 def text_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _doc_tokens(spark, sf_dir).select(
-        "doc_id", "n_tokens", (F.col("doc_id") / _BLOCK).cast("bigint").alias("block")
+        # integer div, not double-divide-then-cast: same truncation
+        # semantics at every realistic id, but exact above 2^53 where the
+        # double round-trip loses integer precision (block ids only need
+        # monotonicity in doc_id, which trunc-div preserves) — the
+        # module's bit-exactness discipline (r10 review)
+        "doc_id", "n_tokens", F.expr(f"doc_id div {_BLOCK}").alias("block")
     )
     # level 1: per-block totals (narrow agg, |blocks| = n_docs/_BLOCK rows)
     block_tot = d.groupBy("block").agg(F.sum("n_tokens").alias("block_tokens"))

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
+from meos_rs_spark.queries.textanalysis import Q_MAX_TOK, Q_MIN_TOK, Q_MIN_TTR
 from meos_rs_spark.registry import register
 
 # dropDuplicatesWithinWatermark only guarantees dedup of duplicates whose
@@ -588,7 +589,7 @@ def _stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_doc_curation",
-    oracle="""
+    oracle=f"""
 WITH t AS (
   SELECT lang, source,
          len(string_split(text, ' ')) AS n_tokens,
@@ -600,7 +601,7 @@ SELECT lang, source,
        count(*) AS n_docs_pass,
        CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
 FROM t
-WHERE n_tokens BETWEEN 20 AND 1000 AND ttr > 0.2
+WHERE n_tokens BETWEEN {Q_MIN_TOK} AND {Q_MAX_TOK} AND ttr > {Q_MIN_TTR}
 GROUP BY lang, source
 """,
     tags=("ST", "text"),
@@ -618,7 +619,11 @@ def stream_doc_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ttr = F.size(F.array_distinct(toks)).cast("double") / n
     passed = raw.select(
         "lang", "source", n.cast("bigint").alias("n_tokens"), ttr.alias("ttr")
-    ).filter((F.col("n_tokens") >= 20) & (F.col("n_tokens") <= 1000) & (F.col("ttr") > 0.2))
+    ).filter(
+        (F.col("n_tokens") >= Q_MIN_TOK)
+        & (F.col("n_tokens") <= Q_MAX_TOK)
+        & (F.col("ttr") > Q_MIN_TTR)
+    )
     agg = passed.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs_pass"),
         F.sum("n_tokens").alias("total_tokens"),

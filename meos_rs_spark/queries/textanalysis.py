@@ -28,6 +28,15 @@ def _sql_in(items: tuple[str, ...]) -> str:
 # --- quality scoring -------------------------------------------------------
 
 
+#: the quality gate (token-count band + type-token-ratio floor), shared by
+#: text_quality, the curation pipeline (batch + streaming) and their
+#: oracles — ONE definition so the gate cannot fork between the simple
+#: metric and the composed pipelines (r10 review find)
+Q_MIN_TOK = 20
+Q_MAX_TOK = 1000
+Q_MIN_TTR = 0.2
+
+
 @register(
     "text_quality",
     oracle=f"""
@@ -35,12 +44,12 @@ WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS toks, text FROM do
 SELECT doc_id,
        len(toks) AS n_tokens,
        n_chars,
-       CAST(n_chars AS DOUBLE) / len(toks) AS avg_tok_len,
+       CAST(n_chars - len(toks) + 1 AS DOUBLE) / len(toks) AS avg_tok_len,
        len(list_distinct(toks)) AS n_distinct,
        CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
        CAST(len(list_filter(toks, x -> x IN ({_sql_in(_EN)}))) AS DOUBLE) / len(toks) AS stopword_ratio,
-       CAST(len(toks) >= 20 AND len(toks) <= 1000
-            AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) > 0.2 AS INT) AS passes_quality
+       CAST(len(toks) >= {Q_MIN_TOK} AND len(toks) <= {Q_MAX_TOK}
+            AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) > {Q_MIN_TTR} AS INT) AS passes_quality
 FROM t
 """,
     tags=("text",),
@@ -57,11 +66,16 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         n.alias("n_tokens"),
         "n_chars",
-        (F.col("n_chars").cast("double") / n).alias("avg_tok_len"),
+        # mean token length EXCLUDING the n-1 separator spaces (r10 review
+        # find: n_chars/n overstated every doc by ~(n-1)/n chars; same form
+        # text_gopher_rules already used for sum_tok_len)
+        ((F.col("n_chars") - n + 1).cast("double") / n).alias("avg_tok_len"),
         nd.alias("n_distinct"),
         ttr.alias("ttr"),
         (stop.cast("double") / n).alias("stopword_ratio"),
-        ((n >= 20) & (n <= 1000) & (ttr > 0.2)).cast("int").alias("passes_quality"),
+        ((n >= Q_MIN_TOK) & (n <= Q_MAX_TOK) & (ttr > Q_MIN_TTR))
+        .cast("int")
+        .alias("passes_quality"),
     )
 
 
@@ -328,7 +342,7 @@ first_of_hash AS (
 surv AS (
   SELECT f.doc_id, f.lang, f.source, f.n_tokens
   FROM first_of_hash f
-  WHERE f.n_tokens BETWEEN 20 AND 1000 AND f.ttr > 0.2
+  WHERE f.n_tokens BETWEEN {Q_MIN_TOK} AND {Q_MAX_TOK} AND f.ttr > {Q_MIN_TTR}
     AND f.doc_id NOT IN (SELECT doc_id FROM noncanon)
 )
 SELECT lang, source, count(*) AS n_docs,
@@ -362,7 +376,9 @@ def text_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     wq = Window.partitionBy("text_hash").orderBy("doc_id")
     d = d.withColumn("__rn", F.row_number().over(wq))
     survivors = d.filter(
-        (F.col("n_tokens") >= 20) & (F.col("n_tokens") <= 1000) & (F.col("ttr") > 0.2)
+        (F.col("n_tokens") >= Q_MIN_TOK)
+        & (F.col("n_tokens") <= Q_MAX_TOK)
+        & (F.col("ttr") > Q_MIN_TTR)
         & (F.col("__rn") == 1)
     )
     noncanon = dedup_components(spark, sf_dir).filter(F.col("is_canonical") == 0).select("doc_id")
@@ -453,7 +469,12 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # df FROM the tf aggregate, not a second corpus explode: tf holds
+    # exactly one row per distinct (doc, term), so counting its rows per
+    # term IS the document frequency — vocabulary-sized work on the
+    # existing exchange instead of re-scanning and re-exploding the corpus
+    # plus a two-phase distinct aggregate (r10 review find)
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     # corpus doc count as a scalar subquery: inlined into the projection,
     # no join operator (the 1-row crossJoin planned as a BNLJ)
     n_docs = d.groupBy().agg(F.count(F.lit(1)).alias("n_docs")).scalar()
@@ -579,8 +600,12 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
-    # corpus token total as a scalar subquery (was a 1-row crossJoin → BNLJ)
-    tot = toks.groupBy().agg(F.count(F.lit(1)).alias("t")).scalar()
+    # corpus token total = sum of the per-term counts, a vocabulary-sized
+    # aggregate over freq's existing exchange — the old toks.count() form
+    # was a THIRD full corpus scan+explode sharing no exchange with either
+    # the probe side or the freq build (r10 review find). Still a scalar
+    # subquery, not a 1-row crossJoin.
+    tot = freq.groupBy().agg(F.sum("c").alias("t")).scalar()
     scored = toks.join(broadcast(freq), "term").select(
         "doc_id",
         F.round(-F.log(F.col("c").cast("double") / tot), 6)
@@ -634,15 +659,28 @@ def dedup_chunk_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = _token_chunks(spark, sf_dir, _DCHUNK, _DCHUNK).select(
         "doc_id", F.md5(F.array_join("ct", " ")).alias("ch")
     )
-    shared = chunks.groupBy("ch").agg(F.countDistinct("doc_id").alias("nd")).filter(
-        F.col("nd") >= 2
-    ).select("ch", F.lit(1).alias("__shared"))
-    joined = chunks.join(shared, "ch", "left")
-    n_shared = F.sum(F.when(F.col("__shared").isNotNull(), 1).otherwise(0))
+    # Aggregate the chunk fact ONCE to per-(doc, chunk-hash) counts, then
+    # derive everything from cf: the old shape fed the RAW chunk fact to
+    # both the distinct-doc count and the probe join, so the explode ran
+    # twice and the join shuffled the un-aggregated fact (r10 review
+    # find). cf is distinct per (doc, ch), so counting its rows per ch IS
+    # the distinct-doc count (no two-phase distinct), and the probe side's
+    # ch exchange canonicalizes equal to the shared-build's — ReuseExchange
+    # fires and the corpus is exploded exactly once.
+    cf = chunks.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("k"))
+    shared = (
+        cf.groupBy("ch")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("ch", F.lit(1).alias("__shared"))
+    )
+    joined = cf.join(shared, "ch", "left")
+    n_chunks = F.sum("k")
+    n_shared = F.sum(F.when(F.col("__shared").isNotNull(), F.col("k")).otherwise(0))
     return joined.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_chunks"),
+        n_chunks.cast("bigint").alias("n_chunks"),
         n_shared.cast("bigint").alias("n_shared"),
-        (n_shared.cast("double") / F.count(F.lit(1))).alias("shared_ratio"),
+        (n_shared.cast("double") / n_chunks).alias("shared_ratio"),
     )
 
 

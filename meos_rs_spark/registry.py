@@ -111,6 +111,16 @@ FORCE_VERIFY: tuple[str, ...] = (
     "rel_pivot",
     "rel_percentiles",
     "win_lead_gap",
+    # third review batch (textanalysis/sampling): avg_tok_len now excludes
+    # separator spaces (VALUE change, both legs); tfidf df / unigram total
+    # derived from existing aggregates instead of extra corpus explodes;
+    # chunk-level dedup aggregates the chunk fact once; shard-packing
+    # block id in exact integer arithmetic.
+    "text_quality",
+    "text_tfidf_topterms",
+    "text_unigram_logprob",
+    "dedup_chunk_level",
+    "text_shard_packing",
 )
 
 

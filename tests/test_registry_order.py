@@ -25,7 +25,7 @@ from meos_rs_spark.registry import (
 # Round-10 rotation computed from CORRECTNESS_r01..r09: two never-checked
 # lead in registration order (traj_transform_utm_roundtrip, the CRS
 # forward∘inverse invariant, and stream_stateful_evicting, the eviction
-# deployment recipe — r9 VERDICT item 3), then the thirteen r10
+# deployment recipe — r9 VERDICT item 3), then the eighteen r10
 # FORCE_VERIFY entries (both review sweeps' oracle-semantics alignments —
 # duplicate-timestamp dedup/tiebreaks, as-of struct extrema, NULL frame
 # handling — plus the overlap-join exchange backport and the un-hinted
@@ -42,10 +42,15 @@ R10_EXPECTED_HEAD = (
     "traj_value_at_time",
     "traj_spanset_coverage",
     "traj_interp_mixed",
+    "text_quality",
+    "text_tfidf_topterms",
+    "text_unigram_logprob",
+    "dedup_chunk_level",
     "rel_join_asof",
     "rel_pivot",
     "rel_percentiles",
     "rel_join_asof_nearest",
+    "text_shard_packing",
     "win_lead_gap",
     "win_rolling_median",
     "rel_grouping_sets",
@@ -54,7 +59,6 @@ R10_EXPECTED_HEAD = (
     "rel_scd2_intervals",
     "text_hash_split",
     "text_quota_sample",
-    "text_shard_packing",
     "text_length_histogram",
     "text_mixture_weights",
     "scalar_try_arith",
@@ -79,10 +83,6 @@ R10_EXPECTED_HEAD = (
     "serde_mfjson",
     "serde_wkt_forms",
     "traj_unnest_instants",
-    "traj_speed_filter",
-    "traj_turning_points",
-    "traj_zorder_key",
-    "traj_ewma",
 )
 
 
