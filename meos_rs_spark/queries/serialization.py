@@ -26,6 +26,7 @@ from meos_rs_spark.functions.trajectory import (
     point_wkt,
     point_wkt_duck,
     posits,
+    truncate_group,
 )
 from meos_rs_spark.golden import GOLDEN
 from meos_rs_spark.registry import register
@@ -66,8 +67,12 @@ def serde_wkt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wkt",
         parsed["lon"].alias("lon_rt"),
         parsed["lat"].alias("lat_rt"),
-        F.expr("unix_micros(CAST(to_timestamp(regexp_extract(wkt, '@([0-9.: -]+)\\\\+00$', 1), "
-               "'yyyy-MM-dd HH:mm:ss.SSSSSS') AS TIMESTAMP))").alias("ts_rt_us"),
+        # the parsed struct's own ts — the old inline regexp+to_timestamp
+        # was a THIRD copy of the WKT timestamp grammar that could drift
+        # from serde._WKT_RE, and its plain to_timestamp aborts under ANSI
+        # on a non-matching input where parse_point_wkt yields NULL
+        # (r10 review find)
+        F.unix_micros(parsed["ts"].cast("timestamp")).alias("ts_rt_us"),
         (parsed["lon"] == F.col("lon")).cast("int").alias("lon_exact"),
     )
 
@@ -106,9 +111,7 @@ FROM head GROUP BY mmsi
 def serde_mfjson(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meos_rs_spark.functions.trajectory import dedup_monotonic
 
-    pts = dedup_monotonic(posits(spark, sf_dir))
-    w = Window.partitionBy("mmsi").orderBy("ts", "event_id")
-    pts = pts.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= _MF_LIMIT)
+    pts = truncate_group(dedup_monotonic(posits(spark, sf_dir)), _MF_LIMIT)
     agg = pts.groupBy("mmsi").agg(
         F.array_sort(F.collect_list(F.struct("ts", "lon", "lat"))).alias("points")
     )
@@ -148,10 +151,7 @@ _HEX_PTS = 4  # posits per vessel (bounded output -> VALUES-literal oracle stays
     f"first {_HEX_PTS} posits per vessel (bounded, like serde_wkb_roundtrip)",
 )
 def serde_hexwkb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = Window.partitionBy("mmsi").orderBy("ts", "event_id")
-    pts = posits(spark, sf_dir).withColumn("__rn", F.row_number().over(w)).filter(
-        F.col("__rn") <= _HEX_PTS
-    )
+    pts = truncate_group(posits(spark, sf_dir), _HEX_PTS)
     return pts.select(
         "mmsi", "event_id", point_hexwkb(F.col("lon"), F.col("lat")).alias("hexwkb")
     )
@@ -175,7 +175,7 @@ dedup AS (
 ),
 head AS (
   SELECT * FROM dedup
-  QUALIFY row_number() OVER (PARTITION BY mmsi ORDER BY ts, event_id) <= 20
+  QUALIFY row_number() OVER (PARTITION BY mmsi ORDER BY ts, event_id) <= {_MF_LIMIT}
 )
 SELECT mmsi,
        'MovingPoint' AS mf_type,
@@ -253,9 +253,7 @@ FROM agg
 def serde_wkb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meos_rs_spark.functions.trajectory import dedup_monotonic
 
-    pts = dedup_monotonic(posits(spark, sf_dir))
-    w = Window.partitionBy("mmsi").orderBy("ts", "event_id")
-    head = pts.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= _WKB_PTS)
+    head = truncate_group(dedup_monotonic(posits(spark, sf_dir)), _WKB_PTS)
     agg = head.groupBy("mmsi").agg(
         F.array_sort(F.collect_list(F.struct("ts", "lon", "lat"))).alias("points")
     )
@@ -321,9 +319,7 @@ FROM agg
 def serde_wkt_forms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meos_rs_spark.functions.trajectory import dedup_monotonic
 
-    pts = dedup_monotonic(posits(spark, sf_dir))
-    w = Window.partitionBy("mmsi").orderBy("ts", "event_id")
-    pts = pts.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= _N_PTS)
+    pts = truncate_group(dedup_monotonic(posits(spark, sf_dir)), _N_PTS)
     agg = (
         pts.select("mmsi", "ts", point_wkt("lon", "lat", "ts").alias("pw"))
         .groupBy("mmsi")
@@ -481,9 +477,7 @@ def serde_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mmsi", "event_id", F.col("pt.lon").alias("lon"), F.col("pt.lat").alias("lat"),
         F.col("pt.ts").alias("ts"),
     )
-    pts = dedup_monotonic(p)
-    w = Window.partitionBy("mmsi").orderBy("ts", "event_id")
-    pts = pts.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= _E2_MAX)
+    pts = truncate_group(dedup_monotonic(p), _E2_MAX)
     return (
         pts.select("mmsi", "ts", point_wkt("lon", "lat", "ts").alias("pw"))
         .groupBy("mmsi")

@@ -285,6 +285,12 @@ def snk_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meos_rs_spark.functions.determinism import money_sum
 
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    # deliberately NOT restored: the returned DataFrame is planned at the
+    # caller's action, so bucketing must still be enabled then for the
+    # exchange-free plan this query exists to demonstrate. "true" is the
+    # Spark DEFAULT — this is canonicalization against a leftover
+    # experiment, not a conf leak (probe legs reset their own confs via
+    # probekit.CONTEST_CONFS).
     spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
     for name, df, key in (
         (f"meos_bkt_orders_{tag}", load_table(spark, sf_dir, "orders"), "o_custkey"),
@@ -524,7 +530,12 @@ def src_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     "src_binaryfile_ingest",
     oracle="""
 SELECT doc_id,
-       CAST(length(text) + 1 AS BIGINT) AS n_bytes,
+       -- strlen (BYTES), not length (characters): binaryFile's `length`
+       -- is the file size in bytes, so any non-ASCII text diverges under
+       -- the character count (r10 review find; latent on the ASCII
+       -- fixture — DuckDB 1.0 has no octet_length(VARCHAR), strlen is
+       -- its byte-length form)
+       CAST(strlen(text) + 1 AS BIGINT) AS n_bytes,
        md5(text || chr(10)) AS digest
 FROM documents WHERE doc_id < 200
 """,
@@ -885,9 +896,25 @@ def snk_jdbc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = []
     for mmsi, trip in stored:
         p = _trip_normalize(json.loads(trip))
-        lats = [q[2] for q in p]
+        # NULL-faithful like the oracle: min/max(lat) and arg_min/arg_max
+        # (lon, ts) all SKIP NULLs in DuckDB — plain Python min() over a
+        # None-bearing list raises instead, and positional first/last lon
+        # would surface a None the oracle never returns (r10 review find;
+        # latent while posits carry no NULL lon/lat). merged is one row
+        # per (mmsi, ts), so the positional scan has no ts ties.
+        lats = [q[2] for q in p if q[2] is not None]
+        lons_fwd = [q[1] for q in p if q[1] is not None]
         out.append(
-            (mmsi, len(p), p[0][0], p[-1][0], p[0][1], p[-1][1], min(lats), max(lats))
+            (
+                mmsi,
+                len(p),
+                p[0][0],
+                p[-1][0],
+                lons_fwd[0] if lons_fwd else None,
+                lons_fwd[-1] if lons_fwd else None,
+                min(lats) if lats else None,
+                max(lats) if lats else None,
+            )
         )
     return spark.createDataFrame(
         out,

@@ -121,6 +121,19 @@ FORCE_VERIFY: tuple[str, ...] = (
     "text_unigram_logprob",
     "dedup_chunk_level",
     "text_shard_packing",
+    # fourth review batch (sources/sinks + serialization): byte-length
+    # oracle fix, NULL-faithful sqlite read-back, signed-mmsi reader
+    # grammar, one WKT timestamp grammar, head caps via truncate_group.
+    "src_binaryfile_ingest",
+    "snk_jdbc_upsert",
+    "src_python_datasource",
+    "serde_wkt_roundtrip",
+    "serde_mfjson",
+    "serde_mfjson_ingest",
+    "serde_hexwkb",
+    "serde_wkb_roundtrip",
+    "serde_wkt_forms",
+    "serde_e2e_pipeline",
 )
 
 

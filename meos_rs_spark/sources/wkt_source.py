@@ -30,7 +30,11 @@ from pyspark.sql.types import (
 )
 
 _LINE_RE = re.compile(
-    r"^(\d+);POINT\(([-0-9.]+) ([-0-9.]+)\)@"
+    # mmsi admits a sign: int64 keys are signed and the writer renders a
+    # negative id faithfully — an unsigned pattern would silently drop the
+    # vessel via the malformed-line path while the oracle keeps it
+    # (r10 review find; latent while fixture user_ids are non-negative)
+    r"^(-?\d+);POINT\(([-0-9.]+) ([-0-9.]+)\)@"
     r"(\d{4}-\d{2}-\d{2} [0-9:.]+)\+00$"
 )
 

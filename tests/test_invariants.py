@@ -528,3 +528,19 @@ def test_null_and_tied_value_twins_agree_cross_engine(spark, tmp_path):
     assert back[1].last_value == 5.0  # probe day+1 sees the later event
     assert back[2].last_value is None  # NULL at the as-of row SURFACES
     assert back[3].last_value == 4.0  # tied ts: non-NULL wins the backward max
+
+
+def test_wkt_source_line_regex_admits_signed_mmsi():
+    """r10 review find: int64 keys are signed and the writer renders a
+    negative id faithfully, but an unsigned ^(\\d+) pattern silently
+    dropped the vessel via the malformed-line path while the oracle kept
+    it. The reader grammar must accept exactly what the writer emits."""
+    from meos_rs_spark.sources.wkt_source import _LINE_RE
+
+    good = "-5;POINT(1.5 -2.25)@2024-01-01 00:00:11.172425+00"
+    m = _LINE_RE.match(good)
+    assert m and m.group(1) == "-5"
+    assert _LINE_RE.match(good.replace("-5;", "5;"))
+    # malformed lines still skip
+    assert not _LINE_RE.match("x5;POINT(1 2)@2024-01-01 00:00:00+00")
+    assert not _LINE_RE.match("5;POINT(1 2)@not-a-time+00")

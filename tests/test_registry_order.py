@@ -25,8 +25,8 @@ from meos_rs_spark.registry import (
 # Round-10 rotation computed from CORRECTNESS_r01..r09: two never-checked
 # lead in registration order (traj_transform_utm_roundtrip, the CRS
 # forward∘inverse invariant, and stream_stateful_evicting, the eviction
-# deployment recipe — r9 VERDICT item 3), then the eighteen r10
-# FORCE_VERIFY entries (both review sweeps' oracle-semantics alignments —
+# deployment recipe — r9 VERDICT item 3), then the twenty-eight r10
+# FORCE_VERIFY entries (the review sweeps' oracle-semantics alignments —
 # duplicate-timestamp dedup/tiebreaks, as-of struct extrema, NULL frame
 # handling — plus the overlap-join exchange backport and the un-hinted
 # SF-scaled broadcasts; each re-earns a driver row), then pure
@@ -36,12 +36,22 @@ R10_EXPECTED_HEAD = (
     "traj_transform_utm_roundtrip",
     "stream_stateful_evicting",
     "box_stbox_overlap_join",
+    "serde_wkt_roundtrip",
+    "serde_mfjson",
+    "serde_hexwkb",
+    "serde_mfjson_ingest",
+    "serde_wkb_roundtrip",
+    "serde_wkt_forms",
     "traj_merge",
     "traj_accessors",
     "traj_length_speed",
     "traj_value_at_time",
     "traj_spanset_coverage",
     "traj_interp_mixed",
+    "serde_e2e_pipeline",
+    "src_python_datasource",
+    "src_binaryfile_ingest",
+    "snk_jdbc_upsert",
     "text_quality",
     "text_tfidf_topterms",
     "text_unigram_logprob",
@@ -73,16 +83,6 @@ R10_EXPECTED_HEAD = (
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_normalized",
-    "flagship_trip_pipeline",
-    "mm_metadata",
-    "mm_audio_features",
-    "mm_decode_features",
-    "serde_wkt_roundtrip",
-    "serde_mfjson",
-    "serde_wkt_forms",
-    "traj_unnest_instants",
 )
 
 
