@@ -98,13 +98,13 @@ def scalar_ts_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
     txt = F.date_format("ts", fmt)
+    # reparse built FROM fmt — the old expr string carried two more
+    # hand-copies of the pattern that could drift from the render
+    # (r10 review find)
     return ev.select(
         "event_id",
         txt.alias("ts_text"),
-        F.expr(
-            "unix_micros(to_timestamp(date_format(ts, 'yyyy-MM-dd HH:mm:ss.SSSSSS'), "
-            "'yyyy-MM-dd HH:mm:ss.SSSSSS'))"
-        ).alias("reparsed_us"),
+        F.unix_micros(F.to_timestamp(txt, fmt)).alias("reparsed_us"),
     )
 
 

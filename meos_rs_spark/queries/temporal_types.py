@@ -45,11 +45,16 @@ tint AS (
 ),
 vmax AS (SELECT mmsi, max(iv) AS max_iv FROM tint GROUP BY mmsi)
 SELECT t.mmsi,
-       arg_max(t.iv, t.ts) FILTER (WHERE t.ts <= TIMESTAMP '{_PROBE_TS}') AS value_at_probe,
+       -- struct extrema, not arg_max/arg_min: DuckDB's arg_* SKIP NULL
+       -- values where Spark's max_by/min_by surface them; the nn field
+       -- mirrors Spark's NULL-sorts-low struct order (the rel_join_asof
+       -- shim, r10 review). Ties are impossible post-dedup.
+       (max(struct_pack(ts := t.ts, nn := t.iv IS NOT NULL, v := t.iv))
+          FILTER (WHERE t.ts <= TIMESTAMP '{_PROBE_TS}')).v AS value_at_probe,
        min(t.iv) AS min_value,
        max(t.iv) AS max_value,
-       arg_min(t.iv, t.ts) AS start_value,
-       arg_max(t.iv, t.ts) AS end_value,
+       (min(struct_pack(ts := t.ts, nn := t.iv IS NOT NULL, v := t.iv))).v AS start_value,
+       (max(struct_pack(ts := t.ts, nn := t.iv IS NOT NULL, v := t.iv))).v AS end_value,
        count(*) FILTER (WHERE t.prev_iv IS NOT NULL AND t.iv != t.prev_iv) AS n_changes,
        CAST(COALESCE(sum(epoch_us(t.next_ts) - epoch_us(t.ts))
                      FILTER (WHERE t.iv = v.max_iv AND t.next_ts IS NOT NULL), 0)
@@ -103,11 +108,13 @@ tt AS (
   FROM dedup
 )
 SELECT user_id,
-       arg_min(event_type, ts) AS start_value,
-       arg_max(event_type, ts) AS end_value,
+       -- struct extrema (the rel_join_asof NULL shim): arg_* skip NULLs,
+       -- Spark's min_by/max_by surface them
+       (min(struct_pack(ts := ts, nn := event_type IS NOT NULL, v := event_type))).v AS start_value,
+       (max(struct_pack(ts := ts, nn := event_type IS NOT NULL, v := event_type))).v AS end_value,
        min(event_type) AS min_value,
        max(event_type) AS max_value,
-       upper(arg_max(event_type, ts)) AS end_value_upper,
+       upper((max(struct_pack(ts := ts, nn := event_type IS NOT NULL, v := event_type))).v) AS end_value_upper,
        CAST(max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS INT) AS ever_click,
        count(DISTINCT event_type) AS n_values,
        count(*) FILTER (WHERE prev_v IS NOT NULL AND event_type != prev_v) AS n_changes
@@ -173,12 +180,14 @@ FROM stepped GROUP BY mmsi
     "tbool) and ttype_tint_step/ttype_ttext_ops (other base types)",
 )
 def ttype_tbool_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from meos_rs_spark.functions.trajectory import posits
-
+    # the ONE window drives the lead (the old code built an identical
+    # Window object and never used it, so an editor "fixing" its ordering
+    # would see no effect — the real window lived in an expr string;
+    # r10 review find)
     w = Window.partitionBy("mmsi").orderBy("ts", "event_id")
-    dt = F.expr(
-        "unix_micros(CAST(lead(ts) OVER (PARTITION BY mmsi ORDER BY ts, event_id) AS TIMESTAMP))"
-    ) - F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+    dt = F.unix_micros(F.lead("ts").over(w).cast("timestamp")) - F.unix_micros(
+        F.col("ts").cast("timestamp")
+    )
     p = (
         posits(spark, sf_dir)
         .withColumn("a", F.col("lon") > 100)
@@ -212,8 +221,12 @@ merged AS (
   -- arg_min(..., event_id) per side IS the monotonic dedup (first posit at a
   -- duplicated timestamp wins, 04_to_file.rs:92-96) fused into the merge agg
   SELECT CAST(mmsi // 2 AS BIGINT) AS pair_id, ts,
-         arg_min(lon, event_id) FILTER (WHERE mmsi % 2 = 0) AS va,
-         arg_min(lon, event_id) FILTER (WHERE mmsi % 2 = 1) AS vb
+         -- struct extrema (the rel_join_asof NULL shim): a NULL lon at
+         -- the first event_id must surface, as Spark's min_by does
+         (min(struct_pack(e := event_id, nn := lon IS NOT NULL, v := lon))
+            FILTER (WHERE mmsi % 2 = 0)).v AS va,
+         (min(struct_pack(e := event_id, nn := lon IS NOT NULL, v := lon))
+            FILTER (WHERE mmsi % 2 = 1)).v AS vb
   FROM posits WHERE mmsi < {_K_SYNC_VESSELS} GROUP BY 1, 2
 ),
 synced AS (

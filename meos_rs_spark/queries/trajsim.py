@@ -86,20 +86,37 @@ def trajsim_hausdorff(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    ab = (
-        d.groupBy("id_a", "id_b", "ax", "ay")
+    # ONE pass over the K²-point-pair matrix: the old twin aggregations
+    # (group by a-point, group by b-point) hashed on different keys, so
+    # ReuseExchange couldn't fire and the join + distance kernel — the
+    # expensive stage — executed twice (r10 review find). Tagging each
+    # matrix cell with both directed roles before aggregating keeps the
+    # join single-execution; max over (role, point)-mins IS
+    # greatest(h_ab, h_ba), so the final join disappears too.
+    d2 = d.select(
+        "id_a",
+        "id_b",
+        "d",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("role"),
+                    F.col("ax").alias("px"),
+                    F.col("ay").alias("py"),
+                ),
+                F.struct(
+                    F.lit(1).alias("role"),
+                    F.col("bx").alias("px"),
+                    F.col("by").alias("py"),
+                ),
+            )
+        ).alias("r"),
+    )
+    return (
+        d2.groupBy("id_a", "id_b", "r.role", "r.px", "r.py")
         .agg(F.min("d").alias("md"))
         .groupBy("id_a", "id_b")
-        .agg(F.max("md").alias("h_ab"))
-    )
-    ba = (
-        d.groupBy("id_a", "id_b", "bx", "by")
-        .agg(F.min("d").alias("md"))
-        .groupBy("id_a", "id_b")
-        .agg(F.max("md").alias("h_ba"))
-    )
-    return ab.join(ba, ["id_a", "id_b"]).select(
-        "id_a", "id_b", F.greatest("h_ab", "h_ba").alias("hausdorff")
+        .agg(F.max("md").alias("hausdorff"))
     )
 
 
@@ -108,25 +125,28 @@ def trajsim_hausdorff(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DP_SCHEMA = "id_a long, id_b long, n_a long, n_b long, dtw double, frechet double"
 
 
-def _pair_dp(key, pdf: pd.DataFrame) -> pd.DataFrame:
-    # full sort key (ts alone would leave equal-ts row order partition-dependent)
+def _pair_sides(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    """Split a tagged pair group into its two point arrays with the FULL
+    deterministic sort key (ts alone would leave equal-ts row order
+    partition-dependent) — ONE copy of the scaffold both DP kernels and
+    tools/gen_golden.py must mirror (r10 review: the determinism fix had
+    to be applied in two hand-copies)."""
     a = pdf[pdf["side"] == 0].sort_values(["ts", "lon", "lat"])[["lon", "lat"]].to_numpy(dtype=float)
     b = pdf[pdf["side"] == 1].sort_values(["ts", "lon", "lat"])[["lon", "lat"]].to_numpy(dtype=float)
-    if len(a) == 0 or len(b) == 0:
-        return pd.DataFrame(
-            {"id_a": [key[0]], "id_b": [key[1]], "n_a": [len(a)], "n_b": [len(b)],
-             "dtw": [np.nan], "frechet": [np.nan]}
-        )
-    return pd.DataFrame(
-        {
-            "id_a": [key[0]],
-            "id_b": [key[1]],
-            "n_a": [len(a)],
-            "n_b": [len(b)],
-            "dtw": [dtw_distance(a, b)],
-            "frechet": [frechet_distance(a, b)],
-        }
-    )
+    return a, b
+
+
+def _pair_result(key, a, b, **metrics) -> pd.DataFrame:
+    row = {"id_a": [key[0]], "id_b": [key[1]], "n_a": [len(a)], "n_b": [len(b)]}
+    empty = len(a) == 0 or len(b) == 0
+    for name, fn in metrics.items():
+        row[name] = [np.nan if empty else fn(a, b)]
+    return pd.DataFrame(row)
+
+
+def _pair_dp(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    a, b = _pair_sides(pdf)
+    return _pair_result(key, a, b, dtw=dtw_distance, frechet=frechet_distance)
 
 
 @register(
@@ -207,17 +227,48 @@ def trajsim_nearest_approach(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- L2: nearest-approach INSTANT (synchronized at hour granularity) --------
 
 
-@register(
-    "trajsim_nearest_instant",
-    oracle=f"""
-WITH {POSITS_CTE},
+_RESAMPLE_CTE = f"""
 res AS (
   SELECT mmsi, date_trunc('hour', ts) AS bucket,
          CAST(SUM(CAST(lon AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS cx,
          CAST(SUM(CAST(lat AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS cy
   FROM posits WHERE mmsi < {K_VESSELS}
   GROUP BY mmsi, date_trunc('hour', ts)
-),
+)
+"""
+
+
+def _resampled_sides(spark: SparkSession, sf_dir: str):
+    """The hour-bucket resample (tprecision + twavg per bucket, exact-
+    decimal means) and its two join-side projections — ONE construction
+    for the three synchronized-pair queries (nearest_instant, tdwithin,
+    tdistance), in lockstep with _RESAMPLE_CTE above; the three private
+    copies could drift independently (r10 review find)."""
+    from meos_rs_spark.functions.determinism import money_sum
+
+    n = F.count(F.lit(1))
+    res = (
+        posits(spark, sf_dir)
+        .filter(F.col("mmsi") < K_VESSELS)
+        .groupBy("mmsi", F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("bucket"))
+        .agg((money_sum("lon") / n).alias("cx"), (money_sum("lat") / n).alias("cy"))
+    )
+    a = res.select(
+        F.col("mmsi").alias("id_a"), "bucket",
+        F.col("cx").alias("ax"), F.col("cy").alias("ay"),
+    )
+    b = res.select(
+        F.col("mmsi").alias("id_b"), F.col("bucket").alias("bucket_b"),
+        F.col("cx").alias("bx"), F.col("cy").alias("by"),
+    )
+    return a, b
+
+
+@register(
+    "trajsim_nearest_instant",
+    oracle=f"""
+WITH {POSITS_CTE},
+{_RESAMPLE_CTE},
 d AS (
   SELECT a.mmsi AS id_a, b.mmsi AS id_b, a.bucket,
          sqrt((a.cx - b.cx) * (a.cx - b.cx) + (a.cy - b.cy) * (a.cy - b.cy)) AS dist
@@ -235,18 +286,7 @@ QUALIFY row_number() OVER (PARTITION BY id_a, id_b ORDER BY dist, bucket) = 1
     "pair is a row_number window with a total (dist, bucket) tiebreak",
 )
 def trajsim_nearest_instant(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from meos_rs_spark.functions.determinism import money_sum
-
-    n = F.count(F.lit(1))
-    res = (
-        posits(spark, sf_dir)
-        .filter(F.col("mmsi") < K_VESSELS)
-        .groupBy("mmsi", F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("bucket"))
-        .agg((money_sum("lon") / n).alias("cx"), (money_sum("lat") / n).alias("cy"))
-    )
-    a = res.select(F.col("mmsi").alias("id_a"), "bucket", F.col("cx").alias("ax"), F.col("cy").alias("ay"))
-    b = res.select(F.col("mmsi").alias("id_b"), F.col("bucket").alias("bucket_b"),
-                   F.col("cx").alias("bx"), F.col("cy").alias("by"))
+    a, b = _resampled_sides(spark, sf_dir)
     d = a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("id_a") < F.col("id_b"))).withColumn(
         "dist",
         F.sqrt(
@@ -256,7 +296,13 @@ def trajsim_nearest_instant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    w = Window.partitionBy("id_a", "id_b").orderBy("dist", "bucket")
+    # NULLS LAST to match DuckDB's default (Spark ASC defaults to NULLS
+    # FIRST): a bucket whose coords are all NULL yields dist NULL, which
+    # must LOSE the argmin in both engines, not win Spark's rank 1
+    # (r10 review find; latent while posits carry no NULL coords)
+    w = Window.partitionBy("id_a", "id_b").orderBy(
+        F.col("dist").asc_nulls_last(), F.col("bucket").asc_nulls_last()
+    )
     return (
         d.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
@@ -267,16 +313,6 @@ def trajsim_nearest_instant(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- L2: temporal within-distance predicate (tdwithin summary) --------------
 
 D_WITHIN = 50.0
-
-_RESAMPLE_CTE = f"""
-res AS (
-  SELECT mmsi, date_trunc('hour', ts) AS bucket,
-         CAST(SUM(CAST(lon AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS cx,
-         CAST(SUM(CAST(lat AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS cy
-  FROM posits WHERE mmsi < {K_VESSELS}
-  GROUP BY mmsi, date_trunc('hour', ts)
-)
-"""
 
 
 @register(
@@ -303,18 +339,7 @@ FROM d GROUP BY id_a, id_b
     "instant; same bucket equi-join shape as trajsim_nearest_instant",
 )
 def trajsim_tdwithin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from meos_rs_spark.functions.determinism import money_sum
-
-    n = F.count(F.lit(1))
-    res = (
-        posits(spark, sf_dir)
-        .filter(F.col("mmsi") < K_VESSELS)
-        .groupBy("mmsi", F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("bucket"))
-        .agg((money_sum("lon") / n).alias("cx"), (money_sum("lat") / n).alias("cy"))
-    )
-    a = res.select(F.col("mmsi").alias("id_a"), "bucket", F.col("cx").alias("ax"), F.col("cy").alias("ay"))
-    b = res.select(F.col("mmsi").alias("id_b"), F.col("bucket").alias("bucket_b"),
-                   F.col("cx").alias("bx"), F.col("cy").alias("by"))
+    a, b = _resampled_sides(spark, sf_dir)
     within = F.when(
         F.sqrt(
             (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
@@ -357,18 +382,7 @@ SELECT id_a, id_b, bucket, dist FROM d
     "equi-join, never a point-level theta join",
 )
 def trajsim_tdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from meos_rs_spark.functions.determinism import money_sum
-
-    n = F.count(F.lit(1))
-    res = (
-        posits(spark, sf_dir)
-        .filter(F.col("mmsi") < K_VESSELS)
-        .groupBy("mmsi", F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("bucket"))
-        .agg((money_sum("lon") / n).alias("cx"), (money_sum("lat") / n).alias("cy"))
-    )
-    a = res.select(F.col("mmsi").alias("id_a"), "bucket", F.col("cx").alias("ax"), F.col("cy").alias("ay"))
-    b = res.select(F.col("mmsi").alias("id_b"), F.col("bucket").alias("bucket_b"),
-                   F.col("cx").alias("bx"), F.col("cy").alias("by"))
+    a, b = _resampled_sides(spark, sf_dir)
     return (
         a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("id_a") < F.col("id_b")))
         .select(
@@ -389,23 +403,11 @@ _LCSS_SCHEMA = "id_a long, id_b long, n_a long, n_b long, lcss_sim double, erp d
 
 
 def _pair_lcss_erp(key, pdf: pd.DataFrame) -> pd.DataFrame:
-    # full sort key (ts alone would leave equal-ts row order partition-dependent)
-    a = pdf[pdf["side"] == 0].sort_values(["ts", "lon", "lat"])[["lon", "lat"]].to_numpy(dtype=float)
-    b = pdf[pdf["side"] == 1].sort_values(["ts", "lon", "lat"])[["lon", "lat"]].to_numpy(dtype=float)
-    if len(a) == 0 or len(b) == 0:
-        return pd.DataFrame(
-            {"id_a": [key[0]], "id_b": [key[1]], "n_a": [len(a)], "n_b": [len(b)],
-             "lcss_sim": [np.nan], "erp": [np.nan]}
-        )
-    return pd.DataFrame(
-        {
-            "id_a": [key[0]],
-            "id_b": [key[1]],
-            "n_a": [len(a)],
-            "n_b": [len(b)],
-            "lcss_sim": [lcss_similarity(a, b, LCSS_EPS)],
-            "erp": [erp_distance(a, b, np.zeros(2))],
-        }
+    a, b = _pair_sides(pdf)
+    return _pair_result(
+        key, a, b,
+        lcss_sim=lambda x, y: lcss_similarity(x, y, LCSS_EPS),
+        erp=lambda x, y: erp_distance(x, y, np.zeros(2)),
     )
 
 

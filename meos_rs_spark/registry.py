@@ -134,6 +134,21 @@ FORCE_VERIFY: tuple[str, ...] = (
     "serde_wkb_roundtrip",
     "serde_wkt_forms",
     "serde_e2e_pipeline",
+    # fifth review batch (trajsim/ttype/scalars): NULL-extremum shims on
+    # the ttype oracles, hausdorff single-pass aggregation, nearest-
+    # instant NULLS LAST, shared resample/DP-scaffold constructions,
+    # window/format expressions de-duplicated.
+    "ttype_tint_step",
+    "ttype_ttext_ops",
+    "ttype_tfloat_sync_arith",
+    "ttype_tbool_algebra",
+    "trajsim_hausdorff",
+    "trajsim_nearest_instant",
+    "trajsim_tdwithin",
+    "trajsim_tdistance",
+    "trajsim_dtw_frechet",
+    "trajsim_lcss_erp",
+    "scalar_ts_roundtrip",
 )
 
 

@@ -515,7 +515,18 @@ def test_null_and_tied_value_twins_agree_cross_engine(spark, tmp_path):
         f"CREATE VIEW events AS SELECT * FROM '{tmp_path / 'events.parquet'}'"
     )
     reg = load_registry()
-    for name in ("rel_join_asof", "rel_join_asof_nearest", "win_rolling_median"):
+    for name in (
+        "rel_join_asof",
+        "rel_join_asof_nearest",
+        "win_rolling_median",
+        # the ttype family shares the NULL-extremum shim (arg_* skip
+        # NULLs, Spark's min_by/max_by surface them); lon/iv here is
+        # `value`, so the NULL rows exercise the shim directly, and
+        # users 1-4 fall inside the tfloat pair domain (mmsi < 8)
+        "ttype_tint_step",
+        "ttype_ttext_ops",
+        "ttype_tfloat_sync_arith",
+    ):
         sdf = reg[name].fn(spark, str(tmp_path))
         ddf = con.sql(reg[name].oracle).df()
         issues = compare(sdf, ddf, name)

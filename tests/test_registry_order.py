@@ -25,7 +25,7 @@ from meos_rs_spark.registry import (
 # Round-10 rotation computed from CORRECTNESS_r01..r09: two never-checked
 # lead in registration order (traj_transform_utm_roundtrip, the CRS
 # forward∘inverse invariant, and stream_stateful_evicting, the eviction
-# deployment recipe — r9 VERDICT item 3), then the twenty-eight r10
+# deployment recipe — r9 VERDICT item 3), then the thirty-nine r10
 # FORCE_VERIFY entries (the review sweeps' oracle-semantics alignments —
 # duplicate-timestamp dedup/tiebreaks, as-of struct extrema, NULL frame
 # handling — plus the overlap-join exchange backport and the un-hinted
@@ -61,6 +61,17 @@ R10_EXPECTED_HEAD = (
     "rel_percentiles",
     "rel_join_asof_nearest",
     "text_shard_packing",
+    "scalar_ts_roundtrip",
+    "ttype_tint_step",
+    "ttype_ttext_ops",
+    "ttype_tbool_algebra",
+    "ttype_tfloat_sync_arith",
+    "trajsim_hausdorff",
+    "trajsim_dtw_frechet",
+    "trajsim_nearest_instant",
+    "trajsim_tdwithin",
+    "trajsim_tdistance",
+    "trajsim_lcss_erp",
     "win_lead_gap",
     "win_rolling_median",
     "rel_grouping_sets",
@@ -72,17 +83,6 @@ R10_EXPECTED_HEAD = (
     "text_length_histogram",
     "text_mixture_weights",
     "scalar_try_arith",
-    "scalar_bitwise",
-    "win_percent_rank_cume",
-    "win_range_interval",
-    "win_event_transitions",
-    "win_running_distinct",
-    "win_gap_islands",
-    "box_tbox_predicates",
-    "box_int_to_tbox",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
 )
 
 
