@@ -87,69 +87,11 @@ DRIVER_WINDOW = 50
 #: the changed code re-earns its row this round instead of waiting for the
 #: oldest-green rotation to reach it (r5 ADVICE: new code benefits most
 #: from a driver row). Clear entries once the round's artifact lands.
-FORCE_VERIFY: tuple[str, ...] = (
-    # r10 review sweep: six queries whose ORACLES were aligned with their
-    # Spark legs' dedup/tiebreak semantics (duplicate-timestamp hazard
-    # class — outputs identical on the duplicate-free fixtures, but the
-    # twins' SEMANTICS changed, so each re-earns a driver row), plus the
-    # parent overlap join, whose PLAN gained the banded sibling's
-    # explicit-count co-partitioned exchanges.
-    "traj_accessors",
-    "traj_length_speed",
-    "traj_value_at_time",
-    "traj_interp_mixed",
-    "traj_spanset_coverage",
-    "traj_merge",
-    "box_stbox_overlap_join",
-    # second review batch (relational/windows): as-of oracles moved from
-    # tie-order-dependent NULL-skipping arg_max/arg_min to the Spark legs'
-    # struct-extremum semantics; rolling-median frames NULL-aligned;
-    # SF-scaled customer broadcasts un-hinted; lead-gap window de-duplicated.
-    "rel_join_asof",
-    "rel_join_asof_nearest",
-    "win_rolling_median",
-    "rel_pivot",
-    "rel_percentiles",
-    "win_lead_gap",
-    # third review batch (textanalysis/sampling): avg_tok_len now excludes
-    # separator spaces (VALUE change, both legs); tfidf df / unigram total
-    # derived from existing aggregates instead of extra corpus explodes;
-    # chunk-level dedup aggregates the chunk fact once; shard-packing
-    # block id in exact integer arithmetic.
-    "text_quality",
-    "text_tfidf_topterms",
-    "text_unigram_logprob",
-    "dedup_chunk_level",
-    "text_shard_packing",
-    # fourth review batch (sources/sinks + serialization): byte-length
-    # oracle fix, NULL-faithful sqlite read-back, signed-mmsi reader
-    # grammar, one WKT timestamp grammar, head caps via truncate_group.
-    "src_binaryfile_ingest",
-    "snk_jdbc_upsert",
-    "src_python_datasource",
-    "serde_wkt_roundtrip",
-    "serde_mfjson",
-    "serde_mfjson_ingest",
-    "serde_hexwkb",
-    "serde_wkb_roundtrip",
-    "serde_wkt_forms",
-    "serde_e2e_pipeline",
-    # fifth review batch (trajsim/ttype/scalars): NULL-extremum shims on
-    # the ttype oracles, hausdorff single-pass aggregation, nearest-
-    # instant NULLS LAST, shared resample/DP-scaffold constructions,
-    # window/format expressions de-duplicated.
-    "ttype_tint_step",
-    "ttype_ttext_ops",
-    "ttype_tfloat_sync_arith",
-    "ttype_tbool_algebra",
-    "trajsim_hausdorff",
-    "trajsim_nearest_instant",
-    "trajsim_tdwithin",
-    "trajsim_tdistance",
-    "trajsim_dtw_frechet",
-    "trajsim_lcss_erp",
-    "scalar_ts_roundtrip",
-)
+#: r11: empty — all 39 r10 FORCE_VERIFY entries re-earned green driver
+#: rows in the r10 window (CORRECTNESS_r10.json, 50/50 green), so the
+#: rotation falls back to pure oldest-green refill. Re-populate only when
+#: a query's SEMANTICS change relative to its latest green row.
+FORCE_VERIFY: tuple[str, ...] = ()
 
 
 @functools.lru_cache(maxsize=1)

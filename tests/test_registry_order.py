@@ -3,8 +3,8 @@ FIRST 50 entries of __spark_entry__.queries() only (observed in r2), so the
 round's verification targets must occupy exactly those positions.
 
 Since round 6 the head is COMPUTED from the committed CORRECTNESS_r*.json
-artifacts (registry.compute_verify_head). R10_EXPECTED_HEAD pins the tuple
-the r1-r9 artifacts produce; when the driver lands CORRECTNESS_r10.json the
+artifacts (registry.compute_verify_head). R11_EXPECTED_HEAD pins the tuple
+the r1-r10 artifacts produce; when the driver lands CORRECTNESS_r11.json the
 pin goes stale and this test fails — the next round's first task is then
 reviewing the freshly computed rotation and re-pinning it here. Per r9
 ADVICE, any commit that changes the computed head (a new CORRECTNESS
@@ -22,67 +22,62 @@ from meos_rs_spark.registry import (
     verify_order_head,
 )
 
-# Round-10 rotation computed from CORRECTNESS_r01..r09: two never-checked
-# lead in registration order (traj_transform_utm_roundtrip, the CRS
-# forward∘inverse invariant, and stream_stateful_evicting, the eviction
-# deployment recipe — r9 VERDICT item 3), then the thirty-nine r10
-# FORCE_VERIFY entries (the review sweeps' oracle-semantics alignments —
-# duplicate-timestamp dedup/tiebreaks, as-of struct extrema, NULL frame
-# handling — plus the overlap-join exchange backport and the un-hinted
-# SF-scaled broadcasts; each re-earns a driver row), then pure
-# oldest-green refill (r5-era then oldest r6-era, registration order
-# within each round).
-R10_EXPECTED_HEAD = (
-    "traj_transform_utm_roundtrip",
-    "stream_stateful_evicting",
-    "box_stbox_overlap_join",
-    "serde_wkt_roundtrip",
-    "serde_mfjson",
-    "serde_hexwkb",
-    "serde_mfjson_ingest",
-    "serde_wkb_roundtrip",
-    "serde_wkt_forms",
-    "traj_merge",
-    "traj_accessors",
-    "traj_length_speed",
-    "traj_value_at_time",
-    "traj_spanset_coverage",
-    "traj_interp_mixed",
-    "serde_e2e_pipeline",
-    "src_python_datasource",
-    "src_binaryfile_ingest",
-    "snk_jdbc_upsert",
-    "text_quality",
-    "text_tfidf_topterms",
-    "text_unigram_logprob",
-    "dedup_chunk_level",
-    "rel_join_asof",
-    "rel_pivot",
-    "rel_percentiles",
-    "rel_join_asof_nearest",
-    "text_shard_packing",
-    "scalar_ts_roundtrip",
-    "ttype_tint_step",
-    "ttype_ttext_ops",
-    "ttype_tbool_algebra",
-    "ttype_tfloat_sync_arith",
-    "trajsim_hausdorff",
-    "trajsim_dtw_frechet",
-    "trajsim_nearest_instant",
-    "trajsim_tdwithin",
-    "trajsim_tdistance",
-    "trajsim_lcss_erp",
-    "win_lead_gap",
-    "win_rolling_median",
-    "rel_grouping_sets",
-    "rel_salted_join",
-    "rel_cohort_retention",
-    "rel_scd2_intervals",
-    "text_hash_split",
-    "text_quota_sample",
-    "text_length_histogram",
-    "text_mixture_weights",
-    "scalar_try_arith",
+# Round-11 rotation computed from CORRECTNESS_r01..r10: zero reds, zero
+# never-checked, FORCE_VERIFY cleared (all 39 r10 entries re-earned green
+# rows in the r10 window), so the head is pure oldest-green refill — the
+# 6 r5-era greens, all 34 r6-era greens, and the 10 oldest r7-era greens,
+# registration order within each round.
+R11_EXPECTED_HEAD = (
+    "scalar_bitwise",
+    "win_percent_rank_cume",
+    "win_range_interval",
+    "win_event_transitions",
+    "win_running_distinct",
+    "win_gap_islands",
+    "box_tbox_predicates",
+    "box_int_to_tbox",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_normalized",
+    "flagship_trip_pipeline",
+    "mm_metadata",
+    "mm_audio_features",
+    "mm_decode_features",
+    "traj_unnest_instants",
+    "traj_speed_filter",
+    "traj_turning_points",
+    "traj_zorder_key",
+    "traj_ewma",
+    "snk_jsonl_trips",
+    "src_catalog_bootstrap",
+    "snk_partitioned_write",
+    "snk_bucketed_join",
+    "text_langid",
+    "stream_tumbling_counts",
+    "stream_stateful_assembly",
+    "stream_sliding_counts",
+    "stream_dedup_watermark",
+    "rel_projection_rename",
+    "rel_group_having",
+    "rel_pricing_summary",
+    "rel_join_inner_broadcast",
+    "rel_join_left_outer",
+    "rel_join_full_outer",
+    "rel_lateral_topn",
+    "rel_approx_distinct",
+    "rel_approx_percentiles",
+    "mm_resize",
+    "mm_frame_sample",
+    "mm_jpeg_features",
+    "serde_wkt_seqset",
+    "traj_assembly",
+    "traj_extent",
+    "traj_equality",
+    "traj_shift_scale",
+    "traj_sample",
+    "traj_ever_always",
 )
 
 
@@ -94,10 +89,10 @@ def test_head_is_exactly_the_driver_window():
     assert tuple(names[:50]) == head
 
 
-def test_computed_head_matches_the_round10_pin():
+def test_computed_head_matches_the_round11_pin():
     # Stale-pin alarm: fails as soon as a new CORRECTNESS artifact lands,
     # forcing the next round to review + re-pin the rotation.
-    assert verify_order_head() == R10_EXPECTED_HEAD
+    assert verify_order_head() == R11_EXPECTED_HEAD
 
 
 def test_head_priority_rule():
