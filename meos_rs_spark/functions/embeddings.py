@@ -38,24 +38,28 @@ def cosine(a: pd.Series, b: pd.Series) -> pd.Series:
     DuckDB DOUBLE division by zero returns NULL (never NaN/inf), which
     fails thresholds and sorts last under DESC — so a failed-encoder
     all-zero embedding drops out of every oracle top-k. The Spark side
-    matches BY THE ARROW BOUNDARY, not by the arithmetic: numpy's 0/0 is
-    NaN, but ``pa.Array.from_pandas`` converts float64 NaN to null
-    (empirically verified on this stack), so the kernel's NaN arrives in
-    Spark as NULL and sorts/filters identically. The explicit den==0 mask
-    makes that load-bearing conversion visible in the code instead of
-    implicit (r10 review).
+    returns a NULLABLE pandas Float64 series (r10 ADVICE: ``.mask(...,
+    None)`` on a plain float64 series just writes NaN, so the NULL
+    contract used to ride the implicit Arrow NaN→null conversion) — every
+    NaN result, whether from the 0/0 zero-norm case or a NaN *component*
+    in an embedding, becomes an explicit pandas ``NA`` before the Arrow
+    boundary, so the kernel's NULL semantics no longer depend on
+    ``pa.Array.from_pandas`` coercion behavior.
 
-    Known envelope (data-dependent, pinned nowhere because no fixture can
-    reach it): a NaN *component* in an embedding gives DuckDB NaN (sorts
-    FIRST under DESC) but Spark NULL (sorts last) — the Arrow boundary
-    cannot emit NaN doubles from a pandas_udf. Sanitize NaN embeddings
-    upstream if they can occur."""
+    Known envelope (data-dependent, pinned by
+    tests/test_quantize.py::test_cosine_udf_nan_component_contract): a
+    NaN *component* in an embedding gives DuckDB NaN (sorts FIRST under
+    DESC) but this kernel NULL (sorts last) — a pandas_udf cannot emit
+    NaN doubles. Sanitize NaN embeddings upstream if they can occur."""
     va, vb = _stack(a), _stack(b)
     num = _seq_dot(va, vb)
     den = np.sqrt(_seq_dot(va, va)) * np.sqrt(_seq_dot(vb, vb))
     with np.errstate(divide="ignore", invalid="ignore"):
         out = num / den
-    return pd.Series(out).mask(den == 0.0, None)
+    # pd.array(..., dtype="Float64") converts every NaN to a real NA; the
+    # den==0 mask is then redundant for values (0/0 is already NaN) but
+    # kept as the explicit statement of the zero-norm contract.
+    return pd.Series(pd.array(out, dtype="Float64")).mask(den == 0.0, pd.NA)
 
 
 @pandas_udf(DoubleType())

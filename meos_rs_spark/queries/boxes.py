@@ -366,12 +366,18 @@ def box_stbox_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # AQE-coalesce-exempt and satisfies the join's clustered distribution
     # (no second exchange); at real scale these exchanges exceed the
     # advisory size and spread on their own.
+    # AttributeError ONLY (r10 ADVICE): Spark Connect's missing
+    # sparkContext raises PySparkAttributeError (an AttributeError
+    # subclass); anything else — e.g. a refactor breaking the
+    # co-partitioning call itself — must surface, not silently lose the
+    # serialization fix this block exists for.
     try:
         par = spark.sparkContext.defaultParallelism
+    except AttributeError:
+        pass  # Spark Connect: no sparkContext; driver-default AQE applies
+    else:
         a = a.repartition(par, "cx_a", "cy_a", "ca", "cb")
         b = b.repartition(par, "cx_b", "cy_b", "ca", "cb")
-    except Exception:
-        pass  # Spark Connect: no sparkContext; driver-default AQE applies
     pairs = (
         a.join(
             b,

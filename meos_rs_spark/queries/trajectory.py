@@ -986,7 +986,7 @@ def traj_transform_lcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT user_id AS mmsi, count(*) AS n_posits, CAST(0 AS BIGINT) AS n_bad
 FROM events
-WHERE CAST(json_extract_string(props, '$.k') AS DOUBLE) <= 84.0
+WHERE abs(CAST(json_extract_string(props, '$.k') AS DOUBLE)) <= 84.0
 GROUP BY user_id
 """,
     tags=("L2d",),
@@ -999,9 +999,12 @@ GROUP BY user_id
 def traj_transform_utm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meos_rs_spark.functions.crs import utm_roundtrip_err_udf
 
-    # |lat| <= 84: the forward clamp is lossy beyond the UTM domain (the
-    # fixture 'lat' is json props.$.k in [0, 99]); same filter in the oracle
-    p = posits(spark, sf_dir).filter(F.col("lat") <= 84.0)
+    # |lat| <= 84: the forward clamp is lossy beyond the UTM domain in BOTH
+    # hemispheres (r10 ADVICE: a lat < -84 fixture would make the one-sided
+    # filter a false-red — forward clamps, roundtrip error explodes, n_bad>0
+    # while the oracle pins 0). Fixture 'lat' is json props.$.k in [0, 99];
+    # abs() mirrored in the oracle's json_extract predicate.
+    p = posits(spark, sf_dir).filter(F.abs(F.col("lat")) <= 84.0)
     return (
         p.withColumn("__err", utm_roundtrip_err_udf(F.col("lon"), F.col("lat")))
         .groupBy("mmsi")

@@ -87,11 +87,12 @@ DRIVER_WINDOW = 50
 #: the changed code re-earns its row this round instead of waiting for the
 #: oldest-green rotation to reach it (r5 ADVICE: new code benefits most
 #: from a driver row). Clear entries once the round's artifact lands.
-#: r11: empty — all 39 r10 FORCE_VERIFY entries re-earned green driver
-#: rows in the r10 window (CORRECTNESS_r10.json, 50/50 green), so the
-#: rotation falls back to pure oldest-green refill. Re-populate only when
-#: a query's SEMANTICS change relative to its latest green row.
-FORCE_VERIFY: tuple[str, ...] = ()
+#: r11: all 39 r10 entries re-earned green driver rows in the r10 window
+#: (CORRECTNESS_r10.json, 50/50 green) and were cleared. One r11 entry:
+#: the ADVICE fix widening the UTM-roundtrip domain filter to both
+#: hemispheres (abs(lat) <= 84 in BOTH legs) changes that query's
+#: semantics relative to its r10 green row, so it re-earns one.
+FORCE_VERIFY: tuple[str, ...] = ("traj_transform_utm_roundtrip",)
 
 
 @functools.lru_cache(maxsize=1)

@@ -212,8 +212,9 @@ def test_side_cache_refreshes_on_overwrite(spark):
 def test_cosine_udf_zero_norm_is_null_like_duckdb(spark):
     """Cross-engine e2e for the cosine UDF's zero-norm contract: DuckDB's
     division by zero yields NULL; the Spark kernel's masked 0/0 must
-    arrive as NULL too (the Arrow boundary converts float64 NaN to null —
-    the mask makes it explicit). Both engines must also agree on the
+    arrive as NULL too (since r11 the kernel returns a nullable Float64
+    series, so the NULL is explicit at the pandas layer instead of riding
+    the Arrow NaN→null coercion). Both engines must also agree on the
     finite values to the last bit (sequential fold)."""
     import duckdb
 
@@ -244,3 +245,51 @@ def test_cosine_udf_zero_norm_is_null_like_duckdb(spark):
     }
     assert ref[1] is None
     assert got[0] == ref[0] and got[2] == ref[2]  # bit-exact finite legs
+
+
+def test_cosine_udf_nan_component_contract(spark):
+    """The den!=0 NaN path (r10 ADVICE): a NaN *component* in an embedding
+    makes num/den NaN with a nonzero denominator, so the old den==0 mask
+    never touched it and the result's NULL-ness rode the implicit Arrow
+    NaN→null coercion. The nullable-Float64 kernel now converts that NaN
+    to an explicit NA at the pandas layer; this pins the contract e2e:
+    Spark yields NULL (sorts last under DESC), while DuckDB yields NaN —
+    the documented known-envelope divergence, asserted here so a change
+    in either engine's behavior surfaces."""
+    import math
+
+    import duckdb
+
+    from meos_rs_spark.functions.embeddings import cosine
+    from meos_rs_spark.queries.similarity import _duck_cosine
+
+    probe = [1.0, 2.0, 3.0, 4.0]
+    rows = [
+        (0, [4.0, 3.0, 2.0, 1.0]),
+        (1, [1.0, float("nan"), 3.0, 4.0]),  # NaN component, den != 0
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, e array<double>")
+    p = F.array(*[F.lit(x) for x in probe])
+    got = {
+        r.vec_id: r.c
+        for r in df.select("vec_id", cosine(p, "e").alias("c")).collect()
+    }
+    assert got[1] is None  # explicit NA through the nullable kernel
+    assert got[0] is not None
+    con = duckdb.connect()
+    vals = ", ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            i,
+            ", ".join("'NaN'::DOUBLE" if x != x else repr(x) for x in e),
+        )
+        for i, e in rows
+    )
+    ref = {
+        vid: c
+        for vid, c in con.sql(
+            f"SELECT vec_id, {_duck_cosine(str(probe) + '::DOUBLE[]', 'e')} "
+            f"FROM (VALUES {vals}) t(vec_id, e)"
+        ).fetchall()
+    }
+    assert ref[1] is not None and math.isnan(ref[1])  # DuckDB keeps NaN
+    assert got[0] == ref[0]  # finite leg still bit-exact

@@ -23,11 +23,13 @@ from meos_rs_spark.registry import (
 )
 
 # Round-11 rotation computed from CORRECTNESS_r01..r10: zero reds, zero
-# never-checked, FORCE_VERIFY cleared (all 39 r10 entries re-earned green
-# rows in the r10 window), so the head is pure oldest-green refill — the
-# 6 r5-era greens, all 34 r6-era greens, and the 10 oldest r7-era greens,
-# registration order within each round.
+# never-checked; the 39 r10 FORCE_VERIFY entries all re-earned green rows
+# and were cleared. One r11 forced entry leads (traj_transform_utm_roundtrip
+# — the ADVICE both-hemispheres domain-filter fix re-earns a row), then
+# pure oldest-green refill: the 6 r5-era greens, all 34 r6-era greens, and
+# the 9 oldest r7-era greens, registration order within each round.
 R11_EXPECTED_HEAD = (
+    "traj_transform_utm_roundtrip",
     "scalar_bitwise",
     "win_percent_rank_cume",
     "win_range_interval",
@@ -77,7 +79,6 @@ R11_EXPECTED_HEAD = (
     "traj_equality",
     "traj_shift_scale",
     "traj_sample",
-    "traj_ever_always",
 )
 
 
