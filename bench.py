@@ -25,10 +25,23 @@ query (dedup_minhash_lsh, dedup_semantic) would skip the producing stages
 and the parquet write entirely, and the reported min would understate the
 query's real cost (r5 ADVICE, high). Every timed run does full work.
 
-The JSON line self-describes its noise floor: 1-minute load average before
-and after the sweep, the full per-query run lists, and ``spread_max`` (the
-worst max/min ratio across queries — ≲1.1 is a quiet box; ≳1.4 says rerun
-before concluding anything).
+Since r11 the harness GATES on its own noise floor instead of only
+describing it (r10 VERDICT item 3 — two of the last three committed
+artifacts were host noise the manual quiet-box protocol had to filter
+after the fact): before each timed sweep it idle-samples hypervisor steal
+for ~30 s and between sittings it waits for the neighbor to go quiet; a
+sitting is QUIET when its pre-sample and sweep steal are both ≤ 0.1% and
+every query's two best runs land within 1.4× of each other (spread2 —
+see the SPREAD2_QUIET note for why the verdict's literal spread_max gate
+would reject the r9 gold-standard sitting). It runs up to
+$SPARK_GRAFT_BENCH_SITTINGS (default
+4) sittings, stopping at the first quiet one, and emits the minimum-total
+QUIET sitting (falling back to the overall minimum with ``quiet: false``
+when no sitting qualifies — the honest loud reading, flagged as such).
+All sittings ride in ``noise.sittings`` so the discarded readings stay on
+record. Warm-up runs once, not per sitting: plans/codegen are identical
+across sittings, and billing compilation to sitting 1 would bias the
+quiet-vs-loud comparison.
 """
 
 from __future__ import annotations
@@ -75,26 +88,30 @@ BENCH_QUERIES = [
     "mm_jpeg_features",
 ]
 
+#: quiet-sitting thresholds (r10 VERDICT item 3): steal ≤ 0.1% is the
+#: measured quiet-box band (r9's committed 8.856 s sat at 0.01%; the noisy
+#: r10 artifact at 1.43%). The verdict's literal spread gate was
+#: spread_max ≤ 1.4, but the r9 GOLD-STANDARD quiet artifact itself reads
+#: spread_max 1.705 — with min-of-3 as the estimator, one cold first run
+#: per query dominates max/min, so that gate would reject the very sitting
+#: the protocol is calibrated against. The steady-state jitter signal is
+#: the ratio of each query's two BEST runs (``spread2``): on a quiet box
+#: two of three full-work runs land within ~10%, while host contention
+#: inflates all runs and keeps spread2 high. spread_max stays reported for
+#: cross-round continuity; the QUIET verdict uses spread2_max.
+STEAL_QUIET_PCT = 0.1
+SPREAD2_QUIET = 1.4
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    from meos_rs_spark.registry import load_registry
+
+def _sweep(spark, registry, sf_dir):
+    """One timed sitting over BENCH_QUERIES; returns the sitting record."""
     from tools.probekit import (
-        bench_session,
         cpu_ticks,
         load1,
         reset_confs,
         steal_pct,
         timed_count,
-        warm_up,
     )
-
-    spark = bench_session("meos-rs-spark-bench")
-    registry = load_registry()
-
-    if os.path.isdir("/root/testdata/sf0.001"):
-        warm_up(registry, BENCH_QUERIES, spark)
-    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
     load_start = load1()
     ticks_start = cpu_ticks()
@@ -108,29 +125,104 @@ def main() -> None:
         )
         print(f"# {name}: {timings[name]}s ({n} rows; runs={all_runs[name]})", flush=True)
 
-    total = round(sum(timings.values()), 3)
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # spread is a NOISE signal, so queries at the 3-decimal rounding floor
     # are excluded (a [0.001, 0.004] pair is quantization, not host noise);
     # 1.0 when nothing qualifies, so the JSON stays well-formed
     spreads = [max(r) / min(r) for r in all_runs.values() if min(r) >= 0.005]
-    spread_max = round(max(spreads), 3) if spreads else 1.0
+    # spread2: two-best-runs ratio per query — the steady-state jitter the
+    # QUIET verdict gates on (see SPREAD2_QUIET)
+    spreads2 = [
+        sorted(r)[1] / min(r) for r in all_runs.values()
+        if len(r) >= 2 and min(r) >= 0.005
+    ]
+    return {
+        "total": round(sum(timings.values()), 3),
+        "timings": timings,
+        "runs": all_runs,
+        "load1_start": load_start,
+        "load1_end": load1(),
+        # hypervisor steal over the sweep: the host-contention signal the
+        # guest load average cannot see
+        "steal_pct": steal_pct(ticks_start, cpu_ticks()),
+        "spread_max": round(max(spreads), 3) if spreads else 1.0,
+        "spread2_max": round(max(spreads2), 3) if spreads2 else 1.0,
+    }
+
+
+def _is_quiet(sitting) -> bool:
+    """steal ≤ 0.1% (pre-sample AND sweep; None = unmeasurable, not loud)
+    and two-best-runs jitter ≤ 1.4 on every query."""
+    for key in ("pre_steal_pct", "steal_pct"):
+        v = sitting.get(key)
+        if v is not None and v > STEAL_QUIET_PCT:
+            return False
+    return sitting["spread2_max"] <= SPREAD2_QUIET
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    max_sittings = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_SITTINGS", "4")))
+    presample_s = float(os.environ.get("SPARK_GRAFT_BENCH_PRESAMPLE", "30"))
+    from meos_rs_spark.registry import load_registry
+    from tools.probekit import bench_session, sample_steal, warm_up
+
+    spark = bench_session("meos-rs-spark-bench")
+    registry = load_registry()
+
+    if os.path.isdir("/root/testdata/sf0.001"):
+        warm_up(registry, BENCH_QUERIES, spark)
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    sittings = []
+    for i in range(max_sittings):
+        pre = sample_steal(presample_s) if presample_s > 0 else None
+        print(f"# sitting {i + 1}/{max_sittings}: pre-sample steal={pre}%", flush=True)
+        sitting = _sweep(spark, registry, sf_dir)
+        sitting["pre_steal_pct"] = pre
+        sitting["quiet"] = _is_quiet(sitting)
+        sittings.append(sitting)
+        print(
+            f"# sitting {i + 1}: total={sitting['total']}s "
+            f"steal={sitting['steal_pct']}% spread_max={sitting['spread_max']} "
+            f"spread2_max={sitting['spread2_max']} quiet={sitting['quiet']}",
+            flush=True,
+        )
+        if sitting["quiet"]:
+            break
+
+    quiet = [s for s in sittings if s["quiet"]]
+    best = min(quiet or sittings, key=lambda s: s["total"])
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
             {
                 "metric": "headline_queries_wall_clock",
-                "value": total,
+                "value": best["total"],
                 "unit": "sec",
-                "queries": timings,
+                "queries": best["timings"],
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "noise": {
-                    "load1_start": load_start,
-                    "load1_end": load1(),
-                    # hypervisor steal over the sweep: the host-contention
-                    # signal the guest load average cannot see
-                    "steal_pct": steal_pct(ticks_start, cpu_ticks()),
-                    "spread_max": spread_max,
-                    "runs": all_runs,
+                    "quiet": best["quiet"],
+                    "load1_start": best["load1_start"],
+                    "load1_end": best["load1_end"],
+                    "steal_pct": best["steal_pct"],
+                    "pre_steal_pct": best["pre_steal_pct"],
+                    "spread_max": best["spread_max"],
+                    "spread2_max": best["spread2_max"],
+                    "runs": best["runs"],
+                    # every sitting stays on record, timings summarized so
+                    # the line stays one line
+                    "sittings": [
+                        {
+                            "total": s["total"],
+                            "pre_steal_pct": s["pre_steal_pct"],
+                            "steal_pct": s["steal_pct"],
+                            "spread_max": s["spread_max"],
+                            "spread2_max": s["spread2_max"],
+                            "quiet": s["quiet"],
+                        }
+                        for s in sittings
+                    ],
                 },
             }
         ),

@@ -101,6 +101,21 @@ def steal_pct(before: tuple[int, int] | None, after: tuple[int, int] | None) -> 
     return round(100.0 * (after[0] - before[0]) / (after[1] - before[1]), 2)
 
 
+def sample_steal(seconds: float) -> float | None:
+    """Idle-sample hypervisor steal over ``seconds`` (None off-Linux).
+
+    The pre-sweep noise gate (r10 VERDICT item 3): two of the last three
+    committed bench artifacts were host noise (r8 ~18%, r10 25%) that the
+    manual quiet-box protocol filtered AFTER the fact; sampling steal
+    before the timed sweep lets bench.py refuse a loud sitting up front
+    instead of publishing it."""
+    before = cpu_ticks()
+    if before is None:
+        return None
+    time.sleep(seconds)
+    return steal_pct(before, cpu_ticks())
+
+
 def bench_session(app_name: str):
     """Driver-default session with honest timings: staging memo OFF."""
     from meos_rs_spark.session import get_spark
