@@ -675,3 +675,103 @@ def stream_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("nt")).alias("total_norm_chars"),
     )
     return _run_to_table(agg, spark, "stream_fingerprint_dedup", sf_dir)
+
+
+# --- restart recovery: the long-lived deployment shape, driver-verifiable ---
+
+
+@register(
+    "stream_restart_recovery",
+    oracle="""
+SELECT user_id, count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY user_id
+""",
+    tags=("ST", "S6"),
+    doc="restart recovery + sink idempotence (r10 VERDICT item 6 — the "
+    "long-lived deployment shape the availableNow replays never exercised, "
+    "registered): THREE availableNow runs share ONE checkpoint over a "
+    "split-arrival source. Run 1 aggregates arrival 0 only; run 2 is a "
+    "RESTART — the file-source offset log skips arrival 0's files, the "
+    "state store restores its counts, and only arrival 1 is read, so a "
+    "correct full answer PROVES state recovery; run 3 restarts with no new "
+    "data and must not re-emit (sink unchanged). Complete-mode foreachBatch "
+    "overwrite = the idempotent keyed upsert of ais_to_db.rs:156-161. "
+    "Production pairs this with state eviction (stream_stateful_evicting); "
+    "fixture-scale per-user state needs none.",
+)
+def stream_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    from meos_rs_spark.functions.staging import adopt_app_dir
+    from meos_rs_spark.session import prepare_session
+
+    prepare_session(spark)
+    ckpt_root = os.path.join(tempfile.gettempdir(), "meos_rs_spark_ckpt")
+    app_dir = os.path.join(ckpt_root, spark.sparkContext.applicationId)
+    adopt_app_dir(app_dir, ckpt_root)
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base = os.path.join(app_dir, f"restart_recovery_{tag}")
+    src, store, ckpt = (os.path.join(base, d) for d in ("src", "store", "ckpt"))
+    # full reset per invocation: the SHARED checkpoint is the point of the
+    # query, so it must never survive into the next invocation
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(src)
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_id", "user_id", F.col("value").cast("double").alias("value")
+    )
+    schema = ev.schema
+
+    def _arrive(part: int) -> None:
+        """Deterministic arrival: events with event_id % 2 == part land as
+        one new file in the watched source directory."""
+        tmp = os.path.join(base, f"tmp{part}")
+        ev.filter(F.col("event_id") % 2 == part).coalesce(1).write.parquet(tmp)
+        (part_file,) = _glob.glob(os.path.join(tmp, "part-*.parquet"))
+        os.replace(part_file, os.path.join(src, f"arrival{part}.parquet"))
+        shutil.rmtree(tmp)
+
+    def _overwrite(batch_df, batch_id) -> None:
+        # complete mode emits FULL state per trigger: overwrite, never
+        # append — re-running a trigger rewrites the same rows (idempotent)
+        batch_df.write.mode("overwrite").parquet(store)
+
+    def _run_once() -> None:
+        agg = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_value"),
+            )
+        )
+        q = (
+            agg.writeStream.foreachBatch(_overwrite)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _arrive(0)
+    _run_once()  # run 1: arrival 0 only; store = agg(arrival 0)
+    _arrive(1)
+    _run_once()  # run 2: RESTART — reads only arrival 1, state restored
+    before = {f: os.path.getmtime(os.path.join(store, f)) for f in os.listdir(store)}
+    _run_once()  # run 3: RESTART, no new data — must not re-emit
+    after = {f: os.path.getmtime(os.path.join(store, f)) for f in os.listdir(store)}
+    if before != after:
+        raise AssertionError(
+            "restart with no new data re-emitted: the no-op run rewrote the "
+            f"sink ({sorted(set(after) ^ set(before)) or 'same files, new mtimes'})"
+        )
+    return spark.read.parquet(store).select("user_id", "n_events", "sum_value")

@@ -23,12 +23,14 @@ from meos_rs_spark.registry import (
 )
 
 # Round-11 rotation computed from CORRECTNESS_r01..r10: zero reds, zero
-# never-checked; the 39 r10 FORCE_VERIFY entries all re-earned green rows
-# and were cleared. One r11 forced entry leads (traj_transform_utm_roundtrip
-# — the ADVICE both-hemispheres domain-filter fix re-earns a row), then
-# pure oldest-green refill: the 6 r5-era greens, all 34 r6-era greens, and
-# the 9 oldest r7-era greens, registration order within each round.
+# never-checked EXCEPT the new stream_restart_recovery (r10 VERDICT item
+# 6's registered restart-recovery shape — leads as never-checked), then the
+# one r11 forced entry (traj_transform_utm_roundtrip — the ADVICE
+# both-hemispheres domain-filter fix re-earns a row), then pure oldest-green
+# refill: the 6 r5-era greens, all 34 r6-era greens, and the 8 oldest
+# r7-era greens, registration order within each round.
 R11_EXPECTED_HEAD = (
+    "stream_restart_recovery",
     "traj_transform_utm_roundtrip",
     "scalar_bitwise",
     "win_percent_rank_cume",
@@ -78,7 +80,6 @@ R11_EXPECTED_HEAD = (
     "traj_extent",
     "traj_equality",
     "traj_shift_scale",
-    "traj_sample",
 )
 
 
