@@ -287,3 +287,31 @@ def test_consumers_import_without_a_session():
     assert callable(bench.main)
     assert callable(tools.probe_skew.main)
     assert callable(tools.run_registry_scale.main)
+
+
+def test_bench_quiet_verdict_gates_on_steal_and_spread2():
+    """The r11 noise gate (r10 VERDICT item 3): a sitting is quiet iff
+    pre-sample AND sweep steal are <= 0.1% and every query's two best runs
+    land within 1.4x. None steal (off-Linux) must read as unmeasurable,
+    not loud; spread_max must NOT gate (the r9 gold-standard artifact
+    reads spread_max 1.705 on a 0.01%-steal box)."""
+    from bench import _is_quiet
+
+    base = {"pre_steal_pct": 0.0, "steal_pct": 0.05, "spread2_max": 1.1,
+            "spread_max": 1.705}  # r9-shaped: loud max/min, quiet two-best
+    assert _is_quiet(dict(base))
+    assert not _is_quiet(dict(base, steal_pct=0.11))
+    assert not _is_quiet(dict(base, pre_steal_pct=1.43))
+    assert not _is_quiet(dict(base, spread2_max=1.41))
+    assert _is_quiet(dict(base, pre_steal_pct=None, steal_pct=None))
+
+
+def test_bench_sweep_spread2_is_two_best_runs_ratio():
+    """spread2 excludes the cold first run by construction: min-of-3 with
+    one slow outlier stays quiet; uniform inflation does not."""
+    runs_cold_first = [0.424, 0.26, 0.286]  # r11-observed flagship shape
+    runs_jittery = [0.30, 0.26, 0.40]
+    two_best = lambda r: sorted(r)[1] / min(r)
+    assert two_best(runs_cold_first) < 1.4 < max(runs_cold_first) / min(runs_cold_first)
+    assert two_best(runs_jittery) < 1.4
+    assert two_best([0.26, 0.40, 0.42]) > 1.4
