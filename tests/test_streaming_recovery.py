@@ -191,3 +191,60 @@ def test_midbatch_failure_replays_uncommitted_batch(spark, halves, tmp_path):
         spark.read.parquet(os.path.join(out, "b1"))
     )
     assert _final_per_user(out_df) == _batch_oracle(spark, src)
+
+
+def test_restart_recovery_recipe_reads_only_new_arrivals(spark, tmp_path):
+    """The registered ``stream_restart_recovery`` recipe's MECHANISM,
+    pinned via numInputRows (the query itself can only expose the final
+    equality): with the grouped complete-mode agg + foreachBatch-overwrite
+    shape, run 2 on the shared checkpoint must consume exactly arrival 1's
+    rows (offset log skips arrival 0) yet produce the FULL aggregate
+    (state store recovery), and run 3 must consume zero rows and fire zero
+    batches (sink silence)."""
+    ev = spark.read.parquet(SF_EVENTS).select(
+        "event_id", "user_id", F.col("value").cast("double").alias("value")
+    )
+    parts = [ev.filter(F.col("event_id") % 2 == p).toPandas() for p in (0, 1)]
+    src, ckpt, store = (str(tmp_path / d) for d in ("src", "ckpt", "store"))
+    os.makedirs(src)
+
+    def _overwrite(batch_df, batch_id):
+        batch_df.write.mode("overwrite").parquet(store)
+
+    def run_once():
+        schema = spark.read.parquet(src).schema
+        agg = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+        )
+        q = (
+            agg.writeStream.foreachBatch(_overwrite)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        progress = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        return sum(p["numInputRows"] for p in q.recentProgress), len(progress)
+
+    parts[0].to_parquet(os.path.join(src, "arrival0.parquet"), index=False)
+    rows1, _ = run_once()
+    assert rows1 == len(parts[0])
+    got_half = {r.user_id: r.n_events for r in spark.read.parquet(store).collect()}
+    assert sum(got_half.values()) == len(parts[0])
+
+    parts[1].to_parquet(os.path.join(src, "arrival1.parquet"), index=False)
+    rows2, _ = run_once()
+    assert rows2 == len(parts[1])  # offset log skipped arrival 0
+    got_full = {r.user_id: r.n_events for r in spark.read.parquet(store).collect()}
+    ref = {
+        r.user_id: r.n
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got_full == ref  # full answer without re-reading arrival 0
+
+    rows3, batches3 = run_once()
+    assert rows3 == 0 and batches3 == 0  # restart with nothing new: silent
