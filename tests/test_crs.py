@@ -222,10 +222,15 @@ def test_tm_roundtrip_property():
 
     from meos_rs_spark.functions.crs import utm_inverse
 
+    # BOTH hemispheres (r11: the registered roundtrip query now admits
+    # lat down to -84 via its abs() domain filter, so the southern branch
+    # is live — the kernel's SIGNED northing must roundtrip it; the old
+    # [0.01, 83.9] range left that unpinned). Equator excluded by a tiny
+    # margin only to dodge the lat=±0.0 sign ambiguity in the assert.
     @settings(max_examples=200, deadline=None)
     @given(
         lon=st.floats(min_value=-179.99, max_value=179.99),
-        lat=st.floats(min_value=0.01, max_value=83.9),
+        lat=st.floats(min_value=-83.9, max_value=83.9),
     )
     def check(lon: float, lat: float) -> None:
         z, e, n = _utm_numpy(np.array([lon]), np.array([lat]))
@@ -386,3 +391,28 @@ def test_lcc_matches_pyproj_if_available():
     for lo, la, xx, yy in zip(lons, lats, x, y):
         px, py = tr.transform(lo, la)
         assert abs(px - xx) < 0.01 and abs(py - yy) < 0.01
+
+
+def test_roundtrip_err_udf_southern_hemisphere(spark):
+    """e2e pin for the r10-ADVICE domain fix: a southern-hemisphere posit
+    inside |lat| <= 84 must roundtrip under the registered query's error
+    UDF (signed northing, no hemisphere split), while a posit BEYOND the
+    domain (lat < -84) shows the lossy forward clamp the abs() filter
+    exists to exclude — the exact false-red the one-sided filter would
+    have produced on a southern fixture."""
+    import pyspark.sql.functions as F
+
+    from meos_rs_spark.functions.crs import utm_roundtrip_err_udf
+
+    df = spark.createDataFrame(
+        [(1, 23.4, -45.0), (2, 23.4, -83.9), (3, 23.4, 45.0), (4, 23.4, -87.0)],
+        "id long, lon double, lat double",
+    )
+    errs = {
+        r.id: r.e
+        for r in df.select(
+            "id", utm_roundtrip_err_udf(F.col("lon"), F.col("lat")).alias("e")
+        ).collect()
+    }
+    assert errs[1] < 1e-6 and errs[2] < 1e-6 and errs[3] < 1e-6
+    assert errs[4] > 1e-6  # beyond the clamp: roundtrip error explodes
