@@ -175,7 +175,22 @@ def main() -> None:
 
     sittings = []
     for i in range(max_sittings):
-        pre = sample_steal(presample_s) if presample_s > 0 else None
+        # wait-for-quiet: a loud pre-sample costs ~30 s to detect but a
+        # loud SWEEP costs a full 16-query × 3-run sitting — so re-sample
+        # (up to 4×) before burning one. The last pre-sample is recorded
+        # whether or not it went quiet; the sweep runs regardless on the
+        # final attempt so a permanently-loud box still yields an honest
+        # quiet:false artifact instead of nothing.
+        pre = None
+        for attempt in range(4):
+            pre = sample_steal(presample_s) if presample_s > 0 else None
+            if pre is None or pre <= STEAL_QUIET_PCT:
+                break
+            print(
+                f"# sitting {i + 1}: pre-sample steal={pre}% — waiting for quiet "
+                f"({attempt + 1}/4)",
+                flush=True,
+            )
         print(f"# sitting {i + 1}/{max_sittings}: pre-sample steal={pre}%", flush=True)
         sitting = _sweep(spark, registry, sf_dir)
         sitting["pre_steal_pct"] = pre
