@@ -1267,9 +1267,10 @@ _AP_PROBS = (("p50", 500, 496, 504), ("p90", 900, 896, 904), ("p99", 990, 986, 9
 WITH r AS (
   SELECT event_type, value, event_id,
          row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ),
-n AS (SELECT event_type, count(*) AS n_rows FROM events GROUP BY event_type),
+n AS (SELECT event_type, count(*) AS n_rows FROM events
+      WHERE value IS NOT NULL GROUP BY event_type),
 picks AS (
   SELECT n.event_type, n.n_rows,
          {", ".join(
@@ -1288,8 +1289,12 @@ FROM picks
     doc=f"approx_percentile (Greenwald-Khanna sketch, accuracy {_AP_ACC}) "
     "fidelity gate, the quantile analog of rel_approx_distinct: the oracle "
     "pins the EXACT discrete quantiles (rank ceil(p*n) under the total order "
-    "(value, event_id), computed with pure integer rank arithmetic so no "
-    "float boundary exists) plus literal-TRUE verdicts; the Spark leg "
+    "(value, event_id) over NON-NULL values — percentile_approx ignores "
+    "NULLs, so the exact leg must too, and Spark's struct sort ranks a NULL "
+    "field LOW while DuckDB ranks it LAST (r11 review: both legs now filter "
+    "NULL values; a group with none drops out of both) — computed with pure "
+    "integer rank arithmetic so no float boundary exists, plus literal-TRUE "
+    "verdicts; the Spark leg "
     "computes the sketch for real and asserts its value lands between the "
     "rank-(p-eps) and rank-(p+eps) exact order statistics -- the GK "
     "guarantee. Sketches are the 100 TB path (mergeable, bounded memory); "
@@ -1297,12 +1302,25 @@ FROM picks
 )
 def rel_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_type", "value", "event_id")
-    g = ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sort_array(F.collect_list(F.struct("value", "event_id"))).alias("vals"),
-        F.percentile_approx(
-            "value", [num / 1000 for _, num, _, _ in _AP_PROBS], _AP_ACC
-        ).alias("ap"),
+    g = (
+        ev.groupBy("event_type")
+        .agg(
+            # non-null count + non-null collect (when-without-otherwise is
+            # NULL for NULL values and collect_list drops it): the exact
+            # ranks live over the same population the sketch consumes
+            F.count("value").alias("n_rows"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        F.col("value").isNotNull(), F.struct("value", "event_id")
+                    )
+                )
+            ).alias("vals"),
+            F.percentile_approx(
+                "value", [num / 1000 for _, num, _, _ in _AP_PROBS], _AP_ACC
+            ).alias("ap"),
+        )
+        .filter(F.col("n_rows") >= 1)  # all-NULL groups drop out of both legs
     )
     # integer rank arithmetic: ceil(a/1000) == (a + 999) div 1000, clamped to [1, n]
     rank = lambda num: F.greatest(  # noqa: E731

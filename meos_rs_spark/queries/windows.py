@@ -219,19 +219,23 @@ def win_ntile_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_percent_rank_cume",
     oracle="""
 SELECT user_id, event_id,
-       percent_rank() OVER (PARTITION BY user_id ORDER BY value, event_id) AS pct_rank,
-       cume_dist() OVER (PARTITION BY user_id ORDER BY value, event_id) AS cume,
+       percent_rank() OVER (PARTITION BY user_id ORDER BY value NULLS LAST, event_id) AS pct_rank,
+       cume_dist() OVER (PARTITION BY user_id ORDER BY value NULLS LAST, event_id) AS cume,
        CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_in_group
 FROM events
 """,
     tags=("W",),
     doc="relative-position analytics: percent_rank and cume_dist per user over "
     "the value ordering (total tiebreak on event_id so both engines rank "
-    "identically); the fractions are exact ratios of integer ranks, so the "
-    "doubles hash cross-engine",
+    "identically; NULLS LAST pinned in BOTH legs — Spark ASC defaults NULLS "
+    "FIRST vs DuckDB's NULLS LAST, a live rank divergence on any NULL-"
+    "bearing fixture, r11 review); the fractions are exact ratios of "
+    "integer ranks, so the doubles hash cross-engine",
 )
 def win_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    wo = Window.partitionBy("user_id").orderBy("value", "event_id")
+    wo = Window.partitionBy("user_id").orderBy(
+        F.col("value").asc_nulls_last(), "event_id"
+    )
     wp = Window.partitionBy("user_id")
     return _events(spark, sf_dir).select(
         "user_id",

@@ -88,11 +88,17 @@ DRIVER_WINDOW = 50
 #: oldest-green rotation to reach it (r5 ADVICE: new code benefits most
 #: from a driver row). Clear entries once the round's artifact lands.
 #: r11: all 39 r10 entries re-earned green driver rows in the r10 window
-#: (CORRECTNESS_r10.json, 50/50 green) and were cleared. One r11 entry:
+#: (CORRECTNESS_r10.json, 50/50 green) and were cleared. Three r11 entries:
 #: the ADVICE fix widening the UTM-roundtrip domain filter to both
-#: hemispheres (abs(lat) <= 84 in BOTH legs) changes that query's
-#: semantics relative to its r10 green row, so it re-earns one.
-FORCE_VERIFY: tuple[str, ...] = ("traj_transform_utm_roundtrip",)
+#: hemispheres (abs(lat) <= 84 in BOTH legs), and the r11 review sweep's
+#: NULL-ordering alignments (percent_rank/cume pinned NULLS LAST in both
+#: legs; exact percentiles ranked over non-null values in both legs) —
+#: each changes its query's semantics relative to its latest green row.
+FORCE_VERIFY: tuple[str, ...] = (
+    "traj_transform_utm_roundtrip",
+    "win_percent_rank_cume",
+    "rel_approx_percentiles",
+)
 
 
 @functools.lru_cache(maxsize=1)

@@ -526,6 +526,13 @@ def test_null_and_tied_value_twins_agree_cross_engine(spark, tmp_path):
         "ttype_tint_step",
         "ttype_ttext_ops",
         "ttype_tfloat_sync_arith",
+        # r11 review: Spark ASC defaults NULLS FIRST vs DuckDB NULLS LAST —
+        # live percent_rank/cume divergence until both legs pinned NULLS
+        # LAST; the exact-percentile legs diverged on struct-NULL-low vs
+        # NULLS-LAST ranking AND on percentile_approx ignoring NULLs the
+        # rank arithmetic counted — both legs now rank non-null values only
+        "win_percent_rank_cume",
+        "rel_approx_percentiles",
     ):
         sdf = reg[name].fn(spark, str(tmp_path))
         ddf = con.sql(reg[name].oracle).df()

@@ -25,15 +25,18 @@ from meos_rs_spark.registry import (
 # Round-11 rotation computed from CORRECTNESS_r01..r10: zero reds, zero
 # never-checked EXCEPT the new stream_restart_recovery (r10 VERDICT item
 # 6's registered restart-recovery shape — leads as never-checked), then the
-# one r11 forced entry (traj_transform_utm_roundtrip — the ADVICE
-# both-hemispheres domain-filter fix re-earns a row), then pure oldest-green
-# refill: the 6 r5-era greens, all 34 r6-era greens, and the 8 oldest
+# three r11 forced entries (traj_transform_utm_roundtrip — the ADVICE
+# both-hemispheres domain-filter fix — and the r11 review sweep's two
+# NULL-ordering alignments, win_percent_rank_cume and
+# rel_approx_percentiles; each re-earns a row), then pure oldest-green
+# refill: the 6 r5-era greens, all 34 r6-era greens, and the 6 oldest
 # r7-era greens, registration order within each round.
 R11_EXPECTED_HEAD = (
     "stream_restart_recovery",
     "traj_transform_utm_roundtrip",
-    "scalar_bitwise",
+    "rel_approx_percentiles",
     "win_percent_rank_cume",
+    "scalar_bitwise",
     "win_range_interval",
     "win_event_transitions",
     "win_running_distinct",
@@ -71,7 +74,6 @@ R11_EXPECTED_HEAD = (
     "rel_join_full_outer",
     "rel_lateral_topn",
     "rel_approx_distinct",
-    "rel_approx_percentiles",
     "mm_resize",
     "mm_frame_sample",
     "mm_jpeg_features",
