@@ -554,7 +554,10 @@ FROM firsts
     "raw-md5 dedup_exact and MinHash): lowercase, collapse runs of spaces, "
     "trim, THEN hash — catches re-encoded/re-wrapped copies that byte "
     "hashing misses while staying one shuffle on the normalized digest; "
-    "first-doc-id canonical, copies counted per class",
+    "first-doc-id canonical, copies counted per class. Case-fold envelope: "
+    "Java and utf8proc lower() agree on ASCII/Latin/Cyrillic/CJK but "
+    "diverge on Turkish İ and Greek final sigma (pinned in "
+    "tests/test_determinism.py::test_unicode_lower_envelope_cross_engine)",
 )
 def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")

@@ -653,7 +653,9 @@ FROM norm
     "quantities (unique-class count, normalized length sum) so the result "
     "is independent of WHICH duplicate arrives first; the oracle is the "
     "batch distinct over normalized text. State = one fingerprint row per "
-    "unique class within the watermark horizon, evicted past it.",
+    "unique class within the watermark horizon, evicted past it. Case-fold "
+    "envelope as dedup_normalized: Java/utf8proc lower() diverge on Turkish "
+    "İ and Greek final sigma (pinned in tests/test_determinism.py).",
 )
 def stream_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = _stream_documents(spark, sf_dir)

@@ -52,3 +52,36 @@ def test_decimal_sum_is_partition_order_independent(spark, values):
         )
         sums.add(s)
     assert len(sums) == 1  # identical bits regardless of partitioning
+
+
+def test_unicode_lower_envelope_cross_engine(spark):
+    """Case-folding contract for the normalize-then-md5 dedup queries
+    (dedup_normalized, stream_fingerprint_dedup): Spark (java.lang.String,
+    full Unicode mapping with contextual rules) and DuckDB (utf8proc)
+    AGREE on ASCII, Latin-1/Extended, Cyrillic, CJK and compatibility
+    ligatures — the working envelope — but DIVERGE on two special-case
+    families probed live (r11 review): U+0130 İ (full mapping i+combining
+    dot vs simple i) and Greek capital sigma in final position (contextual
+    ς vs uniform σ). The divergence is pinned here, not fixed: the two
+    engines' folding tables cannot be unified, the fixture generator emits
+    none of the special cases, and the queries' docstrings fence the
+    envelope. If either engine changes behavior, this surfaces it."""
+    import duckdb
+
+    import pyspark.sql.functions as F
+
+    agree = ["ABCdef", "ÉÈÑÜÄÖÅ", "ÆØÞÐ", "ПРИВЕТ МИР", "ĄĆĘŁŃŚŹŻ",
+             "日本語テキスト", "ĲSSEL", "ﬃ", "ǅungla"]
+    diverge = ["İstanbul", "ΣΟΦΟΣ"]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(agree + diverge)], "i long, s string"
+    )
+    got = {r.i: r.l for r in df.select("i", F.lower("s").alias("l")).collect()}
+    con = duckdb.connect()
+    for i, s in enumerate(agree):
+        assert got[i] == con.sql("SELECT lower(?)", params=[s]).fetchone()[0], s
+    for j, s in enumerate(diverge):
+        i = len(agree) + j
+        assert got[i] != con.sql("SELECT lower(?)", params=[s]).fetchone()[0], (
+            f"engines now AGREE on {s!r} — the documented envelope can widen"
+        )
