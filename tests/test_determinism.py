@@ -85,3 +85,28 @@ def test_unicode_lower_envelope_cross_engine(spark):
         assert got[i] != con.sql("SELECT lower(?)", params=[s]).fetchone()[0], (
             f"engines now AGREE on {s!r} — the documented envelope can widen"
         )
+
+
+def test_array_sort_null_placement_cross_engine(spark):
+    """Engine contract for array-sorting oracles (r11 probe): Spark's
+    array_sort puts NULL elements LAST — matching DuckDB's list_sort — but
+    Spark's sort_array (ASC default) puts them FIRST. Any oracle pair
+    sorting a nullable array must use array_sort on the Spark side (or
+    guarantee no NULL elements, as collect_list's NULL-dropping does);
+    sort_array is only safe over NULL-free arrays. Pinned so an engine
+    change surfaces."""
+    import duckdb
+
+    import pyspark.sql.functions as F
+
+    arr = F.array(F.lit(2.0), F.lit(None).cast("double"), F.lit(1.0))
+    r = (
+        spark.range(1)
+        .select(F.array_sort(arr).alias("a"), F.sort_array(arr).alias("s"))
+        .first()
+    )
+    assert r.a == [1.0, 2.0, None]  # array_sort: NULLS LAST
+    assert r.s == [None, 1.0, 2.0]  # sort_array ASC: NULLS FIRST
+    con = duckdb.connect()
+    duck = con.sql("SELECT list_sort([2.0, NULL, 1.0]::DOUBLE[])").fetchone()[0]
+    assert duck == [1.0, 2.0, None]  # list_sort == array_sort, != sort_array
