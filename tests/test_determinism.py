@@ -110,3 +110,24 @@ def test_array_sort_null_placement_cross_engine(spark):
     con = duckdb.connect()
     duck = con.sql("SELECT list_sort([2.0, NULL, 1.0]::DOUBLE[])").fetchone()[0]
     assert duck == [1.0, 2.0, None]  # list_sort == array_sort, != sort_array
+
+
+def test_round_double_shortest_repr_divergence(spark):
+    """Engine contract behind the registry's decimal-canon rule: for the
+    SAME double, Spark's round(x, n) rounds the shortest decimal
+    representation (BigDecimal HALF_UP: round(1.005, 2) -> 1.01 although
+    the binary value is 1.00499...) while DuckDB rounds the binary value
+    (-> 1.0). Short-repr literals like 1.005 maximize the divergence;
+    irrational kernel outputs (LN ratios) have 15-17 digit shortest reprs
+    where the two agree to ~1e-10 probability of straddle per value —
+    which is why ROUND(...,6)-then-DECIMAL twins are tolerated on LN
+    outputs but ROUND on raw/money doubles must go through DECIMAL casts
+    or fmt6 string canon instead. Pinned so an engine change surfaces."""
+    import duckdb
+
+    import pyspark.sql.functions as F
+
+    got = spark.range(1).select(F.round(F.lit(1.005).cast("double"), 2).alias("r")).first().r
+    assert got == 1.01  # Spark: shortest-repr HALF_UP
+    con = duckdb.connect()
+    assert con.sql("SELECT round(1.005::DOUBLE, 2)").fetchone()[0] == 1.0  # binary
