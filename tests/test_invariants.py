@@ -476,8 +476,8 @@ def test_null_and_tied_value_twins_agree_cross_engine(spark, tmp_path):
     from meos_rs_spark.registry import load_registry
     from tests.oracle import compare
 
-    def ev(eid, uid, ts, val):
-        return (eid, pd.Timestamp(ts), uid, "x", val, json.dumps({"k": 1.0}))
+    def ev(eid, uid, ts, val, et="x"):
+        return (eid, pd.Timestamp(ts), uid, et, val, json.dumps({"k": 1.0}))
 
     rows = [
         # user 1: duplicate ts with DISTINCT values (deterministic-tie
@@ -498,6 +498,11 @@ def test_null_and_tied_value_twins_agree_cross_engine(spark, tmp_path):
         ev(9, 4, "2024-01-01 03:00:00", 30.0),
         ev(10, 4, "2024-01-01 04:00:00", None),
         ev(11, 4, "2024-01-01 05:00:00", 20.0),
+        # user 5 / event_type 'y': a group whose values are ALL NULL — the
+        # rel_approx_percentiles all-NULL-group drop branch (both legs must
+        # omit the group, not emit NULL quantiles or abort on element_at)
+        ev(12, 5, "2024-01-01 02:00:00", None, et="y"),
+        ev(13, 5, "2024-01-01 08:00:00", None, et="y"),
     ]
     tbl = pa.table(
         {
