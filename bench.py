@@ -35,9 +35,12 @@ every query's two best runs land within 1.4× of each other (spread2 —
 see the SPREAD2_QUIET note for why the verdict's literal spread_max gate
 would reject the r9 gold-standard sitting). It runs up to
 $SPARK_GRAFT_BENCH_SITTINGS (default
-4) sittings, stopping at the first quiet one, and emits the minimum-total
-QUIET sitting (falling back to the overall minimum with ``quiet: false``
-when no sitting qualifies — the honest loud reading, flagged as such).
+4) sittings — at least $SPARK_GRAFT_BENCH_MIN_SITTINGS (default 2, so the
+first sitting doubles as a full-pipeline warm pass; measured same-steal
+sittings vary 9.7→7.7 s), stopping at the first quiet one past the
+minimum — and emits the minimum-total QUIET sitting (falling back to the
+overall minimum with ``quiet: false`` when no sitting qualifies — the
+honest loud reading, flagged as such).
 All sittings ride in ``noise.sittings`` so the discarded readings stay on
 record. Warm-up runs once, not per sitting: plans/codegen are identical
 across sittings, and billing compilation to sitting 1 would bias the
@@ -162,6 +165,19 @@ def _is_quiet(sitting) -> bool:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     max_sittings = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_SITTINGS", "4")))
+    # run at least 2 sittings even when sitting 1 is quiet: measured on
+    # this box (PREFLIGHT_r11), three equally-steal-quiet sittings read
+    # 9.75 / 9.01 / 7.74 s — the first sitting is biased high by whatever
+    # preceded it (page cache, frequency state), variance steal cannot
+    # see. Sitting 1 doubles as the full-pipeline warm pass; the best
+    # QUIET sitting is emitted either way.
+    min_sittings = max(
+        1,
+        min(
+            max_sittings,
+            int(os.environ.get("SPARK_GRAFT_BENCH_MIN_SITTINGS", "2")),
+        ),
+    )
     presample_s = float(os.environ.get("SPARK_GRAFT_BENCH_PRESAMPLE", "30"))
     from meos_rs_spark.registry import load_registry
     from tools.probekit import bench_session, sample_steal, warm_up
@@ -202,7 +218,7 @@ def main() -> None:
             f"spread2_max={sitting['spread2_max']} quiet={sitting['quiet']}",
             flush=True,
         )
-        if sitting["quiet"]:
+        if sitting["quiet"] and i + 1 >= min_sittings:
             break
 
     quiet = [s for s in sittings if s["quiet"]]
