@@ -538,6 +538,10 @@ def test_null_and_tied_value_twins_agree_cross_engine(spark, tmp_path):
         # rank arithmetic counted — both legs now rank non-null values only
         "win_percent_rank_cume",
         "rel_approx_percentiles",
+        # DESC twin: NULLS LAST is the engine DEFAULT on both sides (unlike
+        # ASC) — exercised here so a default change in either engine
+        # surfaces as a harness red, not a fixture-regeneration surprise
+        "win_rank_dense",
     ):
         sdf = reg[name].fn(spark, str(tmp_path))
         ddf = con.sql(reg[name].oracle).df()
