@@ -542,6 +542,17 @@ def test_null_and_tied_value_twins_agree_cross_engine(spark, tmp_path):
         # ASC) — exercised here so a default change in either engine
         # surfaces as a harness red, not a fixture-regeneration surprise
         "win_rank_dense",
+        # the rest of the events-only window battery: every NULL-sensitive
+        # aggregate (SUM/AVG skip, count(*) vs count(value), distinct sets,
+        # lead/lag over non-null keys) verified agreeing on this fixture —
+        # kept in the loop so the whole battery stays NULL-robust
+        "win_range_interval",
+        "win_running_distinct",
+        "win_lead_gap",
+        "win_event_transitions",
+        "win_ntile_first_last",
+        "win_running_total",
+        "win_rolling_frame",
     ):
         sdf = reg[name].fn(spark, str(tmp_path))
         ddf = con.sql(reg[name].oracle).df()
