@@ -172,18 +172,26 @@ def scalar_case_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_json",
     oracle="""
 SELECT event_id,
-       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+       CAST(FLOOR(CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS BIGINT) AS k_val,
        json_extract_string(props, '$.missing') AS missing_val,
        CASE WHEN json_extract(props, '$.k') IS NOT NULL THEN 1 ELSE 0 END AS has_k
 FROM events
 """,
     tags=("scalar", "json"),
+    doc="JSON extraction battery. k_val goes through DOUBLE + FLOOR in both "
+    "legs: the engines' strict integer-cast grammars diverge on "
+    "decimal-rendered JSON numbers (Spark CAST('1.0' AS BIGINT) ABORTS, "
+    "DuckDB returns 1 — r11 review, probed live), so the direct cast was "
+    "both a one-bad-row job killer and a twin mismatch on any fixture "
+    "whose k renders with a decimal point.",
 )
 def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return ev.select(
         "event_id",
-        F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
+        F.expr(
+            "CAST(FLOOR(CAST(get_json_object(props, '$.k') AS DOUBLE)) AS BIGINT)"
+        ).alias("k_val"),
         F.get_json_object("props", "$.missing").alias("missing_val"),
         F.when(F.get_json_object("props", "$.k").isNotNull(), 1).otherwise(0).alias("has_k"),
     )
@@ -286,7 +294,7 @@ SELECT event_id,
        1.0 / NULLIF(value - 50.0, 0.0) AS inv_dist,
        CAST(value = 50.0 AS INT) AS hit_pole,
        TRY_CAST(event_type AS DOUBLE) AS et_num,
-       TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+       CAST(FLOOR(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS BIGINT) AS k_num,
        COALESCE(TRY_CAST(event_type AS DOUBLE), -1.0) AS et_num_or_default
 FROM events
 """,
@@ -304,7 +312,15 @@ def scalar_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_divide(F.lit(1.0), F.col("value") - 50.0).alias("inv_dist"),
         (F.col("value") == 50.0).cast("int").alias("hit_pole"),
         F.expr("try_cast(event_type AS DOUBLE)").alias("et_num"),
-        F.expr("try_cast(get_json_object(props, '$.k') AS BIGINT)").alias("k_num"),
+        # via DOUBLE + FLOOR, not try_cast-to-BIGINT directly: the engines'
+        # integer-literal grammars diverge on decimal-rendered numbers
+        # (Spark try_cast('1.0' AS BIGINT) = NULL, DuckDB TRY_CAST = 1 —
+        # r11 review, probed live) and Spark's double→int cast truncates
+        # where DuckDB's rounds; FLOOR-then-cast is grammar- and
+        # rounding-neutral in both
+        F.expr(
+            "CAST(FLOOR(try_cast(get_json_object(props, '$.k') AS DOUBLE)) AS BIGINT)"
+        ).alias("k_num"),
         F.coalesce(F.expr("try_cast(event_type AS DOUBLE)"), F.lit(-1.0)).alias("et_num_or_default"),
     )
 

@@ -200,15 +200,20 @@ def serde_mfjson_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transform(j.datetimes, d -> unix_micros(CAST("
         "to_timestamp(substring(d, 1, length(d) - 1), \"yyyy-MM-dd'T'HH:mm:ss.SSSSSS\") AS TIMESTAMP)))"
     )
+    # try_element_at, not element_at: a malformed or coordinate-less
+    # document (off-envelope input — e.g. NULL-position posits upstream)
+    # parses to an EMPTY array, and ANSI element_at would abort the whole
+    # ingest on one bad doc (r11 review, probed). NULL columns for the bad
+    # row instead; identical on every well-formed document.
     return parsed.select(
         "mmsi",
         F.col("j.type").alias("mf_type"),
         F.col("j.interpolation").alias("interp"),
         F.size("j.coordinates").alias("n_points"),
-        F.element_at(ts_parsed, 1).alias("t_start_us"),
-        F.element_at(ts_parsed, -1).alias("t_end_us"),
-        F.expr(fmt6_sql("element_at(j.coordinates, 1)[0]", "spark")).alias("lon_first"),
-        F.expr(fmt6_sql("element_at(j.coordinates, -1)[1]", "spark")).alias("lat_last"),
+        F.try_element_at(ts_parsed, F.lit(1)).alias("t_start_us"),
+        F.try_element_at(ts_parsed, F.lit(-1)).alias("t_end_us"),
+        F.expr(fmt6_sql("try_element_at(j.coordinates, 1)[0]", "spark")).alias("lon_first"),
+        F.expr(fmt6_sql("try_element_at(j.coordinates, -1)[1]", "spark")).alias("lat_last"),
     )
 
 

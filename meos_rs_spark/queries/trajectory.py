@@ -1671,7 +1671,16 @@ def traj_at_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v0") == F.col("v1"),
             F.when(F.col("v0").between(_AV_LO, _AV_HI), F.col("dur_us")).otherwise(F.lit(0)),
         )
-        .otherwise(F.floor(clip / (vmax - vmin) * F.col("dur_us")).cast("bigint"))
+        # try_divide, not `/`: a NULL endpoint makes greatest/least skip the
+        # NULL so vmax == vmin and ANSI `/` ABORTS THE JOB on one bad row
+        # (r11 review, probed on a NULL-position fixture); the oracle's
+        # DuckDB x/0 is NULL, and try_divide aligns exactly — the segment
+        # contributes NULL (excluded from sums and n_segments) instead of
+        # killing a 100 TB pass. The v0 == v1 stationary case never reaches
+        # this branch, so real zero-length value spans are unaffected.
+        .otherwise(
+            F.floor(F.try_divide(clip, vmax - vmin) * F.col("dur_us")).cast("bigint")
+        )
     )
     c = p.withColumn("in_us", in_us)
     return c.groupBy("mmsi").agg(

@@ -98,6 +98,16 @@ FORCE_VERIFY: tuple[str, ...] = (
     "traj_transform_utm_roundtrip",
     "win_percent_rank_cume",
     "rel_approx_percentiles",
+    # r11 review batch 2 (abort-on-one-bad-row + cast-grammar class):
+    # try_divide in the at-value clip (NULL-endpoint segments no longer
+    # kill the job), try_element_at in the MF-JSON ingest (malformed docs
+    # yield NULL columns), and FLOOR(DOUBLE) cast neutralization in the
+    # two JSON-number twins (Spark and DuckDB integer-cast grammars
+    # diverge on decimal-rendered numbers).
+    "traj_at_value",
+    "serde_mfjson_ingest",
+    "scalar_try_arith",
+    "scalar_json",
 )
 
 

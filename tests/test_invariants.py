@@ -553,6 +553,14 @@ def test_null_and_tied_value_twins_agree_cross_engine(spark, tmp_path):
         "win_ntile_first_last",
         "win_running_total",
         "win_rolling_frame",
+        # r11 batch 2: the at-value clip used to ABORT on a NULL-endpoint
+        # segment (ANSI x/0 where the oracle's DuckDB division yields NULL
+        # — try_divide aligns); the JSON-number twins diverged on the
+        # engines' integer-cast grammars for the decimal-rendered k this
+        # fixture's props carry ('1.0')
+        "traj_at_value",
+        "scalar_try_arith",
+        "scalar_json",
     ):
         sdf = reg[name].fn(spark, str(tmp_path))
         ddf = con.sql(reg[name].oracle).df()
