@@ -137,8 +137,14 @@ _GAP_US = 21_600_000_000
     oracle=f"""
 WITH flagged AS (
   SELECT user_id, ts, event_id,
+         -- STRICTLY greater, not >=: Spark's session_window MERGES events
+         -- exactly gap apart (probed r11: two events 6h apart form ONE
+         -- session 06:00-18:00), so a new session starts only when the
+         -- gap is exceeded. The >= form diverged at exact-gap boundaries
+         -- — unreachable on the continuous-timestamp fixture, pinned by
+         -- the exact-boundary rows in tests/test_invariants.py.
          CASE WHEN lag(ts) OVER w IS NULL
-                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= {_GAP_US} THEN 1 ELSE 0 END AS new_s
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {_GAP_US} THEN 1 ELSE 0 END AS new_s
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 sessions AS (

@@ -88,12 +88,11 @@ DRIVER_WINDOW = 50
 #: oldest-green rotation to reach it (r5 ADVICE: new code benefits most
 #: from a driver row). Clear entries once the round's artifact lands.
 #: r11: all 39 r10 entries re-earned green driver rows in the r10 window
-#: (CORRECTNESS_r10.json, 50/50 green) and were cleared. Three r11 entries:
-#: the ADVICE fix widening the UTM-roundtrip domain filter to both
-#: hemispheres (abs(lat) <= 84 in BOTH legs), and the r11 review sweep's
-#: NULL-ordering alignments (percent_rank/cume pinned NULLS LAST in both
-#: legs; exact percentiles ranked over non-null values in both legs) —
-#: each changes its query's semantics relative to its latest green row.
+#: (CORRECTNESS_r10.json, 50/50 green) and were cleared. Eight r11 entries
+#: across three review batches — each changed its query's semantics
+#: relative to its latest green row: the ADVICE both-hemispheres domain
+#: fix, two NULL-ordering alignments, four abort-on-one-bad-row /
+#: cast-grammar fixes, and the strict-gap session-window oracle.
 FORCE_VERIFY: tuple[str, ...] = (
     "traj_transform_utm_roundtrip",
     "win_percent_rank_cume",
@@ -108,6 +107,11 @@ FORCE_VERIFY: tuple[str, ...] = (
     "serde_mfjson_ingest",
     "scalar_try_arith",
     "scalar_json",
+    # batch 3: the streaming session-window oracle moved from >= to > on
+    # the gap comparison — Spark's session_window MERGES exact-gap events
+    # (probed), and the batch traj_sessionize twin already used strict >
+    # in both legs.
+    "stream_session_windows",
 )
 
 

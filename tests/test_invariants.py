@@ -561,6 +561,11 @@ def test_null_and_tied_value_twins_agree_cross_engine(spark, tmp_path):
         "traj_at_value",
         "scalar_try_arith",
         "scalar_json",
+        # r11 batch 3: this fixture's EXACT-gap pairs (06:00→12:00 and
+        # 02:00→08:00 at the 6h session gap) are unreachable on the
+        # continuous-timestamp fixtures and are precisely where the old
+        # >= oracle split sessions Spark's session_window merges
+        "stream_session_windows",
     ):
         sdf = reg[name].fn(spark, str(tmp_path))
         ddf = con.sql(reg[name].oracle).df()

@@ -25,18 +25,18 @@ from meos_rs_spark.registry import (
 # Round-11 rotation computed from CORRECTNESS_r01..r10: zero reds, zero
 # never-checked EXCEPT the new stream_restart_recovery (r10 VERDICT item
 # 6's registered restart-recovery shape — leads as never-checked), then the
-# seven r11 forced entries (the ADVICE both-hemispheres domain fix, the
+# eight r11 forced entries (the ADVICE both-hemispheres domain fix, the
 # review sweep's two NULL-ordering alignments, and batch 2's four
-# abort-on-one-bad-row / cast-grammar fixes — traj_at_value,
-# serde_mfjson_ingest, scalar_try_arith, scalar_json; each re-earns a
-# row), then pure oldest-green refill: the 6 r5-era greens, all 34
-# r6-era greens, and the 2 oldest r7-era greens, registration order
-# within each round.
+# abort-on-one-bad-row / cast-grammar fixes plus batch 3's strict-gap
+# session-window oracle alignment; each re-earns a row), then pure
+# oldest-green refill: the 6 r5-era greens, all 34 r6-era greens, and
+# the oldest r7-era green, registration order within each round.
 R11_EXPECTED_HEAD = (
     "stream_restart_recovery",
     "serde_mfjson_ingest",
     "traj_transform_utm_roundtrip",
     "traj_at_value",
+    "stream_session_windows",
     "rel_approx_percentiles",
     "scalar_json",
     "scalar_try_arith",
@@ -82,7 +82,6 @@ R11_EXPECTED_HEAD = (
     "mm_resize",
     "mm_frame_sample",
     "mm_jpeg_features",
-    "serde_wkt_seqset",
 )
 
 
