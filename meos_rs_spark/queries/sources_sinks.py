@@ -491,7 +491,9 @@ SELECT mmsi,
        count(*) AS n_posits,
        min(ts) AS t_first,
        CAST(SUM(CAST(lon AS DECIMAL(18,2))) AS DOUBLE) AS sum_lon
-FROM posits GROUP BY mmsi
+FROM posits
+WHERE lon IS NOT NULL AND lat IS NOT NULL AND ts IS NOT NULL
+GROUP BY mmsi
 """,
     tags=("S1", "F1"),
     doc="custom connector via the Spark 4 Python DataSource API: posits are "
@@ -508,10 +510,21 @@ def src_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meos_rs_spark.sources.wkt_source import register_wkt_source
 
     path = _scratch(spark, sf_dir, "posits_wkt")
-    lines = posits(spark, sf_dir).select(
-        F.concat(
-            F.col("mmsi").cast("string"), F.lit(";"), point_wkt("lon", "lat", "ts")
-        ).alias("value")
+    # a NULL-position posit has no WKT point representation: the concat
+    # renders it as a NULL line (which the text sink rejects or the reader
+    # grammar drops, depending on version — either way silently). The
+    # serialization envelope is made EXPLICIT in both legs instead (r11
+    # review): non-null lon/lat/ts, mirrored in the oracle's WHERE.
+    lines = (
+        posits(spark, sf_dir)
+        .filter(
+            F.col("lon").isNotNull() & F.col("lat").isNotNull() & F.col("ts").isNotNull()
+        )
+        .select(
+            F.concat(
+                F.col("mmsi").cast("string"), F.lit(";"), point_wkt("lon", "lat", "ts")
+            ).alias("value")
+        )
     )
     lines.repartition(4).write.mode("overwrite").text(path)
     register_wkt_source(spark)

@@ -88,11 +88,12 @@ DRIVER_WINDOW = 50
 #: oldest-green rotation to reach it (r5 ADVICE: new code benefits most
 #: from a driver row). Clear entries once the round's artifact lands.
 #: r11: all 39 r10 entries re-earned green driver rows in the r10 window
-#: (CORRECTNESS_r10.json, 50/50 green) and were cleared. Eight r11 entries
+#: (CORRECTNESS_r10.json, 50/50 green) and were cleared. Nine r11 entries
 #: across three review batches — each changed its query's semantics
 #: relative to its latest green row: the ADVICE both-hemispheres domain
 #: fix, two NULL-ordering alignments, four abort-on-one-bad-row /
-#: cast-grammar fixes, and the strict-gap session-window oracle.
+#: cast-grammar fixes, the strict-gap session-window oracle, and the
+#: explicit WKT-source NULL-position envelope.
 FORCE_VERIFY: tuple[str, ...] = (
     "traj_transform_utm_roundtrip",
     "win_percent_rank_cume",
@@ -110,8 +111,10 @@ FORCE_VERIFY: tuple[str, ...] = (
     # batch 3: the streaming session-window oracle moved from >= to > on
     # the gap comparison — Spark's session_window MERGES exact-gap events
     # (probed), and the batch traj_sessionize twin already used strict >
-    # in both legs.
+    # in both legs — and the WKT-source twins made the NULL-position
+    # serialization envelope explicit (non-null lon/lat/ts in BOTH legs).
     "stream_session_windows",
+    "src_python_datasource",
 )
 
 

@@ -566,6 +566,9 @@ def test_null_and_tied_value_twins_agree_cross_engine(spark, tmp_path):
         # continuous-timestamp fixtures and are precisely where the old
         # >= oracle split sessions Spark's session_window merges
         "stream_session_windows",
+        # the WKT-source twins with the NULL-position envelope explicit in
+        # both legs (partial-NULL users keep only their parseable posits)
+        "src_python_datasource",
     ):
         sdf = reg[name].fn(spark, str(tmp_path))
         ddf = con.sql(reg[name].oracle).df()

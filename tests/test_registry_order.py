@@ -25,17 +25,18 @@ from meos_rs_spark.registry import (
 # Round-11 rotation computed from CORRECTNESS_r01..r10: zero reds, zero
 # never-checked EXCEPT the new stream_restart_recovery (r10 VERDICT item
 # 6's registered restart-recovery shape — leads as never-checked), then the
-# eight r11 forced entries (the ADVICE both-hemispheres domain fix, the
+# nine r11 forced entries (the ADVICE both-hemispheres domain fix, the
 # review sweep's two NULL-ordering alignments, and batch 2's four
 # abort-on-one-bad-row / cast-grammar fixes plus batch 3's strict-gap
 # session-window oracle alignment; each re-earns a row), then pure
-# oldest-green refill: the 6 r5-era greens, all 34 r6-era greens, and
-# the oldest r7-era green, registration order within each round.
+# oldest-green refill: the 6 r5-era greens and all 34 r6-era greens,
+# registration order within each round.
 R11_EXPECTED_HEAD = (
     "stream_restart_recovery",
     "serde_mfjson_ingest",
     "traj_transform_utm_roundtrip",
     "traj_at_value",
+    "src_python_datasource",
     "stream_session_windows",
     "rel_approx_percentiles",
     "scalar_json",
@@ -81,7 +82,6 @@ R11_EXPECTED_HEAD = (
     "rel_approx_distinct",
     "mm_resize",
     "mm_frame_sample",
-    "mm_jpeg_features",
 )
 
 
