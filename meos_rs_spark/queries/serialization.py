@@ -4,6 +4,18 @@ WKT render/parse round-trip and MF-JSON are oracle-checked string pipelines;
 WKB/HexWKB is binary (pandas_udf) with a driver rows-only check plus exact
 golden bytes in tests/test_serde.py (mirroring the reference's golden-string
 test style, tbox.rs:130-151).
+
+Input envelope (r11, probed on a NULL-position synthetic fixture): a posit
+with a NULL coordinate has no WKT/WKB/MF-JSON point representation — the
+reference's libmeos would reject it at construction (tinst.rs:21-38 wraps
+non-nullable doubles). These pipelines render such posits as degenerate
+strings that the raw-data oracles count differently, so the twins assume
+non-null positions; none of them ABORTS on one (the r11 ingest hardening
+turned the one crash path into NULL columns), and the one query where the
+envelope is cheap to make explicit does so in both legs
+(src_python_datasource). The NULL-position rows themselves are exercised
+in tests/test_invariants.py's synthetic harness for every family where
+the twins can agree.
 """
 
 from __future__ import annotations
