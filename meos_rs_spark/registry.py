@@ -87,35 +87,14 @@ DRIVER_WINDOW = 50
 #: the changed code re-earns its row this round instead of waiting for the
 #: oldest-green rotation to reach it (r5 ADVICE: new code benefits most
 #: from a driver row). Clear entries once the round's artifact lands.
-#: r11: all 39 r10 entries re-earned green driver rows in the r10 window
-#: (CORRECTNESS_r10.json, 50/50 green) and were cleared. Nine r11 entries
-#: across three review batches — each changed its query's semantics
-#: relative to its latest green row: the ADVICE both-hemispheres domain
-#: fix, two NULL-ordering alignments, four abort-on-one-bad-row /
-#: cast-grammar fixes, the strict-gap session-window oracle, and the
-#: explicit WKT-source NULL-position envelope.
-FORCE_VERIFY: tuple[str, ...] = (
-    "traj_transform_utm_roundtrip",
-    "win_percent_rank_cume",
-    "rel_approx_percentiles",
-    # r11 review batch 2 (abort-on-one-bad-row + cast-grammar class):
-    # try_divide in the at-value clip (NULL-endpoint segments no longer
-    # kill the job), try_element_at in the MF-JSON ingest (malformed docs
-    # yield NULL columns), and FLOOR(DOUBLE) cast neutralization in the
-    # two JSON-number twins (Spark and DuckDB integer-cast grammars
-    # diverge on decimal-rendered numbers).
-    "traj_at_value",
-    "serde_mfjson_ingest",
-    "scalar_try_arith",
-    "scalar_json",
-    # batch 3: the streaming session-window oracle moved from >= to > on
-    # the gap comparison — Spark's session_window MERGES exact-gap events
-    # (probed), and the batch traj_sessionize twin already used strict >
-    # in both legs — and the WKT-source twins made the NULL-position
-    # serialization envelope explicit (non-null lon/lat/ts in BOTH legs).
-    "stream_session_windows",
-    "src_python_datasource",
-)
+#: r12: all nine r11 entries (three review batches — the ADVICE
+#: both-hemispheres domain fix, two NULL-ordering alignments, four
+#: abort-on-one-bad-row / cast-grammar fixes, the strict-gap
+#: session-window oracle, and the explicit WKT-source NULL-position
+#: envelope) re-earned green driver rows in the r11 window
+#: (CORRECTNESS_r11.json, 50/50 green) and were cleared. Empty until r12
+#: work changes a query's semantics.
+FORCE_VERIFY: tuple[str, ...] = ()
 
 
 @functools.lru_cache(maxsize=1)

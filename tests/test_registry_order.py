@@ -3,8 +3,8 @@ FIRST 50 entries of __spark_entry__.queries() only (observed in r2), so the
 round's verification targets must occupy exactly those positions.
 
 Since round 6 the head is COMPUTED from the committed CORRECTNESS_r*.json
-artifacts (registry.compute_verify_head). R11_EXPECTED_HEAD pins the tuple
-the r1-r10 artifacts produce; when the driver lands CORRECTNESS_r11.json the
+artifacts (registry.compute_verify_head). R12_EXPECTED_HEAD pins the tuple
+the r1-r11 artifacts produce; when the driver lands CORRECTNESS_r12.json the
 pin goes stale and this test fails — the next round's first task is then
 reviewing the freshly computed rotation and re-pinning it here. Per r9
 ADVICE, any commit that changes the computed head (a new CORRECTNESS
@@ -22,66 +22,62 @@ from meos_rs_spark.registry import (
     verify_order_head,
 )
 
-# Round-11 rotation computed from CORRECTNESS_r01..r10: zero reds, zero
-# never-checked EXCEPT the new stream_restart_recovery (r10 VERDICT item
-# 6's registered restart-recovery shape — leads as never-checked), then the
-# nine r11 forced entries (the ADVICE both-hemispheres domain fix, the
-# review sweep's two NULL-ordering alignments, and batch 2's four
-# abort-on-one-bad-row / cast-grammar fixes plus batch 3's strict-gap
-# session-window oracle alignment; each re-earns a row), then pure
-# oldest-green refill: the 6 r5-era greens and all 34 r6-era greens,
-# registration order within each round.
-R11_EXPECTED_HEAD = (
-    "stream_restart_recovery",
-    "serde_mfjson_ingest",
-    "traj_transform_utm_roundtrip",
-    "traj_at_value",
-    "src_python_datasource",
-    "stream_session_windows",
-    "rel_approx_percentiles",
-    "scalar_json",
-    "scalar_try_arith",
-    "win_percent_rank_cume",
-    "scalar_bitwise",
-    "win_range_interval",
-    "win_event_transitions",
-    "win_running_distinct",
-    "win_gap_islands",
-    "box_tbox_predicates",
-    "box_int_to_tbox",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_normalized",
-    "flagship_trip_pipeline",
-    "mm_metadata",
-    "mm_audio_features",
-    "mm_decode_features",
-    "traj_unnest_instants",
-    "traj_speed_filter",
-    "traj_turning_points",
-    "traj_zorder_key",
-    "traj_ewma",
-    "snk_jsonl_trips",
-    "src_catalog_bootstrap",
-    "snk_partitioned_write",
-    "snk_bucketed_join",
-    "text_langid",
-    "stream_tumbling_counts",
-    "stream_stateful_assembly",
-    "stream_sliding_counts",
-    "stream_dedup_watermark",
-    "rel_projection_rename",
-    "rel_group_having",
-    "rel_pricing_summary",
-    "rel_join_inner_broadcast",
-    "rel_join_left_outer",
-    "rel_join_full_outer",
-    "rel_lateral_topn",
-    "rel_approx_distinct",
-    "mm_resize",
-    "mm_frame_sample",
+# Round-12 rotation computed from CORRECTNESS_r01..r11: zero reds, zero
+# never-checked, FORCE_VERIFY empty (all nine r11 forced entries re-earned
+# green rows in the r11 window) — pure oldest-green refill: the 42 oldest
+# r7-era greens and the 8 oldest r8-era greens, registration order within
+# each round.
+R12_EXPECTED_HEAD = (
+    "mm_jpeg_features",
+    "serde_wkt_seqset",
+    "traj_assembly",
+    "traj_extent",
+    "traj_equality",
+    "traj_shift_scale",
+    "traj_sample",
+    "traj_ever_always",
+    "traj_arith",
+    "traj_time_buckets",
+    "traj_azimuth",
+    "traj_speed_segments",
+    "traj_at_box",
+    "traj_project_mercator",
+    "traj_transform_utm",
+    "traj_transform_lcc",
+    "traj_length_haversine",
+    "serde_wkt_malformed",
+    "sim_cosine_topk",
+    "sim_ann_lsh",
+    "sim_prefix_rerank",
+    "sim_mmr_rerank",
+    "src_csv_roundtrip",
+    "snk_upsert_merge",
+    "text_token_count",
+    "text_decontaminate",
+    "stream_foreachbatch_sink",
+    "rel_join_semi",
+    "rel_join_anti",
+    "rel_join_range",
+    "rel_join_band_bucketed",
+    "rel_join_multiway",
+    "rel_distinct",
+    "rel_count_distinct",
+    "rel_rollup",
+    "rel_cube",
+    "rel_topk_orders",
+    "rel_set_ops",
+    "rel_global_metrics",
+    "rel_filter_agg",
+    "rel_funnel_steps",
+    "win_lag_dedup",
+    "box_stbox_z",
+    "box_stbox_expand",
+    "box_tbox_algebra",
+    "dedup_components",
+    "traj_stbox_z_path",
+    "traj_sessionize",
+    "traj_simplify_dp",
+    "traj_tbool_duration",
 )
 
 
@@ -93,10 +89,10 @@ def test_head_is_exactly_the_driver_window():
     assert tuple(names[:50]) == head
 
 
-def test_computed_head_matches_the_round11_pin():
+def test_computed_head_matches_the_round12_pin():
     # Stale-pin alarm: fails as soon as a new CORRECTNESS artifact lands,
     # forcing the next round to review + re-pin the rotation.
-    assert verify_order_head() == R11_EXPECTED_HEAD
+    assert verify_order_head() == R12_EXPECTED_HEAD
 
 
 def test_head_priority_rule():
