@@ -207,14 +207,24 @@ def main() -> None:
                 f"({attempt + 1}/4)",
                 flush=True,
             )
-        print(f"# sitting {i + 1}/{max_sittings}: pre-sample steal={pre}%", flush=True)
+        # r12 ADVICE: an unreadable /proc/stat (or presample disabled)
+        # reads as None, which _is_quiet treats as quiet-eligible by
+        # design — but 'steal=None%' in the artifact is easy to misread
+        # as a measured zero. Say 'unmeasured' and flag it in the noise
+        # block (steal_measured) so a spread2-only quiet verdict is
+        # visibly weaker.
+        _fmt = lambda v: "unmeasured" if v is None else f"{v}%"  # noqa: E731
+        print(
+            f"# sitting {i + 1}/{max_sittings}: pre-sample steal={_fmt(pre)}",
+            flush=True,
+        )
         sitting = _sweep(spark, registry, sf_dir)
         sitting["pre_steal_pct"] = pre
         sitting["quiet"] = _is_quiet(sitting)
         sittings.append(sitting)
         print(
             f"# sitting {i + 1}: total={sitting['total']}s "
-            f"steal={sitting['steal_pct']}% spread_max={sitting['spread_max']} "
+            f"steal={_fmt(sitting['steal_pct'])} spread_max={sitting['spread_max']} "
             f"spread2_max={sitting['spread2_max']} quiet={sitting['quiet']}",
             flush=True,
         )
@@ -234,6 +244,11 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "noise": {
                     "quiet": best["quiet"],
+                    # false when either steal leg was unmeasurable (off-Linux
+                    # or presample disabled): quiet then rests on spread2
+                    # alone — intentional, but the artifact must say so
+                    "steal_measured": best["steal_pct"] is not None
+                    and best["pre_steal_pct"] is not None,
                     "load1_start": best["load1_start"],
                     "load1_end": best["load1_end"],
                     "steal_pct": best["steal_pct"],

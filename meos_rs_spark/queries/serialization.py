@@ -207,16 +207,31 @@ FROM head GROUP BY mmsi
 )
 def serde_mfjson_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     rendered = serde_mfjson(spark, sf_dir)  # (mmsi, mfjson) — the F3 out pipeline
+    return mfjson_ingest_project(rendered)
+
+
+def mfjson_ingest_project(rendered: DataFrame) -> DataFrame:
+    """Parse an (mmsi, mfjson) frame and project the ingest columns.
+
+    Split out of serde_mfjson_ingest so the malformed-document contract
+    (bad doc → NULL columns, never a job abort) is unit-pinnable on
+    crafted docs the well-formed render pipeline can't produce.
+    """
     parsed = rendered.select("mmsi", F.from_json("mfjson", _MFJSON_SCHEMA).alias("j"))
     ts_parsed = F.expr(
         "transform(j.datetimes, d -> unix_micros(CAST("
         "to_timestamp(substring(d, 1, length(d) - 1), \"yyyy-MM-dd'T'HH:mm:ss.SSSSSS\") AS TIMESTAMP)))"
     )
-    # try_element_at, not element_at: a malformed or coordinate-less
-    # document (off-envelope input — e.g. NULL-position posits upstream)
-    # parses to an EMPTY array, and ANSI element_at would abort the whole
-    # ingest on one bad doc (r11 review, probed). NULL columns for the bad
-    # row instead; identical on every well-formed document.
+    # try_element_at at BOTH depths, never ANSI element_at/subscript: a
+    # malformed or coordinate-less document (off-envelope input — e.g.
+    # NULL-position posits upstream) parses to an EMPTY array, and a
+    # truncated document can parse to a SHORT (1-element) coordinate pair
+    # — ANSI element_at aborts on the former and ANSI array[idx] throws
+    # INVALID_ARRAY_INDEX on the latter (r11 review + r12 ADVICE, probed),
+    # either killing the whole ingest on one bad doc. Nested
+    # try_element_at yields NULL columns for the bad row instead;
+    # identical on every well-formed document. (try_element_at is
+    # 1-based: subscript [0] ≡ position 1, [1] ≡ position 2.)
     return parsed.select(
         "mmsi",
         F.col("j.type").alias("mf_type"),
@@ -224,8 +239,12 @@ def serde_mfjson_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("j.coordinates").alias("n_points"),
         F.try_element_at(ts_parsed, F.lit(1)).alias("t_start_us"),
         F.try_element_at(ts_parsed, F.lit(-1)).alias("t_end_us"),
-        F.expr(fmt6_sql("try_element_at(j.coordinates, 1)[0]", "spark")).alias("lon_first"),
-        F.expr(fmt6_sql("try_element_at(j.coordinates, -1)[1]", "spark")).alias("lat_last"),
+        F.expr(
+            fmt6_sql("try_element_at(try_element_at(j.coordinates, 1), 1)", "spark")
+        ).alias("lon_first"),
+        F.expr(
+            fmt6_sql("try_element_at(try_element_at(j.coordinates, -1), 2)", "spark")
+        ).alias("lat_last"),
     )
 
 

@@ -688,6 +688,17 @@ def stream_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- restart recovery: the long-lived deployment shape, driver-verifiable ---
 
 
+def _arrival_split(part: int):
+    """Route every event — including NULL event_id — to exactly one arrival.
+
+    The oracle's count(*) covers ALL rows, so the split must PARTITION the
+    table: a bare ``event_id % 2 == part`` predicate is NULL for NULL keys
+    and silently drops the row from BOTH arrivals (r12 ADVICE). coalesce
+    routes NULL keys deterministically to arrival 0.
+    """
+    return F.coalesce(F.col("event_id"), F.lit(0)) % 2 == part
+
+
 @register(
     "stream_restart_recovery",
     oracle="""
@@ -739,7 +750,7 @@ def stream_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Deterministic arrival: events with event_id % 2 == part land as
         one new file in the watched source directory."""
         tmp = os.path.join(base, f"tmp{part}")
-        ev.filter(F.col("event_id") % 2 == part).coalesce(1).write.parquet(tmp)
+        ev.filter(_arrival_split(part)).coalesce(1).write.parquet(tmp)
         (part_file,) = _glob.glob(os.path.join(tmp, "part-*.parquet"))
         os.replace(part_file, os.path.join(src, f"arrival{part}.parquet"))
         shutil.rmtree(tmp)

@@ -83,6 +83,49 @@ def test_point_wkt_golden(spark):
     assert out == "POINT(1 1)@2000-01-01 00:00:00.000000+00"
 
 
+def test_mfjson_ingest_null_columns_on_malformed_docs(spark):
+    """r12 ADVICE: the lon/lat projection's inner ANSI subscript
+    (pair[0]) aborted the whole ingest when a malformed doc parsed to a
+    SHORT coordinate pair (INVALID_ARRAY_INDEX), so the 'bad doc yields
+    NULL columns' contract was only partial — nested try_element_at
+    closes it. Pins: well-formed docs unchanged; empty-coordinates,
+    short-pair, and unparseable docs each yield NULL columns, no abort."""
+    from meos_rs_spark.queries.serialization import mfjson_ingest_project
+
+    good = (
+        '{"type":"MovingPoint","interpolation":"Linear",'
+        '"coordinates":[[1.5,-2.25],[3.0,4.0]],'
+        '"datetimes":["2024-01-01T00:00:00.000000Z","2024-01-01T01:00:00.000000Z"],'
+        '"lower_inc":true,"upper_inc":true}'
+    )
+    empty = (
+        '{"type":"MovingPoint","interpolation":"Linear","coordinates":[],'
+        '"datetimes":[],"lower_inc":true,"upper_inc":true}'
+    )
+    short_pair = (
+        '{"type":"MovingPoint","interpolation":"Linear","coordinates":[[1.5]],'
+        '"datetimes":["2024-01-01T00:00:00.000000Z"],'
+        '"lower_inc":true,"upper_inc":true}'
+    )
+    garbage = "not json at all"
+    df = spark.createDataFrame(
+        [(1, good), (2, empty), (3, short_pair), (4, garbage)],
+        "mmsi long, mfjson string",
+    )
+    out = {r.mmsi: r for r in mfjson_ingest_project(df).collect()}  # must not abort
+    assert len(out) == 4
+    g = out[1]
+    assert g.n_points == 2 and g.lon_first == "1.5" and g.lat_last == "4"
+    assert g.t_start_us == 1704067200000000 and g.t_end_us == 1704070800000000
+    assert out[2].lon_first is None and out[2].lat_last is None
+    # the short pair has a first element, so lon_first (position 1) parses
+    # but lat_last (position 2 of the last pair) is NULL — exactly the case
+    # the old inner subscript aborted on
+    assert out[3].lon_first == "1.5" and out[3].lat_last is None
+    assert out[4].mf_type is None and out[4].n_points is None
+    assert out[4].lon_first is None and out[4].lat_last is None
+
+
 def test_mfjson_is_valid_json(spark):
     spec = load_registry()["serde_mfjson"]
     rows = spec.fn(spark, SF_SMOKE).limit(3).collect()

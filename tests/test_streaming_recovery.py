@@ -248,3 +248,21 @@ def test_restart_recovery_recipe_reads_only_new_arrivals(spark, tmp_path):
 
     rows3, batches3 = run_once()
     assert rows3 == 0 and batches3 == 0  # restart with nothing new: silent
+
+
+def test_arrival_split_partitions_null_keys(spark):
+    """r12 ADVICE: a bare ``event_id % 2 == part`` split predicate is NULL
+    for NULL event_id, silently dropping the row from BOTH arrivals while
+    the oracle's count(*) keeps it. The split must PARTITION the table —
+    every row, NULL keys included, lands in exactly one arrival."""
+    from meos_rs_spark.queries.streaming import _arrival_split
+
+    df = spark.createDataFrame(
+        [(0,), (1,), (2,), (None,), (None,)], "event_id long"
+    )
+    p0 = df.filter(_arrival_split(0))
+    p1 = df.filter(_arrival_split(1))
+    assert p0.count() + p1.count() == df.count() == 5
+    # NULL keys route deterministically to arrival 0
+    assert p0.filter(F.col("event_id").isNull()).count() == 2
+    assert p1.filter(F.col("event_id").isNull()).count() == 0
