@@ -23,11 +23,12 @@ from meos_rs_spark.registry import (
 )
 
 # Round-12 rotation computed from CORRECTNESS_r01..r11: zero reds, zero
-# never-checked, FORCE_VERIFY empty (all nine r11 forced entries re-earned
-# green rows in the r11 window) — pure oldest-green refill: the 42 oldest
-# r7-era greens and the 8 oldest r8-era greens, registration order within
-# each round.
+# never-checked; traj_convex_hull is forced (golden oracle re-pinned after
+# the round-start fixture refresh) and slots first, then pure oldest-green
+# refill: the 42 oldest r7-era greens and the 7 oldest r8-era greens,
+# registration order within each round.
 R12_EXPECTED_HEAD = (
+    "traj_convex_hull",
     "mm_jpeg_features",
     "serde_wkt_seqset",
     "traj_assembly",
@@ -77,7 +78,6 @@ R12_EXPECTED_HEAD = (
     "traj_stbox_z_path",
     "traj_sessionize",
     "traj_simplify_dp",
-    "traj_tbool_duration",
 )
 
 
