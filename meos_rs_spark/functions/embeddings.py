@@ -31,6 +31,44 @@ def _stack(s: pd.Series) -> np.ndarray:
     return np.stack(s.to_numpy()).astype(np.float64)
 
 
+def _cell_lens(cells: np.ndarray) -> np.ndarray:
+    """Per-row vector lengths, -1 for NULL cells (Arrow NULL list → None)."""
+    return np.fromiter(
+        (-1 if v is None else len(v) for v in cells), dtype=np.int64, count=len(cells)
+    )
+
+
+def _pair_fold(a: pd.Series, b: pd.Series, fold) -> pd.Series:
+    """Total row-wise pair kernel: ``fold(A, B) -> M doubles`` applied to
+    every VALID row pair, NULL for the rest.
+
+    Valid = both cells non-NULL with equal lengths; the dot of two
+    equal-length vectors is well-defined per row regardless of what other
+    rows carry, so validity is purely row-local (deterministic under any
+    batching). One ragged row must not abort the batch — at fleet scale a
+    single failed-encoder embedding would otherwise kill the whole job
+    (r12 adversarial sweep: 14 ANN twins aborted on one NULL/short
+    vector). Fast path: a clean uniform batch (the only shape real
+    corpora produce) takes the exact pre-r12 np.stack route; ragged
+    batches fold per dimension group and scatter."""
+    aa, bb = a.to_numpy(), b.to_numpy()
+    la, lb = _cell_lens(aa), _cell_lens(bb)
+    valid = (la >= 0) & (la == lb)
+    if valid.all() and la.min() == la.max():
+        return pd.Series(pd.array(fold(_stack(a), _stack(b)), dtype="Float64"))
+    out = np.full(len(aa), np.nan, dtype=np.float64)
+    for d in np.unique(la[valid]):
+        idx = np.nonzero(valid & (la == d))[0]
+        if d == 0:  # empty vectors: an empty fold is 0.0 on both engines
+            out[idx] = fold(np.empty((len(idx), 0)), np.empty((len(idx), 0)))
+            continue
+        A = np.stack(aa[idx].tolist()).astype(np.float64)
+        B = np.stack(bb[idx].tolist()).astype(np.float64)
+        out[idx] = fold(A, B)
+    res = pd.Series(pd.array(out, dtype="Float64"))
+    return res.mask(~valid, pd.NA)
+
+
 @pandas_udf(DoubleType())
 def cosine(a: pd.Series, b: pd.Series) -> pd.Series:
     """Cosine similarity; a zero-norm side yields NULL on both engines.
@@ -51,31 +89,35 @@ def cosine(a: pd.Series, b: pd.Series) -> pd.Series:
     NaN *component* in an embedding gives DuckDB NaN (sorts FIRST under
     DESC) but this kernel NULL (sorts last) — a pandas_udf cannot emit
     NaN doubles. Sanitize NaN embeddings upstream if they can occur."""
-    va, vb = _stack(a), _stack(b)
-    num = _seq_dot(va, vb)
-    den = np.sqrt(_seq_dot(va, va)) * np.sqrt(_seq_dot(vb, vb))
-    with np.errstate(divide="ignore", invalid="ignore"):
-        out = num / den
-    # pd.array(..., dtype="Float64") converts every NaN to a real NA; the
-    # den==0 mask is then redundant for values (0/0 is already NaN) but
-    # kept as the explicit statement of the zero-norm contract.
-    return pd.Series(pd.array(out, dtype="Float64")).mask(den == 0.0, pd.NA)
+    def _cos_fold(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+        num = _seq_dot(A, B)
+        den = np.sqrt(_seq_dot(A, A)) * np.sqrt(_seq_dot(B, B))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = num / den
+        # a non-zero dot over a zero norm is +/-inf, which pd.array would
+        # keep — force the zero-norm contract to NaN (→ NA) explicitly
+        out[den == 0.0] = np.nan
+        return out
+
+    return _pair_fold(a, b, _cos_fold)
 
 
 @pandas_udf(DoubleType())
 def seq_dot(a: pd.Series, b: pd.Series) -> pd.Series:
     """Bare sequential-fold dot product — combine with precomputed ``l2norm``
     columns to avoid re-folding each vector's norm once per pair (the full
-    ``cosine`` does 3 folds per pair; dot+stored-norms does 1)."""
-    return pd.Series(_seq_dot(_stack(a), _stack(b)))
+    ``cosine`` does 3 folds per pair; dot+stored-norms does 1). Total:
+    NULL for NULL/length-mismatched pairs (see ``_pair_fold``)."""
+    return _pair_fold(a, b, _seq_dot)
 
 
 @pandas_udf(DoubleType())
 def l2norm(a: pd.Series) -> pd.Series:
     """sqrt of the sequential-fold self-dot: bit-identical to the
-    ``sqrt(list_dot_product(v, v))`` factor in the oracle's cosine."""
-    v = _stack(a)
-    return pd.Series(np.sqrt(_seq_dot(v, v)))
+    ``sqrt(list_dot_product(v, v))`` factor in the oracle's cosine.
+    Total: NULL for a NULL cell (see ``_pair_fold``; a vector always
+    length-matches itself, so only the NULL case can invalidate)."""
+    return _pair_fold(a, a, lambda A, B: np.sqrt(_seq_dot(A, B)))
 
 
 def plane_signs(n_planes: int, dim: int) -> np.ndarray:
@@ -102,14 +144,25 @@ def make_lsh_bucket_udf(n_planes: int, dim: int):
 
     @pandas_udf(IntegerType())
     def lsh_bucket(emb: pd.Series) -> pd.Series:
-        v = _stack(emb)
-        bucket = np.zeros(v.shape[0], dtype=np.int64)
-        for p in range(n_planes):
-            acc = np.zeros(v.shape[0], dtype=np.float64)
-            for j in range(dim):
-                acc += planes[p, j] * v[:, j]
-            bucket += (acc > 0).astype(np.int64) << p
-        return pd.Series(bucket.astype(np.int32))
+        def _bucket(v: np.ndarray) -> np.ndarray:
+            bucket = np.zeros(v.shape[0], dtype=np.int64)
+            for p in range(n_planes):
+                acc = np.zeros(v.shape[0], dtype=np.float64)
+                for j in range(dim):
+                    acc += planes[p, j] * v[:, j]
+                bucket += (acc > 0).astype(np.int64) << p
+            return bucket.astype(np.int32)
+
+        cells = emb.to_numpy()
+        lens = _cell_lens(cells)
+        valid = lens == dim  # a vector of the wrong dimension has no bucket
+        if valid.all():
+            return pd.Series(pd.array(_bucket(_stack(emb)), dtype="Int32"))
+        out = pd.array([None] * len(cells), dtype="Int32")
+        idx = np.nonzero(valid)[0]
+        if len(idx):
+            out[idx] = _bucket(np.stack(cells[idx].tolist()).astype(np.float64))
+        return pd.Series(out)
 
     # asNondeterministic: the kernel IS deterministic, but without the pin
     # Catalyst clones the projection below join-inferred IsNotNull filters
@@ -126,6 +179,7 @@ def seq_sqdist(a: pd.Series, b: pd.Series) -> pd.Series:
     combined left-to-right — bit-identical to the oracle's
     ``list_dot_product(a,a) + list_dot_product(b,b) -
     2*list_dot_product(a,b)`` (the expanded form avoids the (x-y)^2 fold,
-    whose association differs)."""
-    va, vb = _stack(a), _stack(b)
-    return pd.Series(_seq_dot(va, va) + _seq_dot(vb, vb) - 2.0 * _seq_dot(va, vb))
+    whose association differs). Total: NULL for invalid pairs."""
+    return _pair_fold(
+        a, b, lambda A, B: _seq_dot(A, A) + _seq_dot(B, B) - 2.0 * _seq_dot(A, B)
+    )

@@ -33,6 +33,35 @@ DIM = 64
 #: the pair cannot drift (the r7 hand-copy-divergence class)
 LSH_TOPK = 3
 
+#: The corpus envelope, applied identically in BOTH legs of every
+#: embeddings twin (r12 adversarial sweep): a valid embedding is non-NULL,
+#: exactly DIM elements, all finite. Off-envelope rows — failed-encoder
+#: output: NULL vectors, empty/truncated vectors, NULL/NaN/inf components —
+#: are DROPPED at corpus load. Without the fence one such row aborts the
+#: whole job (np.stack raggedness / DuckDB list_dot_product length error)
+#: or silently reorders top-k (DuckDB NaN sorts FIRST under DESC while the
+#: Arrow kernel's NaN becomes NULL and sorts last).
+EMB_ENVELOPE_DUCK = (
+    f"embedding IS NOT NULL AND len(embedding) = {DIM} AND "
+    "len(list_filter(embedding, x -> x IS NULL OR isnan(CAST(x AS DOUBLE)) "
+    "OR isinf(CAST(x AS DOUBLE)))) = 0"
+)
+_EMB = f"(SELECT * FROM embeddings WHERE {EMB_ENVELOPE_DUCK})"
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load the embeddings corpus restricted to the envelope (Spark leg
+    of ``EMB_ENVELOPE_DUCK`` — JVM-side size/exists predicates, no UDF)."""
+    return load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+        & (F.size("embedding") == DIM)
+        & ~F.exists(
+            "embedding",
+            lambda x: x.isNull() | F.isnan(x) | (F.abs(x) == F.lit(float("inf"))),
+        )
+    )
+
+
 _DOT_DUCK = "list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
 
 
@@ -49,11 +78,11 @@ def _duck_cosine(a: str, b: str) -> str:
 @register(
     "sim_cosine_topk",
     oracle=f"""
-WITH probes AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < {N_PROBES}),
+WITH probes AS (SELECT vec_id AS probe_id, embedding AS pe FROM {_EMB} WHERE vec_id < {N_PROBES}),
 scored AS (
   SELECT p.probe_id, e.vec_id, e.label,
          {_duck_cosine('p.pe', 'e.embedding')} AS cosine
-  FROM probes p JOIN embeddings e ON e.vec_id != p.probe_id
+  FROM probes p JOIN {_EMB} e ON e.vec_id != p.probe_id
 )
 SELECT probe_id, vec_id, label, cosine
 FROM scored
@@ -67,7 +96,7 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # norms fold once per VECTOR (not once per pair): cosine = dot/(|a|·|b|)
     # with |·| precomputed — same sequential fold the oracle's
     # sqrt(list_dot_product(v,v)) factor performs, so values stay bit-equal
-    emb = load_table(spark, sf_dir, "embeddings").withColumn("enorm", l2norm("embedding"))
+    emb = _corpus(spark, sf_dir).withColumn("enorm", l2norm("embedding"))
     probes = emb.filter(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe"), F.col("enorm").alias("pnorm")
     )
@@ -127,7 +156,7 @@ ADAPT_TARGET_BUCKET = 16
 
 _ADAPT_P_DUCK = (
     f"least({ADAPT_MAX_PLANES}, greatest({ADAPT_MIN_PLANES}, "
-    f"CAST(ceil(log2(greatest((SELECT count(*) FROM embeddings), 1) "
+    f"CAST(ceil(log2(greatest((SELECT count(*) FROM {_EMB}), 1) "
     f"/ {ADAPT_TARGET_BUCKET}.0)) AS INT)))"
 )
 
@@ -160,7 +189,7 @@ def _adaptive_bucket(emb: DataFrame) -> Column:
     oracle=f"""
 WITH bucketed AS (
   SELECT vec_id, label, embedding, {_bucket_expr_duck('embedding')} AS bucket
-  FROM embeddings
+  FROM {_EMB}
 ),
 probes AS (SELECT vec_id AS probe_id, embedding AS pe, bucket AS pb FROM bucketed WHERE vec_id < {N_PROBES}),
 cand AS (
@@ -177,7 +206,7 @@ QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) <
     "their bucket then re-rank — the bucket join replaces the N×N scan at scale",
 )
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _corpus(spark, sf_dir)
     bucketed = emb.withColumn("bucket", make_lsh_bucket_udf(N_PLANES, DIM)(F.col("embedding")))
     probes = bucketed.filter(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe"), F.col("bucket").alias("pb")
@@ -204,7 +233,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH bucketed AS (
   SELECT vec_id, embedding, {_bucket_expr_duck_adaptive('embedding')} AS bucket
-  FROM embeddings
+  FROM {_EMB}
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        {_duck_cosine('a.embedding', 'b.embedding')} AS cosine
@@ -217,7 +246,7 @@ WHERE {_duck_cosine('a.embedding', 'b.embedding')} >= 0.5
     "pair space stays linear in N — see _adaptive_bucket)",
 )
 def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _corpus(spark, sf_dir)
     bucketed = emb.withColumn("bucket", _adaptive_bucket(emb)).select(
         "vec_id", "embedding", "bucket"
     )
@@ -246,12 +275,12 @@ IVF_TOPK = 3
     "sim_ann_ivf",
     oracle=f"""
 WITH cents AS (
-  SELECT vec_id AS cent_id, embedding AS ce FROM embeddings WHERE vec_id < {N_CELLS}
+  SELECT vec_id AS cent_id, embedding AS ce FROM {_EMB} WHERE vec_id < {N_CELLS}
 ),
 assign AS (
   SELECT e.vec_id, e.label, e.embedding, c.cent_id,
          {{ccos}} AS ccos
-  FROM embeddings e CROSS JOIN cents c
+  FROM {_EMB} e CROSS JOIN cents c
 ),
 cells AS (
   SELECT vec_id, label, embedding, cent_id AS cell FROM assign
@@ -259,7 +288,7 @@ cells AS (
 ),
 probe_cells AS (
   SELECT p.vec_id AS probe_id, p.embedding AS pe, c.cent_id AS cell
-  FROM embeddings p CROSS JOIN cents c
+  FROM {_EMB} p CROSS JOIN cents c
   WHERE p.vec_id < {N_PROBES}
   QUALIFY row_number() OVER (PARTITION BY p.vec_id ORDER BY {{pcos}} DESC, c.cent_id) <= {NPROBE}
 ),
@@ -290,7 +319,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meos_rs_spark.functions.quantize import make_nearest_centroid_udf
     from meos_rs_spark.functions.staging import side_table_name, stage, staged_table_path
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _corpus(spark, sf_dir)
     cents_name = side_table_name("ivf_cents", sf_dir)
     cents = stage(
         emb.filter(F.col("vec_id") < N_CELLS).select(
@@ -334,12 +363,12 @@ _KM_K = 8  # clusters; seeds = first _KM_K corpus vectors (deterministic)
 WITH cents AS (
   SELECT vec_id AS cent_id, embedding AS ce,
          {_DOT_DUCK.format(a='embedding', b='embedding')} AS cn2
-  FROM embeddings WHERE vec_id < {_KM_K}
+  FROM {_EMB} WHERE vec_id < {_KM_K}
 ),
 vecs AS (
   SELECT vec_id, embedding,
          {_DOT_DUCK.format(a='embedding', b='embedding')} AS vn2
-  FROM embeddings
+  FROM {_EMB}
 ),
 assign AS (
   SELECT v.vec_id, v.embedding, c.cent_id,
@@ -376,7 +405,7 @@ def sim_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meos_rs_spark.functions.quantize import make_nearest_centroid_udf
     from meos_rs_spark.functions.staging import side_table_name, stage, staged_table_path
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _corpus(spark, sf_dir)
     cents_name = side_table_name("km_cents", sf_dir)
     stage(
         emb.filter(F.col("vec_id") < _KM_K).select(
@@ -472,11 +501,11 @@ def _duck_prefix_cosine(a: str, b: str) -> str:
 @register(
     "sim_prefix_rerank",
     oracle=f"""
-WITH probes AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < {N_PROBES}),
+WITH probes AS (SELECT vec_id AS probe_id, embedding AS pe FROM {_EMB} WHERE vec_id < {N_PROBES}),
 coarse AS (
   SELECT p.probe_id, e.vec_id, e.label, p.pe, e.embedding,
          {_duck_prefix_cosine('p.pe', 'e.embedding')} AS pcos
-  FROM probes p JOIN embeddings e ON e.vec_id != p.probe_id
+  FROM probes p JOIN {_EMB} e ON e.vec_id != p.probe_id
   QUALIFY row_number() OVER (PARTITION BY p.probe_id ORDER BY pcos DESC, e.vec_id) <= {_COARSE_K}
 )
 SELECT probe_id, vec_id, label,
@@ -496,7 +525,7 @@ QUALIFY row_number() OVER (PARTITION BY probe_id
 )
 def sim_prefix_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix = F.slice("embedding", 1, _PREFIX_DIM)
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+    emb = _corpus(spark, sf_dir).withColumn(
         "pre", prefix
     ).withColumn("prenorm", l2norm("pre")).withColumn("enorm", l2norm("embedding"))
     probes = emb.filter(F.col("vec_id") < N_PROBES).select(
@@ -537,7 +566,7 @@ _KNN_K = 3
     oracle=f"""
 WITH bucketed AS (
   SELECT vec_id, label, embedding, {_bucket_expr_duck_adaptive('embedding')} AS bucket
-  FROM embeddings
+  FROM {_EMB}
 ),
 pairs AS (
   SELECT a.vec_id AS src, b.vec_id AS dst, b.label AS dst_label,
@@ -560,7 +589,7 @@ QUALIFY row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) <= {_KNN_
     "the pair stream",
 )
 def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _corpus(spark, sf_dir)
     bucketed = emb.withColumn("bucket", _adaptive_bucket(emb)).select(
         "vec_id", "label", "embedding", "bucket"
     )
@@ -601,7 +630,7 @@ _D2_DUCK = (
 WITH sub AS (
   SELECT e.vec_id, t.m,
          list_slice(e.embedding, t.m * {PQ_SUBDIM} + 1, t.m * {PQ_SUBDIM} + {PQ_SUBDIM}) AS sv
-  FROM embeddings e CROSS JOIN range({PQ_M}) t(m)
+  FROM {_EMB} e CROSS JOIN range({PQ_M}) t(m)
 ),
 cb AS (SELECT vec_id AS k, m, sv AS cv FROM sub WHERE vec_id < {PQ_K}),
 enc AS (
@@ -659,7 +688,7 @@ def sim_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meos_rs_spark.functions.quantize import make_pq_codes_udf
     from meos_rs_spark.functions.staging import side_table_name, stage, staged_table_path
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _corpus(spark, sf_dir)
     ms = F.explode(F.array(*[F.lit(m) for m in range(PQ_M)])).alias("m")
     # codebook: PQ_M x PQ_K subvector rows, staged as a side table
     cb_name = side_table_name("pq_cb", sf_dir)
@@ -734,7 +763,7 @@ def _pr_iter_sql(prev: str, cur: str) -> str:
 
 _PR_ORACLE = f"""
 WITH bucketed AS (
-  SELECT vec_id, embedding, {_bucket_expr_duck_adaptive('embedding')} AS bucket FROM embeddings
+  SELECT vec_id, embedding, {_bucket_expr_duck_adaptive('embedding')} AS bucket FROM {_EMB}
 ),
 pairs AS (
   SELECT a.vec_id AS src, b.vec_id AS dst,
@@ -748,7 +777,7 @@ edges AS (
     FROM pairs
   ) WHERE rn <= {_KNN_K}
 ),
-nodes AS (SELECT vec_id AS node FROM embeddings),
+nodes AS (SELECT vec_id AS node FROM {_EMB}),
 nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
 deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg FROM edges GROUP BY src),
 pr0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn),
@@ -776,7 +805,7 @@ SELECT node, pr FROM pr{PR_ITERS}
 def sim_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meos_rs_spark.functions.staging import side_table_name, stage
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _corpus(spark, sf_dir)
     # corpus-sized edge fact read by all 3 unrolled iterations — parquet
     # staging table, not an executor-memory pin (same rationale as the
     # minhash shingles; at 100 TB the kNN edge list is 3x the corpus)
@@ -822,12 +851,12 @@ SEMDEDUP_TAU = 0.35  # cosine threshold; fixture embeddings are near-random
 WITH cents AS (
   SELECT vec_id AS cent_id, embedding AS ce,
          {_DOT_DUCK.format(a='embedding', b='embedding')} AS cn2
-  FROM embeddings WHERE vec_id < {_KM_K}
+  FROM {_EMB} WHERE vec_id < {_KM_K}
 ),
 vecs AS (
   SELECT vec_id, embedding,
          {_DOT_DUCK.format(a='embedding', b='embedding')} AS vn2
-  FROM embeddings
+  FROM {_EMB}
 ),
 assign AS (
   SELECT v.vec_id, v.embedding, v.vn2, c.cent_id,
@@ -879,7 +908,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meos_rs_spark.functions.quantize import make_nearest_centroid_udf
     from meos_rs_spark.functions.staging import side_table_name, stage, staged_table_path
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _corpus(spark, sf_dir)
     cents_name = side_table_name("sem_cents", sf_dir)
     stage(
         emb.filter(F.col("vec_id") < _KM_K).select(
@@ -960,14 +989,14 @@ _MMR_CAND = f"""
 probes AS (
   SELECT vec_id AS probe_id, embedding AS pe,
          {_DOT_DUCK.format(a='embedding', b='embedding')} AS pn2
-  FROM embeddings WHERE vec_id < {N_PROBES}
+  FROM {_EMB} WHERE vec_id < {N_PROBES}
 ),
 cand AS (
   SELECT p.probe_id, p.pe, p.pn2, e.vec_id, e.embedding AS ce,
          {_DOT_DUCK.format(a='e.embedding', b='e.embedding')} AS cn2,
          {_DOT_DUCK.format(a='p.pe', b='e.embedding')}
            / (sqrt(p.pn2) * sqrt({_DOT_DUCK.format(a='e.embedding', b='e.embedding')})) AS rel
-  FROM probes p JOIN embeddings e ON e.vec_id != p.probe_id
+  FROM probes p JOIN {_EMB} e ON e.vec_id != p.probe_id
   QUALIFY row_number() OVER (PARTITION BY p.probe_id ORDER BY rel DESC, e.vec_id) <= {MMR_POOL}
 )
 """
@@ -1026,7 +1055,7 @@ UNION ALL SELECT probe_id, 3, vec_id, rel, mmr FROM s3
     "-- work is O(probes x pool x k), never corpus-quadratic.",
 )
 def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _corpus(spark, sf_dir)
     probes = (
         emb.filter(F.col("vec_id") < N_PROBES)
         .select(
@@ -1112,7 +1141,7 @@ _MP_FLIPS = [0] + [1 << p for p in range(N_PLANES)]
     oracle=f"""
 WITH bucketed AS (
   SELECT vec_id, label, embedding, {_bucket_expr_duck('embedding')} AS bucket
-  FROM embeddings
+  FROM {_EMB}
 ),
 probes AS (SELECT vec_id AS probe_id, embedding AS pe, bucket AS pb
            FROM bucketed WHERE vec_id < {N_PROBES}),
@@ -1139,7 +1168,7 @@ QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) <
     "so no candidate dedup is needed before the re-rank",
 )
 def sim_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _corpus(spark, sf_dir)
     bucketed = emb.withColumn("bucket", make_lsh_bucket_udf(N_PLANES, DIM)(F.col("embedding")))
     probes = bucketed.filter(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe"), F.col("bucket").alias("pb")

@@ -99,6 +99,26 @@ FORCE_VERIFY: tuple[str, ...] = (
     # VALUES-literal oracle, so the twin must re-earn its driver row
     # against the new pin (its r-era green row was earned on the old one).
     "traj_convex_hull",
+    # r12 adversarial sweep (documents/embeddings batch): one ragged
+    # embedding row — NULL vector, empty/truncated vector, NULL/NaN/inf
+    # component — aborted every ANN twin (np.stack raggedness Spark-side,
+    # list_dot_product length error oracle-side). Both legs now apply the
+    # shared corpus envelope (queries/similarity.EMB_ENVELOPE_DUCK /
+    # _corpus): non-NULL, exactly DIM elements, all finite. Oracle text
+    # changed in all thirteen → each re-earns its driver row.
+    "sim_cosine_topk",
+    "sim_ann_lsh",
+    "sim_embedding_neardup",
+    "sim_ann_ivf",
+    "sim_kmeans_iter",
+    "sim_ann_recall",
+    "sim_prefix_rerank",
+    "sim_knn_graph",
+    "sim_pq_ann",
+    "sim_pagerank",
+    "dedup_semantic",
+    "sim_mmr_rerank",
+    "sim_ann_multiprobe",
 )
 
 

@@ -293,3 +293,93 @@ def test_cosine_udf_nan_component_contract(spark):
     }
     assert ref[1] is not None and math.isnan(ref[1])  # DuckDB keeps NaN
     assert got[0] == ref[0]  # finite leg still bit-exact
+
+
+def test_pair_kernels_are_total_on_ragged_batches(spark):
+    """r12 adversarial sweep: ONE NULL/short/empty embedding aborted all 13
+    ANN twins (np.stack raggedness). The pair kernels are now total —
+    row-local validity (both cells non-NULL, equal lengths), NULL out the
+    rest, uniform clean batches take the exact pre-r12 fast path."""
+    from meos_rs_spark.functions.embeddings import (
+        cosine,
+        l2norm,
+        make_lsh_bucket_udf,
+        seq_dot,
+        seq_sqdist,
+    )
+
+    rows = [
+        (1, [1.0, 2.0, 3.0], [4.0, 5.0, 6.0]),  # clean
+        (2, None, [1.0, 2.0, 3.0]),  # NULL side
+        (3, [1.0, 2.0], [1.0, 2.0, 3.0]),  # length mismatch
+        (4, [], []),  # both empty: empty fold = 0.0, cosine 0/0 -> NULL
+        (5, [0.0, 0.0, 0.0], [1.0, 1.0, 1.0]),  # zero norm
+        (6, [1.0, None, 3.0], [1.0, 2.0, 3.0]),  # NULL element -> NaN -> NULL
+    ]
+    df = spark.createDataFrame(rows, "id long, a array<float>, b array<float>")
+    got = {
+        r.id: r
+        for r in df.select(
+            "id",
+            cosine("a", "b").alias("cos"),
+            seq_dot("a", "b").alias("dot"),
+            l2norm("a").alias("n"),
+            seq_sqdist("a", "b").alias("sq"),
+            make_lsh_bucket_udf(4, 3)("a").alias("bkt"),
+        ).collect()
+    }
+    clean = got[1]
+    assert abs(clean.cos - 0.9746318461970762) < 1e-15
+    assert clean.dot == 32.0 and clean.sq == 27.0 and clean.bkt is not None
+    assert all(
+        v is None for v in (got[2].cos, got[2].dot, got[2].n, got[2].sq, got[2].bkt)
+    )
+    assert got[3].cos is None and got[3].dot is None and got[3].sq is None
+    assert got[3].n is not None  # a's own norm is well-defined per row
+    assert got[3].bkt is None  # wrong dimension has no bucket
+    assert got[4].cos is None and got[4].dot == 0.0 and got[4].n == 0.0
+    assert got[5].cos is None  # zero-norm contract unchanged
+    assert got[6].cos is None and got[6].dot is None  # NaN component -> NULL
+
+
+def test_corpus_envelope_drops_only_invalid_vectors(spark, tmp_path):
+    """The shared corpus envelope (queries/similarity._corpus +
+    EMB_ENVELOPE_DUCK) must agree between engines row-for-row: non-NULL,
+    exactly DIM elements, all finite."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from meos_rs_spark.queries.similarity import DIM, EMB_ENVELOPE_DUCK, _corpus
+
+    good = [float(i) / DIM for i in range(DIM)]
+    nan_vec = list(good)
+    nan_vec[3] = float("nan")
+    inf_vec = list(good)
+    inf_vec[5] = float("inf")
+    null_el = list(good)
+    null_el[7] = None
+    vecs = [good, None, [], good[: DIM - 1], nan_vec, inf_vec, null_el, good]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array([0] * len(vecs), pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    kept_spark = sorted(
+        r.vec_id for r in _corpus(spark, str(tmp_path)).select("vec_id").collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{tmp_path / 'embeddings.parquet'}'"
+    )
+    kept_duck = sorted(
+        r[0]
+        for r in con.sql(
+            f"SELECT vec_id FROM embeddings WHERE {EMB_ENVELOPE_DUCK}"
+        ).fetchall()
+    )
+    assert kept_spark == kept_duck == [0, 7]

@@ -23,11 +23,25 @@ from meos_rs_spark.registry import (
 )
 
 # Round-12 rotation computed from CORRECTNESS_r01..r11: zero reds, zero
-# never-checked; traj_convex_hull is forced (golden oracle re-pinned after
-# the round-start fixture refresh) and slots first, then pure oldest-green
-# refill: the 42 oldest r7-era greens and the 7 oldest r8-era greens,
-# registration order within each round.
+# never-checked; fourteen forced entries slot first (traj_convex_hull's
+# golden re-pin after the round-start fixture refresh, then the thirteen
+# embeddings twins whose oracles gained the shared corpus envelope in the
+# r12 adversarial sweep), then pure oldest-green refill from the r7-era
+# greens, registration order within each round.
 R12_EXPECTED_HEAD = (
+    "sim_cosine_topk",
+    "sim_ann_lsh",
+    "sim_embedding_neardup",
+    "sim_ann_ivf",
+    "sim_kmeans_iter",
+    "sim_ann_recall",
+    "sim_prefix_rerank",
+    "sim_knn_graph",
+    "sim_pq_ann",
+    "sim_pagerank",
+    "dedup_semantic",
+    "sim_mmr_rerank",
+    "sim_ann_multiprobe",
     "traj_convex_hull",
     "mm_jpeg_features",
     "serde_wkt_seqset",
@@ -47,10 +61,6 @@ R12_EXPECTED_HEAD = (
     "traj_transform_lcc",
     "traj_length_haversine",
     "serde_wkt_malformed",
-    "sim_cosine_topk",
-    "sim_ann_lsh",
-    "sim_prefix_rerank",
-    "sim_mmr_rerank",
     "src_csv_roundtrip",
     "snk_upsert_merge",
     "text_token_count",
@@ -69,15 +79,6 @@ R12_EXPECTED_HEAD = (
     "rel_set_ops",
     "rel_global_metrics",
     "rel_filter_agg",
-    "rel_funnel_steps",
-    "win_lag_dedup",
-    "box_stbox_z",
-    "box_stbox_expand",
-    "box_tbox_algebra",
-    "dedup_components",
-    "traj_stbox_z_path",
-    "traj_sessionize",
-    "traj_simplify_dp",
 )
 
 
