@@ -41,15 +41,35 @@ from meos_rs_spark.registry import register
 from meos_rs_spark.sources.tables import load_table
 
 
+#: The payload envelope, explicit in BOTH legs of every codec twin (r12
+#: adversarial sweep; same pattern as the WKT source's NULL-position
+#: envelope): a document participates in media synthesis iff its text is
+#: non-NULL and pure single-byte (octet length == char length, i.e. ASCII
+#: — the documented bytes==chars contract every arithmetic oracle relies
+#: on; it also keeps every byte < 128, which the PCM16 peak needs for
+#: signed == unsigned). A NULL-text doc has no payload to synthesize and a
+#: multi-byte doc has no char-addressable byte stream; both previously
+#: ABORTED the Spark leg (bytes(None)) or silently diverged.
+_PAYLOAD_ENVELOPE_DUCK = (
+    "text IS NOT NULL AND octet_length(encode(text)) = length(text)"
+)
+_DOCS = f"(SELECT * FROM documents WHERE {_PAYLOAD_ENVELOPE_DUCK})"
+
+
 def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents as (doc_id, payload) for the codec stages, spread across
-    the session's parallelism when the fixture scan is under-split
-    (functions/staging.fan_out — the shared guard the shingle pipeline also
-    uses)."""
+    """documents as (doc_id, payload) for the codec stages — restricted to
+    the payload envelope above — spread across the session's parallelism
+    when the fixture scan is under-split (functions/staging.fan_out — the
+    shared guard the shingle pipeline also uses)."""
     from meos_rs_spark.functions.staging import fan_out
 
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "utf-8").alias("payload")
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(
+            F.col("text").isNotNull()
+            & (F.octet_length(F.encode("text", "utf-8")) == F.length("text"))
+        )
+        .select("doc_id", F.encode("text", "utf-8").alias("payload"))
     )
     return fan_out(d, "doc_id")
 
@@ -59,12 +79,16 @@ def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm_metadata",
+    # encode(), not CAST(AS BLOB): the cast ABORTS DuckDB on any non-ascii
+    # character (r12 adversarial sweep) while encode() is the UTF-8 byte
+    # conversion Spark's encode(text, 'utf-8') performs. Total: a NULL text
+    # yields NULL bytes/checksum in both legs.
     oracle="""
 SELECT doc_id,
-       octet_length(CAST(text AS BLOB)) AS payload_bytes,
+       octet_length(encode(text)) AS payload_bytes,
        md5(text) AS checksum,
        'text/plain' AS mime,
-       CAST(octet_length(CAST(text AS BLOB)) > 256 AS INT) AS is_large
+       CAST(octet_length(encode(text)) > 256 AS INT) AS is_large
 FROM documents
 """,
     tags=("multimodal",),
@@ -201,7 +225,7 @@ def _wav_audio_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
     # peak). A hash match proves the WAV container write→parse round trip.
     oracle=f"""
 WITH a AS (
-  SELECT doc_id, text, length(text) // 2 AS k FROM documents
+  SELECT doc_id, text, length(text) // 2 AS k FROM {_DOCS}
 )
 SELECT doc_id,
        CAST(k AS INT) AS n_samples,
@@ -305,7 +329,7 @@ WITH geo AS (
   SELECT doc_id, text, length(text) AS n,
          length(text) % {_PNG_W_MOD} + 1 AS w,
          length(text) % {_PNG_H_MOD} + 1 AS h
-  FROM documents
+  FROM {_DOCS}
 ),
 rows_cs AS (
   SELECT doc_id, w, h,
@@ -407,9 +431,11 @@ def _decode_sampled_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataF
     # encode→decode round trip on exactly the sampled frames
     oracle=f"""
 WITH meta AS (
+  -- encode(), never CAST(AS BLOB): the cast parses \\x escape sequences
+  -- and ABORTS on a lone backslash even in pure-ASCII text (r12 sweep)
   SELECT doc_id, text,
-         octet_length(CAST(text AS BLOB)) // {_FRAME_BYTES} AS n_frames
-  FROM documents
+         octet_length(encode(text)) // {_FRAME_BYTES} AS n_frames
+  FROM {_DOCS}
 )
 SELECT m.doc_id, CAST(m.n_frames AS INT) AS n_frames,
        CAST({_Y4M_HDR_LEN} + {_Y4M_REC_LEN} * m.n_frames AS INT) AS container_bytes,
@@ -497,7 +523,7 @@ WITH geo AS (
   SELECT doc_id, text, length(text) AS n,
          length(text) % {_PNG_W_MOD} + 1 AS w,
          length(text) % {_PNG_H_MOD} + 1 AS h
-  FROM documents
+  FROM {_DOCS}
 )
 SELECT doc_id,
        CAST(n AS INT) AS payload_bytes,
@@ -605,7 +631,7 @@ WITH j AS (
   SELECT doc_id, text, length(text) AS n,
          length(text) % {_JPEG_BX_MOD} + 1 AS nbx,
          length(text) % {_JPEG_BY_MOD} + 1 AS nby
-  FROM documents
+  FROM {_DOCS}
 )
 SELECT doc_id,
        CAST(8 * nbx AS INT) AS width,

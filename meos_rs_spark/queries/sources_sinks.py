@@ -550,7 +550,11 @@ SELECT doc_id,
        -- its byte-length form)
        CAST(strlen(text) + 1 AS BIGINT) AS n_bytes,
        md5(text || chr(10)) AS digest
-FROM documents WHERE doc_id < 200
+-- text IS NOT NULL: a NULL-text document has no file to materialize;
+-- without the fence the Spark text writer renders NULL as an EMPTY line
+-- (a bare-newline file, digest md5 of one 0x0A byte) while this leg has
+-- md5(NULL || chr(10)) = NULL (r12 adversarial sweep)
+FROM documents WHERE doc_id < 200 AND text IS NOT NULL
 """,
     tags=("S1", "mm"),
     doc="whole-file binary ingest via the binaryFile source -- the scan that "
@@ -565,7 +569,9 @@ FROM documents WHERE doc_id < 200
 )
 def src_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _scratch(spark, sf_dir, "docs_bin")
-    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    d = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 200) & F.col("text").isNotNull()
+    )
     d.select("doc_id", F.col("text").alias("value")).write.mode("overwrite").partitionBy(
         "doc_id"
     ).text(path)

@@ -137,7 +137,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT doc_id,
        len(string_split(text, ' ')) AS ws_tokens,
        len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_ish_tokens,
-       octet_length(CAST(text AS BLOB)) AS n_bytes,
+       octet_length(encode(text)) AS n_bytes,
        length(replace(text, ' ', '')) AS n_nonspace
 FROM documents
 """,

@@ -119,6 +119,22 @@ FORCE_VERIFY: tuple[str, ...] = (
     "dedup_semantic",
     "sim_mmr_rerank",
     "sim_ann_multiprobe",
+    # r12 adversarial sweep, codec batch: the multimodal twins made the
+    # payload envelope explicit in both legs (non-NULL pure-ASCII text —
+    # the documented bytes==chars contract of every arithmetic oracle);
+    # mm_metadata/mm_frame_sample/text_token_count replaced DuckDB's
+    # CAST(AS BLOB) (parses escape sequences: aborts on non-ascii AND on a
+    # lone backslash) with encode(); src_binaryfile_ingest fenced NULL-text
+    # docs (the Spark text writer renders NULL as an empty line while the
+    # oracle's md5(NULL || chr(10)) is NULL).
+    "mm_metadata",
+    "mm_audio_features",
+    "mm_decode_features",
+    "mm_resize",
+    "mm_frame_sample",
+    "mm_jpeg_features",
+    "text_token_count",
+    "src_binaryfile_ingest",
 )
 
 

@@ -23,12 +23,19 @@ from meos_rs_spark.registry import (
 )
 
 # Round-12 rotation computed from CORRECTNESS_r01..r11: zero reds, zero
-# never-checked; fourteen forced entries slot first (traj_convex_hull's
-# golden re-pin after the round-start fixture refresh, then the thirteen
-# embeddings twins whose oracles gained the shared corpus envelope in the
-# r12 adversarial sweep), then pure oldest-green refill from the r7-era
-# greens, registration order within each round.
+# never-checked; twenty-two forced entries slot first (traj_convex_hull's
+# golden re-pin after the round-start fixture refresh, the thirteen
+# embeddings twins whose oracles gained the shared corpus envelope, and
+# the eight codec/ingest twins from the adversarial sweep's second batch),
+# then pure oldest-green refill from the r7-era greens, registration order
+# within each round.
 R12_EXPECTED_HEAD = (
+    "mm_metadata",
+    "mm_audio_features",
+    "mm_resize",
+    "mm_frame_sample",
+    "mm_decode_features",
+    "mm_jpeg_features",
     "sim_cosine_topk",
     "sim_ann_lsh",
     "sim_embedding_neardup",
@@ -42,8 +49,9 @@ R12_EXPECTED_HEAD = (
     "dedup_semantic",
     "sim_mmr_rerank",
     "sim_ann_multiprobe",
+    "src_binaryfile_ingest",
+    "text_token_count",
     "traj_convex_hull",
-    "mm_jpeg_features",
     "serde_wkt_seqset",
     "traj_assembly",
     "traj_extent",
@@ -63,7 +71,6 @@ R12_EXPECTED_HEAD = (
     "serde_wkt_malformed",
     "src_csv_roundtrip",
     "snk_upsert_merge",
-    "text_token_count",
     "text_decontaminate",
     "stream_foreachbatch_sink",
     "rel_join_semi",
@@ -73,12 +80,6 @@ R12_EXPECTED_HEAD = (
     "rel_join_multiway",
     "rel_distinct",
     "rel_count_distinct",
-    "rel_rollup",
-    "rel_cube",
-    "rel_topk_orders",
-    "rel_set_ops",
-    "rel_global_metrics",
-    "rel_filter_agg",
 )
 
 

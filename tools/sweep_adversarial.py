@@ -39,16 +39,14 @@ TABLES = [
     "embeddings",
 ]
 
-#: twins excluded from every sweep: VALUES-literal golden oracles are pinned
-#: to the sf0.01 fixture and cannot reflect a synthetic one.
-GOLDEN_SKIP = {
-    "serde_hexwkb",
-    "traj_simplify_dp",
-    "trajsim_dtw_frechet",
-    "trajsim_lcss_erp",
-    "traj_convex_hull",
-    "traj_transform_utm",
-}
+def _golden_skip() -> set[str]:
+    """Twins excluded from every sweep: VALUES-literal golden oracles are
+    pinned to the sf0.01 fixture and cannot reflect a synthetic one.
+    Derived from the generated GOLDEN dict, never hand-listed (a stale
+    hand list mis-swept traj_transform_lcc in this tool's first run)."""
+    from meos_rs_spark._golden_data import GOLDEN
+
+    return set(GOLDEN)
 
 
 def tables_used(sql: str) -> set[str]:
@@ -59,7 +57,7 @@ def tables_used(sql: str) -> set[str]:
 def select_queries(registry, families: set[str]) -> list[str]:
     picked = []
     for name, spec in registry.items():
-        if name in GOLDEN_SKIP or not spec.oracle:
+        if name in _golden_skip() or not spec.oracle:
             continue
         used = tables_used(spec.oracle)
         fam = (
