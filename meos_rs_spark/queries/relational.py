@@ -802,7 +802,14 @@ def rel_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").cast("double").alias("totalprice"),
         F.col("o_custkey").cast("double").alias("custkey"),
     )
-    return wide.unpivot("o_orderkey", ["totalprice", "custkey"], "metric", "val")
+    # engine fact (r12 adversarial sweep): the DataFrame unpivot KEEPS
+    # NULL-valued cells while the SQL UNPIVOT clause — Spark's own SQL form
+    # included — defaults to EXCLUDE NULLS, so the two legs silently
+    # diverge on any NULL metric. Pin the SQL-standard EXCLUDE semantics
+    # explicitly; the filter is a no-op on a NULL-free fixture.
+    return wide.unpivot("o_orderkey", ["totalprice", "custkey"], "metric", "val").filter(
+        F.col("val").isNotNull()
+    )
 
 
 # --- exact percentiles ------------------------------------------------------

@@ -135,6 +135,10 @@ FORCE_VERIFY: tuple[str, ...] = (
     "mm_jpeg_features",
     "text_token_count",
     "src_binaryfile_ingest",
+    # r12 adversarial sweep, TPC-H batch (37/38 agreed as-is): the
+    # DataFrame unpivot keeps NULL cells while SQL UNPIVOT excludes them —
+    # the Spark leg now pins the SQL-standard EXCLUDE semantics.
+    "rel_unpivot",
 )
 
 

@@ -31,6 +31,9 @@ PINNED = (
     "mm_jpeg_features",
     "text_token_count",
     "src_binaryfile_ingest",
+    # TPC-H-side batch: the one diverger of 38 (DataFrame unpivot keeps
+    # NULL cells, SQL UNPIVOT excludes them — EXCLUDE pinned in both legs)
+    "rel_unpivot",
 )
 
 

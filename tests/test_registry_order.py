@@ -23,12 +23,13 @@ from meos_rs_spark.registry import (
 )
 
 # Round-12 rotation computed from CORRECTNESS_r01..r11: zero reds, zero
-# never-checked; twenty-two forced entries slot first (traj_convex_hull's
+# never-checked; twenty-three forced entries slot first (traj_convex_hull's
 # golden re-pin after the round-start fixture refresh, the thirteen
-# embeddings twins whose oracles gained the shared corpus envelope, and
-# the eight codec/ingest twins from the adversarial sweep's second batch),
-# then pure oldest-green refill from the r7-era greens, registration order
-# within each round.
+# embeddings twins whose oracles gained the shared corpus envelope, the
+# eight codec/ingest twins from the adversarial sweep's second batch, and
+# rel_unpivot's EXCLUDE-NULLS pin from the TPC-H batch), then pure
+# oldest-green refill from the r7-era greens, registration order within
+# each round.
 R12_EXPECTED_HEAD = (
     "mm_metadata",
     "mm_audio_features",
@@ -51,6 +52,7 @@ R12_EXPECTED_HEAD = (
     "sim_ann_multiprobe",
     "src_binaryfile_ingest",
     "text_token_count",
+    "rel_unpivot",
     "traj_convex_hull",
     "serde_wkt_seqset",
     "traj_assembly",
@@ -79,7 +81,6 @@ R12_EXPECTED_HEAD = (
     "rel_join_band_bucketed",
     "rel_join_multiway",
     "rel_distinct",
-    "rel_count_distinct",
 )
 
 
