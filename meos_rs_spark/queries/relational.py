@@ -343,7 +343,12 @@ def asof_merge(events: DataFrame, probes: DataFrame, direction: str = "backward"
     "rel_join_asof",
     oracle="""
 WITH probes AS (
-  SELECT DISTINCT user_id, date_trunc('day', ts) + INTERVAL 1 DAY AS pts FROM events
+  -- user_id IS NOT NULL: an as-of probe is keyed by user; the equi-join
+  -- below can never answer a NULL-keyed probe while the Spark leg's
+  -- sorted-merge window WOULD group it (engine fact, r12 adversarial
+  -- sweep) — the probe identity envelope is explicit in BOTH legs
+  SELECT DISTINCT user_id, date_trunc('day', ts) + INTERVAL 1 DAY AS pts
+  FROM events WHERE user_id IS NOT NULL
 )
 SELECT p.user_id, p.pts,
        -- struct extremum, NOT arg_max: DuckDB arg_max tie-resolution is
@@ -369,7 +374,9 @@ GROUP BY p.user_id, p.pts
     "and the multiplier grows with the time domain at scale)",
 )
 def rel_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # probe identity envelope (see oracle): NULL-keyed rows can neither
+    # probe nor answer
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
     probes = ev.select(
         "user_id", F.expr("date_trunc('day', ts) + INTERVAL 1 DAY").alias("pts")
     ).distinct()
@@ -1014,7 +1021,9 @@ def rel_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rel_join_asof_nearest",
     oracle="""
 WITH probes AS (
-  SELECT DISTINCT user_id, date_trunc('day', ts) + INTERVAL 1 DAY AS pts FROM events
+  -- probe identity envelope: see rel_join_asof
+  SELECT DISTINCT user_id, date_trunc('day', ts) + INTERVAL 1 DAY AS pts
+  FROM events WHERE user_id IS NOT NULL
 ),
 agg AS (
   SELECT p.user_id, p.pts,
@@ -1050,7 +1059,8 @@ FROM agg
     "with the multiplier growing with the probe-day count at scale).",
 )
 def rel_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # probe identity envelope (see rel_join_asof)
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
     probes = ev.select(
         "user_id", F.expr("date_trunc('day', ts) + INTERVAL 1 DAY").alias("pts")
     ).distinct()

@@ -435,9 +435,12 @@ _CORRUPT_SCHEMA = StructType(
     "src_csv_malformed",
     oracle="""
 SELECT count(*) AS n_rows,
-       CAST(SUM(CASE WHEN event_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
-       CAST(SUM(CASE WHEN event_id % 10 != 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
-       CAST(SUM(CASE WHEN event_id % 10 != 0
+       -- NULL-safe planted-row predicate: a NULL event_id row round-trips
+       -- as a good row with an empty key field (arity preserved), it is
+       -- not one of the planted corruptions (r12 adversarial sweep)
+       CAST(SUM(CASE WHEN COALESCE(event_id % 10 = 0, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+       CAST(SUM(CASE WHEN COALESCE(event_id % 10 = 0, FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS n_good,
+       CAST(SUM(CASE WHEN NOT COALESCE(event_id % 10 = 0, FALSE)
                      THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_good_value
 FROM events
 """,
@@ -455,14 +458,21 @@ def src_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = _scratch(spark, sf_dir, "events_dirty_csv")
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    # concat over coalesce-to-empty, NOT concat_ws: concat_ws SKIPS NULL
+    # arguments, so a NULL field silently collapses the CSV arity and the
+    # remaining fields shift one column left on re-read (a NULL event_id
+    # row misparsed its user_id AS the event_id — r12 adversarial sweep).
+    # A CSV writer must render NULL as an EMPTY field, preserving arity.
+    f = lambda c: F.coalesce(c.cast("string"), F.lit(""))  # noqa: E731
     lines = ev.select(
-        F.concat_ws(
-            ",",
-            F.col("event_id").cast("string"),
-            F.col("user_id").cast("string"),
-            F.when(F.col("event_id") % 10 == 0, F.lit("not-a-number")).otherwise(
-                F.col("value").cast("string")
-            ),
+        F.concat(
+            f(F.col("event_id")),
+            F.lit(","),
+            f(F.col("user_id")),
+            F.lit(","),
+            F.when(
+                F.col("event_id") % 10 == 0, F.lit("not-a-number")
+            ).otherwise(f(F.col("value"))),
         ).alias("value")
     )
     lines.repartition(4).write.mode("overwrite").text(path)
@@ -492,7 +502,10 @@ SELECT mmsi,
        min(ts) AS t_first,
        CAST(SUM(CAST(lon AS DECIMAL(18,2))) AS DOUBLE) AS sum_lon
 FROM posits
-WHERE lon IS NOT NULL AND lat IS NOT NULL AND ts IS NOT NULL
+-- mmsi joined the envelope in r12: a 'mmsi;POINT(...)' line without a key
+-- renders as a NULL line (concat over NULL), which the text sink/reader
+-- grammar drops silently while this count kept the group
+WHERE mmsi IS NOT NULL AND lon IS NOT NULL AND lat IS NOT NULL AND ts IS NOT NULL
 GROUP BY mmsi
 """,
     tags=("S1", "F1"),
@@ -518,7 +531,10 @@ def src_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines = (
         posits(spark, sf_dir)
         .filter(
-            F.col("lon").isNotNull() & F.col("lat").isNotNull() & F.col("ts").isNotNull()
+            F.col("mmsi").isNotNull()
+            & F.col("lon").isNotNull()
+            & F.col("lat").isNotNull()
+            & F.col("ts").isNotNull()
         )
         .select(
             F.concat(
@@ -837,12 +853,16 @@ def _upsert_partition(db_path: str, rows) -> None:
     "snk_jdbc_upsert",
     oracle=f"""
 WITH {POSITS_CTE},
+-- mmsi IS NOT NULL: the sink keys trips on a PRIMARY KEY column, and a
+-- primary key cannot be NULL — the upsert envelope is explicit in BOTH
+-- legs (r12 adversarial sweep: a NULL-mmsi posit aborted the executor
+-- upsert loop on sorted()/int() and could never round-trip the store)
 tagged AS (
   SELECT mmsi, ts, lon, lat, event_id, 0 AS pri FROM posits
-  WHERE ts < TIMESTAMP '{_UPSERT_T1}'
+  WHERE ts < TIMESTAMP '{_UPSERT_T1}' AND mmsi IS NOT NULL
   UNION ALL
   SELECT mmsi, ts, lon + 0.5, lat, event_id, 1 FROM posits
-  WHERE ts >= TIMESTAMP '{_UPSERT_T0}'
+  WHERE ts >= TIMESTAMP '{_UPSERT_T0}' AND mmsi IS NOT NULL
 ),
 merged AS (
   SELECT * FROM tagged
@@ -884,7 +904,8 @@ def snk_jdbc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     boot.commit()
     boot.close()
 
-    pts = posits(spark, sf_dir).select(
+    # the upsert envelope (see oracle): a trips row is keyed on mmsi
+    pts = posits(spark, sf_dir).filter(F.col("mmsi").isNotNull()).select(
         "mmsi",
         "ts",
         F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("ts_us"),

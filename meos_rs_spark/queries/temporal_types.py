@@ -59,7 +59,10 @@ SELECT t.mmsi,
        CAST(COALESCE(sum(epoch_us(t.next_ts) - epoch_us(t.ts))
                      FILTER (WHERE t.iv = v.max_iv AND t.next_ts IS NOT NULL), 0)
             AS BIGINT) AS us_at_max
-FROM tint t JOIN vmax v ON v.mmsi = t.mmsi
+-- IS NOT DISTINCT FROM: the max-per-group join must keep the NULL-mmsi
+-- group like the Spark leg's window partition (and like every GROUP BY
+-- in this family) — a bare equi-join silently drops it (r12 sweep)
+FROM tint t JOIN vmax v ON v.mmsi IS NOT DISTINCT FROM t.mmsi
 GROUP BY t.mmsi
 """,
     tags=("L2", "tint"),

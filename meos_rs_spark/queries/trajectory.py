@@ -189,7 +189,10 @@ JOIN (
   SELECT mmsi,
          CAST(COALESCE(SUM(CAST(ROUND(seg, 6) AS DECIMAL(28,6))), 0) AS DOUBLE) AS length3d
   FROM segs GROUP BY mmsi
-) l ON l.mmsi = e.mmsi
+) l
+-- IS NOT DISTINCT FROM: keep the NULL-mmsi group like both legs' GROUP BY
+-- does — a bare equi-join silently drops it (r12 adversarial sweep)
+ON l.mmsi IS NOT DISTINCT FROM e.mmsi
 """,
     tags=("A5", "A7", "L2d", "Z"),
     doc="3D trajectory path (STBox Z semantics, stbox.rs:16-94, 3D WKT tests "
@@ -235,8 +238,12 @@ merged AS (
   -- stored-side-wins, exactly merge_trajs' semantics: the kept point on a
   -- ts collision is the stored (even) half's, lowest event_id within it —
   -- NOT the lexicographically-smallest position the pre-r7 sort kept
+  -- coalesce(event_id, 0): a NULL split key must land in exactly one half
+  -- (the stored one), not vanish from both — same class as the streaming
+  -- restart split (r12 ADVICE/sweep)
   SELECT * FROM both_halves
-  QUALIFY row_number() OVER (PARTITION BY mmsi, ts ORDER BY event_id % 2, event_id) = 1
+  QUALIFY row_number() OVER (PARTITION BY mmsi, ts
+                             ORDER BY coalesce(event_id, 0) % 2, event_id) = 1
 )
 SELECT mmsi, count(*) AS n_points, min(ts) AS t_start, max(ts) AS t_end
 FROM merged GROUP BY mmsi
@@ -247,13 +254,22 @@ FROM merged GROUP BY mmsi
 )
 def traj_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = posits(spark, sf_dir)
+    # coalesce parity (see oracle): a NULL event_id row lands in the stored
+    # half instead of vanishing from both
+    # renamed keys (m0/m1): the halves share one lineage, so column-object
+    # references stay ambiguous in a self-join — rename, then eqNullSafe
+    # full join (a USING join never matches NULL keys, so the NULL-mmsi
+    # vessel would split into two half-rows while the oracle's PARTITION
+    # BY/GROUP BY keeps it one group; r12 adversarial sweep)
     halves = [
-        assemble(pts.filter(F.col("event_id") % 2 == i), min_size=1).select(
-            "mmsi", F.col("traj").alias(f"traj_{i}")
-        )
+        assemble(
+            pts.filter(F.coalesce(F.col("event_id"), F.lit(0)) % 2 == i), min_size=1
+        ).select(F.col("mmsi").alias(f"m{i}"), F.col("traj").alias(f"traj_{i}"))
         for i in (0, 1)
     ]
-    j = halves[0].join(halves[1], "mmsi", "full")
+    j = halves[0].join(
+        halves[1], F.col("m0").eqNullSafe(F.col("m1")), "full"
+    ).select(F.coalesce("m0", "m1").alias("mmsi"), "traj_0", "traj_1")
     # a vessel may appear in only one half: coalesce with an empty sequence
     empty = F.struct(
         F.lit("Linear").alias("interp"),
@@ -294,10 +310,12 @@ def traj_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # input; assemble's internal dedup is idempotent over this.
     pts = dedup_monotonic(posits(spark, sf_dir))
     whole = assemble(pts, min_size=1).select("mmsi", F.col("traj").alias("tw"))
+    # coalesce parity + eqNullSafe joins, as in traj_merge (r12 sweep): the
+    # NULL-event_id and NULL-mmsi corners must not break the invariant
     halves = [
-        assemble(pts.filter(F.col("event_id") % 2 == i), min_size=1).select(
-            "mmsi", F.col("traj").alias(f"t{i}")
-        )
+        assemble(
+            pts.filter(F.coalesce(F.col("event_id"), F.lit(0)) % 2 == i), min_size=1
+        ).select(F.col("mmsi").alias(f"m{i}"), F.col("traj").alias(f"t{i}"))
         for i in (0, 1)
     ]
     empty = F.struct(
@@ -306,7 +324,11 @@ def traj_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(True).alias("upper_inc"),
         F.expr("CAST(array() AS ARRAY<STRUCT<ts: TIMESTAMP_NTZ, lon: DOUBLE, lat: DOUBLE>>)").alias("points"),
     )
-    j = whole.join(halves[0], "mmsi", "left").join(halves[1], "mmsi", "left")
+    j = (
+        whole.join(halves[0], F.col("mmsi").eqNullSafe(F.col("m0")), "left")
+        .join(halves[1], F.col("mmsi").eqNullSafe(F.col("m1")), "left")
+        .drop("m0", "m1")
+    )
     merged = merge_trajs(F.coalesce(F.col("t0"), empty), F.coalesce(F.col("t1"), empty))
     return j.select(
         "mmsi",

@@ -139,6 +139,25 @@ FORCE_VERIFY: tuple[str, ...] = (
     # DataFrame unpivot keeps NULL cells while SQL UNPIVOT excludes them —
     # the Spark leg now pins the SQL-standard EXCLUDE semantics.
     "rel_unpivot",
+    # r12 adversarial sweep, events-family batch (89/107 agreed as-is;
+    # the NULL-position serialization/trajectory envelope stays documented
+    # — tools/sweep_adversarial.KNOWN_ENVELOPE): NULL-key fixes — the
+    # upsert sink aborted on a NULL-mmsi posit (primary-key envelope now
+    # explicit both legs); the as-of probes gained the keyed-probe
+    # envelope (equi-join vs window-partition NULL split); ttype/stbox
+    # oracles keep the NULL-mmsi group via IS NOT DISTINCT FROM;
+    # traj_merge/traj_equality route NULL split keys to the stored half
+    # and join halves null-safely; the WKT line grammar requires a key;
+    # the CSV writer preserves arity on NULL fields.
+    "snk_jdbc_upsert",
+    "rel_join_asof",
+    "rel_join_asof_nearest",
+    "ttype_tint_step",
+    "traj_stbox_z_path",
+    "traj_merge",
+    "traj_equality",
+    "src_python_datasource",
+    "src_csv_malformed",
 )
 
 

@@ -34,6 +34,17 @@ PINNED = (
     # TPC-H-side batch: the one diverger of 38 (DataFrame unpivot keeps
     # NULL cells, SQL UNPIVOT excludes them — EXCLUDE pinned in both legs)
     "rel_unpivot",
+    # events-family batch (89/107 agreed as-is; the serialization/
+    # trajectory NULL-position envelope twins are adjudicated ENVELOPE in
+    # tools/sweep_adversarial.KNOWN_ENVELOPE): the NULL-key corners
+    "snk_jdbc_upsert",
+    "rel_join_asof",
+    "rel_join_asof_nearest",
+    "ttype_tint_step",
+    "traj_merge",
+    "traj_equality",
+    "src_python_datasource",
+    "src_csv_malformed",
 )
 
 

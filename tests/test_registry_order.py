@@ -23,11 +23,11 @@ from meos_rs_spark.registry import (
 )
 
 # Round-12 rotation computed from CORRECTNESS_r01..r11: zero reds, zero
-# never-checked; twenty-three forced entries slot first (traj_convex_hull's
-# golden re-pin after the round-start fixture refresh, the thirteen
-# embeddings twins whose oracles gained the shared corpus envelope, the
-# eight codec/ingest twins from the adversarial sweep's second batch, and
-# rel_unpivot's EXCLUDE-NULLS pin from the TPC-H batch), then pure
+# never-checked; thirty-two forced entries slot first (traj_convex_hull's
+# golden re-pin after the round-start fixture refresh, thirteen embeddings
+# twins with the shared corpus envelope, eight codec/ingest twins from the
+# adversarial sweep's second batch, rel_unpivot's EXCLUDE-NULLS pin, and
+# nine NULL-key fixes from the events-family batch), then pure
 # oldest-green refill from the r7-era greens, registration order within
 # each round.
 R12_EXPECTED_HEAD = (
@@ -37,6 +37,9 @@ R12_EXPECTED_HEAD = (
     "mm_frame_sample",
     "mm_decode_features",
     "mm_jpeg_features",
+    "traj_stbox_z_path",
+    "traj_merge",
+    "traj_equality",
     "sim_cosine_topk",
     "sim_ann_lsh",
     "sim_embedding_neardup",
@@ -50,14 +53,19 @@ R12_EXPECTED_HEAD = (
     "dedup_semantic",
     "sim_mmr_rerank",
     "sim_ann_multiprobe",
+    "src_csv_malformed",
+    "src_python_datasource",
     "src_binaryfile_ingest",
+    "snk_jdbc_upsert",
     "text_token_count",
+    "rel_join_asof",
     "rel_unpivot",
+    "rel_join_asof_nearest",
+    "ttype_tint_step",
     "traj_convex_hull",
     "serde_wkt_seqset",
     "traj_assembly",
     "traj_extent",
-    "traj_equality",
     "traj_shift_scale",
     "traj_sample",
     "traj_ever_always",
@@ -73,14 +81,6 @@ R12_EXPECTED_HEAD = (
     "serde_wkt_malformed",
     "src_csv_roundtrip",
     "snk_upsert_merge",
-    "text_decontaminate",
-    "stream_foreachbatch_sink",
-    "rel_join_semi",
-    "rel_join_anti",
-    "rel_join_range",
-    "rel_join_band_bucketed",
-    "rel_join_multiway",
-    "rel_distinct",
 )
 
 
