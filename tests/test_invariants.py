@@ -390,9 +390,10 @@ def test_wkt_source_skips_unparseable_timestamps(tmp_path):
         "garbage line\n"                                     # regex-rejected
         "4;POINT(-3.25 4.75)@2024-06-01 12:30:45.500000+00\n"  # good
     )
-    rows = list(WktPositsReader({"path": str(tmp_path)}).read(_FilePartition(str(p))))
-    assert [r[0] for r in rows] == [1, 4]
-    assert rows[1][1] == -3.25 and rows[1][2] == 4.75
+    batches = WktPositsReader({"path": str(tmp_path)}).read(_FilePartition(str(p)))
+    rows = [r for b in batches for r in b.to_pylist()]  # Arrow-batched since r12
+    assert [r["mmsi"] for r in rows] == [1, 4]
+    assert rows[1]["lon"] == -3.25 and rows[1]["lat"] == 4.75
 
 
 # --- asof_merge: adversarial contest vs a brute-force as-of ------------------
