@@ -389,11 +389,18 @@ def test_wkt_source_skips_unparseable_timestamps(tmp_path):
         "3;POINT(1 2)@2024-01-01 00:00:00.1234567+00\n"     # 7 digits → skip
         "garbage line\n"                                     # regex-rejected
         "4;POINT(-3.25 4.75)@2024-06-01 12:30:45.500000+00\n"  # good
+        "5;POINT(1 1)@2024-01-01 0:0:1.5+00\n"  # 1-digit H/M/S, short frac:
+        # strptime-LEGAL (%H/%M/%S take 1-2 digits, %f takes 1-6) — the r12
+        # vectorized strict-shape gate must admit it like strptime did
+        "6;POINT(1 1)@2024-01-01 25:00:00.5+00\n"  # shape-legal, RANGE-bad → skip
     )
     batches = WktPositsReader({"path": str(tmp_path)}).read(_FilePartition(str(p)))
     rows = [r for b in batches for r in b.to_pylist()]  # Arrow-batched since r12
-    assert [r["mmsi"] for r in rows] == [1, 4]
+    assert [r["mmsi"] for r in rows] == [1, 4, 5]
     assert rows[1]["lon"] == -3.25 and rows[1]["lat"] == 4.75
+    from datetime import datetime
+
+    assert rows[2]["ts"] == datetime(2024, 1, 1, 0, 0, 1, 500000)
 
 
 # --- asof_merge: adversarial contest vs a brute-force as-of ------------------
