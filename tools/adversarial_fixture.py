@@ -355,13 +355,52 @@ def _events() -> pa.Table:
     )
 
 
-def write_fixture(out_dir: str, seed: int = 7) -> None:
-    """Write all ten tables to ``out_dir`` (created if absent)."""
+def _extreme_events() -> pa.Table:
+    """Value-extreme rows appended to the events corners: sentinel
+    timestamps (year 9999 junk is COMMON in real data; pre-epoch negatives
+    exercise signed epoch arithmetic), magnitude-extreme but finite
+    doubles, negative zero, a denormal, and near-overflow int64 keys."""
+    base = _events()
+
+    def ev(eid, uid, ts, val, et="x"):
+        return (eid, np.datetime64(ts, "us"), uid, et, val, json.dumps({"k": 1.0}))
+
+    rows = [
+        ev(100, 7, "1969-12-31T23:59:59", 1.5),  # pre-epoch (negative micros)
+        ev(101, 7, "1901-01-01T00:00:00", 2.5),  # deep pre-epoch
+        ev(102, 8, "9999-12-30T00:00:00", 3.5),  # sentinel far-future
+        ev(103, 8, "2024-01-01T00:00:00", 1e300),  # huge finite double
+        ev(104, 8, "2024-01-02T00:00:00", -1e300),
+        ev(105, 9, "2024-01-01T00:00:00", -0.0),  # negative zero
+        ev(106, 9, "2024-01-02T00:00:00", 5e-324),  # denormal
+        ev(2**62, 9, "2024-01-03T00:00:00", 4.0),  # near-overflow key
+        ev(107, -(2**62), "2024-01-01T00:00:00", 6.0),  # huge negative uid
+    ]
+    ext = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    return pa.concat_tables([base, ext])
+
+
+def write_fixture(out_dir: str, seed: int = 7, extremes: bool = False) -> None:
+    """Write all ten tables to ``out_dir`` (created if absent).
+
+    ``extremes=True`` swaps in the value-extreme events variant (sentinel
+    and pre-epoch timestamps, 1e300-magnitude doubles, -0.0, a denormal,
+    near-overflow int64 keys) on top of the NULL/tie corners.
+    """
     os.makedirs(out_dir, exist_ok=True)
     rng = random.Random(seed)
     tables = {"documents": _documents(rng), "embeddings": _embeddings(seed)}
     tables.update(_tpch(rng))
-    tables["events"] = _events()
+    tables["events"] = _extreme_events() if extremes else _events()
     for name, tbl in tables.items():
         pq.write_table(tbl, os.path.join(out_dir, f"{name}.parquet"))
 
@@ -369,5 +408,8 @@ def write_fixture(out_dir: str, seed: int = 7) -> None:
 if __name__ == "__main__":
     import sys
 
-    write_fixture(sys.argv[1] if len(sys.argv) > 1 else ".scale/adversarial")
+    write_fixture(
+        sys.argv[1] if len(sys.argv) > 1 else ".scale/adversarial",
+        extremes="--extremes" in sys.argv,
+    )
     print("wrote adversarial fixture")

@@ -15,6 +15,25 @@ For each selected twin, runs BOTH legs (Spark query + DuckDB oracle) on
 ABORTs are the worst class (one bad row kills the whole job at scale);
 DIVERGEs are silent-wrong-answer candidates to triage into fixes or
 documented envelopes. Writes a JSON report next to the fixture.
+
+``--extremes`` swaps in the value-extreme events variant (sentinel /
+pre-epoch timestamps, 1e300 doubles, near-overflow keys). Adjudicated
+r12 (PREFLIGHT_r12.md): the extreme rows surface three DOCUMENTED data
+contracts rather than silent bugs — (1) the fmt6/money decimal canon's
+magnitude range (|x| < 10^22 for DECIMAL(28,6)): both engines ANSI-abort
+loudly and consistently beyond it; (2) integer-valued temporal domains
+(tint/z-order/od cells) overflow-abort on 1e300 coordinates in both
+engines; (3) the streaming watermark premise (delay bounds the event-time
+span, pinned in tests/test_streaming_bounds.py): one sentinel
+far-future event catapults the watermark and later-arriving batches drop
+— the production mitigation is an ingest sanity horizon upstream of the
+watermark, out of scope for fixture-exact twins. Year-9999 outputs also
+exceed pandas' ns epoch in the COMPARE harness itself (ArrowInvalid /
+date-vs-Timestamp dtype artifacts) — harness limits, not engine ones.
+
+``--chunked[=N]`` runs N-query chunks in subprocesses: a fatal
+extreme-value crash (a mid-Arrow-stream abort can wedge the local py4j
+gateway) poisons at most its chunk remainder instead of the sitting.
 """
 
 from __future__ import annotations
@@ -99,6 +118,31 @@ def select_queries(registry, families: set[str]) -> list[str]:
     return picked
 
 
+def _fresh_session():
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master("local[8]")
+        .appName("sweep-adversarial")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def _session_dead(exc: Exception) -> bool:
+    """An extreme-value crash can take the whole local JVM down, poisoning
+    every later twin with ConnectionRefused / cannot-apply-conf noise
+    (observed in the first extremes sitting: one fatal → 67 cascade rows).
+    Detect the dead-session signatures so the sweep can restart and retry."""
+    msg = f"{type(exc).__name__}: {exc}"
+    return (
+        "Connection refused" in msg
+        or "could not be applied" in msg
+        or "Py4JNetworkError" in msg
+        or "Answer from Java side is empty" in msg
+    )
+
+
 def run_sweep(spark, fixture_dir: str, names: list[str]) -> dict[str, dict]:
     import duckdb
 
@@ -116,8 +160,22 @@ def run_sweep(spark, fixture_dir: str, names: list[str]) -> dict[str, dict]:
         spec = reg[name]
         entry: dict = {}
         try:
-            sdf = spec.fn(spark, fixture_dir)
-            spdf = sdf.toPandas()
+            try:
+                sdf = spec.fn(spark, fixture_dir)
+                spdf = sdf.toPandas()
+            except Exception as exc:  # noqa: BLE001
+                if not _session_dead(exc):
+                    raise
+                # the previous twin killed the JVM — restart, retry ONCE so
+                # this twin gets its own verdict instead of cascade noise
+                try:
+                    spark.stop()
+                except Exception:  # noqa: BLE001
+                    pass
+                spark = _fresh_session()
+                spark.sparkContext.setLogLevel("ERROR")
+                sdf = spec.fn(spark, fixture_dir)
+                spdf = sdf.toPandas()
         except Exception as exc:  # noqa: BLE001 — classification sweep
             entry = {"class": "ABORT/S", "error": f"{type(exc).__name__}: {exc}"[:500]}
             results[name] = entry
@@ -162,10 +220,48 @@ class _Wrapped:
         return self._pdf
 
 
+def _run_chunked(names: list[str], out_json: str, chunk: int, extra: list[str]) -> None:
+    """Subprocess isolation: one interpreter (and one JVM) per chunk, so a
+    fatal extreme-value crash poisons at most its chunk remainder instead
+    of the whole sitting (the in-process restart retry proved unreliable —
+    registered UDFs and staged-table handles go stale with the gateway).
+    Merges the per-chunk JSONs into ``out_json``."""
+    import subprocess
+
+    merged: dict = {}
+    for i in range(0, len(names), chunk):
+        part = names[i : i + chunk]
+        tmp = f"{out_json}.chunk{i}"
+        cmd = [
+            sys.executable,
+            "-m",
+            "tools.sweep_adversarial",
+            f"--only={','.join(part)}",
+            f"--out={tmp}",
+            *extra,
+        ]
+        subprocess.run(cmd, check=False)
+        try:
+            with open(tmp) as fh:
+                merged.update(json.load(fh)["results"])
+            os.remove(tmp)
+        except FileNotFoundError:
+            for n in part:
+                merged.setdefault(n, {"class": "ABORT/S", "error": "chunk died"})
+    counts: dict[str, int] = {}
+    for entry in merged.values():
+        counts[entry["class"]] = counts.get(entry["class"], 0) + 1
+    with open(out_json, "w") as fh:
+        json.dump({"counts": counts, "results": merged}, fh, indent=1, sort_keys=True)
+    print(f"# {counts} -> {out_json}", flush=True)
+
+
 def main() -> None:
     families = {"docs", "tpch"}
     only: list[str] | None = None
     out_json = ".scale/sweep_adversarial.json"
+    extremes = False
+    chunked = 0
     for arg in sys.argv[1:]:
         if arg.startswith("--families="):
             families = set(arg.split("=", 1)[1].split(","))
@@ -173,14 +269,21 @@ def main() -> None:
             only = arg.split("=", 1)[1].split(",")
         elif arg.startswith("--out="):
             out_json = arg.split("=", 1)[1]
+        elif arg == "--extremes":
+            extremes = True
+        elif arg.startswith("--chunked"):
+            chunked = int(arg.split("=", 1)[1]) if "=" in arg else 15
 
     from pyspark.sql import SparkSession
 
     from meos_rs_spark.registry import load_registry
     from tools.adversarial_fixture import write_fixture
 
-    fixture_dir = os.path.join(tempfile.gettempdir(), "meos_adversarial_fixture")
-    write_fixture(fixture_dir)
+    fixture_dir = os.path.join(
+        tempfile.gettempdir(),
+        "meos_adversarial_extremes" if extremes else "meos_adversarial_fixture",
+    )
+    write_fixture(fixture_dir, extremes=extremes)
 
     spark = (
         SparkSession.builder.master("local[8]")
@@ -191,6 +294,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     names = only or select_queries(load_registry(), families)
+    if chunked:
+        extra = (["--extremes"] if extremes else [])
+        _run_chunked(names, out_json, chunked, extra)
+        return
     print(f"# sweeping {len(names)} twins over {fixture_dir}", flush=True)
     try:
         results = run_sweep(spark, fixture_dir, names)
