@@ -53,6 +53,28 @@ def posits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: DuckDB twin of posits_xy() — keep in lockstep like POSITS_CTE above.
+#: The XY envelope: a point with a NULL coordinate is not a point (r11
+#: adjudication, ENFORCED in both legs of the geometry-consuming twins in
+#: r12). Only the twins whose output derives from the coordinates
+#: (WKT/MF-JSON/WKB rendering, lengths, interpolation, OD cells) use this
+#: view; value-surfacing twins (ttype/asof/window families) deliberately
+#: keep NULL values and stay on the raw posits view.
+POSITS_XY_CTE = (
+    "posits AS (SELECT user_id AS mmsi, ts, value AS lon, "
+    "CAST(json_extract_string(props, '$.k') AS DOUBLE) AS lat, event_id "
+    "FROM events WHERE value IS NOT NULL "
+    "AND json_extract_string(props, '$.k') IS NOT NULL)"
+)
+
+
+def posits_xy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posits() restricted to the XY envelope (see POSITS_XY_CTE)."""
+    return posits(spark, sf_dir).filter(
+        F.col("lon").isNotNull() & F.col("lat").isNotNull()
+    )
+
+
 # --- P4: monotonic-timestamp dedup ----------------------------------------
 
 

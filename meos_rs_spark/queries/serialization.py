@@ -5,17 +5,20 @@ WKB/HexWKB is binary (pandas_udf) with a driver rows-only check plus exact
 golden bytes in tests/test_serde.py (mirroring the reference's golden-string
 test style, tbox.rs:130-151).
 
-Input envelope (r11, probed on a NULL-position synthetic fixture): a posit
-with a NULL coordinate has no WKT/WKB/MF-JSON point representation — the
-reference's libmeos would reject it at construction (tinst.rs:21-38 wraps
-non-nullable doubles). These pipelines render such posits as degenerate
-strings that the raw-data oracles count differently, so the twins assume
-non-null positions; none of them ABORTS on one (the r11 ingest hardening
-turned the one crash path into NULL columns), and the one query where the
-envelope is cheap to make explicit does so in both legs
-(src_python_datasource). The NULL-position rows themselves are exercised
-in tests/test_invariants.py's synthetic harness for every family where
-the twins can agree.
+Input envelope (adjudicated r11, ENFORCED r12): a posit with a NULL
+coordinate has no WKT/WKB/MF-JSON point representation — the reference's
+libmeos would reject it at construction (tinst.rs:21-38 wraps
+non-nullable doubles). Since r12 the geometry-rendering twins here
+(serde_mfjson, serde_mfjson_ingest, serde_wkt_forms, serde_wkt_seqset,
+serde_e2e_pipeline) make that explicit in BOTH legs via the shared XY
+view (functions.trajectory.posits_xy / POSITS_XY_CTE), so NULL-coordinate
+rows drop identically instead of rendering degenerate strings the
+raw-data oracles count differently. serde_wkt_roundtrip/serde_hexwkb stay
+on the raw view: their per-posit outputs propagate NULL identically in
+both legs without an envelope (swept green on the NULL fixture), and
+serde_wkt_malformed deliberately ingests garbage. None of these twins
+aborts on a bad row (the r11 hardening turned the one crash path into
+NULL columns).
 """
 
 from __future__ import annotations
@@ -35,9 +38,11 @@ from meos_rs_spark.functions.serde import (
 )
 from meos_rs_spark.functions.trajectory import (
     POSITS_CTE,
+    POSITS_XY_CTE,
     point_wkt,
     point_wkt_duck,
     posits,
+    posits_xy,
     truncate_group,
 )
 from meos_rs_spark.golden import GOLDEN
@@ -98,8 +103,10 @@ _MF_LIMIT = 20  # first N instants per vessel keeps the JSON bounded
 
 @register(
     "serde_mfjson",
+    # XY envelope (r12): MF-JSON coordinates derive from lon/lat — a
+    # NULL-coordinate posit has no pair to render; both legs drop it
     oracle=f"""
-WITH {POSITS_CTE},
+WITH {POSITS_XY_CTE},
 dedup AS (
   SELECT * FROM posits
   QUALIFY row_number() OVER (PARTITION BY mmsi, ts ORDER BY event_id) = 1
@@ -123,7 +130,7 @@ FROM head GROUP BY mmsi
 def serde_mfjson(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meos_rs_spark.functions.trajectory import dedup_monotonic
 
-    pts = truncate_group(dedup_monotonic(posits(spark, sf_dir)), _MF_LIMIT)
+    pts = truncate_group(dedup_monotonic(posits_xy(spark, sf_dir)), _MF_LIMIT)
     agg = pts.groupBy("mmsi").agg(
         F.array_sort(F.collect_list(F.struct("ts", "lon", "lat"))).alias("points")
     )
@@ -179,8 +186,9 @@ _MFJSON_SCHEMA = (
 
 @register(
     "serde_mfjson_ingest",
+    # XY envelope via the serde_mfjson render it ingests (r12)
     oracle=f"""
-WITH {POSITS_CTE},
+WITH {POSITS_XY_CTE},
 dedup AS (
   SELECT * FROM posits
   QUALIFY row_number() OVER (PARTITION BY mmsi, ts ORDER BY event_id) = 1
@@ -325,8 +333,9 @@ _N_PTS = 4  # points per rendered form (bounded output)
 
 @register(
     "serde_wkt_forms",
+    # XY envelope (r12): every WKT form renders the coordinates
     oracle=f"""
-WITH {POSITS_CTE},
+WITH {POSITS_XY_CTE},
 dedup AS (
   SELECT * FROM posits
   QUALIFY row_number() OVER (PARTITION BY mmsi, ts ORDER BY event_id) = 1
@@ -355,7 +364,7 @@ FROM agg
 def serde_wkt_forms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meos_rs_spark.functions.trajectory import dedup_monotonic
 
-    pts = truncate_group(dedup_monotonic(posits(spark, sf_dir)), _N_PTS)
+    pts = truncate_group(dedup_monotonic(posits_xy(spark, sf_dir)), _N_PTS)
     agg = (
         pts.select("mmsi", "ts", point_wkt("lon", "lat", "ts").alias("pw"))
         .groupBy("mmsi")
@@ -381,8 +390,9 @@ _GAP_US = 21_600_000_000  # 6h session gap for the sequence-set form
 
 @register(
     "serde_wkt_seqset",
+    # XY envelope (r12): session sequences render the coordinates
     oracle=f"""
-WITH {POSITS_CTE},
+WITH {POSITS_XY_CTE},
 dedup AS (
   SELECT * FROM posits
   QUALIFY row_number() OVER (PARTITION BY mmsi, ts ORDER BY event_id) = 1
@@ -432,7 +442,7 @@ def serde_wkt_seqset(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dependent output on BOTH engines (review find, r7; latent while the
     # fixture has no duplicate groups). After dedup every ordering is total.
     sess = (
-        dedup_monotonic(posits(spark, sf_dir))
+        dedup_monotonic(posits_xy(spark, sf_dir))
         .withColumn("new_s", F.when(gap_us.isNull() | (gap_us > _GAP_US), 1).otherwise(0))
         .withColumn("sid", F.sum("new_s").over(wrun))
     )
@@ -472,7 +482,7 @@ def serde_wkt_seqset(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- E2 end-to-end: posit → EWKT → parse → assemble → sequence WKT ----------
 
 from meos_rs_spark.queries.trajectory import (  # noqa: E402
-    _ASSEMBLED_CTE as _E2_CTE,
+    _ASSEMBLED_XY_CTE as _E2_CTE,
     MAX_TRIP as _E2_MAX,
     MIN_TRIP as _E2_MIN,
 )
@@ -506,7 +516,8 @@ def serde_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meos_rs_spark.functions.serde import parse_point_wkt
     from meos_rs_spark.functions.trajectory import dedup_monotonic, point_wkt, posits
 
-    p = posits(spark, sf_dir)
+    # XY envelope (r12): the EWKT render needs both coordinates
+    p = posits_xy(spark, sf_dir)
     ewkt = F.concat(F.lit("SRID=4326;"), point_wkt("lon", "lat", "ts"))
     parsed = parse_point_wkt(F.regexp_replace(ewkt, "^SRID=4326;", ""))
     p = p.select("mmsi", "event_id", parsed.alias("pt")).select(

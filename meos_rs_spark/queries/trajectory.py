@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from meos_rs_spark.functions.trajectory import (
     POSITS_CTE,
+    POSITS_XY_CTE,
     assemble,
     dedup_monotonic,
     end_ts,
@@ -28,6 +29,7 @@ from meos_rs_spark.functions.trajectory import (
     point_wkt,
     point_wkt_duck,
     posits,
+    posits_xy,
     start_ts,
     subtype,
 )
@@ -53,6 +55,26 @@ dedup AS (
 
 _ASSEMBLED_CTE = f"""
 {_DEDUP_CTE},
+trunc AS (
+  SELECT * FROM dedup
+  QUALIFY row_number() OVER (PARTITION BY mmsi ORDER BY ts, event_id) <= {MAX_TRIP}
+)
+"""
+
+#: XY-envelope variants (functions.trajectory.POSITS_XY_CTE): the envelope
+#: applies BEFORE dedup/truncate so a NULL-coordinate row can never win a
+#: (mmsi, ts) dedup contest and then vanish — both legs see the identical
+#: surviving set. Used ONLY by the geometry-consuming twins (r12).
+_DEDUP_XY_CTE = f"""
+{POSITS_XY_CTE},
+dedup AS (
+  SELECT * FROM posits
+  QUALIFY row_number() OVER (PARTITION BY mmsi, ts ORDER BY event_id) = 1
+)
+"""
+
+_ASSEMBLED_XY_CTE = f"""
+{_DEDUP_XY_CTE},
 trunc AS (
   SELECT * FROM dedup
   QUALIFY row_number() OVER (PARTITION BY mmsi ORDER BY ts, event_id) <= {MAX_TRIP}
@@ -162,8 +184,10 @@ Z_LENGTH3D_EXPR = (
 
 @register(
     "traj_stbox_z_path",
+    # XY envelope (r12): the 3D path derives from the coordinates — a
+    # NULL-coordinate posit has no point to contribute; both legs drop it
     oracle=f"""
-WITH {POSITS_CTE},
+WITH {POSITS_XY_CTE},
 p3 AS (
   SELECT mmsi, ts, event_id, lon, lat, {_Z_EXPR} AS z FROM posits
 ),
@@ -202,7 +226,7 @@ ON l.mmsi IS NOT DISTINCT FROM e.mmsi
     "decimal accumulation — shuffle-order independent, engine-identical)",
 )
 def traj_stbox_z_path(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p3 = posits(spark, sf_dir).withColumn("z", F.expr(_Z_EXPR))
+    p3 = posits_xy(spark, sf_dir).withColumn("z", F.expr(_Z_EXPR))
     t = p3.groupBy("mmsi").agg(
         F.array_sort(
             F.collect_list(F.struct("ts", "event_id", "lon", "lat", "z"))
@@ -378,9 +402,10 @@ def traj_accessors(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "traj_length_speed",
     # segments over dedup, not posits: the Spark leg assembles, so a
-    # duplicate-ts posit pair must not contribute a zero-duration segment
+    # duplicate-ts posit pair must not contribute a zero-duration segment.
+    # XY envelope (r12): a NULL-coordinate posit has no segment geometry.
     oracle=f"""
-WITH {_DEDUP_CTE},
+WITH {_DEDUP_XY_CTE},
 segs AS (
   SELECT mmsi, ts,
          sqrt( (lon - lag(lon) OVER w) * (lon - lag(lon) OVER w)
@@ -398,7 +423,7 @@ FROM segs GROUP BY mmsi HAVING count(seg) > 0
     "decimal fold so the aggregate is shuffle-order independent",
 )
 def traj_length_speed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = assemble(posits(spark, sf_dir), min_size=2)
+    t = assemble(posits_xy(spark, sf_dir), min_size=2)
     traj = F.col("traj")
     return t.select(
         "mmsi",
@@ -416,7 +441,7 @@ def traj_length_speed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # engine-arbitrary tie — dedup makes the bracketing instant unique in
     # BOTH legs (r10 review find; traj_resample_linear already did this)
     oracle=f"""
-WITH {_DEDUP_CTE},
+WITH {_DEDUP_XY_CTE},
 probe AS (
   -- midpoint via integer micros: engines disagree on interval/2 semantics
   SELECT mmsi,
@@ -444,7 +469,8 @@ FROM below b LEFT JOIN above a ON a.mmsi = b.mmsi
     doc="value_at_timestamp with LINEAR interpolation (tseq.rs:59 interp mode) at each vessel's midpoint",
 )
 def traj_value_at_time(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pts = dedup_monotonic(posits(spark, sf_dir))
+    # XY envelope (r12): interpolation needs both bracketing coordinates
+    pts = dedup_monotonic(posits_xy(spark, sf_dir))
     probe = pts.groupBy("mmsi").agg(
         F.expr(
             "timestampadd(MICROSECOND, (unix_micros(CAST(max(ts) AS TIMESTAMP)) "
@@ -2137,9 +2163,9 @@ def traj_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "traj_interp_mixed",
     # bracketing over dedup for the same tie-uniqueness reason as
-    # traj_value_at_time (r10 review find)
+    # traj_value_at_time (r10 review find); XY envelope as there (r12)
     oracle=f"""
-WITH {_DEDUP_CTE},
+WITH {_DEDUP_XY_CTE},
 probe AS (
   SELECT mmsi,
          CASE WHEN mmsi % 2 = 0 THEN 'linear' ELSE 'step' END AS interp,
@@ -2174,7 +2200,7 @@ FROM below b LEFT JOIN above a ON a.mmsi = b.mmsi
     "arg-extreme aggregations, no per-probe sort.",
 )
 def traj_interp_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pts = dedup_monotonic(posits(spark, sf_dir))
+    pts = dedup_monotonic(posits_xy(spark, sf_dir))
     probe = pts.groupBy("mmsi").agg(
         F.expr(
             "timestampadd(MICROSECOND, (unix_micros(CAST(max(ts) AS TIMESTAMP)) "
@@ -2223,8 +2249,9 @@ OD_CELL_DEG = 20.0  # coarse grid: fixture lon spans ~0..200, lat ~0..99
 
 @register(
     "traj_od_matrix",
+    # XY envelope (r12): OD cells derive from endpoint coordinates
     oracle=f"""
-WITH {POSITS_CTE},
+WITH {POSITS_XY_CTE},
 ranked AS (
   SELECT mmsi, lon, lat,
          row_number() OVER (PARTITION BY mmsi ORDER BY ts, event_id) AS rn_a,
@@ -2232,9 +2259,13 @@ ranked AS (
   FROM posits
 ),
 od AS (
+  -- IS NOT DISTINCT FROM, not USING: the first/last self-join must keep
+  -- the NULL-mmsi vessel like the Spark leg's groupBy does (r12 sweep,
+  -- same class as ttype_tint_step/traj_stbox_z_path)
   SELECT f.mmsi, f.lon AS o_lon, f.lat AS o_lat, l.lon AS d_lon, l.lat AS d_lat
   FROM (SELECT * FROM ranked WHERE rn_a = 1) f
-  JOIN (SELECT * FROM ranked WHERE rn_d = 1) l USING (mmsi)
+  JOIN (SELECT * FROM ranked WHERE rn_d = 1) l
+    ON f.mmsi IS NOT DISTINCT FROM l.mmsi
 ),
 cellified AS (
   SELECT CAST(floor(o_lon / {OD_CELL_DEG}) AS INT) AS o_x,
@@ -2262,7 +2293,7 @@ GROUP BY o_x, o_y, d_x, d_y
     "decimal-summed per the repo's shuffle-order-independence canon.",
 )
 def traj_od_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pts = posits(spark, sf_dir)
+    pts = posits_xy(spark, sf_dir)
     od = pts.groupBy("mmsi").agg(
         F.min(F.struct("ts", "event_id", "lon", "lat")).alias("o"),
         F.max(F.struct("ts", "event_id", "lon", "lat")).alias("d"),

@@ -158,6 +158,24 @@ FORCE_VERIFY: tuple[str, ...] = (
     "traj_equality",
     "src_python_datasource",
     "src_csv_malformed",
+    # r12 envelope enforcement: the ten NULL-position twins the r11 review
+    # adjudicated as a documented envelope now ENFORCE it in both legs —
+    # the shared XY posit view (functions.trajectory.posits_xy /
+    # POSITS_XY_CTE) drops NULL-coordinate rows BEFORE dedup/truncate in
+    # query and oracle alike, and traj_od_matrix's first/last self-join
+    # went NULL-mmsi-total (IS NOT DISTINCT FROM). Every registered twin
+    # now agrees on the adversarial NULL/tie fixture; output unchanged on
+    # the NULL-free driver fixtures (parity re-checked at sf0.01).
+    "serde_mfjson",
+    "serde_mfjson_ingest",
+    "serde_wkt_forms",
+    "serde_wkt_seqset",
+    "serde_e2e_pipeline",
+    "traj_length_speed",
+    "traj_value_at_time",
+    "traj_interp_mixed",
+    "traj_od_matrix",
+    "traj_stbox_z_path",
 )
 
 

@@ -23,11 +23,11 @@ from meos_rs_spark.registry import (
 )
 
 # Round-12 rotation computed from CORRECTNESS_r01..r11: zero reds, zero
-# never-checked; thirty-two forced entries slot first (traj_convex_hull's
+# never-checked; forty-two forced entries slot first (traj_convex_hull's
 # golden re-pin after the round-start fixture refresh, thirteen embeddings
-# twins with the shared corpus envelope, eight codec/ingest twins from the
-# adversarial sweep's second batch, rel_unpivot's EXCLUDE-NULLS pin, and
-# nine NULL-key fixes from the events-family batch), then pure
+# twins with the shared corpus envelope, eight codec/ingest twins,
+# rel_unpivot's EXCLUDE-NULLS pin, nine NULL-key fixes from the
+# events-family batch, and the ten XY-envelope enforcements), then
 # oldest-green refill from the r7-era greens, registration order within
 # each round.
 R12_EXPECTED_HEAD = (
@@ -37,9 +37,18 @@ R12_EXPECTED_HEAD = (
     "mm_frame_sample",
     "mm_decode_features",
     "mm_jpeg_features",
+    "serde_mfjson",
+    "serde_mfjson_ingest",
+    "serde_wkt_forms",
+    "serde_wkt_seqset",
     "traj_stbox_z_path",
     "traj_merge",
     "traj_equality",
+    "traj_length_speed",
+    "traj_value_at_time",
+    "traj_interp_mixed",
+    "traj_od_matrix",
+    "serde_e2e_pipeline",
     "sim_cosine_topk",
     "sim_ann_lsh",
     "sim_embedding_neardup",
@@ -63,7 +72,6 @@ R12_EXPECTED_HEAD = (
     "rel_join_asof_nearest",
     "ttype_tint_step",
     "traj_convex_hull",
-    "serde_wkt_seqset",
     "traj_assembly",
     "traj_extent",
     "traj_shift_scale",
@@ -73,14 +81,6 @@ R12_EXPECTED_HEAD = (
     "traj_time_buckets",
     "traj_azimuth",
     "traj_speed_segments",
-    "traj_at_box",
-    "traj_project_mercator",
-    "traj_transform_utm",
-    "traj_transform_lcc",
-    "traj_length_haversine",
-    "serde_wkt_malformed",
-    "src_csv_roundtrip",
-    "snk_upsert_merge",
 )
 
 

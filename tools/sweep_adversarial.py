@@ -68,28 +68,16 @@ def _golden_skip() -> set[str]:
     return set(GOLDEN)
 
 
-#: Documented-envelope twins: the serialization/trajectory NULL-position
-#: envelope, adjudicated in r11 ("a point with a NULL coordinate is not a
-#: point" — PREFLIGHT_r11, review batch 2) and deliberately NOT enforced
-#: at the shared posits view (enforcing it would change ~60 oracle texts
-#: at once, overflowing the driver's 50-slot re-verification window in one
-#: round). These twins neither abort nor silently mis-answer on the real
-#: NULL-free fixtures; on a NULL-position fixture their two legs disagree
-#: in known ways (NaN-vs-COALESCE folds, string_agg NULL skips, parse
-#: roundtrips of NULL coordinates). A DIVERGE here is expected and
-#: reported as ENVELOPE; anything else in the registry must stay OK.
-KNOWN_ENVELOPE = {
-    "serde_mfjson",
-    "serde_mfjson_ingest",
-    "serde_wkt_forms",
-    "serde_wkt_seqset",
-    "serde_e2e_pipeline",
-    "traj_length_speed",
-    "traj_value_at_time",
-    "traj_interp_mixed",
-    "traj_od_matrix",
-    "traj_stbox_z_path",
-}
+#: Documented-envelope twins whose two legs are KNOWN to disagree on the
+#: current fixture variant. EMPTY since late r12: the ten NULL-position
+#: twins the r11 review adjudicated ("a point with a NULL coordinate is
+#: not a point") now ENFORCE the XY envelope in both legs (functions.
+#: trajectory.posits_xy / POSITS_XY_CTE) instead of documenting the
+#: divergence — every registered twin agrees on the NULL/tie fixture.
+#: (The value-extremes variant has its own adjudications, documented in
+#: the module docstring above — those are loud both-engine aborts, not
+#: divergences, so they classify as ABORT, never ENVELOPE.)
+KNOWN_ENVELOPE: set[str] = set()
 
 
 def tables_used(sql: str) -> set[str]:
