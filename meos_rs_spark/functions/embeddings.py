@@ -52,6 +52,12 @@ def _pair_fold(a: pd.Series, b: pd.Series, fold) -> pd.Series:
     corpora produce) takes the exact pre-r12 np.stack route; ragged
     batches fold per dimension group and scatter."""
     aa, bb = a.to_numpy(), b.to_numpy()
+    if len(aa) == 0:
+        # zero-row Arrow batch: the fast-path guard below would raise on
+        # la.min() (zero-size reduction) — valid.all() is vacuously True
+        # for an empty array (r12 ADVICE item 3; the total-kernel contract
+        # covers the empty batch too)
+        return pd.Series(pd.array([], dtype="Float64"))
     la, lb = _cell_lens(aa), _cell_lens(bb)
     valid = (la >= 0) & (la == lb)
     if valid.all() and la.min() == la.max():
@@ -154,6 +160,8 @@ def make_lsh_bucket_udf(n_planes: int, dim: int):
             return bucket.astype(np.int32)
 
         cells = emb.to_numpy()
+        if len(cells) == 0:  # same zero-row guard as _pair_fold
+            return pd.Series(pd.array([], dtype="Int32"))
         lens = _cell_lens(cells)
         valid = lens == dim  # a vector of the wrong dimension has no bucket
         if valid.all():

@@ -60,18 +60,58 @@ def posits(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: (WKT/MF-JSON/WKB rendering, lengths, interpolation, OD cells) use this
 #: view; value-surfacing twins (ttype/asof/window families) deliberately
 #: keep NULL values and stay on the raw posits view.
+#:
+#: TRY_CAST (r13, ADVICE r12 item 1): both legs apply the same POST-cast
+#: validity test, so a non-numeric '$.k' string is DROPPED by both engines
+#: instead of passing the DuckDB WHERE (raw-string IS NOT NULL) and then
+#: aborting in the projection's CAST while Spark's ANSI cast aborts in a
+#: different spot. On the numeric-or-NULL driver fixtures TRY_CAST ≡ CAST.
 POSITS_XY_CTE = (
     "posits AS (SELECT user_id AS mmsi, ts, value AS lon, "
-    "CAST(json_extract_string(props, '$.k') AS DOUBLE) AS lat, event_id "
+    "TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) AS lat, event_id "
     "FROM events WHERE value IS NOT NULL "
-    "AND json_extract_string(props, '$.k') IS NOT NULL)"
+    "AND TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) IS NOT NULL)"
 )
 
 
 def posits_xy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """posits() restricted to the XY envelope (see POSITS_XY_CTE)."""
-    return posits(spark, sf_dir).filter(
-        F.col("lon").isNotNull() & F.col("lat").isNotNull()
+    """posits() restricted to the XY envelope (see POSITS_XY_CTE) — with the
+    JSON parse guaranteed SINGLE-EVAL per row.
+
+    The r12 shape (``posits().filter(lat.isNotNull())``) let Catalyst
+    alias-substitute the predicate through the projection, so the physical
+    plan evaluated ``get_json_object`` once in the Filter AND once in the
+    Project — a constant-factor ~1.6x on the dominant per-row cost of every
+    coordinate-consuming twin (r12 VERDICT, reproduced by A/B at sf0.1).
+
+    Fix: the envelope predicate is a single conjunct that ORs in a
+    reference to a non-deterministic projected column
+    (``monotonically_increasing_id() < 0`` — always false, so the filter
+    semantics are exactly ``lat IS NOT NULL``). Catalyst's
+    ``getAliasMap``/``PushPredicateThroughNonJoin`` only substitutes
+    deterministic aliases and never splits inside a disjunct, so the
+    predicate stays ABOVE the projection as a bound reference and the parse
+    runs once (executed-plan pin: tests/test_plan_lint.py). Same hazard and
+    same pin as ``lsh_bucket.asNondeterministic()`` in
+    functions/embeddings.py, expressed for a pure Column pipeline. The
+    cheap ``lon IS NOT NULL`` conjunct is kept separate and DOES push all
+    the way into the parquet scan (PushedFilters: IsNotNull(value)).
+
+    ``try_cast`` mirrors the CTE's TRY_CAST (see above).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("value").isNotNull())
+        .select(
+            F.col("user_id").alias("mmsi"),
+            "ts",
+            F.col("value").alias("lon"),
+            F.get_json_object("props", "$.k").try_cast("double").alias("lat"),
+            "event_id",
+            F.monotonically_increasing_id().alias("__barrier"),
+        )
+        .filter(F.col("lat").isNotNull() | (F.col("__barrier") < 0))
+        .drop("__barrier")
     )
 
 

@@ -87,85 +87,23 @@ DRIVER_WINDOW = 50
 #: the changed code re-earns its row this round instead of waiting for the
 #: oldest-green rotation to reach it (r5 ADVICE: new code benefits most
 #: from a driver row). Clear entries once the round's artifact lands.
-#: r12: all nine r11 entries (three review batches — the ADVICE
-#: both-hemispheres domain fix, two NULL-ordering alignments, four
-#: abort-on-one-bad-row / cast-grammar fixes, the strict-gap
-#: session-window oracle, and the explicit WKT-source NULL-position
-#: envelope) re-earned green driver rows in the r11 window
-#: (CORRECTNESS_r11.json, 50/50 green) and were cleared.
+#: r13: all 41 distinct r12 entries (fixture-refresh golden re-pin, the
+#: thirteen corpus-envelope embeddings twins, eight codec/ingest payload
+#: envelopes, rel_unpivot's EXCLUDE-NULLS pin, nine NULL-key fixes, and
+#: the ten XY-envelope enforcements) re-earned green driver rows in the
+#: r12 window (CORRECTNESS_r12.json, 50/50 green) and were cleared — the
+#: doubled "traj_stbox_z_path" listing flagged by r12 ADVICE went with
+#: them.
 FORCE_VERIFY: tuple[str, ...] = (
-    # r12: the round-start fixture refresh moved traj_convex_hull's golden
-    # hull-area doubles by one ulp; tools/gen_golden.py re-pinned the
-    # VALUES-literal oracle, so the twin must re-earn its driver row
-    # against the new pin (its r-era green row was earned on the old one).
-    "traj_convex_hull",
-    # r12 adversarial sweep (documents/embeddings batch): one ragged
-    # embedding row — NULL vector, empty/truncated vector, NULL/NaN/inf
-    # component — aborted every ANN twin (np.stack raggedness Spark-side,
-    # list_dot_product length error oracle-side). Both legs now apply the
-    # shared corpus envelope (queries/similarity.EMB_ENVELOPE_DUCK /
-    # _corpus): non-NULL, exactly DIM elements, all finite. Oracle text
-    # changed in all thirteen → each re-earns its driver row.
-    "sim_cosine_topk",
-    "sim_ann_lsh",
-    "sim_embedding_neardup",
-    "sim_ann_ivf",
-    "sim_kmeans_iter",
-    "sim_ann_recall",
-    "sim_prefix_rerank",
-    "sim_knn_graph",
-    "sim_pq_ann",
-    "sim_pagerank",
-    "dedup_semantic",
-    "sim_mmr_rerank",
-    "sim_ann_multiprobe",
-    # r12 adversarial sweep, codec batch: the multimodal twins made the
-    # payload envelope explicit in both legs (non-NULL pure-ASCII text —
-    # the documented bytes==chars contract of every arithmetic oracle);
-    # mm_metadata/mm_frame_sample/text_token_count replaced DuckDB's
-    # CAST(AS BLOB) (parses escape sequences: aborts on non-ascii AND on a
-    # lone backslash) with encode(); src_binaryfile_ingest fenced NULL-text
-    # docs (the Spark text writer renders NULL as an empty line while the
-    # oracle's md5(NULL || chr(10)) is NULL).
-    "mm_metadata",
-    "mm_audio_features",
-    "mm_decode_features",
-    "mm_resize",
-    "mm_frame_sample",
-    "mm_jpeg_features",
-    "text_token_count",
-    "src_binaryfile_ingest",
-    # r12 adversarial sweep, TPC-H batch (37/38 agreed as-is): the
-    # DataFrame unpivot keeps NULL cells while SQL UNPIVOT excludes them —
-    # the Spark leg now pins the SQL-standard EXCLUDE semantics.
-    "rel_unpivot",
-    # r12 adversarial sweep, events-family batch (89/107 agreed as-is;
-    # the NULL-position serialization/trajectory envelope stays documented
-    # — tools/sweep_adversarial.KNOWN_ENVELOPE): NULL-key fixes — the
-    # upsert sink aborted on a NULL-mmsi posit (primary-key envelope now
-    # explicit both legs); the as-of probes gained the keyed-probe
-    # envelope (equi-join vs window-partition NULL split); ttype/stbox
-    # oracles keep the NULL-mmsi group via IS NOT DISTINCT FROM;
-    # traj_merge/traj_equality route NULL split keys to the stored half
-    # and join halves null-safely; the WKT line grammar requires a key;
-    # the CSV writer preserves arity on NULL fields.
-    "snk_jdbc_upsert",
-    "rel_join_asof",
-    "rel_join_asof_nearest",
-    "ttype_tint_step",
-    "traj_stbox_z_path",
-    "traj_merge",
-    "traj_equality",
-    "src_python_datasource",
-    "src_csv_malformed",
-    # r12 envelope enforcement: the ten NULL-position twins the r11 review
-    # adjudicated as a documented envelope now ENFORCE it in both legs —
-    # the shared XY posit view (functions.trajectory.posits_xy /
-    # POSITS_XY_CTE) drops NULL-coordinate rows BEFORE dedup/truncate in
-    # query and oracle alike, and traj_od_matrix's first/last self-join
-    # went NULL-mmsi-total (IS NOT DISTINCT FROM). Every registered twin
-    # now agrees on the adversarial NULL/tie fixture; output unchanged on
-    # the NULL-free driver fixtures (parity re-checked at sf0.01).
+    # r13: the ten geometry twins' shared XY posit view changed semantics
+    # and shape together — the envelope's validity test moved POST-cast
+    # (try_cast both legs: a non-numeric '$.k' string now DROPS in both
+    # engines instead of aborting in engine-specific spots, r12 ADVICE
+    # item 1), and the JSON parse became guaranteed single-eval via the
+    # non-deterministic filter barrier (r12 VERDICT item 1 — the r12
+    # shape re-evaluated get_json_object at Filter AND Project). Output
+    # unchanged on the numeric-or-NULL driver fixtures; each twin still
+    # re-earns its driver row on the new plan.
     "serde_mfjson",
     "serde_mfjson_ingest",
     "serde_wkt_forms",

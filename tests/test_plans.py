@@ -239,6 +239,25 @@ def test_pq_ann_is_all_broadcast(spark):
     assert plan.count("Exchange hashpartitioning") <= 1, plan[:2000]
 
 
+def test_xy_envelope_json_parse_is_single_eval(spark):
+    """r12 VERDICT item 1: the XY envelope must not let Catalyst
+    alias-substitute its lat-validity predicate through the posit
+    projection — that shape evaluated get_json_object at Filter AND
+    Project (+ scan DataFilters), a ~1.6x constant factor on every
+    coordinate-consuming twin. The filter barrier in posits_xy pins the
+    parse to exactly ONE site in the executed plan, while the cheap
+    value-IS-NOT-NULL conjunct still reaches the parquet scan."""
+    from meos_rs_spark.functions.trajectory import posits_xy
+
+    df = posits_xy(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("get_json_object") == 1, plan[:3000]
+    assert "IsNotNull(value)" in plan.split("PushedFilters")[1][:200], plan[:3000]
+    # and through a representative consumer's full plan
+    full = _plan(spark, "traj_stbox_z_path")
+    assert full.count("get_json_object") == 1, full[:3000]
+
+
 def test_stbox_z_path_single_shuffle(spark):
     # assembly is ONE groupBy(mmsi) exchange; extent + 3D length both read
     # the assembled array column, so no second aggregation pass or join

@@ -342,6 +342,23 @@ def test_pair_kernels_are_total_on_ragged_batches(spark):
     assert got[6].cos is None and got[6].dot is None  # NaN component -> NULL
 
 
+def test_pair_kernels_are_total_on_empty_batches():
+    """r12 ADVICE item 3: a zero-row Arrow batch hit _pair_fold's fast-path
+    guard (valid.all() is vacuously True, then la.min() raises on a
+    zero-size reduction) and lsh_bucket's np.stack — both contradicting the
+    total-kernel contract. Drive the plain kernel functions directly with
+    empty Series the way a zero-row partition's Arrow batch would."""
+    import pandas as pd
+
+    from meos_rs_spark.functions import embeddings as E
+
+    empty = pd.Series([], dtype=object)
+    out = E._pair_fold(empty, empty, lambda A, B: A.sum(axis=1))
+    assert len(out) == 0 and str(out.dtype) == "Float64"
+    bkt = E.make_lsh_bucket_udf(4, 3).func(empty)
+    assert len(bkt) == 0 and str(bkt.dtype) == "Int32"
+
+
 def test_corpus_envelope_drops_only_invalid_vectors(spark, tmp_path):
     """The shared corpus envelope (queries/similarity._corpus +
     EMB_ENVELOPE_DUCK) must agree between engines row-for-row: non-NULL,

@@ -3,8 +3,8 @@ FIRST 50 entries of __spark_entry__.queries() only (observed in r2), so the
 round's verification targets must occupy exactly those positions.
 
 Since round 6 the head is COMPUTED from the committed CORRECTNESS_r*.json
-artifacts (registry.compute_verify_head). R12_EXPECTED_HEAD pins the tuple
-the r1-r11 artifacts produce; when the driver lands CORRECTNESS_r12.json the
+artifacts (registry.compute_verify_head). R13_EXPECTED_HEAD pins the tuple
+the r1-r12 artifacts produce; when the driver lands CORRECTNESS_r13.json the
 pin goes stale and this test fails — the next round's first task is then
 reviewing the freshly computed rotation and re-pinning it here. Per r9
 ADVICE, any commit that changes the computed head (a new CORRECTNESS
@@ -22,65 +22,63 @@ from meos_rs_spark.registry import (
     verify_order_head,
 )
 
-# Round-12 rotation computed from CORRECTNESS_r01..r11: zero reds, zero
-# never-checked; forty-two forced entries slot first (traj_convex_hull's
-# golden re-pin after the round-start fixture refresh, thirteen embeddings
-# twins with the shared corpus envelope, eight codec/ingest twins,
-# rel_unpivot's EXCLUDE-NULLS pin, nine NULL-key fixes from the
-# events-family batch, and the ten XY-envelope enforcements), then
+# Round-13 rotation computed from CORRECTNESS_r01..r12: zero reds, zero
+# never-checked; the forced entries slot first (the XY posit view's
+# single-eval/try_cast change re-verifies its ten geometry twins, plus the
+# tranche-1 shared-envelope queries added later this round), then
 # oldest-green refill from the r7-era greens, registration order within
 # each round.
-R12_EXPECTED_HEAD = (
-    "mm_metadata",
-    "mm_audio_features",
-    "mm_resize",
-    "mm_frame_sample",
-    "mm_decode_features",
-    "mm_jpeg_features",
+R13_EXPECTED_HEAD = (
     "serde_mfjson",
     "serde_mfjson_ingest",
     "serde_wkt_forms",
     "serde_wkt_seqset",
     "traj_stbox_z_path",
-    "traj_merge",
-    "traj_equality",
     "traj_length_speed",
     "traj_value_at_time",
     "traj_interp_mixed",
     "traj_od_matrix",
     "serde_e2e_pipeline",
-    "sim_cosine_topk",
-    "sim_ann_lsh",
-    "sim_embedding_neardup",
-    "sim_ann_ivf",
-    "sim_kmeans_iter",
-    "sim_ann_recall",
-    "sim_prefix_rerank",
-    "sim_knn_graph",
-    "sim_pq_ann",
-    "sim_pagerank",
-    "dedup_semantic",
-    "sim_mmr_rerank",
-    "sim_ann_multiprobe",
-    "src_csv_malformed",
-    "src_python_datasource",
-    "src_binaryfile_ingest",
-    "snk_jdbc_upsert",
-    "text_token_count",
-    "rel_join_asof",
-    "rel_unpivot",
-    "rel_join_asof_nearest",
-    "ttype_tint_step",
-    "traj_convex_hull",
-    "traj_assembly",
-    "traj_extent",
-    "traj_shift_scale",
-    "traj_sample",
-    "traj_ever_always",
-    "traj_arith",
-    "traj_time_buckets",
-    "traj_azimuth",
-    "traj_speed_segments",
+    "traj_at_box",
+    "traj_project_mercator",
+    "traj_transform_utm",
+    "traj_transform_lcc",
+    "traj_length_haversine",
+    "serde_wkt_malformed",
+    "src_csv_roundtrip",
+    "snk_upsert_merge",
+    "text_decontaminate",
+    "stream_foreachbatch_sink",
+    "rel_join_semi",
+    "rel_join_anti",
+    "rel_join_range",
+    "rel_join_band_bucketed",
+    "rel_join_multiway",
+    "rel_distinct",
+    "rel_count_distinct",
+    "rel_rollup",
+    "rel_cube",
+    "rel_topk_orders",
+    "rel_set_ops",
+    "rel_global_metrics",
+    "rel_filter_agg",
+    "rel_funnel_steps",
+    "win_lag_dedup",
+    "box_stbox_z",
+    "box_stbox_expand",
+    "box_tbox_algebra",
+    "dedup_components",
+    "traj_sessionize",
+    "traj_simplify_dp",
+    "traj_tbool_duration",
+    "traj_minus_box",
+    "traj_tcount_sweep",
+    "traj_tcentroid",
+    "traj_twavg",
+    "traj_resample_linear",
+    "traj_tmax_sweep",
+    "traj_cumulative_length",
+    "text_fingerprint",
 )
 
 
@@ -92,10 +90,10 @@ def test_head_is_exactly_the_driver_window():
     assert tuple(names[:50]) == head
 
 
-def test_computed_head_matches_the_round12_pin():
+def test_computed_head_matches_the_round13_pin():
     # Stale-pin alarm: fails as soon as a new CORRECTNESS artifact lands,
     # forcing the next round to review + re-pin the rotation.
-    assert verify_order_head() == R12_EXPECTED_HEAD
+    assert verify_order_head() == R13_EXPECTED_HEAD
 
 
 def test_head_priority_rule():
