@@ -105,6 +105,84 @@ BENCH_QUERIES = [
 STEAL_QUIET_PCT = 0.1
 SPREAD2_QUIET = 1.4
 
+#: structural-regression gate (r12 VERDICT item 4): host noise moves every
+#: query's absolute time together, so a query's SHARE of the sitting total
+#: is noise-invariant — a share that moves >1.5x against its own trailing
+#: median is a plan/shape change, not the box (the r12 miss: the XY
+#: envelope tripled traj_stbox_z_path's share while the sweep's uniform
+#: inflation was written off as box state). Suspects land in
+#: ``noise.structural_suspects`` and the round's preflight must A/B each
+#: one warm before the round closes.
+SHARE_MOVE_FLAG = 1.5
+#: ignore shares of sub-50 ms queries: at the 3-decimal rounding floor a
+#: one-tick move fakes a big ratio
+SHARE_FLOOR_S = 0.05
+TRAILING_ROUNDS = 3
+
+
+def _trailing_shares(repo_dir: str, sf) -> dict[str, list[float]]:
+    """Per-query share-of-total from the last TRAILING_ROUNDS committed
+    BENCH_r*.json artifacts at the SAME sf (shares shift with scale —
+    fixed overhead amortizes differently; missing/unparseable/other-sf
+    artifacts are skipped, so the gate degrades to no-op on a fresh repo
+    or an off-scale smoke run)."""
+    import glob
+    import re
+
+    rounds = []
+    for path in sorted(
+        glob.glob(os.path.join(repo_dir, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"BENCH_r(\d+)\.json$", p).group(1)),
+    ):
+        try:
+            with open(path, encoding="utf-8") as fh:
+                art = json.load(fh)
+            parsed = art.get("parsed", art)
+            q = parsed.get("queries")
+            total = sum(q.values())
+            if q and total > 0 and parsed.get("sf") == sf:
+                rounds.append({n: t / total for n, t in q.items()})
+        except Exception:
+            continue
+    shares: dict[str, list[float]] = {}
+    for rnd in rounds[-TRAILING_ROUNDS:]:
+        for n, s in rnd.items():
+            shares.setdefault(n, []).append(s)
+    return shares
+
+
+def structural_suspects(
+    timings: dict[str, float], sf, history: dict[str, list[float]] | None = None
+) -> dict[str, dict]:
+    """Queries whose share of this sitting moved >SHARE_MOVE_FLAG x against
+    their trailing-median share (both directions — a structural speedup is
+    worth a look too, it may be dropped work). ``history`` defaults to the
+    committed artifacts (injectable for tests)."""
+    import statistics
+
+    total = sum(timings.values())
+    if total <= 0:
+        return {}
+    if history is None:
+        history = _trailing_shares(os.path.dirname(os.path.abspath(__file__)), sf)
+    out: dict[str, dict] = {}
+    for name, t in timings.items():
+        hist = history.get(name, [])
+        if not hist or t < SHARE_FLOOR_S:
+            continue
+        med = statistics.median(hist)
+        if med * total < SHARE_FLOOR_S:
+            continue
+        share = t / total
+        ratio = share / med
+        if ratio > SHARE_MOVE_FLAG or ratio < 1 / SHARE_MOVE_FLAG:
+            out[name] = {
+                "share": round(share, 4),
+                "median_share": round(med, 4),
+                "ratio": round(ratio, 3),
+            }
+    return out
+
 
 def _sweep(spark, registry, sf_dir):
     """One timed sitting over BENCH_QUERIES; returns the sitting record."""
@@ -234,6 +312,10 @@ def main() -> None:
     quiet = [s for s in sittings if s["quiet"]]
     best = min(quiet or sittings, key=lambda s: s["total"])
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    suspects = structural_suspects(best["timings"], sf_val)
+    if suspects:
+        print(f"# structural_suspects (share vs trailing median): {suspects}", flush=True)
     print(
         json.dumps(
             {
@@ -241,7 +323,7 @@ def main() -> None:
                 "value": best["total"],
                 "unit": "sec",
                 "queries": best["timings"],
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
                 "noise": {
                     "quiet": best["quiet"],
                     # false when either steal leg was unmeasurable (off-Linux
@@ -255,6 +337,10 @@ def main() -> None:
                     "pre_steal_pct": best["pre_steal_pct"],
                     "spread_max": best["spread_max"],
                     "spread2_max": best["spread2_max"],
+                    # share-of-total movers vs the trailing 3 committed
+                    # artifacts — empty means no structural per-query move
+                    # hid inside this sitting's absolute noise
+                    "structural_suspects": suspects,
                     "runs": best["runs"],
                     # every sitting stays on record, timings summarized so
                     # the line stays one line

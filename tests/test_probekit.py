@@ -306,6 +306,39 @@ def test_bench_quiet_verdict_gates_on_steal_and_spread2():
     assert _is_quiet(dict(base, pre_steal_pct=None, steal_pct=None))
 
 
+def test_bench_structural_gate_catches_the_r12_share_move():
+    """r12 VERDICT item 4: the noise block diagnosed sitting-level noise but
+    missed a single query's structural share move (the XY envelope tripled
+    traj_stbox_z_path's per-row cost and the 1.37x sweep inflation hid it).
+    structural_suspects compares each query's share-of-total against its
+    trailing-3-artifact median — retro-check: feeding the committed r12
+    timings must flag traj_stbox_z_path even with r12 itself polluting the
+    trailing window; the share floor must mute rounding-floor queries; an
+    off-scale run (no same-sf history) must degrade to no-op."""
+    import json
+    import os
+
+    from bench import _trailing_shares, structural_suspects
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "BENCH_r12.json"), encoding="utf-8") as fh:
+        r12 = json.load(fh)["parsed"]["queries"]
+    # pinned r10/r11 shares for traj_stbox_z_path (0.026/0.023) so the
+    # retro-check stays valid as future artifacts slide the real window
+    hist = {"traj_stbox_z_path": [0.0264, 0.0227]}
+    sus = structural_suspects(r12, 0.1, history=hist)
+    assert "traj_stbox_z_path" in sus
+    assert sus["traj_stbox_z_path"]["ratio"] > 1.5
+    # sub-floor timings never flag, whatever their ratio
+    tiny = {n: (0.001 if n == "traj_stbox_z_path" else t) for n, t in r12.items()}
+    assert "traj_stbox_z_path" not in structural_suspects(tiny, 0.1, history=hist)
+    # no same-sf history -> empty, not a crash (live artifact path)
+    assert structural_suspects(r12, 123.0) == {}
+    # the live reader only admits same-sf artifacts
+    assert _trailing_shares(repo, 123.0) == {}
+    assert "traj_stbox_z_path" in _trailing_shares(repo, 0.1)
+
+
 def test_bench_sweep_spread2_is_two_best_runs_ratio():
     """spread2 excludes the cold first run by construction: min-of-3 with
     one slow outlier stays quiet; uniform inflation does not."""
