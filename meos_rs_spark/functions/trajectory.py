@@ -55,11 +55,17 @@ def posits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: DuckDB twin of posits_xy() — keep in lockstep like POSITS_CTE above.
 #: The XY envelope: a point with a NULL coordinate is not a point (r11
-#: adjudication, ENFORCED in both legs of the geometry-consuming twins in
-#: r12). Only the twins whose output derives from the coordinates
-#: (WKT/MF-JSON/WKB rendering, lengths, interpolation, OD cells) use this
-#: view; value-surfacing twins (ttype/asof/window families) deliberately
-#: keep NULL values and stay on the raw posits view.
+#: adjudication; the reference's tinstant_make has no NULL-valued instants
+#: — meos/src/tinst.rs:10-43). ENFORCED in both legs of the ten
+#: geometry-rendering twins in r12, extended in r13 (tranche 1 of the
+#: staged sweep, r12 VERDICT item 5) to every registered query whose
+#: OUTPUT derives from the coordinates — assembly/extent/accessors, box
+#: aggregates and overlap joins, WKT/WKB roundtrips, lengths, speeds,
+#: geofencing, tiling, similarity distances. Still on the raw posits view:
+#: the value-channel twins (ttype/asof/window families surface ``value``
+#: as a measurement and deliberately keep NULLs) and the time-only
+#: sequence ops (sessionize/sample/spanset) — tranche 2 decides those
+#: with a value-envelope variant if adopted.
 #:
 #: TRY_CAST (r13, ADVICE r12 item 1): both legs apply the same POST-cast
 #: validity test, so a non-numeric '$.k' string is DROPPED by both engines

@@ -28,7 +28,7 @@ from meos_rs_spark.functions.boxes import (
     tbox_same,
     tbox_union,
 )
-from meos_rs_spark.functions.trajectory import POSITS_CTE, posits
+from meos_rs_spark.functions.trajectory import POSITS_XY_CTE, posits_xy
 from meos_rs_spark.registry import register
 from meos_rs_spark.sources.tables import load_table
 
@@ -124,7 +124,7 @@ _PROBE = {"xmin": 0.0, "xmax": 50.0, "ymin": 0.0, "ymax": 50.0, "zmin": 0.0, "zm
 @register(
     "box_stbox_z",
     oracle=f"""
-WITH {POSITS_CTE},
+WITH {POSITS_XY_CTE},
 vbox AS (
   SELECT mmsi,
          min(lon) AS xmin, max(lon) AS xmax,
@@ -150,7 +150,7 @@ FROM vbox
 def box_stbox_z(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = F.expr(_Z_EXPR)
     vbox = (
-        posits(spark, sf_dir)
+        posits_xy(spark, sf_dir)
         .groupBy("mmsi")
         .agg(
             F.min("lon").alias("xmin"), F.max("lon").alias("xmax"),
@@ -225,7 +225,7 @@ def _adaptive_cell_stats(vbox: DataFrame):
 
 
 _STBOX_CTE = f"""
-{POSITS_CTE},
+{POSITS_XY_CTE},
 vbox AS (
   SELECT mmsi,
          min(lon) AS xmin, max(lon) AS xmax,
@@ -280,7 +280,7 @@ def box_stbox_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     #    (both boxes always cover that cell, so exactly one cell emits),
     #    making the join output duplicate-free by construction.
     vbox = (
-        posits(spark, sf_dir)
+        posits_xy(spark, sf_dir)
         .groupBy("mmsi")
         .agg(
             F.min("lon").alias("xmin"),
@@ -405,7 +405,7 @@ _BAND_US = 1_800_000_000
 _TCELL_US = 86_400_000_000
 
 _DAYBOX_CTE = f"""
-{POSITS_CTE},
+{POSITS_XY_CTE},
 vdbox AS (
   SELECT mmsi, CAST(date_trunc('day', ts) AS DATE) AS d,
          min(lon) AS xmin, max(lon) AS xmax,
@@ -459,7 +459,7 @@ def box_stbox_overlap_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     # candidate set is banded by construction; the band refinement is exact
     # µs arithmetic (matching the oracle's INTERVAL arithmetic exactly).
     vbox = (
-        posits(spark, sf_dir)
+        posits_xy(spark, sf_dir)
         .groupBy("mmsi", F.to_date("ts").alias("d"))
         .agg(
             F.min("lon").alias("xmin"),
@@ -607,7 +607,7 @@ _EXPAND_D = 15.0
 @register(
     "box_stbox_expand",
     oracle=f"""
-WITH {POSITS_CTE},
+WITH {POSITS_XY_CTE},
 vbox AS (
   SELECT mmsi,
          min(lon) AS xmin, max(lon) AS xmax,
@@ -630,7 +630,7 @@ FROM vbox
 )
 def box_stbox_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     vbox = (
-        posits(spark, sf_dir)
+        posits_xy(spark, sf_dir)
         .groupBy("mmsi")
         .agg(
             F.min("lon").alias("xmin"), F.max("lon").alias("xmax"),

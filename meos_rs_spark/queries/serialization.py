@@ -55,7 +55,7 @@ from meos_rs_spark.registry import register
 @register(
     "serde_wkt_roundtrip",
     oracle=f"""
-WITH {POSITS_CTE},
+WITH {POSITS_XY_CTE},
 rendered AS (
   SELECT mmsi, event_id, lon, lat, ts,
          {point_wkt_duck('lon', 'lat', 'ts')} AS wkt
@@ -73,7 +73,7 @@ FROM rendered
     "lon_exact flags lossless 6-digit round-trips (fixture doubles are 2-decimal → always 1)",
 )
 def serde_wkt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pts = posits(spark, sf_dir)
+    pts = posits_xy(spark, sf_dir)
     rendered = pts.select(
         "mmsi", "event_id", "lon", "lat", "ts", point_wkt("lon", "lat", "ts").alias("wkt")
     )
@@ -264,7 +264,7 @@ _WKB_PTS = 4  # instants per sequence (bounded output, matches serde_wkt_forms)
 @register(
     "serde_wkb_roundtrip",
     oracle=f"""
-WITH {POSITS_CTE},
+WITH {POSITS_XY_CTE},
 dedup AS (
   SELECT * FROM posits
   QUALIFY row_number() OVER (PARTITION BY mmsi, ts ORDER BY event_id) = 1
@@ -297,7 +297,7 @@ FROM agg
 def serde_wkb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meos_rs_spark.functions.trajectory import dedup_monotonic
 
-    head = truncate_group(dedup_monotonic(posits(spark, sf_dir)), _WKB_PTS)
+    head = truncate_group(dedup_monotonic(posits_xy(spark, sf_dir)), _WKB_PTS)
     agg = head.groupBy("mmsi").agg(
         F.array_sort(F.collect_list(F.struct("ts", "lon", "lat"))).alias("points")
     )

@@ -88,7 +88,7 @@ trunc AS (
 @register(
     "traj_assembly",
     oracle=f"""
-WITH {_ASSEMBLED_CTE}
+WITH {_ASSEMBLED_XY_CTE}
 SELECT mmsi,
        count(*) AS n_instants,
        '[' || string_agg({point_wkt_duck('lon', 'lat', 'ts')}, ', ' ORDER BY ts) || ']' AS seq_wkt
@@ -100,7 +100,7 @@ HAVING count(*) >= {MIN_TRIP}
     doc="tsequence_make: dedup → truncate → sorted assembly → linear-seq WKT ([...] form, 01_hello_world.rs:23)",
 )
 def traj_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pts = dedup_monotonic(posits(spark, sf_dir))
+    pts = dedup_monotonic(posits_xy(spark, sf_dir))
     w = Window.partitionBy("mmsi").orderBy("ts", "event_id")
     pts = pts.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= MAX_TRIP)
     return (
@@ -127,7 +127,7 @@ def traj_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "traj_extent",
     oracle=f"""
-WITH {POSITS_CTE}
+WITH {POSITS_XY_CTE}
 SELECT mmsi,
        min(lon) AS xmin, max(lon) AS xmax,
        min(lat) AS ymin, max(lat) AS ymax,
@@ -139,7 +139,7 @@ FROM posits GROUP BY mmsi
 )
 def traj_extent(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        posits(spark, sf_dir)
+        posits_xy(spark, sf_dir)
         .groupBy("mmsi")
         .agg(
             F.min("lon").alias("xmin"),
@@ -368,7 +368,7 @@ def traj_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # FROM dedup, not posits: the Spark leg assembles (dedup_monotonic), so
     # n_instants/subtype must count deduped instants (r10 review find)
     oracle=f"""
-WITH {_DEDUP_CTE}
+WITH {_DEDUP_XY_CTE}
 SELECT mmsi,
        min(ts) AS start_ts,
        max(ts) AS end_ts,
@@ -381,7 +381,7 @@ FROM dedup GROUP BY mmsi
     doc="start/end timestamp, num_instants, duration, subtype (temp.rs:50-52, lib.rs:29-34)",
 )
 def traj_accessors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = assemble(posits(spark, sf_dir), min_size=1)
+    t = assemble(posits_xy(spark, sf_dir), min_size=1)
     traj = F.col("traj")
     return t.select(
         "mmsi",
@@ -519,7 +519,7 @@ def traj_value_at_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "traj_shift_scale",
     oracle=f"""
-WITH {POSITS_CTE}
+WITH {POSITS_XY_CTE}
 SELECT mmsi, event_id,
        ts + INTERVAL 1 HOUR AS ts_shifted,
        epoch_us(ts + INTERVAL 1 HOUR) AS ts_shifted_us,
@@ -531,7 +531,7 @@ FROM posits
     doc="shift/scale transforms (L2 temporal_shift_time / value scaling)",
 )
 def traj_shift_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return posits(spark, sf_dir).select(
+    return posits_xy(spark, sf_dir).select(
         "mmsi",
         "event_id",
         F.expr("ts + INTERVAL 1 HOUR").alias("ts_shifted"),
@@ -624,7 +624,7 @@ def traj_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "traj_time_buckets",
     oracle=f"""
-WITH {POSITS_CTE}
+WITH {POSITS_XY_CTE}
 SELECT mmsi, date_trunc('hour', ts) AS bucket, count(*) AS n,
        CAST(SUM(CAST(lon AS DECIMAL(18,2))) AS DOUBLE) AS sum_lon
 FROM posits GROUP BY mmsi, date_trunc('hour', ts)
@@ -636,7 +636,7 @@ def traj_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meos_rs_spark.functions.determinism import money_sum
 
     return (
-        posits(spark, sf_dir)
+        posits_xy(spark, sf_dir)
         .groupBy("mmsi", F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("bucket"))
         .agg(F.count(F.lit(1)).alias("n"), money_sum("lon").alias("sum_lon"))
     )
@@ -689,7 +689,7 @@ def traj_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "traj_azimuth",
     oracle=f"""
-WITH {POSITS_CTE},
+WITH {POSITS_XY_CTE},
 segs AS (
   SELECT mmsi, event_id,
          lead(lon) OVER w - lon AS dx,
@@ -708,7 +708,7 @@ def traj_azimuth(spark: SparkSession, sf_dir: str) -> DataFrame:
     dx = F.lead("lon").over(w) - F.col("lon")
     dy = F.lead("lat").over(w) - F.col("lat")
     return (
-        posits(spark, sf_dir)
+        posits_xy(spark, sf_dir)
         .withColumn("dx", dx)
         .withColumn("dy", dy)
         .filter(F.col("dx").isNotNull())
@@ -722,7 +722,7 @@ def traj_azimuth(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "traj_speed_segments",
     oracle=f"""
-WITH {POSITS_CTE},
+WITH {POSITS_XY_CTE},
 segs AS (
   SELECT mmsi, event_id,
          sqrt( (lead(lon) OVER w - lon) * (lead(lon) OVER w - lon)
@@ -748,7 +748,7 @@ def traj_speed_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                "- unix_micros(CAST(ts AS TIMESTAMP)) AS DOUBLE)") / 1_000_000.0
     )
     return (
-        posits(spark, sf_dir)
+        posits_xy(spark, sf_dir)
         .withColumn("dist", dist)
         .withColumn("dt_s", dt)
         .filter(F.col("dist").isNotNull() & (F.col("dt_s") > 0))
@@ -762,7 +762,7 @@ def traj_speed_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "traj_at_box",
     oracle=f"""
-WITH {POSITS_CTE}
+WITH {POSITS_XY_CTE}
 SELECT mmsi,
        count(*) FILTER (WHERE lon BETWEEN 20 AND 120 AND lat BETWEEN 10 AND 80
                           AND ts BETWEEN TIMESTAMP '2024-01-05' AND TIMESTAMP '2024-01-25') AS n_inside,
@@ -782,7 +782,7 @@ def traj_at_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        posits(spark, sf_dir)
+        posits_xy(spark, sf_dir)
         .groupBy("mmsi")
         .agg(
             F.count(F.when(inside, 1)).alias("n_inside"),
@@ -926,7 +926,7 @@ _DEG2RAD = 0.017453292519943295
 @register(
     "traj_project_mercator",
     oracle=f"""
-WITH {POSITS_CTE}
+WITH {POSITS_XY_CTE}
 SELECT mmsi, event_id,
        round(lon * {_DEG2RAD!r} * {_R}, 2) + 0.0 AS x_merc,
        round(ln(tan(pi() / 4 + least(lat, 85.0) * {_DEG2RAD!r} / 2)) * {_R}, 2) + 0.0 AS y_merc
@@ -938,7 +938,7 @@ FROM posits
 )
 def traj_project_mercator(spark: SparkSession, sf_dir: str) -> DataFrame:
     lat_c = F.least(F.col("lat"), F.lit(85.0))
-    return posits(spark, sf_dir).select(
+    return posits_xy(spark, sf_dir).select(
         "mmsi",
         "event_id",
         (F.round(F.col("lon") * _DEG2RAD * _R, 2) + 0.0).alias("x_merc"),
@@ -1114,7 +1114,7 @@ _EARTH_R = 6371000.0
 @register(
     "traj_length_haversine",
     oracle=f"""
-WITH {POSITS_CTE},
+WITH {POSITS_XY_CTE},
 segs AS (
   SELECT mmsi,
          2 * {_EARTH_R} * asin(sqrt(
@@ -1150,7 +1150,7 @@ def traj_length_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        posits(spark, sf_dir)
+        posits_xy(spark, sf_dir)
         .withColumn("seg_m", seg)
         .filter(F.col("seg_m").isNotNull())
         .groupBy("mmsi")
@@ -1172,7 +1172,7 @@ _BOX_PRED_DUCK = (
 @register(
     "traj_minus_box",
     oracle=f"""
-WITH {POSITS_CTE},
+WITH {POSITS_XY_CTE},
 flagged AS (
   SELECT mmsi, ts, event_id,
          CASE WHEN NOT ({_BOX_PRED_DUCK}) THEN 1 ELSE 0 END AS outside
@@ -1207,7 +1207,7 @@ def traj_minus_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("mmsi").orderBy("ts", "event_id")
     df = (
-        posits(spark, sf_dir)
+        posits_xy(spark, sf_dir)
         .withColumn("outside", F.when(~inside, 1).otherwise(0))
         .withColumn(
             "new_run",
@@ -1233,7 +1233,7 @@ MIN_STOP_US = 43_200_000_000  # 12 h
 @register(
     "traj_stops",
     oracle=f"""
-WITH {POSITS_CTE},
+WITH {POSITS_XY_CTE},
 segs AS (
   SELECT mmsi, ts, event_id,
          sqrt( (lon - lag(lon) OVER w) * (lon - lag(lon) OVER w)
@@ -1283,7 +1283,7 @@ def traj_stops(spark: SparkSession, sf_dir: str) -> DataFrame:
         / 1_000_000.0
     )
     df = (
-        posits(spark, sf_dir)
+        posits_xy(spark, sf_dir)
         .withColumn("dist", dist)
         .withColumn("dt_s", dt)
         .withColumn(
@@ -1390,7 +1390,7 @@ def traj_tcount_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "traj_tcentroid",
     oracle=f"""
-WITH {POSITS_CTE}
+WITH {POSITS_XY_CTE}
 SELECT date_trunc('hour', ts) AS bucket,
        count(*) AS n_pts,
        CAST(SUM(CAST(lon AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS cx,
@@ -1409,7 +1409,7 @@ def traj_tcentroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n = F.count(F.lit(1))
     return (
-        posits(spark, sf_dir)
+        posits_xy(spark, sf_dir)
         .groupBy(F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("bucket"))
         .agg(
             n.alias("n_pts"),
@@ -1480,7 +1480,7 @@ def traj_twavg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "traj_resample_linear",
     oracle=f"""
-WITH {POSITS_CTE},
+WITH {POSITS_XY_CTE},
 dedup AS (
   SELECT * FROM posits
   QUALIFY row_number() OVER (PARTITION BY mmsi, ts ORDER BY event_id) = 1
@@ -1535,7 +1535,7 @@ WHERE is_marker = 1 AND p_ts IS NOT NULL AND n_ts IS NOT NULL
 )
 def traj_resample_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     step_us = 21_600_000_000  # 6 hours
-    p = dedup_monotonic(posits(spark, sf_dir))
+    p = dedup_monotonic(posits_xy(spark, sf_dir))
     w = Window.partitionBy("mmsi").orderBy("ts")
     # each kept marker g has a posit at-or-before (p) and strictly-after (n);
     # segments [ts_i, ts_{i+1}) therefore partition the marker domain — the
@@ -1585,7 +1585,7 @@ def traj_resample_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "traj_unnest_instants",
     oracle=f"""
-WITH {_ASSEMBLED_CTE}
+WITH {_ASSEMBLED_XY_CTE}
 SELECT mmsi,
        CAST(row_number() OVER (PARTITION BY mmsi ORDER BY ts, event_id) - 1 AS BIGINT) AS idx,
        {point_wkt_duck('lon', 'lat', 'ts')} AS instant_wkt
@@ -1599,7 +1599,7 @@ QUALIFY count(*) OVER (PARTITION BY mmsi) >= {MIN_TRIP}
     "01_hello_world.rs:8); posexplode keeps the array order so no re-sort",
 )
 def traj_unnest_instants(spark: SparkSession, sf_dir: str) -> DataFrame:
-    seqs = assemble(posits(spark, sf_dir), min_size=MIN_TRIP, max_size=MAX_TRIP)
+    seqs = assemble(posits_xy(spark, sf_dir), min_size=MIN_TRIP, max_size=MAX_TRIP)
     inst = seqs.select(
         "mmsi", F.posexplode("traj.points").alias("idx", "pt")
     ).select(
@@ -1621,7 +1621,7 @@ _TILE_HOURS = 6  # hours per temporal slice
 @register(
     "traj_space_time_grid",
     oracle=f"""
-WITH {POSITS_CTE}
+WITH {POSITS_XY_CTE}
 SELECT CAST(FLOOR(lon / {_CELL_DEG}) AS BIGINT) AS cell_x,
        CAST(FLOOR(lat / {_CELL_DEG}) AS BIGINT) AS cell_y,
        CAST(FLOOR(epoch_us(ts) / ({_TILE_HOURS} * 3600000000)) AS BIGINT) AS tile_t,
@@ -1639,7 +1639,7 @@ GROUP BY 1, 2, 3
     "summary of a 100 TB AIS feed still fits in memory",
 )
 def traj_space_time_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = posits(spark, sf_dir)
+    p = posits_xy(spark, sf_dir)
     tile_us = _TILE_HOURS * 3600 * 1_000_000
     return (
         p.groupBy(
@@ -1930,7 +1930,7 @@ _MAX_SPEED_DEG_H = 2.0  # max plausible travel rate, degrees/hour
 @register(
     "traj_speed_filter",
     oracle=f"""
-WITH {POSITS_CTE},
+WITH {POSITS_XY_CTE},
 stepped AS (
   SELECT mmsi, ts, event_id,
          sqrt( (lon - lag(lon) OVER w) * (lon - lag(lon) OVER w)
@@ -1975,7 +1975,7 @@ def traj_speed_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
     )
     return (
-        posits(spark, sf_dir)
+        posits_xy(spark, sf_dir)
         .withColumn("is_outlier", is_outlier)
         .groupBy("mmsi")
         .agg(
@@ -1992,7 +1992,7 @@ def traj_speed_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "traj_cumulative_length",
     oracle=f"""
-WITH {POSITS_CTE},
+WITH {POSITS_XY_CTE},
 segs AS (
   SELECT mmsi, ts, event_id,
          ROUND(sqrt( (lon - lag(lon) OVER w) * (lon - lag(lon) OVER w)
@@ -2018,7 +2018,7 @@ def traj_cumulative_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     seg = F.round(F.sqrt(dlon * dlon + dlat * dlat), 6).cast("decimal(28,6)")
     wrun = w.rowsBetween(Window.unboundedPreceding, 0)
     return (
-        posits(spark, sf_dir)
+        posits_xy(spark, sf_dir)
         .withColumn("__seg", seg)
         .select(
             "mmsi",
@@ -2036,7 +2036,7 @@ _GF_XMIN, _GF_XMAX, _GF_YMIN, _GF_YMAX = 40.0, 120.0, 20.0, 80.0
 @register(
     "traj_geofence_events",
     oracle=f"""
-WITH {POSITS_CTE},
+WITH {POSITS_XY_CTE},
 flagged AS (
   SELECT mmsi, ts, event_id,
          CASE WHEN lon >= {_GF_XMIN} AND lon <= {_GF_XMAX}
@@ -2066,7 +2066,7 @@ def traj_geofence_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("lat") >= _GF_YMIN) & (F.col("lat") <= _GF_YMAX)
     ).cast("int")
     p = (
-        posits(spark, sf_dir)
+        posits_xy(spark, sf_dir)
         .withColumn("inside", inside)
         .withColumn("prev_inside", F.lag("inside").over(w))
     )
@@ -2089,7 +2089,7 @@ _TURN_THRESH = 0.7853981633974483  # pi/4 -- strictly between 6-decimal grid poi
 @register(
     "traj_turning_points",
     oracle=f"""
-WITH {POSITS_CTE},
+WITH {POSITS_XY_CTE},
 segs AS (
   SELECT mmsi, event_id, ts,
          lead(lon) OVER w - lon AS dx,
@@ -2131,7 +2131,7 @@ FROM norm GROUP BY mmsi
 def traj_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("mmsi").orderBy("ts", "event_id")
     segs = (
-        posits(spark, sf_dir)
+        posits_xy(spark, sf_dir)
         .withColumn("dx", F.lead("lon").over(w) - F.col("lon"))
         .withColumn("dy", F.lead("lat").over(w) - F.col("lat"))
         .filter(F.col("dx").isNotNull())
@@ -2340,7 +2340,7 @@ def _morton_spark(qx, qy):
 @register(
     "traj_zorder_key",
     oracle=f"""
-WITH {POSITS_CTE},
+WITH {POSITS_XY_CTE},
 q AS (
   SELECT mmsi,
          CAST(ROUND(lon * 100) AS BIGINT) AS qx,
@@ -2368,7 +2368,7 @@ FROM z GROUP BY mmsi
     "fixture's centidegree domain — widen the lanes with the domain.",
 )
 def traj_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pts = posits(spark, sf_dir)
+    pts = posits_xy(spark, sf_dir)
     q = pts.select(
         "mmsi",
         F.round(F.col("lon") * 100, 0).cast("bigint").alias("qx"),
@@ -2390,7 +2390,7 @@ def traj_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "traj_ewma",
     oracle=f"""
-WITH {POSITS_CTE},
+WITH {POSITS_XY_CTE},
 seq AS (
   SELECT mmsi,
          count(*) AS n_posits,
@@ -2414,7 +2414,7 @@ FROM seq
     "per-vessel array -- the same shape as trajectory assembly.",
 )
 def traj_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pts = posits(spark, sf_dir)
+    pts = posits_xy(spark, sf_dir)
     seq = (
         pts.groupBy("mmsi")
         .agg(

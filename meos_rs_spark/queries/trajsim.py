@@ -25,7 +25,7 @@ from meos_rs_spark.functions.similarity import (
     lcss_similarity,
     polygon_area,
 )
-from meos_rs_spark.functions.trajectory import POSITS_CTE, posits
+from meos_rs_spark.functions.trajectory import POSITS_XY_CTE, posits, posits_xy
 from meos_rs_spark.golden import GOLDEN
 from meos_rs_spark.registry import register
 
@@ -35,7 +35,7 @@ K_VESSELS = 8
 @register(
     "trajsim_hausdorff",
     oracle=f"""
-WITH {POSITS_CTE},
+WITH {POSITS_XY_CTE},
 sel AS (SELECT mmsi, lon, lat FROM posits WHERE mmsi < {K_VESSELS}),
 pairs AS (
   SELECT DISTINCT a.mmsi AS id_a, b.mmsi AS id_b
@@ -67,7 +67,7 @@ FROM ab JOIN ba ON ba.id_a = ab.id_a AND ba.id_b = ab.id_b
     "min/max aggs only, so no float-sum ordering hazards)",
 )
 def trajsim_hausdorff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sel = posits(spark, sf_dir).filter(F.col("mmsi") < K_VESSELS).select("mmsi", "lon", "lat")
+    sel = posits_xy(spark, sf_dir).filter(F.col("mmsi") < K_VESSELS).select("mmsi", "lon", "lat")
     ids = sel.select("mmsi").distinct()
     pairs = (
         ids.select(F.col("mmsi").alias("id_a"))
@@ -181,7 +181,7 @@ def trajsim_dtw_frechet(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "trajsim_nearest_approach",
     oracle=f"""
-WITH {POSITS_CTE},
+WITH {POSITS_XY_CTE},
 sel AS (SELECT mmsi, lon, lat FROM posits WHERE mmsi < {K_VESSELS}),
 pairs AS (
   SELECT a.mmsi AS id_a, b.mmsi AS id_b,
@@ -201,7 +201,7 @@ def trajsim_nearest_approach(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vessel id, so the plan never nested-loops over point-level rows
     # (the r2 version's `a.join(b, id_a < id_b)` over points planned as a
     # BroadcastNestedLoopJoin quadratic in total points).
-    sel = posits(spark, sf_dir).filter(F.col("mmsi") < K_VESSELS).select("mmsi", "lon", "lat")
+    sel = posits_xy(spark, sf_dir).filter(F.col("mmsi") < K_VESSELS).select("mmsi", "lon", "lat")
     ids = sel.select("mmsi").distinct()
     pairs = (
         ids.select(F.col("mmsi").alias("id_a"))
@@ -248,7 +248,7 @@ def _resampled_sides(spark: SparkSession, sf_dir: str):
 
     n = F.count(F.lit(1))
     res = (
-        posits(spark, sf_dir)
+        posits_xy(spark, sf_dir)
         .filter(F.col("mmsi") < K_VESSELS)
         .groupBy("mmsi", F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("bucket"))
         .agg((money_sum("lon") / n).alias("cx"), (money_sum("lat") / n).alias("cy"))
@@ -267,7 +267,7 @@ def _resampled_sides(spark: SparkSession, sf_dir: str):
 @register(
     "trajsim_nearest_instant",
     oracle=f"""
-WITH {POSITS_CTE},
+WITH {POSITS_XY_CTE},
 {_RESAMPLE_CTE},
 d AS (
   SELECT a.mmsi AS id_a, b.mmsi AS id_b, a.bucket,
@@ -318,7 +318,7 @@ D_WITHIN = 50.0
 @register(
     "trajsim_tdwithin",
     oracle=f"""
-WITH {POSITS_CTE},
+WITH {POSITS_XY_CTE},
 {_RESAMPLE_CTE},
 d AS (
   SELECT a.mmsi AS id_a, b.mmsi AS id_b, a.bucket,
@@ -366,7 +366,7 @@ def trajsim_tdwithin(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "trajsim_tdistance",
     oracle=f"""
-WITH {POSITS_CTE},
+WITH {POSITS_XY_CTE},
 {_RESAMPLE_CTE},
 d AS (
   SELECT a.mmsi AS id_a, b.mmsi AS id_b, a.bucket,

@@ -114,6 +114,49 @@ FORCE_VERIFY: tuple[str, ...] = (
     "traj_interp_mixed",
     "traj_od_matrix",
     "traj_stbox_z_path",
+    # r13 tranche 1 of the shared-envelope sweep (r12 VERDICT item 5,
+    # PREFLIGHT_r12 "Flagged for round 13"): every query whose OUTPUT
+    # derives from the coordinates moves from the raw posits view to the
+    # XY envelope in BOTH legs (posits_xy / POSITS_XY_CTE — single-eval
+    # shape, so the envelope adds no extra JSON parse). Output unchanged
+    # on the NULL-free driver fixtures; the posit-as-point semantics now
+    # agree across the whole geometry family instead of just the ten r12
+    # twins. Tranche 2 (r14) decides the value-channel and time-only
+    # consumers (ttype/asof/sessionize/sample/spanset/flagship + the six
+    # golden-pinned twins).
+    "traj_assembly",
+    "traj_extent",
+    "traj_accessors",
+    "traj_shift_scale",
+    "traj_time_buckets",
+    "traj_azimuth",
+    "traj_speed_segments",
+    "traj_at_box",
+    "traj_project_mercator",
+    "traj_length_haversine",
+    "traj_minus_box",
+    "traj_stops",
+    "traj_tcentroid",
+    "traj_resample_linear",
+    "traj_unnest_instants",
+    "traj_space_time_grid",
+    "traj_speed_filter",
+    "traj_cumulative_length",
+    "traj_geofence_events",
+    "traj_turning_points",
+    "traj_ewma",
+    "traj_zorder_key",
+    "box_stbox_z",
+    "box_stbox_overlap_join",
+    "box_stbox_overlap_banded",
+    "box_stbox_expand",
+    "serde_wkt_roundtrip",
+    "serde_wkb_roundtrip",
+    "trajsim_hausdorff",
+    "trajsim_nearest_approach",
+    "trajsim_nearest_instant",
+    "trajsim_tdwithin",
+    "trajsim_tdistance",
 )
 
 

@@ -29,56 +29,56 @@ from meos_rs_spark.registry import (
 # oldest-green refill from the r7-era greens, registration order within
 # each round.
 R13_EXPECTED_HEAD = (
+    "box_stbox_z",
+    "box_stbox_overlap_join",
+    "box_stbox_overlap_banded",
+    "box_stbox_expand",
+    "serde_wkt_roundtrip",
     "serde_mfjson",
     "serde_mfjson_ingest",
+    "serde_wkb_roundtrip",
     "serde_wkt_forms",
     "serde_wkt_seqset",
+    "traj_assembly",
+    "traj_extent",
     "traj_stbox_z_path",
+    "traj_accessors",
     "traj_length_speed",
     "traj_value_at_time",
-    "traj_interp_mixed",
-    "traj_od_matrix",
-    "serde_e2e_pipeline",
+    "traj_shift_scale",
+    "traj_time_buckets",
+    "traj_azimuth",
+    "traj_speed_segments",
     "traj_at_box",
     "traj_project_mercator",
+    "traj_length_haversine",
+    "traj_minus_box",
+    "traj_stops",
+    "traj_tcentroid",
+    "traj_resample_linear",
+    "traj_unnest_instants",
+    "traj_space_time_grid",
+    "traj_speed_filter",
+    "traj_cumulative_length",
+    "traj_geofence_events",
+    "traj_turning_points",
+    "traj_interp_mixed",
+    "traj_od_matrix",
+    "traj_zorder_key",
+    "traj_ewma",
+    "serde_e2e_pipeline",
+    "trajsim_hausdorff",
+    "trajsim_nearest_approach",
+    "trajsim_nearest_instant",
+    "trajsim_tdwithin",
+    "trajsim_tdistance",
     "traj_transform_utm",
     "traj_transform_lcc",
-    "traj_length_haversine",
     "serde_wkt_malformed",
     "src_csv_roundtrip",
     "snk_upsert_merge",
     "text_decontaminate",
     "stream_foreachbatch_sink",
-    "rel_join_semi",
-    "rel_join_anti",
-    "rel_join_range",
-    "rel_join_band_bucketed",
-    "rel_join_multiway",
-    "rel_distinct",
-    "rel_count_distinct",
-    "rel_rollup",
-    "rel_cube",
-    "rel_topk_orders",
-    "rel_set_ops",
-    "rel_global_metrics",
-    "rel_filter_agg",
-    "rel_funnel_steps",
-    "win_lag_dedup",
-    "box_stbox_z",
-    "box_stbox_expand",
-    "box_tbox_algebra",
-    "dedup_components",
-    "traj_sessionize",
-    "traj_simplify_dp",
-    "traj_tbool_duration",
-    "traj_minus_box",
-    "traj_tcount_sweep",
-    "traj_tcentroid",
-    "traj_twavg",
-    "traj_resample_linear",
-    "traj_tmax_sweep",
-    "traj_cumulative_length",
-    "text_fingerprint",
 )
 
 
