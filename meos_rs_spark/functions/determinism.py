@@ -22,6 +22,22 @@ fragile in exactly two places, and these helpers close both:
 
 Every helper comes in a Spark-SQL and a DuckDB-SQL flavor built from the same
 template so the two sides cannot drift.
+
+**Magnitude contract (scope fence, pinned r13 — r12 VERDICT item 6).** The
+decimal canon has a finite domain by construction: DECIMAL(18,2) admits
+|x| < 10^16, DECIMAL(28,6) admits |x| < 10^22. A value beyond the canon
+(the extremes campaign's 1e300 doubles) ANSI-aborts BOTH engines loudly
+and identically (Spark ``NUMERIC_VALUE_OUT_OF_RANGE``, DuckDB
+``ConversionException``) — that abort IS the documented contract, pinned
+by tests/test_determinism.py::test_decimal_canon_magnitude_contract.
+Rationale: these canons exist to make float aggregation exact and
+shuffle-order independent; a ``try_cast`` widening would instead NULL the
+out-of-range rows and silently drop data from sums — worse than failing.
+Real fleets put a range-sanity gate at ingest (coordinates are degrees,
+money is bounded); values past 10^16 in these channels are corrupt, and
+corrupt data must be loud. Do not silently widen; if a future source
+genuinely needs more magnitude, raise the canon's precision deliberately
+in BOTH flavors and re-earn the affected twins.
 """
 
 from __future__ import annotations

@@ -54,6 +54,27 @@ def test_decimal_sum_is_partition_order_independent(spark, values):
     assert len(sums) == 1  # identical bits regardless of partitioning
 
 
+def test_decimal_canon_magnitude_contract(spark):
+    """Scope fence (r13, r12 VERDICT item 6): a value beyond the decimal
+    canon's domain (|x| >= 10^16 for DECIMAL(18,2)) must abort LOUDLY and
+    in BOTH engines — never silently drop into a NULL. The extremes
+    campaign's 1e300 doubles surface exactly this; the pinned contract is
+    the loud both-engine abort, and a try_cast widening (which would
+    silently remove rows from exact sums) is a deliberate non-fix."""
+    import duckdb
+    import pytest
+
+    df = spark.createDataFrame([(1e300,), (1.0,)], "x double")
+    with pytest.raises(Exception, match="NUMERIC_VALUE_OUT_OF_RANGE|CANNOT_CHANGE_DECIMAL_PRECISION|out of range"):
+        df.selectExpr("CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS s").collect()
+    con = duckdb.connect()
+    with pytest.raises(duckdb.ConversionException):
+        con.sql(
+            "SELECT CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS s "
+            "FROM (VALUES (1e300), (1.0)) t(x)"
+        ).fetchall()
+
+
 def test_unicode_lower_envelope_cross_engine(spark):
     """Case-folding contract for the normalize-then-md5 dedup queries
     (dedup_normalized, stream_fingerprint_dedup): Spark (java.lang.String,
