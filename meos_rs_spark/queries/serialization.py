@@ -514,7 +514,7 @@ def serde_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from meos_rs_spark.functions.serde import parse_point_wkt
-    from meos_rs_spark.functions.trajectory import dedup_monotonic, point_wkt, posits
+    from meos_rs_spark.functions.trajectory import dedup_monotonic, point_wkt
 
     # XY envelope (r12): the EWKT render needs both coordinates
     p = posits_xy(spark, sf_dir)
