@@ -38,6 +38,18 @@ money is bounded); values past 10^16 in these channels are corrupt, and
 corrupt data must be loud. Do not silently widen; if a future source
 genuinely needs more magnitude, raise the canon's precision deliberately
 in BOTH flavors and re-earn the affected twins.
+
+Known subclass at the domain edge (measured r13, present since r12's
+artifacts): when the corrupt value reaches the cast as **infinity**
+(double arithmetic past ~1e154 overflows in the segment-length
+``sqrt(dx²+dy²)`` paths), Spark's ANSI cast yields NULL (its Cast maps
+non-finite doubles to NULL even in ANSI mode; only finite-out-of-range
+raises) while DuckDB aborts — so those twins diverge in failure MODE
+(Spark silently drops the inf segment from the sum, DuckDB is loud).
+Same pinning test covers it. This is unreachable inside the documented
+|x| < 10^22 domain; enforcing loudness Spark-side would put a
+raise-on-nonfinite branch in every hot fold for inputs the contract
+already rejects, so it is documented rather than papered over.
 """
 
 from __future__ import annotations
