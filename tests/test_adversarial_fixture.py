@@ -97,3 +97,33 @@ def test_fixture_carries_the_corners(adv_dir):
             WHERE len(embedding) = 64
               AND len(list_filter(embedding, x -> x != 0.0)) = 0"""
     ) >= 1  # zero-norm
+
+
+def test_chunk_salvage_preserves_measured_rows(tmp_path):
+    """r13 find: a wedged chunk subprocess used to backfill its WHOLE chunk
+    as fake ABORT/S rows, losing measured results (six such placeholders
+    ship in the r12 extremes artifacts). The salvage path must recover
+    every JSONL row the subprocess persisted before dying, tolerate the
+    torn final line a crash leaves, and mark only the truly-unmeasured
+    names with the distinct CHUNK_DIED class."""
+    import json
+
+    from tools.sweep_adversarial import _salvage_chunk
+
+    tmp = str(tmp_path / "out.json.chunk0")
+    part = ["q_ok", "q_abort", "q_torn", "q_never_ran"]
+    with open(tmp + ".partial", "w", encoding="utf-8") as fh:
+        fh.write(json.dumps({"name": "q_ok", "class": "OK", "rows_spark": 5}) + "\n")
+        fh.write(json.dumps({"name": "q_abort", "class": "ABORT/O", "error": "x"}) + "\n")
+        fh.write('{"name": "q_torn", "cla')  # crash mid-write
+    got = _salvage_chunk(tmp, part)
+    assert got["q_ok"] == {"class": "OK", "rows_spark": 5}
+    assert got["q_abort"]["class"] == "ABORT/O"
+    assert got["q_torn"]["class"] == "CHUNK_DIED"
+    assert got["q_never_ran"]["class"] == "CHUNK_DIED"
+    import os
+
+    assert not os.path.exists(tmp + ".partial")  # consumed
+    # no partial at all (crash before the first twin finished)
+    got2 = _salvage_chunk(str(tmp_path / "other.chunk5"), ["a"])
+    assert got2 == {"a": {"class": "CHUNK_DIED", "error": "chunk died before this twin ran"}}

@@ -27,13 +27,27 @@ engines; (3) the streaming watermark premise (delay bounds the event-time
 span, pinned in tests/test_streaming_bounds.py): one sentinel
 far-future event catapults the watermark and later-arriving batches drop
 — the production mitigation is an ingest sanity horizon upstream of the
-watermark, out of scope for fixture-exact twins. Year-9999 outputs also
-exceed pandas' ns epoch in the COMPARE harness itself (ArrowInvalid /
-date-vs-Timestamp dtype artifacts) — harness limits, not engine ones.
+watermark, out of scope for fixture-exact twins; (4) time-grid
+amplification (r13, measured once the chunk-salvage machinery could see
+it): a resample/grid query whose span derives from the data
+(``traj_resample_linear``: markers every 6 h between consecutive posits)
+turns one corrupt 1901→9999 segment into ~11.8M generated markers —
+BOTH engines grind or exhaust memory (Spark leg OOMs a default-1 g JVM,
+which is what wedged this twin's chunk in every campaign since r12);
+same mitigation as (3), an ingest sanity horizon, since a silent
+marker cap would truncate data and a loud span guard cannot be expressed
+in the DuckDB leg without diverging failure modes. Year-9999 outputs
+also exceed pandas' ns epoch in the COMPARE harness itself (ArrowInvalid
+/ date-vs-Timestamp dtype artifacts) — harness limits, not engine ones.
 
 ``--chunked[=N]`` runs N-query chunks in subprocesses: a fatal
 extreme-value crash (a mid-Arrow-stream abort can wedge the local py4j
 gateway) poisons at most its chunk remainder instead of the sitting.
+Since r13 every finished twin is ALSO persisted to a JSONL partial, so a
+wedged chunk loses only the in-flight query (salvaged rows keep their
+measured class; truly-unmeasured names get the distinct ``CHUNK_DIED``
+class, and in-chunk dead-gateway cascade rows get ``WEDGED`` — neither
+is ever conflated with a measured ``ABORT/S``).
 """
 
 from __future__ import annotations
@@ -128,14 +142,30 @@ def _session_dead(exc: Exception) -> bool:
         or "could not be applied" in msg
         or "Py4JNetworkError" in msg
         or "Answer from Java side is empty" in msg
+        # the in-process restart's own failure mode: the fresh builder finds
+        # the half-dead context of the wedged gateway (r13 live salvage run)
+        or "SESSION_OR_CONTEXT_NOT_EXISTS" in msg
     )
 
 
-def run_sweep(spark, fixture_dir: str, names: list[str]) -> dict[str, dict]:
+def run_sweep(
+    spark, fixture_dir: str, names: list[str], partial_path: str | None = None
+) -> dict[str, dict]:
     import duckdb
 
     from tests.oracle import compare
     from meos_rs_spark.registry import load_registry
+
+    def _persist(name: str, entry: dict) -> None:
+        # one JSONL line per finished twin: a later hard wedge (a
+        # mid-Arrow-stream abort can take the whole py4j gateway down
+        # faster than the in-process retry can catch) must lose at most
+        # the in-flight query, never the chunk's measured results
+        # (r13 find: the r12 extremes artifacts carried six chunk-died
+        # placeholder rows that had really measured OK)
+        if partial_path:
+            with open(partial_path, "a", encoding="utf-8") as fh:
+                fh.write(json.dumps({"name": name, **entry}) + "\n")
 
     reg = load_registry()
     results: dict[str, dict] = {}
@@ -165,15 +195,24 @@ def run_sweep(spark, fixture_dir: str, names: list[str]) -> dict[str, dict]:
                 sdf = spec.fn(spark, fixture_dir)
                 spdf = sdf.toPandas()
         except Exception as exc:  # noqa: BLE001 — classification sweep
-            entry = {"class": "ABORT/S", "error": f"{type(exc).__name__}: {exc}"[:500]}
+            # a dead-gateway signature is NOT a measured engine abort — the
+            # twin (or its predecessor) took the JVM down and the one
+            # in-process restart didn't stick. Record the distinct WEDGED
+            # class so cross-round comparisons and re-run targeting never
+            # confuse cascade noise with a real ABORT/S (r13 live find:
+            # three isolated-OK twins carried fake ABORT/S cascade rows).
+            cls = "WEDGED" if _session_dead(exc) else "ABORT/S"
+            entry = {"class": cls, "error": f"{type(exc).__name__}: {exc}"[:500]}
             results[name] = entry
-            print(f"{name}: ABORT/S {entry['error'][:160]}", flush=True)
+            _persist(name, entry)
+            print(f"{name}: {cls} {entry['error'][:160]}", flush=True)
             continue
         try:
             ddf = con.sql(spec.oracle).df()
         except Exception as exc:  # noqa: BLE001
             entry = {"class": "ABORT/O", "error": f"{type(exc).__name__}: {exc}"[:500]}
             results[name] = entry
+            _persist(name, entry)
             print(f"{name}: ABORT/O {entry['error'][:160]}", flush=True)
             continue
         try:
@@ -191,6 +230,7 @@ def run_sweep(spark, fixture_dir: str, names: list[str]) -> dict[str, dict]:
             "issues": issues[:5],
         }
         results[name] = entry
+        _persist(name, entry)
         print(f"{name}: {entry['class']} ({len(spdf)} vs {len(ddf)} rows)", flush=True)
         if issues:
             for i in issues[:3]:
@@ -206,6 +246,37 @@ class _Wrapped:
 
     def toPandas(self):  # noqa: N802 — mirrors the pyspark API
         return self._pdf
+
+
+def _salvage_chunk(tmp: str, part: list[str]) -> dict[str, dict]:
+    """A chunk subprocess died before writing its final JSON. Salvage every
+    measured row from its JSONL partial (written per-query by run_sweep)
+    and mark ONLY the truly-unmeasured names with the distinct class
+    ``CHUNK_DIED`` — never a fake ABORT/S. (r13 find: the old backfill
+    wrote {"class": "ABORT/S", "error": "chunk died"} for the WHOLE chunk,
+    losing measured OK rows and polluting cross-round class comparisons —
+    the r12 extremes artifacts carry six such placeholders.)"""
+    salvaged: dict[str, dict] = {}
+    partial = f"{tmp}.partial"
+    try:
+        with open(partial, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    row = json.loads(line)
+                except ValueError:
+                    continue  # torn final line from the crash
+                n = row.pop("name", None)
+                if n in part:
+                    salvaged[n] = row
+        os.remove(partial)
+    except FileNotFoundError:
+        pass
+    for n in part:
+        salvaged.setdefault(n, {"class": "CHUNK_DIED", "error": "chunk died before this twin ran"})
+    return salvaged
 
 
 def _run_chunked(names: list[str], out_json: str, chunk: int, extra: list[str]) -> None:
@@ -234,8 +305,7 @@ def _run_chunked(names: list[str], out_json: str, chunk: int, extra: list[str]) 
                 merged.update(json.load(fh)["results"])
             os.remove(tmp)
         except FileNotFoundError:
-            for n in part:
-                merged.setdefault(n, {"class": "ABORT/S", "error": "chunk died"})
+            merged.update(_salvage_chunk(tmp, part))
     counts: dict[str, int] = {}
     for entry in merged.values():
         counts[entry["class"]] = counts.get(entry["class"], 0) + 1
@@ -287,17 +357,26 @@ def main() -> None:
         _run_chunked(names, out_json, chunked, extra)
         return
     print(f"# sweeping {len(names)} twins over {fixture_dir}", flush=True)
+    os.makedirs(os.path.dirname(out_json) or ".", exist_ok=True)
+    partial = f"{out_json}.partial"
     try:
-        results = run_sweep(spark, fixture_dir, names)
+        os.remove(partial)  # a stale partial from a prior crash
+    except FileNotFoundError:
+        pass
+    try:
+        results = run_sweep(spark, fixture_dir, names, partial_path=partial)
     except Exception:
         traceback.print_exc()
         raise
     counts: dict[str, int] = {}
     for entry in results.values():
         counts[entry["class"]] = counts.get(entry["class"], 0) + 1
-    os.makedirs(os.path.dirname(out_json) or ".", exist_ok=True)
     with open(out_json, "w") as fh:
         json.dump({"counts": counts, "results": results}, fh, indent=1, sort_keys=True)
+    try:
+        os.remove(partial)  # clean finish: the final JSON supersedes it
+    except FileNotFoundError:
+        pass
     print(f"# {counts} -> {out_json}", flush=True)
 
 
