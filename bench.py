@@ -130,10 +130,12 @@ def _trailing_shares(repo_dir: str, sf) -> dict[str, list[float]]:
     import re
 
     rounds = []
-    for path in sorted(
-        glob.glob(os.path.join(repo_dir, "BENCH_r*.json")),
-        key=lambda p: int(re.search(r"BENCH_r(\d+)\.json$", p).group(1)),
-    ):
+    numbered = []
+    for path in glob.glob(os.path.join(repo_dir, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if m:  # a stray non-numbered file must not crash the gate
+            numbered.append((int(m.group(1)), path))
+    for _, path in sorted(numbered):
         try:
             with open(path, encoding="utf-8") as fh:
                 art = json.load(fh)
