@@ -40,6 +40,15 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
     "spark.sql.adaptive.skewJoin.enabled": "true",
 }
+# Deliberately NOT set (r13, measured then reverted):
+# spark.sql.files.openCostInBytes=256k splits the dense 12 MB sf0.1
+# events.parquet into 8 scan tasks instead of 1, which LOOKED like a 35%
+# win in a sequential A/B — but a per-rep interleaved toggle on the same
+# body measured no difference (the vessel-key window shuffle, not the
+# scan, dominates these bodies), and a full bench sitting under the conf
+# was flat. Sequential A/Bs on this shared box confuse drift for effect;
+# keep split sizing at Spark defaults until an interleaved measurement
+# says otherwise.
 
 
 # Confs whose failure to apply breaks queries outright (vs. merely degrading
