@@ -36,6 +36,16 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
+#: Max rows per parquet row group in generated fixtures. pyarrow's default
+#: (1 Mi rows) packs a whole replicated table into ONE row group, and Spark
+#: cannot parallelize INSIDE a row group - every scale-fixture scan then
+#: runs as a single task no matter the split math, so the x10 sweep
+#: measures serial-scan scaling instead of plan scaling (r13 find: the
+#: events x10 leg ran 1 task while lineitem got 6 only because it crossed
+#: the 1 Mi default). 128k rows mirrors production parquet (a 100 TB table
+#: has thousands of row groups) while keeping footer overhead trivial.
+ROW_GROUP_ROWS = 128 * 1024
+
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
@@ -146,6 +156,7 @@ def scale_fixture(src: str, dst: str, factor: int, skew: bool = False) -> None:
             pq.write_table(
                 pa.Table.from_pandas(base, schema=schema, preserve_index=False),
                 os.path.join(dst, f"{table}.parquet"),
+                row_group_size=ROW_GROUP_ROWS,
             )
             print(f"{table}: fixed dim, {len(base)} rows")
             continue
@@ -177,6 +188,7 @@ def scale_fixture(src: str, dst: str, factor: int, skew: bool = False) -> None:
         pq.write_table(
             pa.Table.from_pandas(out, schema=schema, preserve_index=False),
             os.path.join(dst, f"{table}.parquet"),
+            row_group_size=ROW_GROUP_ROWS,
         )
         print(f"{table}: {len(base)} -> {len(out)} rows")
 
@@ -218,6 +230,7 @@ def scale_fixture_time(src: str, dst: str, factor: int) -> None:
             pq.write_table(
                 pa.Table.from_pandas(base, schema=schema, preserve_index=False),
                 os.path.join(dst, f"{table}.parquet"),
+                row_group_size=ROW_GROUP_ROWS,
             )
             print(f"{table}: copied, {len(base)} rows")
             continue
@@ -233,6 +246,7 @@ def scale_fixture_time(src: str, dst: str, factor: int) -> None:
         pq.write_table(
             pa.Table.from_pandas(out, schema=schema, preserve_index=False),
             os.path.join(dst, f"{table}.parquet"),
+            row_group_size=ROW_GROUP_ROWS,
         )
         print(
             f"{table}: {len(base)} -> {len(out)} rows, "

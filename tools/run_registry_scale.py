@@ -49,9 +49,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from tools.probekit import (  # noqa: E402
     CONTEST_CONFS,
     WARM_DIR,
+    cpu_ticks,
+    load1,
     reset_confs,
     shuffle_delta,
     shuffle_stage_keys,
+    steal_pct,
     task_share,
 )
 
@@ -157,9 +160,17 @@ def main() -> None:
 
     results: dict[str, dict] = {}
     t_start = time.time()
+    ticks_sweep = cpu_ticks()
+    load_start = load1()
     for name, spec in registry.items():
         try:
             _run(spec.fn, spark, WARM_DIR)
+            # per-query hypervisor steal over BOTH timed legs: ratios from a
+            # loud window must self-describe (r13: a neighbor storm inflated
+            # a whole sweep's ratios 3-5x uniformly and only an untouched-
+            # query control experiment could prove it was the box — now
+            # every row carries its own noise reading)
+            ticks_q = cpu_ticks()
             tb, nb, sb = _run(spec.fn, spark, base, capture=True)
             tg, ng, sg = _run(spec.fn, spark, big, capture=True)
             ratio = round(tg / tb, 2) if tb > 0 else float("inf")
@@ -209,10 +220,13 @@ def main() -> None:
                     and share_g > ADV_SHARE_TRIGGER
                 )
             )
+            q_steal = steal_pct(ticks_q, cpu_ticks())
             results[name] = {
                 "t_base": tb,
                 "t_x10": tg,
                 "ratio": ratio,
+                "steal_pct": q_steal,
+                "loud": q_steal is not None and q_steal > 1.0,
                 "rows_base": nb,
                 "rows_x10": ng,
                 "flag": ratio > FLAG_RATIO,
@@ -226,6 +240,8 @@ def main() -> None:
                 "skew_flag": skew_flag,
             }
             mark = "  <-- FLAG" if ratio > FLAG_RATIO else ""
+            if q_steal is not None and q_steal > 1.0:
+                mark += f"  [loud steal={q_steal}%]"
             if skew_flag:
                 mark += "  <-- SKEW-SHARE"
             shuf = (
@@ -256,8 +272,14 @@ def main() -> None:
     skew_flagged = [n for n, r in results.items() if r.get("skew_flag")]
     aqe_artifacts = [n for n, r in results.items() if r.get("aqe_artifact")]
     errored = [n for n, r in results.items() if "error" in r]
+    loud_rows = [n for n, r in results.items() if r.get("loud")]
     summary = {
         "n_queries": len(results),
+        "sweep_steal_pct": steal_pct(ticks_sweep, cpu_ticks()),
+        "load1_start": load_start,
+        "load1_end": load1(),
+        "n_loud": len(loud_rows),
+        "loud": loud_rows,
         "n_flagged": len(flagged),
         "flagged": flagged,
         "n_skew_flagged": len(skew_flagged),
