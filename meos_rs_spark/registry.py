@@ -87,77 +87,10 @@ DRIVER_WINDOW = 50
 #: the changed code re-earns its row this round instead of waiting for the
 #: oldest-green rotation to reach it (r5 ADVICE: new code benefits most
 #: from a driver row). Clear entries once the round's artifact lands.
-#: r13: all 41 distinct r12 entries (fixture-refresh golden re-pin, the
-#: thirteen corpus-envelope embeddings twins, eight codec/ingest payload
-#: envelopes, rel_unpivot's EXCLUDE-NULLS pin, nine NULL-key fixes, and
-#: the ten XY-envelope enforcements) re-earned green driver rows in the
-#: r12 window (CORRECTNESS_r12.json, 50/50 green) and were cleared — the
-#: doubled "traj_stbox_z_path" listing flagged by r12 ADVICE went with
-#: them.
-FORCE_VERIFY: tuple[str, ...] = (
-    # r13: the ten geometry twins' shared XY posit view changed semantics
-    # and shape together — the envelope's validity test moved POST-cast
-    # (try_cast both legs: a non-numeric '$.k' string now DROPS in both
-    # engines instead of aborting in engine-specific spots, r12 ADVICE
-    # item 1), and the JSON parse became guaranteed single-eval via the
-    # non-deterministic filter barrier (r12 VERDICT item 1 — the r12
-    # shape re-evaluated get_json_object at Filter AND Project). Output
-    # unchanged on the numeric-or-NULL driver fixtures; each twin still
-    # re-earns its driver row on the new plan.
-    "serde_mfjson",
-    "serde_mfjson_ingest",
-    "serde_wkt_forms",
-    "serde_wkt_seqset",
-    "serde_e2e_pipeline",
-    "traj_length_speed",
-    "traj_value_at_time",
-    "traj_interp_mixed",
-    "traj_od_matrix",
-    "traj_stbox_z_path",
-    # r13 tranche 1 of the shared-envelope sweep (r12 VERDICT item 5,
-    # PREFLIGHT_r12 "Flagged for round 13"): every query whose OUTPUT
-    # derives from the coordinates moves from the raw posits view to the
-    # XY envelope in BOTH legs (posits_xy / POSITS_XY_CTE — single-eval
-    # shape, so the envelope adds no extra JSON parse). Output unchanged
-    # on the NULL-free driver fixtures; the posit-as-point semantics now
-    # agree across the whole geometry family instead of just the ten r12
-    # twins. Tranche 2 (r14) decides the value-channel and time-only
-    # consumers (ttype/asof/sessionize/sample/spanset/flagship + the six
-    # golden-pinned twins).
-    "traj_assembly",
-    "traj_extent",
-    "traj_accessors",
-    "traj_shift_scale",
-    "traj_time_buckets",
-    "traj_azimuth",
-    "traj_speed_segments",
-    "traj_at_box",
-    "traj_project_mercator",
-    "traj_length_haversine",
-    "traj_minus_box",
-    "traj_stops",
-    "traj_tcentroid",
-    "traj_resample_linear",
-    "traj_unnest_instants",
-    "traj_space_time_grid",
-    "traj_speed_filter",
-    "traj_cumulative_length",
-    "traj_geofence_events",
-    "traj_turning_points",
-    "traj_ewma",
-    "traj_zorder_key",
-    "box_stbox_z",
-    "box_stbox_overlap_join",
-    "box_stbox_overlap_banded",
-    "box_stbox_expand",
-    "serde_wkt_roundtrip",
-    "serde_wkb_roundtrip",
-    "trajsim_hausdorff",
-    "trajsim_nearest_approach",
-    "trajsim_nearest_instant",
-    "trajsim_tdwithin",
-    "trajsim_tdistance",
-)
+#: r14: all 43 r13 entries (the ten single-eval/try_cast geometry twins +
+#: the 33 tranche-1 XY-envelope swaps) re-earned green driver rows in the
+#: r13 window (CORRECTNESS_r13.json, 50/50 green) and were cleared.
+FORCE_VERIFY: tuple[str, ...] = ()
 
 
 @functools.lru_cache(maxsize=1)

@@ -3,8 +3,8 @@ FIRST 50 entries of __spark_entry__.queries() only (observed in r2), so the
 round's verification targets must occupy exactly those positions.
 
 Since round 6 the head is COMPUTED from the committed CORRECTNESS_r*.json
-artifacts (registry.compute_verify_head). R13_EXPECTED_HEAD pins the tuple
-the r1-r12 artifacts produce; when the driver lands CORRECTNESS_r13.json the
+artifacts (registry.compute_verify_head). R14_EXPECTED_HEAD pins the tuple
+the r1-r13 artifacts produce; when the driver lands CORRECTNESS_r14.json the
 pin goes stale and this test fails — the next round's first task is then
 reviewing the freshly computed rotation and re-pinning it here. Per r9
 ADVICE, any commit that changes the computed head (a new CORRECTNESS
@@ -22,63 +22,63 @@ from meos_rs_spark.registry import (
     verify_order_head,
 )
 
-# Round-13 rotation computed from CORRECTNESS_r01..r12: zero reds, zero
-# never-checked; the forced entries slot first (the XY posit view's
-# single-eval/try_cast change re-verifies its ten geometry twins, plus the
-# tranche-1 shared-envelope queries added later this round), then
-# oldest-green refill from the r7-era greens, registration order within
-# each round.
-R13_EXPECTED_HEAD = (
-    "box_stbox_z",
-    "box_stbox_overlap_join",
-    "box_stbox_overlap_banded",
-    "box_stbox_expand",
-    "serde_wkt_roundtrip",
-    "serde_mfjson",
-    "serde_mfjson_ingest",
-    "serde_wkb_roundtrip",
-    "serde_wkt_forms",
-    "serde_wkt_seqset",
-    "traj_assembly",
-    "traj_extent",
-    "traj_stbox_z_path",
-    "traj_accessors",
-    "traj_length_speed",
-    "traj_value_at_time",
-    "traj_shift_scale",
-    "traj_time_buckets",
-    "traj_azimuth",
-    "traj_speed_segments",
-    "traj_at_box",
-    "traj_project_mercator",
-    "traj_length_haversine",
-    "traj_minus_box",
-    "traj_stops",
-    "traj_tcentroid",
-    "traj_resample_linear",
-    "traj_unnest_instants",
-    "traj_space_time_grid",
-    "traj_speed_filter",
-    "traj_cumulative_length",
-    "traj_geofence_events",
-    "traj_turning_points",
-    "traj_interp_mixed",
-    "traj_od_matrix",
-    "traj_zorder_key",
-    "traj_ewma",
-    "serde_e2e_pipeline",
-    "trajsim_hausdorff",
-    "trajsim_nearest_approach",
-    "trajsim_nearest_instant",
-    "trajsim_tdwithin",
-    "trajsim_tdistance",
-    "traj_transform_utm",
-    "traj_transform_lcc",
-    "serde_wkt_malformed",
-    "src_csv_roundtrip",
-    "snk_upsert_merge",
-    "text_decontaminate",
-    "stream_foreachbatch_sink",
+# Round-14 rotation computed from CORRECTNESS_r01..r13: zero reds, zero
+# never-checked, FORCE_VERIFY cleared after the r13 window re-earned all 43
+# entries; pure oldest-green refill — 15 r7-era relational/window greens,
+# 24 r8 greens, and the 11 oldest r9 greens, registration order within
+# each round. Tranche-2a envelope commits later this round re-add
+# FORCE_VERIFY entries and re-pin this tuple in the same commit.
+R14_EXPECTED_HEAD = (
+    "rel_join_semi",
+    "rel_join_anti",
+    "rel_join_range",
+    "rel_join_band_bucketed",
+    "rel_join_multiway",
+    "rel_distinct",
+    "rel_count_distinct",
+    "rel_rollup",
+    "rel_cube",
+    "rel_topk_orders",
+    "rel_set_ops",
+    "rel_global_metrics",
+    "rel_filter_agg",
+    "rel_funnel_steps",
+    "win_lag_dedup",
+    "box_tbox_algebra",
+    "dedup_components",
+    "traj_sessionize",
+    "traj_simplify_dp",
+    "traj_tbool_duration",
+    "traj_tcount_sweep",
+    "traj_twavg",
+    "traj_tmax_sweep",
+    "text_fingerprint",
+    "rel_correlated_subquery",
+    "rel_salted_agg",
+    "rel_disjunctive_join",
+    "scalar_strings",
+    "scalar_dates",
+    "scalar_math",
+    "scalar_case_coalesce",
+    "scalar_arrays",
+    "scalar_regexp",
+    "scalar_maps",
+    "win_rownum_truncate",
+    "win_rank_dense",
+    "win_rolling_frame",
+    "win_running_total",
+    "win_ntile_first_last",
+    "dedup_minhash_estimate",
+    "dedup_containment",
+    "src_partition_pruning",
+    "src_schema_evolution",
+    "src_orc_roundtrip",
+    "snk_compaction",
+    "snk_cdc_apply",
+    "text_repetition",
+    "text_curation_pipeline",
+    "text_top_ngrams",
+    "text_chunking",
 )
 
 
@@ -90,10 +90,10 @@ def test_head_is_exactly_the_driver_window():
     assert tuple(names[:50]) == head
 
 
-def test_computed_head_matches_the_round13_pin():
+def test_computed_head_matches_the_round14_pin():
     # Stale-pin alarm: fails as soon as a new CORRECTNESS artifact lands,
     # forcing the next round to review + re-pin the rotation.
-    assert verify_order_head() == R13_EXPECTED_HEAD
+    assert verify_order_head() == R14_EXPECTED_HEAD
 
 
 def test_head_priority_rule():
