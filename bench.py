@@ -120,8 +120,8 @@ SHARE_FLOOR_S = 0.05
 TRAILING_ROUNDS = 3
 
 
-def _trailing_shares(repo_dir: str, sf) -> dict[str, list[float]]:
-    """Per-query share-of-total from the last TRAILING_ROUNDS committed
+def _trailing_rounds(repo_dir: str, sf) -> list[dict[str, float]]:
+    """Per-round share-of-total dicts from the last TRAILING_ROUNDS committed
     BENCH_r*.json artifacts at the SAME sf (shares shift with scale —
     fixed overhead amortizes differently; missing/unparseable/other-sf
     artifacts are skipped, so the gate degrades to no-op on a fresh repo
@@ -146,30 +146,69 @@ def _trailing_shares(repo_dir: str, sf) -> dict[str, list[float]]:
                 rounds.append({n: t / total for n, t in q.items()})
         except Exception:
             continue
+    return rounds[-TRAILING_ROUNDS:]
+
+
+def _trailing_shares(repo_dir: str, sf) -> dict[str, list[float]]:
+    """Aggregated view of ``_trailing_rounds``: per-query share history."""
     shares: dict[str, list[float]] = {}
-    for rnd in rounds[-TRAILING_ROUNDS:]:
+    for rnd in _trailing_rounds(repo_dir, sf):
         for n, s in rnd.items():
             shares.setdefault(n, []).append(s)
     return shares
 
 
 def structural_suspects(
-    timings: dict[str, float], sf, history: dict[str, list[float]] | None = None
+    timings: dict[str, float],
+    sf,
+    history: dict[str, list[float]] | list[dict[str, float]] | None = None,
 ) -> dict[str, dict]:
     """Queries whose share of this sitting moved >SHARE_MOVE_FLAG x against
     their trailing-median share (both directions — a structural speedup is
     worth a look too, it may be dropped work). ``history`` defaults to the
-    committed artifacts (injectable for tests)."""
+    committed artifacts (injectable for tests): a LIST of per-round share
+    dicts gets the intersection renormalization below; a DICT of per-query
+    share lists is the legacy pre-comparable form and is used as-is.
+
+    Shares are relative (r13 ADVICE item 4): one genuinely changed query —
+    or a BENCH_QUERIES membership change between rounds — shifts every
+    OTHER query's share of total, so a single large mover could mass-flag
+    or mask the rest. Both sides are therefore renormalized over the
+    intersection of query names present in the sitting AND in every
+    trailing round before any ratio is taken; names outside that common
+    set cannot be ratio-judged and are skipped (they are new or retired
+    bench members, which the round's preflight reviews anyway).
+    """
     import statistics
 
-    total = sum(timings.values())
+    if history is None:
+        history = _trailing_rounds(os.path.dirname(os.path.abspath(__file__)), sf)
+    if isinstance(history, dict):
+        shares_by_name = history
+        common = set(timings)
+        total = sum(timings.values())
+    else:
+        rounds = [r for r in history if r]
+        common = set(timings)
+        for r in rounds:
+            common &= set(r)
+        if not rounds or not common:
+            return {}
+        shares_by_name = {}
+        for r in rounds:
+            denom = sum(r[n] for n in common)
+            if denom <= 0:
+                continue
+            for n in common:
+                shares_by_name.setdefault(n, []).append(r[n] / denom)
+        total = sum(timings[n] for n in common)
     if total <= 0:
         return {}
-    if history is None:
-        history = _trailing_shares(os.path.dirname(os.path.abspath(__file__)), sf)
     out: dict[str, dict] = {}
     for name, t in timings.items():
-        hist = history.get(name, [])
+        if name not in common:
+            continue
+        hist = shares_by_name.get(name, [])
         if not hist or t < SHARE_FLOOR_S:
             continue
         med = statistics.median(hist)
@@ -316,51 +355,66 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     suspects = structural_suspects(best["timings"], sf_val)
+    # Per-run / per-sitting / suspect DETAIL goes on '#' comment lines
+    # (human-auditable in the artifact's stdout tail, driver-ignored): the
+    # driver captures only the LAST 2000 chars of stdout and parses the
+    # final JSON line, and BENCH_r13's single line — carrying runs + 4
+    # sittings + suspects — crossed that window and got head-truncated
+    # (parsed: null). The final line stays compact by construction;
+    # tests/test_probekit.py pins its worst-case length < 1900.
     if suspects:
         print(f"# structural_suspects (share vs trailing median): {suspects}", flush=True)
+    print(f"# runs: {best['runs']}", flush=True)
+    print(f"# load1: {best['load1_start']} -> {best['load1_end']}", flush=True)
     print(
-        json.dumps(
-            {
-                "metric": "headline_queries_wall_clock",
-                "value": best["total"],
-                "unit": "sec",
-                "queries": best["timings"],
-                "sf": sf_val,
-                "noise": {
-                    "quiet": best["quiet"],
-                    # false when either steal leg was unmeasurable (off-Linux
-                    # or presample disabled): quiet then rests on spread2
-                    # alone — intentional, but the artifact must say so
-                    "steal_measured": best["steal_pct"] is not None
-                    and best["pre_steal_pct"] is not None,
-                    "load1_start": best["load1_start"],
-                    "load1_end": best["load1_end"],
-                    "steal_pct": best["steal_pct"],
-                    "pre_steal_pct": best["pre_steal_pct"],
-                    "spread_max": best["spread_max"],
-                    "spread2_max": best["spread2_max"],
-                    # share-of-total movers vs the trailing 3 committed
-                    # artifacts — empty means no structural per-query move
-                    # hid inside this sitting's absolute noise
-                    "structural_suspects": suspects,
-                    "runs": best["runs"],
-                    # every sitting stays on record, timings summarized so
-                    # the line stays one line
-                    "sittings": [
-                        {
-                            "total": s["total"],
-                            "pre_steal_pct": s["pre_steal_pct"],
-                            "steal_pct": s["steal_pct"],
-                            "spread_max": s["spread_max"],
-                            "spread2_max": s["spread2_max"],
-                            "quiet": s["quiet"],
-                        }
-                        for s in sittings
-                    ],
-                },
-            }
+        "# sittings: "
+        + json.dumps(
+            [
+                {
+                    "total": s["total"],
+                    "pre_steal_pct": s["pre_steal_pct"],
+                    "steal_pct": s["steal_pct"],
+                    "spread_max": s["spread_max"],
+                    "spread2_max": s["spread2_max"],
+                    "quiet": s["quiet"],
+                }
+                for s in sittings
+            ]
         ),
         flush=True,
+    )
+    print(render_final_line(best, sittings, sf_val, suspects), flush=True)
+
+
+def render_final_line(best, sittings, sf_val, suspects) -> str:
+    """The ONE driver-parsed JSON line: metric/value/unit/queries/sf plus a
+    compact noise summary. Detail (runs, per-sitting records, suspect
+    shares) lives on preceding '#' lines — this line must fit the driver's
+    2000-char stdout tail whatever the sitting count."""
+    return json.dumps(
+        {
+            "metric": "headline_queries_wall_clock",
+            "value": best["total"],
+            "unit": "sec",
+            "queries": best["timings"],
+            "sf": sf_val,
+            "noise": {
+                "quiet": best["quiet"],
+                # false when either steal leg was unmeasurable (off-Linux
+                # or presample disabled): quiet then rests on spread2
+                # alone — intentional, but the artifact must say so
+                "steal_measured": best["steal_pct"] is not None
+                and best["pre_steal_pct"] is not None,
+                "steal_pct": best["steal_pct"],
+                "pre_steal_pct": best["pre_steal_pct"],
+                "spread_max": best["spread_max"],
+                "spread2_max": best["spread2_max"],
+                "sittings": len(sittings),
+                "quiet_sittings": sum(1 for s in sittings if s["quiet"]),
+                # names only — shares/ratios are on the comment line
+                "structural_suspects": sorted(suspects),
+            },
+        }
     )
 
 

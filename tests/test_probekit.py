@@ -348,3 +348,65 @@ def test_bench_sweep_spread2_is_two_best_runs_ratio():
     assert two_best(runs_cold_first) < 1.4 < max(runs_cold_first) / min(runs_cold_first)
     assert two_best(runs_jittery) < 1.4
     assert two_best([0.26, 0.40, 0.42]) > 1.4
+
+
+def test_bench_final_line_fits_the_driver_tail_at_worst_case():
+    """r13 VERDICT item 1: the driver keeps only the LAST 2000 chars of
+    bench stdout and parses the final JSON line — BENCH_r13's line (runs +
+    4 sittings + suspects inline) crossed the window and head-truncated to
+    parsed:null. Pin: the final line rendered with 16 worst-width queries,
+    the max 4 sittings, and several suspects stays under 1900 chars and
+    round-trips through json.loads."""
+    import json
+
+    from bench import BENCH_QUERIES, render_final_line
+
+    queries = {n: 9999.999 for n in BENCH_QUERIES}
+    sitting = {
+        "total": 99999.999,
+        "timings": queries,
+        "pre_steal_pct": 99.99,
+        "steal_pct": 99.99,
+        "spread_max": 99.999,
+        "spread2_max": 99.999,
+        "quiet": False,
+    }
+    suspects = {n: {"share": 0.1234, "median_share": 0.1234, "ratio": 9.999}
+                for n in list(BENCH_QUERIES)[:6]}
+    line = render_final_line(sitting, [dict(sitting)] * 4, 0.1, suspects)
+    assert "\n" not in line
+    assert len(line) < 1900, len(line)
+    parsed = json.loads(line)
+    assert parsed["metric"] == "headline_queries_wall_clock"
+    assert parsed["value"] == sitting["total"]
+    assert set(parsed["queries"]) == set(BENCH_QUERIES)
+    assert parsed["noise"]["sittings"] == 4
+    assert parsed["noise"]["structural_suspects"] == sorted(suspects)
+
+
+def test_bench_structural_gate_renormalizes_over_the_intersection():
+    """r13 ADVICE item 4: shares are relative — one genuinely changed query
+    (or a BENCH_QUERIES membership change) shifts every other query's share
+    of total. With per-round history the gate renormalizes BOTH sides over
+    the common name set, so a single 3x mover no longer mass-flags its
+    innocent neighbors, and a name absent from history is skipped rather
+    than ratio-judged against a different denominator."""
+    from bench import structural_suspects
+
+    # one 3x mover among 8 equal queries shifts the 7 neighbors' shares to
+    # ~0.8x their median — inside the band, so only the true mover flags
+    hist8 = [{n: 1 / 8 for n in "abcdefgh"}] * 3
+    now8 = {n: (3.0 if n == "a" else 1.0) for n in "abcdefgh"}
+    sus8 = structural_suspects(now8, 0.1, history=hist8)
+    assert set(sus8) == {"a"}
+    # membership change: current sitting dropped 'h' and added 'z'; with
+    # full-total normalization every survivor's share inflates vs history.
+    # Renormalized over the common 7, only the true mover flags, and 'z'
+    # (no history) is skipped, not flagged.
+    now_m = {n: (3.0 if n == "a" else 1.0) for n in "abcdefg"}
+    now_m["z"] = 5.0
+    sus_m = structural_suspects(now_m, 0.1, history=hist8)
+    assert set(sus_m) == {"a"}
+    # legacy aggregated-dict history keeps the old as-is behavior
+    agg = {"a": [1 / 8] * 3}
+    assert "a" in structural_suspects(now8, 0.1, history=agg)
