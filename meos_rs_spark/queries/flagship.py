@@ -18,14 +18,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from meos_rs_spark.functions.determinism import fmt6_sql
-from meos_rs_spark.functions.trajectory import POSITS_CTE, dedup_monotonic, posits
+from meos_rs_spark.functions.trajectory import POSITS_XY_CTE, dedup_monotonic, posits_xy
 from meos_rs_spark.registry import register
 
 MIN_TRIP_SIZE = 10
 LIMIT = 100
 
+# XY envelope in both legs (r14 tranche 2a, completing the sweep the ten
+# r12 twins started): a posit with a NULL coordinate is not a point
+# (tinstant_make admits no NULL-valued instants — meos/src/tinst.rs:10-43),
+# so validity gates the dedup contest and the HAVING census here exactly as
+# in traj_assembly. NULL-free driver fixtures → output unchanged; the
+# measured cost on assembly-shaped bodies is ~1.25x pre-shuffle eval
+# (PREFLIGHT_r13 "Bench"), priced by the same semantics the oracle pays.
 _ORACLE = f"""
-WITH {POSITS_CTE},
+WITH {POSITS_XY_CTE},
 dedup AS (
   SELECT * FROM posits
   QUALIFY row_number() OVER (PARTITION BY mmsi, ts ORDER BY event_id) = 1
@@ -50,7 +57,7 @@ LIMIT {LIMIT}
     doc="E3 pipeline: scan→project→groupBy→agg(sorted collect)→having→sort→limit",
 )
 def flagship_trip_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pts = dedup_monotonic(posits(spark, sf_dir))
+    pts = dedup_monotonic(posits_xy(spark, sf_dir))
     pt_str = F.concat(
         F.expr(fmt6_sql("lon", "spark")), F.lit(" "), F.expr(fmt6_sql("lat", "spark"))
     )

@@ -167,10 +167,12 @@ _HEX_PTS = 4  # posits per vessel (bounded output -> VALUES-literal oracle stays
     oracle=GOLDEN.get("serde_hexwkb"),
     tags=("F4", "golden"),
     doc="point → OGC HexWKB via Arrow-batched pandas_udf (temp.rs:30-38); "
-    f"first {_HEX_PTS} posits per vessel (bounded, like serde_wkb_roundtrip)",
+    f"first {_HEX_PTS} posits per vessel (bounded, like serde_wkb_roundtrip); "
+    "XY envelope (r14 tranche 2a — tinst.rs:10-43), matching the golden's "
+    "POSITS_XY_CTE selection",
 )
 def serde_hexwkb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pts = truncate_group(posits(spark, sf_dir), _HEX_PTS)
+    pts = truncate_group(posits_xy(spark, sf_dir), _HEX_PTS)
     return pts.select(
         "mmsi", "event_id", point_hexwkb(F.col("lon"), F.col("lat")).alias("hexwkb")
     )

@@ -838,7 +838,7 @@ def traj_simplify_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
     # force=True because the hazard is the GROUP exchange's size, not the
     # scan's split count that the unforced guard tests.
     return (
-        fan_out(posits(spark, sf_dir), "mmsi", force=True)
+        fan_out(posits_xy(spark, sf_dir), "mmsi", force=True)
         .groupBy("mmsi")
         .applyInPandas(
             _simplify_group,
@@ -973,7 +973,7 @@ def traj_transform_utm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meos_rs_spark.functions.crs import utm_udf
 
     w = Window.partitionBy("mmsi").orderBy("ts", "event_id")
-    pts = posits(spark, sf_dir).withColumn("__rn", F.row_number().over(w)).filter(
+    pts = posits_xy(spark, sf_dir).withColumn("__rn", F.row_number().over(w)).filter(
         F.col("__rn") <= _UTM_PTS
     )
     # one struct-returning kernel call per point (the three per-component
@@ -1008,7 +1008,7 @@ def traj_transform_lcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meos_rs_spark.functions.crs import lcc93_udf
 
     w = Window.partitionBy("mmsi").orderBy("ts", "event_id")
-    pts = posits(spark, sf_dir).withColumn("__rn", F.row_number().over(w)).filter(
+    pts = posits_xy(spark, sf_dir).withColumn("__rn", F.row_number().over(w)).filter(
         F.col("__rn") <= _UTM_PTS
     )
     u = lcc93_udf(F.col("lon"), F.col("lat"))
@@ -1034,7 +1034,8 @@ def traj_transform_lcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT user_id AS mmsi, count(*) AS n_posits, CAST(0 AS BIGINT) AS n_bad
 FROM events
-WHERE abs(CAST(json_extract_string(props, '$.k') AS DOUBLE)) <= 84.0
+WHERE value IS NOT NULL
+  AND abs(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)) <= 84.0
 GROUP BY user_id
 """,
     tags=("L2d",),
@@ -1052,7 +1053,7 @@ def traj_transform_utm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # filter a false-red — forward clamps, roundtrip error explodes, n_bad>0
     # while the oracle pins 0). Fixture 'lat' is json props.$.k in [0, 99];
     # abs() mirrored in the oracle's json_extract predicate.
-    p = posits(spark, sf_dir).filter(F.abs(F.col("lat")) <= 84.0)
+    p = posits_xy(spark, sf_dir).filter(F.abs(F.col("lat")) <= 84.0)
     return (
         p.withColumn("__err", utm_roundtrip_err_udf(F.col("lon"), F.col("lat")))
         .groupBy("mmsi")

@@ -25,7 +25,7 @@ from meos_rs_spark.functions.similarity import (
     lcss_similarity,
     polygon_area,
 )
-from meos_rs_spark.functions.trajectory import POSITS_XY_CTE, posits, posits_xy
+from meos_rs_spark.functions.trajectory import POSITS_XY_CTE, posits_xy
 from meos_rs_spark.golden import GOLDEN
 from meos_rs_spark.registry import register
 
@@ -159,7 +159,7 @@ def _pair_dp(key, pdf: pd.DataFrame) -> pd.DataFrame:
     "pair-bucketed shuffle — the SURVEY §2.10 grouped-UDAF surface)",
 )
 def trajsim_dtw_frechet(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sel = posits(spark, sf_dir).filter(F.col("mmsi") < K_VESSELS).select("mmsi", "ts", "lon", "lat")
+    sel = posits_xy(spark, sf_dir).filter(F.col("mmsi") < K_VESSELS).select("mmsi", "ts", "lon", "lat")
     ids = sel.select("mmsi").distinct()
     pairs = (
         ids.select(F.col("mmsi").alias("id_a"))
@@ -425,7 +425,7 @@ def _pair_lcss_erp(key, pdf: pd.DataFrame) -> pd.DataFrame:
     "bounded vessel subset, never an all-points nested loop",
 )
 def trajsim_lcss_erp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sel = posits(spark, sf_dir).filter(F.col("mmsi") < K_VESSELS).select("mmsi", "ts", "lon", "lat")
+    sel = posits_xy(spark, sf_dir).filter(F.col("mmsi") < K_VESSELS).select("mmsi", "ts", "lon", "lat")
     ids = sel.select("mmsi").distinct()
     pairs = (
         ids.select(F.col("mmsi").alias("id_a"))
@@ -487,7 +487,7 @@ def traj_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
     # groupBy's distribution directly. force=True: the hazard is the group
     # exchange's size, not the scan's split count.
     return (
-        fan_out(posits(spark, sf_dir).select("mmsi", "lon", "lat"), "mmsi", force=True)
+        fan_out(posits_xy(spark, sf_dir).select("mmsi", "lon", "lat"), "mmsi", force=True)
         .groupBy("mmsi")
         .applyInPandas(_vessel_hull, schema=_HULL_SCHEMA)
     )

@@ -90,7 +90,25 @@ DRIVER_WINDOW = 50
 #: r14: all 43 r13 entries (the ten single-eval/try_cast geometry twins +
 #: the 33 tranche-1 XY-envelope swaps) re-earned green driver rows in the
 #: r13 window (CORRECTNESS_r13.json, 50/50 green) and were cleared.
-FORCE_VERIFY: tuple[str, ...] = ()
+FORCE_VERIFY: tuple[str, ...] = (
+    # r14 tranche 2a of the XY-envelope sweep (r13 VERDICT item 3): the
+    # eight golden-family twins move from the raw posits view to
+    # posits_xy/POSITS_XY_CTE in both legs — tools/gen_golden.py now
+    # selects through the same envelope (regenerated literals identical on
+    # the NULL-free driver fixtures) — plus the flagship (the driver's
+    # entry smoke), whose dedup/HAVING census the envelope must gate just
+    # as it gates traj_assembly (tinst.rs:10-43). Output unchanged at
+    # every fixture scale; each re-earns its driver row on the new plan.
+    "serde_hexwkb",
+    "traj_simplify_dp",
+    "traj_transform_utm",
+    "traj_transform_lcc",
+    "traj_transform_utm_roundtrip",
+    "trajsim_dtw_frechet",
+    "trajsim_lcss_erp",
+    "traj_convex_hull",
+    "flagship_trip_pipeline",
+)
 
 
 @functools.lru_cache(maxsize=1)

@@ -23,12 +23,20 @@ from meos_rs_spark.registry import (
 )
 
 # Round-14 rotation computed from CORRECTNESS_r01..r13: zero reds, zero
-# never-checked, FORCE_VERIFY cleared after the r13 window re-earned all 43
-# entries; pure oldest-green refill — 15 r7-era relational/window greens,
-# 24 r8 greens, and the 11 oldest r9 greens, registration order within
-# each round. Tranche-2a envelope commits later this round re-add
-# FORCE_VERIFY entries and re-pin this tuple in the same commit.
+# never-checked. The 9 tranche-2a envelope swaps (flagship + the eight
+# golden-family twins) slot first via FORCE_VERIFY; the remaining 41 are
+# oldest-green refill — 15 r7-era relational/window greens, 23 r8 greens,
+# and the 3 oldest r9 greens (registration order within each round).
 R14_EXPECTED_HEAD = (
+    "flagship_trip_pipeline",
+    "serde_hexwkb",
+    "traj_simplify_dp",
+    "traj_transform_utm",
+    "traj_transform_lcc",
+    "traj_transform_utm_roundtrip",
+    "trajsim_dtw_frechet",
+    "trajsim_lcss_erp",
+    "traj_convex_hull",
     "rel_join_semi",
     "rel_join_anti",
     "rel_join_range",
@@ -47,7 +55,6 @@ R14_EXPECTED_HEAD = (
     "box_tbox_algebra",
     "dedup_components",
     "traj_sessionize",
-    "traj_simplify_dp",
     "traj_tbool_duration",
     "traj_tcount_sweep",
     "traj_twavg",
@@ -71,14 +78,6 @@ R14_EXPECTED_HEAD = (
     "dedup_minhash_estimate",
     "dedup_containment",
     "src_partition_pruning",
-    "src_schema_evolution",
-    "src_orc_roundtrip",
-    "snk_compaction",
-    "snk_cdc_apply",
-    "text_repetition",
-    "text_curation_pipeline",
-    "text_top_ngrams",
-    "text_chunking",
 )
 
 

@@ -1,7 +1,7 @@
 """Generate VALUES-literal golden oracles -> meos_rs_spark/_golden_data.py.
 
 Expected outputs are computed WITHOUT Spark: the sf0.01 fixture parquet is
-read through DuckDB (using the same POSITS_CTE the SQL oracles use), and the
+read through DuckDB (using the same POSITS_XY_CTE the SQL oracles use), and the
 per-group kernels run as plain numpy/struct calls — the same kernel functions
 whose exactness is pinned by hand-built golden tests (tests/test_simplify.py,
 test_trajsim.py, test_serde.py). The Spark queries' distributed plumbing
@@ -36,7 +36,7 @@ from meos_rs_spark.functions.similarity import (  # noqa: E402
     polygon_area,
 )
 from meos_rs_spark.functions.simplify import douglas_peucker_mask  # noqa: E402
-from meos_rs_spark.functions.trajectory import POSITS_CTE  # noqa: E402
+from meos_rs_spark.functions.trajectory import POSITS_XY_CTE  # noqa: E402
 
 # the ACTUAL tuning constants from the query modules — importing them (rather
 # than copying values here) makes constant drift between a query and its
@@ -87,8 +87,12 @@ def main() -> None:
     con.execute(
         f"CREATE VIEW events AS SELECT * FROM '{SF_DIR}/events.parquet'"
     )
+    # XY envelope (r14 tranche 2a): the golden queries all consume
+    # posits_xy now, so the Spark-free expected values must select through
+    # the same envelope — on the NULL-free driver fixtures the selection is
+    # identical to the raw view, so the regenerated literals are too.
     posits = con.sql(
-        f"WITH {POSITS_CTE} SELECT mmsi, ts, lon, lat, event_id FROM posits "
+        f"WITH {POSITS_XY_CTE} SELECT mmsi, ts, lon, lat, event_id FROM posits "
         "ORDER BY mmsi, ts, event_id"
     ).df()
 
