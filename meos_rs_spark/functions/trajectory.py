@@ -61,11 +61,15 @@ def posits(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: staged sweep, r12 VERDICT item 5) to every registered query whose
 #: OUTPUT derives from the coordinates — assembly/extent/accessors, box
 #: aggregates and overlap joins, WKT/WKB roundtrips, lengths, speeds,
-#: geofencing, tiling, similarity distances. Still on the raw posits view:
-#: the value-channel twins (ttype/asof/window families surface ``value``
-#: as a measurement and deliberately keep NULLs) and the time-only
-#: sequence ops (sessionize/sample/spanset) — tranche 2 decides those
-#: with a value-envelope variant if adopted.
+#: geofencing, tiling, similarity distances. Completed in r14 (tranche 2):
+#: the golden-family twins and the flagship (2a), plus the two-channel /
+#: point-struct consumers (merge/equality/ever_always/arith/tbool_algebra,
+#: the upsert sinks, the malformed-WKT renderer) — synchronized
+#: two-channel ops only exist on the channels' common support, exactly the
+#: XY envelope. The single-value-channel and time-only families moved to
+#: the VALUE envelope (``posits_v`` below). Only ``src_python_datasource``
+#: keeps its own explicit non-null lon/lat/ts gate, which predates the
+#: sweep and is strictly stronger.
 #:
 #: TRY_CAST (r13, ADVICE r12 item 1): both legs apply the same POST-cast
 #: validity test, so a non-numeric '$.k' string is DROPPED by both engines
@@ -118,6 +122,44 @@ def posits_xy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("lat").isNotNull() | (F.col("__barrier") < 0))
         .drop("__barrier")
+    )
+
+
+#: DuckDB twin of posits_v() — keep in lockstep like the CTEs above.
+#: The VALUE envelope (r14 tranche 2b, adopted): the single-value-channel
+#: families (tcount/twavg/tmax/at_value/ever-lon, the tint/tfloat ttype
+#: ops) and the time-only sequence ops (sessionize/sample/spanset/
+#: tbool-duration) build temporal instants from ``value`` alone, and
+#: tinstant_make admits no NULL-valued instants (meos/src/tinst.rs:10-43)
+#: — but their instants never reference the lat channel, so the XY
+#: envelope would wrongly drop a valid value instant whose UNUSED lat is
+#: NULL. ``value IS NOT NULL`` is the whole envelope; unlike the XY form
+#: it needs no JSON parse and no single-eval barrier — the predicate
+#: pushes into the parquet scan (PushedFilters: IsNotNull(value),
+#: plan-pinned in tests/test_plans.py) and the lat projection prunes away
+#: entirely when unused.
+POSITS_V_CTE = (
+    "posits AS (SELECT user_id AS mmsi, ts, value AS lon, "
+    "TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) AS lat, event_id "
+    "FROM events WHERE value IS NOT NULL)"
+)
+
+
+def posits_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posits() restricted to the VALUE envelope (see POSITS_V_CTE).
+
+    ``try_cast`` on lat mirrors the CTE so the two views stay lockstep for
+    any consumer that projects it; there is no lat predicate, so Catalyst
+    evaluates the parse once at the projection (or prunes it) — no
+    ``__barrier`` disjunct needed.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(F.col("value").isNotNull()).select(
+        F.col("user_id").alias("mmsi"),
+        "ts",
+        F.col("value").alias("lon"),
+        F.get_json_object("props", "$.k").try_cast("double").alias("lat"),
+        "event_id",
     )
 
 

@@ -13,12 +13,13 @@ non-nullable doubles). Since r12 the geometry-rendering twins here
 serde_e2e_pipeline) make that explicit in BOTH legs via the shared XY
 view (functions.trajectory.posits_xy / POSITS_XY_CTE), so NULL-coordinate
 rows drop identically instead of rendering degenerate strings the
-raw-data oracles count differently. serde_wkt_roundtrip/serde_hexwkb stay
-on the raw view: their per-posit outputs propagate NULL identically in
-both legs without an envelope (swept green on the NULL fixture), and
-serde_wkt_malformed deliberately ingests garbage. None of these twins
-aborts on a bad row (the r11 hardening turned the one crash path into
-NULL columns).
+raw-data oracles count differently. The sweep completed across r13/r14:
+serde_wkt_roundtrip (r13 tranche 1), serde_hexwkb (r14 tranche 2a), and
+serde_wkt_malformed (r14 tranche 2b) joined — the last one's tolerated
+garbage is the deterministically CORRUPTED RENDERINGS it injects
+post-render, not invalid source posits, which have no rendering to
+corrupt. None of these twins aborts on a bad row (the r11 hardening
+turned the one crash path into NULL columns).
 """
 
 from __future__ import annotations
@@ -37,11 +38,9 @@ from meos_rs_spark.functions.serde import (
     traj_wkb,
 )
 from meos_rs_spark.functions.trajectory import (
-    POSITS_CTE,
     POSITS_XY_CTE,
     point_wkt,
     point_wkt_duck,
-    posits,
     posits_xy,
     truncate_group,
 )
@@ -551,7 +550,7 @@ def serde_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "serde_wkt_malformed",
     oracle=f"""
-WITH {POSITS_CTE},
+WITH {POSITS_XY_CTE},
 rendered AS (
   SELECT mmsi, event_id, lon,
          CASE WHEN event_id % 7 = 0
@@ -583,7 +582,7 @@ FROM parsed GROUP BY mmsi
     "regex work, codegen, one final shuffle for the per-vessel rollup.",
 )
 def serde_wkt_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pts = posits(spark, sf_dir)
+    pts = posits_xy(spark, sf_dir)
     wkt_ok = point_wkt("lon", "lat", "ts")
     wkt = (
         F.when(F.col("event_id") % 7 == 0, F.replace(wkt_ok, F.lit("@"), F.lit("#")))

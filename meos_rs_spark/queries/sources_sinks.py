@@ -30,11 +30,12 @@ from pyspark.sql.types import DoubleType, LongType, StringType, StructField, Str
 
 from meos_rs_spark.functions.trajectory import (
     POSITS_CTE,
+    POSITS_XY_CTE,
     assemble,
     end_ts,
     merge_trajs,
     num_instants,
-    posits,
+    posits_xy,
     start_ts,
 )
 from meos_rs_spark.registry import register
@@ -104,7 +105,7 @@ def src_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "snk_jsonl_trips",
     oracle=f"""
-WITH {POSITS_CTE},
+WITH {POSITS_XY_CTE},
 dedup AS (
   SELECT * FROM posits
   QUALIFY row_number() OVER (PARTITION BY mmsi, ts ORDER BY event_id) = 1
@@ -118,7 +119,7 @@ FROM dedup GROUP BY mmsi HAVING count(*) >= 2
 )
 def snk_jsonl_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _scratch(spark, sf_dir, "trips_jsonl")
-    trips = assemble(posits(spark, sf_dir), min_size=2)
+    trips = assemble(posits_xy(spark, sf_dir), min_size=2)
     lines = trips.select(
         F.to_json(
             F.struct(
@@ -145,7 +146,7 @@ def snk_jsonl_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "snk_upsert_merge",
     oracle=f"""
-WITH {POSITS_CTE},
+WITH {POSITS_XY_CTE},
 merged AS (
   -- arrival-order (event_id) dedup, matching dedup_monotonic inside each
   -- half's assemble: duplicates never straddle the time-split halves, so
@@ -165,7 +166,7 @@ FROM merged GROUP BY mmsi
 )
 def snk_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _scratch(spark, sf_dir, "trips_store")
-    pts = posits(spark, sf_dir)
+    pts = posits_xy(spark, sf_dir)
     # split point stays engine-side as an uncorrelated scalar subquery (the
     # cb12afe idiom): no driver .collect() round-trip AND no join operator —
     # the crossJoin(broadcast(1-row)) it replaces planned a
@@ -852,7 +853,7 @@ def _upsert_partition(db_path: str, rows) -> None:
 @register(
     "snk_jdbc_upsert",
     oracle=f"""
-WITH {POSITS_CTE},
+WITH {POSITS_XY_CTE},
 -- mmsi IS NOT NULL: the sink keys trips on a PRIMARY KEY column, and a
 -- primary key cannot be NULL — the upsert envelope is explicit in BOTH
 -- legs (r12 adversarial sweep: a NULL-mmsi posit aborted the executor
@@ -905,7 +906,7 @@ def snk_jdbc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     boot.close()
 
     # the upsert envelope (see oracle): a trips row is keyed on mmsi
-    pts = posits(spark, sf_dir).filter(F.col("mmsi").isNotNull()).select(
+    pts = posits_xy(spark, sf_dir).filter(F.col("mmsi").isNotNull()).select(
         "mmsi",
         "ts",
         F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("ts_us"),

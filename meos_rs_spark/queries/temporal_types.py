@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from meos_rs_spark.functions.trajectory import POSITS_CTE, dedup_monotonic, posits
+from meos_rs_spark.functions.trajectory import POSITS_V_CTE, POSITS_XY_CTE, dedup_monotonic, posits_v, posits_xy
 from meos_rs_spark.registry import register
 
 # fixed mid-fixture probe instant for value-at-timestamp
@@ -32,7 +32,7 @@ _PROBE_TS = "2024-01-15 00:00:00"
 @register(
     "ttype_tint_step",
     oracle=f"""
-WITH {POSITS_CTE},
+WITH {POSITS_V_CTE},
 dedup AS (
   SELECT * FROM posits
   QUALIFY row_number() OVER (PARTITION BY mmsi, ts ORDER BY event_id) = 1
@@ -71,7 +71,7 @@ GROUP BY t.mmsi
     "value (lead() gap sum) — tint algebra per SURVEY §1.1 / tseq.rs:50-64",
 )
 def ttype_tint_step(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pts = dedup_monotonic(posits(spark, sf_dir))
+    pts = dedup_monotonic(posits_v(spark, sf_dir))
     w = Window.partitionBy("mmsi").orderBy("ts")
     tint = pts.select(
         "mmsi",
@@ -153,12 +153,8 @@ def ttype_ttext_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ttype_tbool_algebra",
-    oracle="""
-WITH posits AS (
-  SELECT user_id AS mmsi, ts, value AS lon,
-         CAST(json_extract_string(props, '$.k') AS DOUBLE) AS lat, event_id
-  FROM events
-),
+    oracle=f"""
+WITH {POSITS_XY_CTE},
 stepped AS (
   SELECT mmsi,
          lon > 100 AS a,
@@ -192,7 +188,7 @@ def ttype_tbool_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").cast("timestamp")
     )
     p = (
-        posits(spark, sf_dir)
+        posits_xy(spark, sf_dir)
         .withColumn("a", F.col("lon") > 100)
         .withColumn("b", F.col("lat") > 50)
         .withColumn("dt_us", dt)
@@ -219,7 +215,7 @@ _K_SYNC_VESSELS = 8
 @register(
     "ttype_tfloat_sync_arith",
     oracle=f"""
-WITH {POSITS_CTE},
+WITH {POSITS_V_CTE},
 merged AS (
   -- arg_min(..., event_id) per side IS the monotonic dedup (first posit at a
   -- duplicated timestamp wins, 04_to_file.rs:92-96) fused into the merge agg
@@ -279,7 +275,7 @@ FROM interp
     "sequences because synchronization never leaves the pair's partition",
 )
 def ttype_tfloat_sync_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pts = posits(spark, sf_dir).filter(F.col("mmsi") < _K_SYNC_VESSELS)
+    pts = posits_v(spark, sf_dir).filter(F.col("mmsi") < _K_SYNC_VESSELS)
     # min_by(lon, event_id) per side fuses the monotonic dedup (first posit at
     # a duplicated timestamp wins) into the merge agg — no separate per-vessel
     # window pass, so the whole sync is two exchanges: (pair, ts) agg + pair

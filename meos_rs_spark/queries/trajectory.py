@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from meos_rs_spark.functions.trajectory import (
-    POSITS_CTE,
+    POSITS_V_CTE,
     POSITS_XY_CTE,
     assemble,
     dedup_monotonic,
@@ -28,7 +28,7 @@ from meos_rs_spark.functions.trajectory import (
     path_length,
     point_wkt,
     point_wkt_duck,
-    posits,
+    posits_v,
     posits_xy,
     start_ts,
     subtype,
@@ -38,33 +38,16 @@ from meos_rs_spark.registry import register
 
 MIN_TRIP, MAX_TRIP = 5, 80
 
-# DuckDB twin of dedup+truncate+assemble (kept adjacent to the Spark impl).
-#: posits + the monotonic dedup every assemble()-based Spark leg applies
+#: posits_xy + the monotonic dedup every assemble()-based Spark leg applies
 #: (one row per (mmsi, ts), lowest event_id wins — functions.trajectory.
 #: dedup_monotonic). Any oracle whose Spark twin goes through assemble()
 #: or dedup_monotonic MUST read FROM dedup, not posits: on duplicate-
 #: timestamp data the raw-posits twin diverges (r10 review find — the
-#: r7 traj_equality hazard class, swept across the file this round).
-_DEDUP_CTE = f"""
-{POSITS_CTE},
-dedup AS (
-  SELECT * FROM posits
-  QUALIFY row_number() OVER (PARTITION BY mmsi, ts ORDER BY event_id) = 1
-)
-"""
-
-_ASSEMBLED_CTE = f"""
-{_DEDUP_CTE},
-trunc AS (
-  SELECT * FROM dedup
-  QUALIFY row_number() OVER (PARTITION BY mmsi ORDER BY ts, event_id) <= {MAX_TRIP}
-)
-"""
-
-#: XY-envelope variants (functions.trajectory.POSITS_XY_CTE): the envelope
-#: applies BEFORE dedup/truncate so a NULL-coordinate row can never win a
-#: (mmsi, ts) dedup contest and then vanish — both legs see the identical
-#: surviving set. Used ONLY by the geometry-consuming twins (r12).
+#: r7 traj_equality hazard class). The envelope applies BEFORE
+#: dedup/truncate so a NULL-coordinate row can never win a (mmsi, ts)
+#: dedup contest and then vanish — both legs see the identical surviving
+#: set. (The raw _DEDUP_CTE/_ASSEMBLED_CTE variants lost their last
+#: consumers to the r13/r14 envelope sweep and were removed.)
 _DEDUP_XY_CTE = f"""
 {POSITS_XY_CTE},
 dedup AS (
@@ -254,7 +237,7 @@ def traj_stbox_z_path(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "traj_merge",
     oracle=f"""
-WITH {POSITS_CTE},
+WITH {POSITS_XY_CTE},
 both_halves AS (
   SELECT * FROM posits  -- merge(evens, odds) == dedup-by-ts over the union
 ),
@@ -277,7 +260,7 @@ FROM merged GROUP BY mmsi
     "(concat→sort→dedup-by-ts, STORED side winning a timestamp collision), verify against whole-set assembly",
 )
 def traj_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pts = posits(spark, sf_dir)
+    pts = posits_xy(spark, sf_dir)
     # coalesce parity (see oracle): a NULL event_id row lands in the stored
     # half instead of vanishing from both
     # renamed keys (m0/m1): the halves share one lineage, so column-object
@@ -316,7 +299,7 @@ def traj_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "traj_equality",
     oracle=f"""
-WITH {POSITS_CTE}
+WITH {POSITS_XY_CTE}
 SELECT mmsi, 1 AS halves_eq_whole FROM posits GROUP BY mmsi
 """,
     tags=("F7", "P6"),
@@ -332,7 +315,7 @@ def traj_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # find, r7; latent while the fixture has no duplicate groups). With
     # each timestamp appearing once globally, the invariant holds for ANY
     # input; assemble's internal dedup is idempotent over this.
-    pts = dedup_monotonic(posits(spark, sf_dir))
+    pts = dedup_monotonic(posits_xy(spark, sf_dir))
     whole = assemble(pts, min_size=1).select("mmsi", F.col("traj").alias("tw"))
     # coalesce parity + eqNullSafe joins, as in traj_merge (r12 sweep): the
     # NULL-event_id and NULL-mmsi corners must not break the invariant
@@ -544,7 +527,7 @@ def traj_shift_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "traj_sample",
     oracle=f"""
-WITH {POSITS_CTE},
+WITH {POSITS_V_CTE},
 numbered AS (
   SELECT mmsi, ts, event_id, row_number() OVER (PARTITION BY mmsi ORDER BY ts, event_id) AS rn
   FROM posits
@@ -557,7 +540,7 @@ SELECT mmsi, ts, event_id FROM numbered WHERE (rn - 1) % 4 = 0
 def traj_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("mmsi").orderBy("ts", "event_id")
     return (
-        posits(spark, sf_dir)
+        posits_v(spark, sf_dir)
         .withColumn("__rn", F.row_number().over(w))
         .filter((F.col("__rn") - 1) % 4 == 0)
         .select("mmsi", "ts", "event_id")
@@ -570,7 +553,7 @@ def traj_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "traj_ever_always",
     oracle=f"""
-WITH {POSITS_CTE}
+WITH {POSITS_XY_CTE}
 SELECT mmsi,
        CAST(bool_or(lon > 150) AS INT) AS ever_gt150,
        CAST(bool_and(lon > 1) AS INT) AS always_gt1,
@@ -582,7 +565,7 @@ FROM posits GROUP BY mmsi
 )
 def traj_ever_always(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        posits(spark, sf_dir)
+        posits_xy(spark, sf_dir)
         .groupBy("mmsi")
         .agg(
             F.max((F.col("lon") > 150).cast("int")).alias("ever_gt150"),
@@ -598,7 +581,7 @@ def traj_ever_always(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "traj_arith",
     oracle=f"""
-WITH {POSITS_CTE}
+WITH {POSITS_XY_CTE}
 SELECT mmsi, event_id,
        lon + lat AS t_add,
        lon * 0.5 AS t_scale,
@@ -609,7 +592,7 @@ FROM posits
     doc="temporal float arithmetic + comparison (L2 add_tfloat_float family): per-instant ops",
 )
 def traj_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return posits(spark, sf_dir).select(
+    return posits_xy(spark, sf_dir).select(
         "mmsi",
         "event_id",
         (F.col("lon") + F.col("lat")).alias("t_add"),
@@ -648,7 +631,7 @@ def traj_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "traj_sessionize",
     oracle=f"""
-WITH {POSITS_CTE},
+WITH {POSITS_V_CTE},
 flagged AS (
   SELECT mmsi, ts, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
@@ -675,7 +658,7 @@ def traj_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "unix_micros(CAST(lag(ts) OVER (PARTITION BY mmsi ORDER BY ts, event_id) AS TIMESTAMP))"
     )
     return (
-        posits(spark, sf_dir)
+        posits_v(spark, sf_dir)
         .withColumn("new_session", F.when(gap_us.isNull() | (gap_us > 21_600_000_000), 1).otherwise(0))
         .withColumn("session_id", F.sum("new_session").over(wrun))
         .groupBy("mmsi", "session_id")
@@ -853,7 +836,7 @@ def traj_simplify_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "traj_spanset_coverage",
     oracle=f"""
-WITH {POSITS_CTE},
+WITH {POSITS_V_CTE},
 flagged AS (
   SELECT mmsi, ts, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
@@ -891,7 +874,7 @@ def traj_spanset_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "unix_micros(CAST(lag(ts) OVER (PARTITION BY mmsi ORDER BY ts, event_id) AS TIMESTAMP))"
     )
     spans = (
-        posits(spark, sf_dir)
+        posits_v(spark, sf_dir)
         .withColumn("new_s", F.when(gap_us.isNull() | (gap_us > 21_600_000_000), 1).otherwise(0))
         .withColumn("sid", F.sum("new_s").over(wrun))
         .groupBy("mmsi", "sid")
@@ -1072,7 +1055,7 @@ def traj_transform_utm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "traj_tbool_duration",
     oracle=f"""
-WITH {POSITS_CTE},
+WITH {POSITS_V_CTE},
 stepped AS (
   SELECT mmsi, ts, lon > 100 AS cond,
          epoch_us(lead(ts) OVER (PARTITION BY mmsi ORDER BY ts, event_id)) - epoch_us(ts) AS dt_us
@@ -1095,7 +1078,7 @@ def traj_tbool_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) - F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
     cond = F.col("lon") > 100
     return (
-        posits(spark, sf_dir)
+        posits_v(spark, sf_dir)
         .withColumn("dt_us", dt)
         .withColumn("cond", cond)
         .groupBy("mmsi")
@@ -1341,7 +1324,7 @@ spans AS (
 @register(
     "traj_tcount_sweep",
     oracle=f"""
-WITH {POSITS_CTE},
+WITH {POSITS_V_CTE},
 {_SESSIONS_CTE},
 deltas AS (
   SELECT t_start AS ts, 1 AS delta FROM spans
@@ -1371,7 +1354,7 @@ def traj_tcount_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "unix_micros(CAST(lag(ts) OVER (PARTITION BY mmsi ORDER BY ts, event_id) AS TIMESTAMP))"
     )
     spans = (
-        posits(spark, sf_dir)
+        posits_v(spark, sf_dir)
         .withColumn("new_session", F.when(gap_us.isNull() | (gap_us > 21_600_000_000), 1).otherwise(0))
         .withColumn("session_id", F.sum("new_session").over(wrun))
         .groupBy("mmsi", "session_id")
@@ -1426,7 +1409,7 @@ def traj_tcentroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "traj_twavg",
     oracle=f"""
-WITH {POSITS_CTE},
+WITH {POSITS_V_CTE},
 segs AS (
   SELECT mmsi,
          CAST(ROUND(lon * 100) AS BIGINT)
@@ -1459,7 +1442,7 @@ def traj_twavg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("lon").over(w) * 100
     ).cast("bigint")
     segs = (
-        posits(spark, sf_dir)
+        posits_v(spark, sf_dir)
         .withColumn("ab", ab)
         .withColumn("dt_us", dt_us)
         .filter(F.col("dt_us").isNotNull() & (F.col("dt_us") > 0))
@@ -1663,7 +1646,7 @@ _AV_LO, _AV_HI = 25.0, 75.0
 @register(
     "traj_at_value",
     oracle=f"""
-WITH {POSITS_CTE},
+WITH {POSITS_V_CTE},
 segs AS (
   SELECT mmsi, lon AS v0,
          lead(lon) OVER w AS v1,
@@ -1701,7 +1684,7 @@ FROM clipped GROUP BY mmsi
 def traj_at_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("mmsi").orderBy("ts", "event_id")
     p = (
-        posits(spark, sf_dir)
+        posits_v(spark, sf_dir)
         .withColumn("v1", F.lead("lon").over(w))
         .withColumn(
             "dur_us",
@@ -1865,7 +1848,7 @@ def interval_stab_max(spans: DataFrame) -> DataFrame:
 @register(
     "traj_tmax_sweep",
     oracle=f"""
-WITH {POSITS_CTE},
+WITH {POSITS_V_CTE},
 flagged AS (
   SELECT mmsi, ts, lon, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
@@ -1914,7 +1897,7 @@ def traj_tmax_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "unix_micros(CAST(lag(ts) OVER (PARTITION BY mmsi ORDER BY ts, event_id) AS TIMESTAMP))"
     )
     spans = (
-        posits(spark, sf_dir)
+        posits_v(spark, sf_dir)
         .withColumn("new_session", F.when(gap_us.isNull() | (gap_us > 21_600_000_000), 1).otherwise(0))
         .withColumn("session_id", F.sum("new_session").over(wrun))
         .groupBy("mmsi", "session_id")

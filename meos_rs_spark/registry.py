@@ -108,6 +108,35 @@ FORCE_VERIFY: tuple[str, ...] = (
     "trajsim_lcss_erp",
     "traj_convex_hull",
     "flagship_trip_pipeline",
+    # r14 tranche 2b (adopted, PREFLIGHT_r14 records the decision): the
+    # single-value-channel and time-only families move to the VALUE
+    # envelope (posits_v / POSITS_V_CTE — `value IS NOT NULL`, a
+    # scan-pushed predicate with no JSON parse), because their instants
+    # are built from `value` alone and an XY envelope would wrongly drop
+    # a valid value instant whose unused lat is NULL…
+    "traj_sample",
+    "traj_sessionize",
+    "traj_spanset_coverage",
+    "traj_tbool_duration",
+    "traj_tcount_sweep",
+    "traj_twavg",
+    "traj_at_value",
+    "traj_tmax_sweep",
+    "ttype_tint_step",
+    "ttype_tfloat_sync_arith",
+    # …while the two-channel / point-struct consumers take the XY envelope
+    # (synchronized ops exist only on the channels' common support; trips
+    # and upsert stores hold point structs; the malformed-WKT twin corrupts
+    # RENDERINGS, and an invalid posit has no rendering to corrupt).
+    "traj_merge",
+    "traj_equality",
+    "traj_ever_always",
+    "traj_arith",
+    "ttype_tbool_algebra",
+    "snk_jsonl_trips",
+    "snk_upsert_merge",
+    "snk_jdbc_upsert",
+    "serde_wkt_malformed",
 )
 
 

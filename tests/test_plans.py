@@ -379,3 +379,36 @@ def test_banded_overlap_join_shape(spark):
     # join sides — REPARTITION_BY_NUM is the plan marker for an
     # explicit-count repartition
     assert plan.count("REPARTITION_BY_NUM") >= 3
+
+
+def test_value_envelope_is_scan_pushed_and_parse_free(spark):
+    """r14 tranche 2b: the VALUE envelope (posits_v) is `value IS NOT NULL`
+    only — the predicate must push into the parquet scan, and a consumer
+    that never touches lat must not pay any get_json_object at all (the
+    lat projection prunes away; no filter barrier is needed because no
+    expensive expression sits under the envelope predicate)."""
+    from pyspark.sql import functions as F
+
+    from meos_rs_spark.functions.trajectory import posits_v
+
+    df = posits_v(spark, SF_SMOKE).select("mmsi", "ts", "lon", "event_id")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "IsNotNull(value)" in plan.split("PushedFilters")[1][:200], plan[:3000]
+    assert "get_json_object" not in plan, plan[:3000]
+    # negative space: a downstream lat PREDICATE over posits_v hits the
+    # Catalyst alias-substitution hazard (parse duplicated at Filter +
+    # Project + scan DataFilters) because this view carries no barrier —
+    # which is exactly why every lat-predicated consumer uses posits_xy
+    # (barriered) and posits_v is reserved for lat-free bodies. Pin the
+    # hazard so a Spark version that changes it is noticed.
+    df2 = posits_v(spark, SF_SMOKE).filter(F.col("lat") > 0)
+    plan2 = df2._jdf.queryExecution().executedPlan().toString()
+    assert plan2.count("get_json_object") >= 2, plan2[:3000]
+    # representative full consumers: the time-only sessionizer is
+    # parse-free end-to-end; the value-channel sweep parses zero times too
+    for name in ("traj_sessionize", "traj_tcount_sweep", "traj_twavg"):
+        full = _plan(spark, name)
+        assert "get_json_object" not in full, (name, full[:3000])
+        assert "IsNotNull(value)" in full.split("PushedFilters")[1][:250], (
+            name, full[:3000],
+        )

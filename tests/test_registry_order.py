@@ -24,16 +24,36 @@ from meos_rs_spark.registry import (
 
 # Round-14 rotation computed from CORRECTNESS_r01..r13: zero reds, zero
 # never-checked. The 9 tranche-2a envelope swaps (flagship + the eight
-# golden-family twins) slot first via FORCE_VERIFY; the remaining 41 are
-# oldest-green refill — 15 r7-era relational/window greens, 23 r8 greens,
-# and the 3 oldest r9 greens (registration order within each round).
+# golden-family twins) and the 19 tranche-2b envelope swaps slot first via
+# FORCE_VERIFY; the remaining 22 are oldest-green refill — 15 r7-era
+# relational/window greens and the 7 oldest r8 greens (registration order
+# within each round).
 R14_EXPECTED_HEAD = (
     "flagship_trip_pipeline",
     "serde_hexwkb",
+    "traj_merge",
+    "traj_equality",
+    "traj_sample",
+    "traj_ever_always",
+    "traj_arith",
+    "traj_sessionize",
     "traj_simplify_dp",
+    "traj_spanset_coverage",
     "traj_transform_utm",
     "traj_transform_lcc",
     "traj_transform_utm_roundtrip",
+    "traj_tbool_duration",
+    "traj_tcount_sweep",
+    "traj_twavg",
+    "traj_at_value",
+    "traj_tmax_sweep",
+    "serde_wkt_malformed",
+    "snk_jsonl_trips",
+    "snk_upsert_merge",
+    "snk_jdbc_upsert",
+    "ttype_tint_step",
+    "ttype_tbool_algebra",
+    "ttype_tfloat_sync_arith",
     "trajsim_dtw_frechet",
     "trajsim_lcss_erp",
     "traj_convex_hull",
@@ -54,30 +74,11 @@ R14_EXPECTED_HEAD = (
     "win_lag_dedup",
     "box_tbox_algebra",
     "dedup_components",
-    "traj_sessionize",
-    "traj_tbool_duration",
-    "traj_tcount_sweep",
-    "traj_twavg",
-    "traj_tmax_sweep",
     "text_fingerprint",
     "rel_correlated_subquery",
     "rel_salted_agg",
     "rel_disjunctive_join",
     "scalar_strings",
-    "scalar_dates",
-    "scalar_math",
-    "scalar_case_coalesce",
-    "scalar_arrays",
-    "scalar_regexp",
-    "scalar_maps",
-    "win_rownum_truncate",
-    "win_rank_dense",
-    "win_rolling_frame",
-    "win_running_total",
-    "win_ntile_first_last",
-    "dedup_minhash_estimate",
-    "dedup_containment",
-    "src_partition_pruning",
 )
 
 
