@@ -6,7 +6,10 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from meos_rs_spark.functions.trajectory import posits
+# envelope views matching the queries under test (r14): twavg consumes the
+# VALUE envelope, resample the XY envelope — recomputing bounds from the
+# same view keeps these exact on NULL-bearing data, not just the fixture
+from meos_rs_spark.functions.trajectory import posits_v, posits_xy
 from meos_rs_spark.registry import load_registry
 from tests.conftest import SF_SMOKE
 
@@ -16,7 +19,7 @@ def _q(spark, name):
 
 
 def test_twavg_bounded_by_extremes(spark):
-    ext = posits(spark, SF_SMOKE).groupBy("mmsi").agg(
+    ext = posits_v(spark, SF_SMOKE).groupBy("mmsi").agg(
         F.min("lon").alias("lo"), F.max("lon").alias("hi")
     )
     bad = (
@@ -28,7 +31,7 @@ def test_twavg_bounded_by_extremes(spark):
 
 
 def test_resample_interpolates_within_envelope(spark):
-    ext = posits(spark, SF_SMOKE).groupBy("mmsi").agg(
+    ext = posits_xy(spark, SF_SMOKE).groupBy("mmsi").agg(
         F.min("lon").alias("lo_x"), F.max("lon").alias("hi_x"),
         F.min("lat").alias("lo_y"), F.max("lat").alias("hi_y"),
         F.min("ts").alias("t0"), F.max("ts").alias("t1"),
@@ -110,7 +113,7 @@ def test_shard_packing_offsets_are_a_prefix_sum(spark):
 def test_space_time_grid_conserves_posits(spark):
     g = _q(spark, "traj_space_time_grid")
     total = g.agg(F.sum("n_posits")).collect()[0][0]
-    assert total == posits(spark, SF_SMOKE).count()
+    assert total == posits_xy(spark, SF_SMOKE).count()
     # a cell never counts more vessels than posits
     assert g.filter(F.col("n_vessels") > F.col("n_posits")).count() == 0
 
@@ -208,7 +211,7 @@ def test_semdedup_accounting(spark):
 def test_od_matrix_conserves_trips(spark):
     od = _q(spark, "traj_od_matrix")
     n_trips = od.agg(F.sum("n_trips")).collect()[0][0]
-    n_vessels = posits(spark, SF_SMOKE).select("mmsi").distinct().count()
+    n_vessels = posits_xy(spark, SF_SMOKE).select("mmsi").distinct().count()
     assert n_trips == n_vessels  # exactly one OD pair per vessel
     assert od.filter(F.col("avg_disp2") < 0).count() == 0
 
@@ -242,7 +245,7 @@ def test_zorder_key_locality(spark):
     assert z.filter(F.col("n_cells") > F.col("n_points")).count() == 0
     # morton preserves the quantized point: interleave is a bijection
     from meos_rs_spark.queries.trajectory import _morton_spark
-    pts = posits(spark, SF_SMOKE).limit(200).select(
+    pts = posits_xy(spark, SF_SMOKE).limit(200).select(
         F.round(F.col("lon") * 100, 0).cast("bigint").alias("qx"),
         F.round(F.col("lat") * 100, 0).cast("bigint").alias("qy"),
     )
@@ -308,7 +311,7 @@ def test_rolling_median_within_frame_bounds(spark):
 
 def test_ewma_bounded_by_track_envelope(spark):
     e = _q(spark, "traj_ewma")
-    ext = posits(spark, SF_SMOKE).groupBy("mmsi").agg(
+    ext = posits_xy(spark, SF_SMOKE).groupBy("mmsi").agg(
         F.min("lon").alias("lo"), F.max("lon").alias("hi")
     )
     bad = e.join(ext, "mmsi").filter(

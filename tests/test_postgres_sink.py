@@ -110,7 +110,9 @@ def _psql(sock: str, sql: str) -> str:
 def test_upsert_sink_against_real_postgres(spark, pg_sock):
     import pyspark.sql.functions as F
 
-    from meos_rs_spark.queries.sources_sinks import _UPSERT_T0, _UPSERT_T1, posits
+    # posits_xy: the query this test mirrors (snk_jdbc_upsert) moved onto the
+    # XY envelope in r14 tranche 2b — the wire-protocol twin follows its source
+    from meos_rs_spark.queries.sources_sinks import _UPSERT_T0, _UPSERT_T1, posits_xy
 
     batch_size, psql_bin = _UPSERT_BATCH, PSQL
 
@@ -158,7 +160,7 @@ def test_upsert_sink_against_real_postgres(spark, pg_sock):
         "CREATE TABLE trips (mmsi bigint PRIMARY KEY, trip jsonb NOT NULL);"
         + _MERGE_FN,
     )
-    pts = posits(spark, SF_SMOKE).select(
+    pts = posits_xy(spark, SF_SMOKE).select(
         "mmsi",
         "ts",
         F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("ts_us"),

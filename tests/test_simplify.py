@@ -36,12 +36,12 @@ def test_degenerate_inputs():
 
 
 def test_spark_query_matches_local(spark):
-    from meos_rs_spark.functions.trajectory import posits
+    from meos_rs_spark.functions.trajectory import posits_xy
     from meos_rs_spark.registry import load_registry
     from tests.conftest import SF_SMOKE
 
     rows = {r.mmsi: r for r in load_registry()["traj_simplify_dp"].fn(spark, SF_SMOKE).collect()}
-    pts = posits(spark, SF_SMOKE).orderBy("ts", "event_id").collect()
+    pts = posits_xy(spark, SF_SMOKE).orderBy("ts", "event_id").collect()
     by_id: dict[int, list] = {}
     for r in pts:
         by_id.setdefault(r.mmsi, []).append((r.lon, r.lat, r.event_id))

@@ -43,12 +43,12 @@ def test_dtw_asymmetric_lengths():
 
 def test_spark_pairs_match_local(spark):
     from meos_rs_spark.registry import load_registry
-    from meos_rs_spark.functions.trajectory import posits
+    from meos_rs_spark.functions.trajectory import posits_xy
     from tests.conftest import SF_SMOKE
 
     rows = load_registry()["trajsim_dtw_frechet"].fn(spark, SF_SMOKE).collect()
     assert rows
-    pts = posits(spark, SF_SMOKE).filter("mmsi < 8").orderBy("ts").collect()
+    pts = posits_xy(spark, SF_SMOKE).filter("mmsi < 8").orderBy("ts").collect()
     by_id: dict[int, list[tuple[float, float]]] = {}
     for r in pts:
         by_id.setdefault(r.mmsi, []).append((r.lon, r.lat))
@@ -114,11 +114,11 @@ def test_convex_hull_query_invariants(spark):
     from meos_rs_spark.registry import load_registry
     from tests.conftest import SF_SMOKE
     from pyspark.sql import functions as F
-    from meos_rs_spark.functions.trajectory import posits
+    from meos_rs_spark.functions.trajectory import posits_xy
 
     df = load_registry()["traj_convex_hull"].fn(spark, SF_SMOKE)
     bbox = (
-        posits(spark, SF_SMOKE)
+        posits_xy(spark, SF_SMOKE)
         .groupBy("mmsi")
         .agg(((F.max("lon") - F.min("lon")) * (F.max("lat") - F.min("lat"))).alias("bbox_area"))
     )
