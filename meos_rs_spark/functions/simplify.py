@@ -43,3 +43,23 @@ def douglas_peucker_mask(pts: np.ndarray, epsilon: float) -> np.ndarray:
             stack.append((lo, mid))
             stack.append((mid, hi))
     return keep
+
+
+def kept_ids_string(event_ids) -> str:
+    """Render the kept posits' event_ids as the driver-safe comma string.
+
+    Total on NULL ids: the adversarial events fixture carries a NULL
+    event_id row (the r12 restart-split corner), and ``int(None)`` /
+    ``int(nan)`` aborted the whole applyInPandas stage — one bad row
+    killing the job at scale (r14 sweep find, ABORT/S). A NULL id renders
+    as the literal ``null``; BOTH the Spark kernel (_simplify_group) and
+    the Spark-free golden generator (tools/gen_golden.py) go through this
+    one function, so the two legs cannot drift.
+    """
+    out = []
+    for e in event_ids:
+        try:
+            out.append(str(int(e)))
+        except (TypeError, ValueError):  # None, NaN, pd.NA
+            out.append("null")
+    return ",".join(out)

@@ -782,14 +782,15 @@ _DP_EPSILON = 5.0
 def _simplify_group(key, pdf):
     import pandas as pd
 
-    from meos_rs_spark.functions.simplify import douglas_peucker_mask
+    from meos_rs_spark.functions.simplify import douglas_peucker_mask, kept_ids_string
 
     pdf = pdf.sort_values(["ts", "event_id"])
     pts = pdf[["lon", "lat"]].to_numpy(dtype=float)
     keep = douglas_peucker_mask(pts, _DP_EPSILON)
     # comma-joined string, not array<long>: the driver's canonicalizer
-    # cannot sort/hash array cells (r3 ERR: "unhashable type: numpy.ndarray")
-    kept = ",".join(str(int(e)) for e in pdf["event_id"].to_numpy()[keep])
+    # cannot sort/hash array cells (r3 ERR: "unhashable type: numpy.ndarray");
+    # kept_ids_string is total on NULL event_ids (r14 adversarial find)
+    kept = kept_ids_string(pdf["event_id"].to_numpy()[keep])
     return pd.DataFrame(
         {
             "mmsi": [key[0]],

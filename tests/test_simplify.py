@@ -51,3 +51,20 @@ def test_spark_query_matches_local(spark):
         expected = [eid for (_, _, eid), k in zip(by_id[mmsi], keep) if k]
         assert rows[mmsi].kept_event_ids == ",".join(str(e) for e in expected)
         assert rows[mmsi].n_simplified == int(keep.sum())
+
+
+def test_kept_ids_string_is_total_on_null_ids():
+    """r14 adversarial sweep find: a NULL event_id row (the r12
+    restart-split corner) aborted the whole applyInPandas stage through
+    int(None)/int(nan). Both legs render NULL ids as the literal 'null'
+    through this one shared function."""
+    import numpy as np
+    import pandas as pd
+
+    from meos_rs_spark.functions.simplify import kept_ids_string
+
+    assert kept_ids_string(np.array([3, 1, 2])) == "3,1,2"
+    assert kept_ids_string(np.array([1.0, np.nan, 2.0])) == "1,null,2"
+    assert kept_ids_string(np.array([None, 7], dtype=object)) == "null,7"
+    assert kept_ids_string(pd.array([1, pd.NA], dtype="Int64")) == "1,null"
+    assert kept_ids_string([]) == ""

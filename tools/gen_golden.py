@@ -35,7 +35,10 @@ from meos_rs_spark.functions.similarity import (  # noqa: E402
     lcss_similarity,
     polygon_area,
 )
-from meos_rs_spark.functions.simplify import douglas_peucker_mask  # noqa: E402
+from meos_rs_spark.functions.simplify import (  # noqa: E402
+    douglas_peucker_mask,
+    kept_ids_string,
+)
 from meos_rs_spark.functions.trajectory import POSITS_XY_CTE  # noqa: E402
 
 # the ACTUAL tuning constants from the query modules — importing them (rather
@@ -113,7 +116,7 @@ def main() -> None:
     for mmsi, g in posits.groupby("mmsi", sort=True):
         pts = g[["lon", "lat"]].to_numpy(dtype=float)
         keep = douglas_peucker_mask(pts, DP_EPSILON)
-        kept = ",".join(str(int(e)) for e in g["event_id"].to_numpy()[keep])
+        kept = kept_ids_string(g["event_id"].to_numpy()[keep])
         rows.append((int(mmsi), len(g), int(keep.sum()), kept))
     golden["traj_simplify_dp"] = values_sql(
         [
