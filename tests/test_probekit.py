@@ -410,3 +410,31 @@ def test_bench_structural_gate_renormalizes_over_the_intersection():
     # legacy aggregated-dict history keeps the old as-is behavior
     agg = {"a": [1 / 8] * 3}
     assert "a" in structural_suspects(now8, 0.1, history=agg)
+
+
+def test_bench_trailing_reader_salvages_a_decapitated_artifact():
+    """BENCH_r13.json is permanently parsed:null (the head-truncated final
+    line), but its tail keeps the queries dict and sf intact — the salvage
+    path must recover them so the structural gate's trailing window doesn't
+    silently lose the first all-envelope round (it would otherwise lean on
+    pre-envelope medians through ~r16)."""
+    import json
+    import os
+
+    from bench import _salvage_tail, _trailing_rounds
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "BENCH_r13.json"), encoding="utf-8") as fh:
+        art = json.load(fh)
+    assert art["parsed"] is None  # the r13 defect this guards
+    got = _salvage_tail(art["tail"])
+    assert got["sf"] == 0.1
+    assert got["queries"]["traj_assembly"] == 0.731
+    assert len(got["queries"]) == 16
+    # and the live reader actually admits it: r13's shares are in the window
+    rounds = _trailing_rounds(repo, 0.1)
+    assert any(abs(r.get("traj_assembly", 0) - 0.731 / sum(got["queries"].values())) < 1e-9
+               for r in rounds)
+    # garbage tails degrade to {} (skipped), never a crash
+    assert _salvage_tail("") == {}
+    assert _salvage_tail('"queries": {"a": "oops"}, "sf": 0.1') == {}
