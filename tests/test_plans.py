@@ -253,9 +253,11 @@ def test_xy_envelope_json_parse_is_single_eval(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("get_json_object") == 1, plan[:3000]
     assert "IsNotNull(value)" in plan.split("PushedFilters")[1][:200], plan[:3000]
-    # and through a representative consumer's full plan
-    full = _plan(spark, "traj_stbox_z_path")
-    assert full.count("get_json_object") == 1, full[:3000]
+    # and through representative consumers' full plans — including the
+    # flagship (the driver's entry smoke), enveloped in r14 tranche 2a
+    for name in ("traj_stbox_z_path", "flagship_trip_pipeline"):
+        full = _plan(spark, name)
+        assert full.count("get_json_object") == 1, (name, full[:3000])
 
 
 def test_stbox_z_path_single_shuffle(spark):
