@@ -127,9 +127,9 @@ def posits_xy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: DuckDB twin of posits_v() — keep in lockstep like the CTEs above.
 #: The VALUE envelope (r14 tranche 2b, adopted): the single-value-channel
-#: families (tcount/twavg/tmax/at_value/ever-lon, the tint/tfloat ttype
-#: ops) and the time-only sequence ops (sessionize/sample/spanset/
-#: tbool-duration) build temporal instants from ``value`` alone, and
+#: families (tcount/twavg/tmax/at_value, the tint/tfloat ttype ops) and
+#: the time-only sequence ops (sessionize/sample/spanset/tbool-duration)
+#: build temporal instants from ``value`` alone, and
 #: tinstant_make admits no NULL-valued instants (meos/src/tinst.rs:10-43)
 #: — but their instants never reference the lat channel, so the XY
 #: envelope would wrongly drop a valid value instant whose UNUSED lat is
