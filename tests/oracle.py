@@ -57,6 +57,20 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def _canon_datelike(v):
+    """Map date/Timestamp variants onto datetime.datetime (spans year
+    1..9999); everything else passes through unchanged."""
+    import datetime as _dt
+
+    if isinstance(v, pd.Timestamp):
+        return v.to_pydatetime()
+    if isinstance(v, _dt.datetime):
+        return v
+    if isinstance(v, _dt.date):
+        return _dt.datetime(v.year, v.month, v.day)
+    return v
+
+
 def compare(spark_df, duck_df: pd.DataFrame, name: str, float_rtol: float = 0.0) -> list[str]:
     """Return a list of mismatch descriptions (empty == parity)."""
     issues: list[str] = []
@@ -88,6 +102,16 @@ def compare(spark_df, duck_df: pd.DataFrame, name: str, float_rtol: float = 0.0)
                     f"spark={av.iloc[bad].tolist()} duck={bv.iloc[bad].tolist()}"
                 )
         else:
+            if av.dtype != bv.dtype or av.dtype == object:
+                # mixed-representation date-likes compare unequal even when
+                # the VALUES agree: out-of-ns-range rows (year 9999
+                # extremes) force a column to object dtype whose cells mix
+                # datetime.date on one engine with Timestamp/datetime on
+                # the other — the r14 win_gap_islands false DIVERGE.
+                # Canonicalize to python datetime (which spans year
+                # 1..9999) before the exact compare; non-date values pass
+                # through untouched, so strings/ints/tuples are unaffected.
+                av, bv = av.map(_canon_datelike), bv.map(_canon_datelike)
             eq = (av == bv) | (av.isna() & bv.isna())
             if not bool(eq.all()):
                 bad = np.where(~eq.to_numpy())[0][:3]

@@ -153,3 +153,28 @@ def test_garbage_lat_is_dropped_by_envelopes_and_aborts_the_raw_cast(
     with _pytest.raises(duckdb.ConversionException):
         # count(lat) forces the CAST; count(*) would prune the column away
         con.sql(f"WITH {POSITS_CTE} SELECT count(lat) FROM posits").fetchone()
+
+
+def test_compare_canonicalizes_cross_dtype_datelikes():
+    """The r14 win_gap_islands false DIVERGE: year-9999 extremes rows force
+    one engine's column to object datetime.date while the other holds
+    Timestamps — equal values must compare equal, and genuinely different
+    dates must still mismatch."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from tests.oracle import compare
+
+    class FakeSparkDF:
+        def __init__(self, df):
+            self._df = df
+
+        def toPandas(self):
+            return self._df
+
+    sp = pd.DataFrame({"d": [dt.date(1901, 1, 1), dt.date(9999, 1, 1)]})
+    du = pd.DataFrame({"d": [pd.Timestamp("1901-01-01"), dt.datetime(9999, 1, 1)]})
+    assert compare(FakeSparkDF(sp), du, "t") == []
+    du_bad = pd.DataFrame({"d": [pd.Timestamp("1901-01-02"), dt.datetime(9999, 1, 1)]})
+    assert compare(FakeSparkDF(sp), du_bad, "t") != []
