@@ -60,6 +60,6 @@ def kept_ids_string(event_ids) -> str:
     for e in event_ids:
         try:
             out.append(str(int(e)))
-        except (TypeError, ValueError):  # None, NaN, pd.NA
+        except (TypeError, ValueError, OverflowError):  # None/NaN/pd.NA/±inf
             out.append("null")
     return ",".join(out)

@@ -178,3 +178,66 @@ def test_compare_canonicalizes_cross_dtype_datelikes():
     assert compare(FakeSparkDF(sp), du, "t") == []
     du_bad = pd.DataFrame({"d": [pd.Timestamp("1901-01-02"), dt.datetime(9999, 1, 1)]})
     assert compare(FakeSparkDF(sp), du_bad, "t") != []
+
+
+def test_kept_ids_string_total_by_property():
+    """hypothesis: kept_ids_string never raises and is structure-exact for
+    ANY mix of ints, floats (incl. nan/inf — inf is int()-convertible? no:
+    OverflowError is also caught), None, and pd.NA — the r14 abort class
+    can never come back through a new dtype."""
+    import math
+
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from meos_rs_spark.functions.simplify import kept_ids_string
+
+    cell = st.one_of(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        st.floats(allow_nan=True, allow_infinity=True),
+        st.none(),
+        st.just(pd.NA),
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(cell, max_size=30))
+    def check(vals):
+        out = kept_ids_string(vals)
+        parts = out.split(",") if out else []
+        assert len(parts) == len(vals)
+        for p, v in zip(parts, vals):
+            if p != "null":
+                assert int(p) == int(v)  # exact round-trip for renderables
+            else:
+                ok_null = (
+                    v is None
+                    or v is pd.NA
+                    or (isinstance(v, float) and (math.isnan(v) or math.isinf(v)))
+                )
+                assert ok_null, (p, v)
+
+    check()
+
+
+def test_salvage_tail_total_by_property():
+    """hypothesis: _salvage_tail never raises on arbitrary tail text and
+    only ever returns {} or a dict whose queries are all numeric — garbage
+    can't smuggle a poisoned round into the structural gate's window."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from bench import _salvage_tail
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(max_size=400))
+    def check(tail):
+        got = _salvage_tail(tail)
+        assert isinstance(got, dict)
+        if got:
+            assert set(got) == {"queries", "sf"}
+            assert all(
+                isinstance(v, (int, float)) for v in got["queries"].values()
+            )
+
+    check()
