@@ -50,6 +50,21 @@ Same pinning test covers it. This is unreachable inside the documented
 |x| < 10^22 domain; enforcing loudness Spark-side would put a
 raise-on-nonfinite branch in every hot fold for inputs the contract
 already rejects, so it is documented rather than papered over.
+
+Second fenced subclass (probed r14, at the posit-envelope boundary):
+the engines' STRING→DOUBLE grammars under ``try_cast``/``TRY_CAST``
+diverge on exactly two token classes — DuckDB accepts digit-separator
+underscores (``'1_000'`` → 1000.0; Spark → NULL) and Spark accepts Java
+numeric suffixes (``'5d'``/``'5f'`` → 5.0; DuckDB → NULL). A posit whose
+``$.k`` held such a STRING would therefore be dropped by one engine's
+envelope and kept by the other's. Unreachable from JSON numbers (whose
+grammar admits neither underscores nor suffixes), so the fixtures and
+any number-typed source cannot produce it; a shared regex pre-grammar on
+the envelope would tax every geometry query's hot path to reject inputs
+only a string-typed corrupt source can emit. Documented and pinned
+instead — tests/test_determinism.py::
+test_try_cast_double_grammar_divergence asserts the EXACT divergence
+set, so an engine upgrade that widens or narrows it is noticed.
 """
 
 from __future__ import annotations

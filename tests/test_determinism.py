@@ -162,3 +162,52 @@ def test_round_double_shortest_repr_divergence(spark):
     assert got == 1.01  # Spark: shortest-repr HALF_UP
     con = duckdb.connect()
     assert con.sql("SELECT round(1.005::DOUBLE, 2)").fetchone()[0] == 1.0  # binary
+
+
+def test_try_cast_double_grammar_divergence(spark):
+    """r14 probe at the posit-envelope boundary: Spark try_cast and DuckDB
+    TRY_CAST parse STRING→DOUBLE with different grammars on exactly two
+    token classes — DuckDB accepts digit-separator underscores, Spark
+    accepts Java numeric suffixes. A string-typed '$.k' in one of those
+    classes would be dropped by one engine's envelope and kept by the
+    other's; JSON numbers cannot produce either token, so the gap is
+    fenced (functions/determinism.py docstring) rather than taxed onto
+    every geometry query's hot path as a regex pre-grammar. This pin
+    asserts the EXACT divergence set so an engine upgrade that moves the
+    boundary is noticed."""
+    import duckdb
+
+    payloads = [
+        "50", "5e1", " 50", "50 ", "+50", "-50", ".5", "5.", "0x32", "inf",
+        "Infinity", "-Infinity", "-inf", "NaN", "nan", "1_000", "1_0", "5d",
+        "5f", "50D", "50F", "", " ", "true", "null", "1e999", "-1e999",
+        "00050", "5,0", "5e", "e5", "--5", "1.2.3", "0b101", "NAN", "INF",
+        "+.5e-1",
+    ]
+    con = duckdb.connect()
+    duck = {
+        p: con.sql("SELECT TRY_CAST(? AS DOUBLE)", params=[p]).fetchone()[0]
+        for p in payloads
+    }
+    sp = {
+        r.s: r.v
+        for r in spark.createDataFrame([(p,) for p in payloads], "s string")
+        .selectExpr("s", "try_cast(s AS DOUBLE) AS v")
+        .collect()
+    }
+
+    def same(a, b):
+        if a is None or b is None:
+            return a is None and b is None
+        return a == b or (a != a and b != b)  # NaN == NaN for this purpose
+
+    divergent = sorted(p for p in payloads if not same(sp[p], duck[p]))
+    assert divergent == ["1_0", "1_000", "50D", "50F", "5d", "5f"], {
+        p: (sp[p], duck[p]) for p in divergent
+    }
+    # and the direction is the documented one: underscores are DuckDB-only,
+    # Java suffixes are Spark-only
+    for p in ("1_0", "1_000"):
+        assert sp[p] is None and duck[p] is not None
+    for p in ("5d", "5f", "50D", "50F"):
+        assert sp[p] is not None and duck[p] is None
