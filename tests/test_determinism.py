@@ -211,3 +211,79 @@ def test_try_cast_double_grammar_divergence(spark):
         assert sp[p] is None and duck[p] is not None
     for p in ("5d", "5f", "50D", "50F"):
         assert sp[p] is not None and duck[p] is None
+
+
+def test_json_extraction_grammar_divergence(spark):
+    """r14 probe, sibling of the try_cast grammar pin: the engines' JSON
+    extractors diverge at the MALFORMED/EDGE boundary. Three fenced
+    classes, unreachable while props holds well-formed JSON with bounded
+    numbers (every fixture; all sweeps green):
+
+    1. failure MODE on malformed documents — Spark get_json_object yields
+       NULL, DuckDB json_extract_string ABORTS (the pre-r13 CAST asymmetry
+       class; DuckDB's tolerant form TRY_CAST(s AS JSON) is the staged r15
+       oracle-alignment candidate, see PREFLIGHT_r14);
+    2. leniency DIRECTION inside the malformed class — Spark tolerates
+       single-quoted keys and trailing garbage (extracts a value where
+       DuckDB can only NULL or abort), DuckDB tolerates trailing commas;
+    3. value FORM on valid-but-extreme numbers — JSON 1e999 extracts as
+       the quoted string '"Infinity"' in Spark (try_cast → NULL: the posit
+       drops from the envelope) vs 'Infinity' in DuckDB (TRY_CAST → inf:
+       the posit stays); huge integers extract raw-digits in Spark vs
+       double-rendered in DuckDB (both cast to the SAME double, so lat
+       values still agree).
+
+    The pin asserts each class exactly so an engine upgrade that moves the
+    boundary is noticed."""
+    import duckdb
+
+    con = duckdb.connect()
+
+    def duck(doc):
+        try:
+            return con.sql(
+                "SELECT json_extract_string(?::VARCHAR, '$.k')", params=[doc]
+            ).fetchone()[0]
+        except duckdb.Error:
+            return "<ABORT>"
+
+    docs = {
+        "malformed_aborts": ["not json", "", '{"k": 050}', '{"k": +5}',
+                             '{"k": .5}', '{"k": 5.}'],
+        "spark_lenient": ["{'k': 5}", '{"k": 5} trailing'],
+        "duck_lenient": ['{"k": 5,}', '{"k": NaN}'],
+    }
+    sp = {
+        r.s: r.v
+        for r in spark.createDataFrame(
+            [(d,) for group in docs.values() for d in group]
+            + [('{"k": 1e999}',), ('{"k": 1180591620717411303424}',)],
+            "s string",
+        ).selectExpr("s", "get_json_object(s, '$.k') AS v").collect()
+    }
+    # class 1: Spark NULL, DuckDB abort
+    for d in docs["malformed_aborts"]:
+        assert sp[d] is None, d
+        assert duck(d) == "<ABORT>", d
+    # class 2a: Spark extracts, DuckDB aborts
+    for d in docs["spark_lenient"]:
+        assert sp[d] == "5", d
+        assert duck(d) == "<ABORT>", d
+    # class 2b: DuckDB extracts, Spark NULLs
+    for d in docs["duck_lenient"]:
+        assert sp[d] is None, d
+        assert duck(d) in ("5", "NaN"), d
+    # class 3: overflow and huge-int value forms
+    assert sp['{"k": 1e999}'] == '"Infinity"'
+    assert duck('{"k": 1e999}') == "Infinity"
+    raw = '{"k": 1180591620717411303424}'
+    assert sp[raw] == "1180591620717411303424"
+    assert duck(raw) == "1.1805916207174113e21"
+    # ...and the huge-int forms cast to the SAME double in their own engines
+    sp_d = spark.sql("SELECT try_cast('1180591620717411303424' AS DOUBLE)").first()[0]
+    du_d = con.sql("SELECT TRY_CAST('1.1805916207174113e21' AS DOUBLE)").fetchone()[0]
+    assert sp_d == du_d == 1.1805916207174113e21
+    # the staged r15 candidate exists and is Spark-tolerant on class 1
+    assert con.sql(
+        "SELECT json_extract_string(TRY_CAST('not json' AS JSON), '$.k')"
+    ).fetchone()[0] is None
