@@ -87,57 +87,10 @@ DRIVER_WINDOW = 50
 #: the changed code re-earns its row this round instead of waiting for the
 #: oldest-green rotation to reach it (r5 ADVICE: new code benefits most
 #: from a driver row). Clear entries once the round's artifact lands.
-#: r14: all 43 r13 entries (the ten single-eval/try_cast geometry twins +
-#: the 33 tranche-1 XY-envelope swaps) re-earned green driver rows in the
-#: r13 window (CORRECTNESS_r13.json, 50/50 green) and were cleared.
-FORCE_VERIFY: tuple[str, ...] = (
-    # r14 tranche 2a of the XY-envelope sweep (r13 VERDICT item 3): the
-    # eight golden-family twins move from the raw posits view to
-    # posits_xy/POSITS_XY_CTE in both legs — tools/gen_golden.py now
-    # selects through the same envelope (regenerated literals identical on
-    # the NULL-free driver fixtures) — plus the flagship (the driver's
-    # entry smoke), whose dedup/HAVING census the envelope must gate just
-    # as it gates traj_assembly (tinst.rs:10-43). Output unchanged at
-    # every fixture scale; each re-earns its driver row on the new plan.
-    "serde_hexwkb",
-    "traj_simplify_dp",
-    "traj_transform_utm",
-    "traj_transform_lcc",
-    "traj_transform_utm_roundtrip",
-    "trajsim_dtw_frechet",
-    "trajsim_lcss_erp",
-    "traj_convex_hull",
-    "flagship_trip_pipeline",
-    # r14 tranche 2b (adopted, PREFLIGHT_r14 records the decision): the
-    # single-value-channel and time-only families move to the VALUE
-    # envelope (posits_v / POSITS_V_CTE — `value IS NOT NULL`, a
-    # scan-pushed predicate with no JSON parse), because their instants
-    # are built from `value` alone and an XY envelope would wrongly drop
-    # a valid value instant whose unused lat is NULL…
-    "traj_sample",
-    "traj_sessionize",
-    "traj_spanset_coverage",
-    "traj_tbool_duration",
-    "traj_tcount_sweep",
-    "traj_twavg",
-    "traj_at_value",
-    "traj_tmax_sweep",
-    "ttype_tint_step",
-    "ttype_tfloat_sync_arith",
-    # …while the two-channel / point-struct consumers take the XY envelope
-    # (synchronized ops exist only on the channels' common support; trips
-    # and upsert stores hold point structs; the malformed-WKT twin corrupts
-    # RENDERINGS, and an invalid posit has no rendering to corrupt).
-    "traj_merge",
-    "traj_equality",
-    "traj_ever_always",
-    "traj_arith",
-    "ttype_tbool_algebra",
-    "snk_jsonl_trips",
-    "snk_upsert_merge",
-    "snk_jdbc_upsert",
-    "serde_wkt_malformed",
-)
+#: r15: all 28 r14 entries (9 tranche-2a XY swaps + 19 tranche-2b
+#: value-envelope swaps) re-earned green driver rows in the r14 window
+#: (CORRECTNESS_r14.json, 50/50 green) and were cleared.
+FORCE_VERIFY: tuple[str, ...] = ()
 
 
 @functools.lru_cache(maxsize=1)

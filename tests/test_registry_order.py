@@ -3,8 +3,8 @@ FIRST 50 entries of __spark_entry__.queries() only (observed in r2), so the
 round's verification targets must occupy exactly those positions.
 
 Since round 6 the head is COMPUTED from the committed CORRECTNESS_r*.json
-artifacts (registry.compute_verify_head). R14_EXPECTED_HEAD pins the tuple
-the r1-r13 artifacts produce; when the driver lands CORRECTNESS_r14.json the
+artifacts (registry.compute_verify_head). R15_EXPECTED_HEAD pins the tuple
+the r1-r14 artifacts produce; when the driver lands CORRECTNESS_r15.json the
 pin goes stale and this test fails — the next round's first task is then
 reviewing the freshly computed rotation and re-pinning it here. Per r9
 ADVICE, any commit that changes the computed head (a new CORRECTNESS
@@ -22,63 +22,62 @@ from meos_rs_spark.registry import (
     verify_order_head,
 )
 
-# Round-14 rotation computed from CORRECTNESS_r01..r13: zero reds, zero
-# never-checked. The 9 tranche-2a envelope swaps (flagship + the eight
-# golden-family twins) and the 19 tranche-2b envelope swaps slot first via
-# FORCE_VERIFY; the remaining 22 are oldest-green refill — 15 r7-era
-# relational/window greens and the 7 oldest r8 greens (registration order
-# within each round).
-R14_EXPECTED_HEAD = (
-    "flagship_trip_pipeline",
-    "serde_hexwkb",
-    "traj_merge",
-    "traj_equality",
-    "traj_sample",
-    "traj_ever_always",
-    "traj_arith",
-    "traj_sessionize",
-    "traj_simplify_dp",
-    "traj_spanset_coverage",
-    "traj_transform_utm",
-    "traj_transform_lcc",
-    "traj_transform_utm_roundtrip",
-    "traj_tbool_duration",
-    "traj_tcount_sweep",
-    "traj_twavg",
-    "traj_at_value",
-    "traj_tmax_sweep",
-    "serde_wkt_malformed",
-    "snk_jsonl_trips",
-    "snk_upsert_merge",
-    "snk_jdbc_upsert",
-    "ttype_tint_step",
-    "ttype_tbool_algebra",
-    "ttype_tfloat_sync_arith",
-    "trajsim_dtw_frechet",
-    "trajsim_lcss_erp",
-    "traj_convex_hull",
-    "rel_join_semi",
-    "rel_join_anti",
-    "rel_join_range",
-    "rel_join_band_bucketed",
-    "rel_join_multiway",
-    "rel_distinct",
-    "rel_count_distinct",
-    "rel_rollup",
-    "rel_cube",
-    "rel_topk_orders",
-    "rel_set_ops",
-    "rel_global_metrics",
-    "rel_filter_agg",
-    "rel_funnel_steps",
-    "win_lag_dedup",
-    "box_tbox_algebra",
-    "dedup_components",
-    "text_fingerprint",
-    "rel_correlated_subquery",
-    "rel_salted_agg",
-    "rel_disjunctive_join",
-    "scalar_strings",
+# Round-15 rotation computed from CORRECTNESS_r01..r14: zero reds, zero
+# never-checked, FORCE_VERIFY cleared (all 28 r14 envelope swaps re-earned
+# green rows in the r14 window) — the head is pure oldest-green refill:
+# the 11 remaining r8 greens, all 20 r9 greens, and the 19 oldest r10
+# greens (registration order within each round).
+R15_EXPECTED_HEAD = (
+    "scalar_dates",
+    "scalar_math",
+    "scalar_case_coalesce",
+    "scalar_arrays",
+    "scalar_regexp",
+    "scalar_maps",
+    "win_rownum_truncate",
+    "win_rank_dense",
+    "win_rolling_frame",
+    "win_running_total",
+    "win_ntile_first_last",
+    "dedup_minhash_estimate",
+    "dedup_containment",
+    "src_partition_pruning",
+    "src_schema_evolution",
+    "src_orc_roundtrip",
+    "snk_compaction",
+    "snk_cdc_apply",
+    "text_repetition",
+    "text_curation_pipeline",
+    "text_top_ngrams",
+    "text_chunking",
+    "text_entropy",
+    "text_pii_scrub",
+    "text_gopher_rules",
+    "stream_interval_join",
+    "stream_doc_curation",
+    "stream_fingerprint_dedup",
+    "rel_conditional_agg",
+    "rel_bloom_join",
+    "rel_bitmap_distinct",
+    "text_quality",
+    "text_tfidf_topterms",
+    "text_unigram_logprob",
+    "dedup_chunk_level",
+    "stream_stateful_evicting",
+    "rel_pivot",
+    "rel_percentiles",
+    "rel_grouping_sets",
+    "rel_salted_join",
+    "rel_cohort_retention",
+    "rel_scd2_intervals",
+    "text_hash_split",
+    "text_quota_sample",
+    "text_shard_packing",
+    "text_length_histogram",
+    "text_mixture_weights",
+    "scalar_ts_roundtrip",
+    "ttype_ttext_ops",
+    "win_lead_gap",
 )
 
 
@@ -90,10 +89,10 @@ def test_head_is_exactly_the_driver_window():
     assert tuple(names[:50]) == head
 
 
-def test_computed_head_matches_the_round14_pin():
+def test_computed_head_matches_the_round15_pin():
     # Stale-pin alarm: fails as soon as a new CORRECTNESS artifact lands,
     # forcing the next round to review + re-pin the rotation.
-    assert verify_order_head() == R14_EXPECTED_HEAD
+    assert verify_order_head() == R15_EXPECTED_HEAD
 
 
 def test_head_priority_rule():
