@@ -68,16 +68,18 @@ set, so an engine upgrade that widens or narrows it is noticed.
 
 Third fenced subclass (probed r14, same boundary one layer up): the JSON
 extractors diverge on MALFORMED/EDGE documents — Spark get_json_object
-NULLs where DuckDB json_extract_string aborts, each tolerates a
-different leniency direction (single-quoted keys / trailing garbage vs
-trailing commas / NaN literals), and JSON ``1e999`` extracts as quoted
-'"Infinity"' in Spark (envelope drops the posit) vs bare 'Infinity' in
-DuckDB (envelope keeps it as inf). Unreachable while ``props`` holds
-well-formed JSON with bounded numbers (every fixture; all sweeps green).
-Pinned class-exactly by tests/test_determinism.py::
-test_json_extraction_grammar_divergence; DuckDB's tolerant
-``TRY_CAST(s AS JSON)`` form is the staged r15 candidate for converging
-the abort class in the oracle CTEs (PREFLIGHT_r14 "Forward work").
+NULLs where DuckDB's raw json_extract_string(VARCHAR, …) aborts, each
+tolerates a different leniency direction (single-quoted keys / trailing
+garbage vs trailing commas / NaN literals), and JSON ``1e999`` extracts
+as quoted '"Infinity"' in Spark (envelope drops the posit) vs bare
+'Infinity' in DuckDB (envelope keeps it as inf). Unreachable while
+``props`` holds well-formed JSON with bounded numbers (every fixture;
+all sweeps green). The ABORT class was CONVERGED in r15: the posit CTEs
+route extraction through DuckDB's tolerant ``TRY_CAST(props AS JSON)``,
+so malformed documents NULL in both engines (PREFLIGHT_r14 "Forward
+work", executed); the leniency-direction and value-form residuals stay
+fenced. Pinned class-exactly — raw AND adopted forms — by
+tests/test_determinism.py::test_json_extraction_grammar_divergence.
 """
 
 from __future__ import annotations

@@ -35,9 +35,20 @@ from meos_rs_spark.sources.tables import load_table
 # --- posit view ------------------------------------------------------------
 
 # DuckDB twin of posits() — keep in lockstep (tested by oracle parity).
+#
+# ``TRY_CAST(props AS JSON)`` (r15, staged in PREFLIGHT_r14 "Forward
+# work"): DuckDB's ``json_extract_string(VARCHAR, path)`` ABORTS the whole
+# query on a malformed document where Spark's ``get_json_object`` yields
+# NULL — a failure-MODE divergence on out-of-grammar data (unreachable on
+# the well-formed fixtures, fenced in tests/test_determinism.py). Routing
+# the extraction through DuckDB's tolerant JSON cast converges the class:
+# a malformed document reads as NULL lat in BOTH engines (kept by raw/v,
+# dropped by xy). Output identical on every fixture; the residual
+# lenient-Spark (single-quoted keys, trailing garbage) and quoted-Infinity
+# value-form divergences stay fenced — see the determinism pin.
 POSITS_CTE = (
     "posits AS (SELECT user_id AS mmsi, ts, value AS lon, "
-    "CAST(json_extract_string(props, '$.k') AS DOUBLE) AS lat, event_id "
+    "CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k') AS DOUBLE) AS lat, event_id "
     "FROM events)"
 )
 
@@ -76,11 +87,14 @@ def posits(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: instead of passing the DuckDB WHERE (raw-string IS NOT NULL) and then
 #: aborting in the projection's CAST while Spark's ANSI cast aborts in a
 #: different spot. On the numeric-or-NULL driver fixtures TRY_CAST ≡ CAST.
+#: r15 adds the inner ``TRY_CAST(props AS JSON)`` (see POSITS_CTE above):
+#: a malformed DOCUMENT now also reads as NULL in both engines instead of
+#: aborting the DuckDB leg.
 POSITS_XY_CTE = (
     "posits AS (SELECT user_id AS mmsi, ts, value AS lon, "
-    "TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) AS lat, event_id "
+    "TRY_CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k') AS DOUBLE) AS lat, event_id "
     "FROM events WHERE value IS NOT NULL "
-    "AND TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) IS NOT NULL)"
+    "AND TRY_CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k') AS DOUBLE) IS NOT NULL)"
 )
 
 
@@ -138,9 +152,25 @@ def posits_xy(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: pushes into the parquet scan (PushedFilters: IsNotNull(value),
 #: plan-pinned in tests/test_plans.py) and the lat projection prunes away
 #: entirely when unused.
+#:
+#: Adjudicated exception for the TIME-ONLY consumers (r14 ADVICE item 3,
+#: accepted as documentation): sessionize/sample/spanset/tbool-duration
+#: never read ``value`` in their OUTPUT, so the tinstant_make no-NULL-value
+#: rationale does not strictly force the envelope on them — the reference's
+#: value-less timestamp sets (tstzset, meos/src/tset.rs:22-49) admit any
+#: timestamp. They stay on posits_v DELIBERATELY: this engine's posit
+#: stream models observations (a posit whose measurement channel is NULL
+#: is a corrupt record, not a bare timestamp), a separate TS-only envelope
+#: would add a fourth view for zero fixture-observable difference
+#: (events.value is non-null at every scale), and both legs agree row-for-
+#: row under the adversarial NULL-value fixture (the envelope-lattice and
+#: twin-agreement pins in tests/test_posit_views.py). A user wanting
+#: reference-exact tstzset semantics over records with NULL measurements
+#: would register those queries over the raw view plus an explicit
+#: ts-not-null gate.
 POSITS_V_CTE = (
     "posits AS (SELECT user_id AS mmsi, ts, value AS lon, "
-    "TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) AS lat, event_id "
+    "TRY_CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k') AS DOUBLE) AS lat, event_id "
     "FROM events WHERE value IS NOT NULL)"
 )
 

@@ -1019,7 +1019,7 @@ def traj_transform_lcc(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT user_id AS mmsi, count(*) AS n_posits, CAST(0 AS BIGINT) AS n_bad
 FROM events
 WHERE value IS NOT NULL
-  AND abs(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)) <= 84.0
+  AND abs(TRY_CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k') AS DOUBLE)) <= 84.0
 GROUP BY user_id
 """,
     tags=("L2d",),

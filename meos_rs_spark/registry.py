@@ -90,7 +90,64 @@ DRIVER_WINDOW = 50
 #: r15: all 28 r14 entries (9 tranche-2a XY swaps + 19 tranche-2b
 #: value-envelope swaps) re-earned green driver rows in the r14 window
 #: (CORRECTNESS_r14.json, 50/50 green) and were cleared.
-FORCE_VERIFY: tuple[str, ...] = ()
+#:
+#: r15 oracle-alignment swap (staged in PREFLIGHT_r14, executed this
+#: round): the three posit CTEs route extraction through DuckDB's
+#: tolerant ``TRY_CAST(props AS JSON)`` so a malformed document NULLs in
+#: both engines instead of aborting the oracle leg (the Spark leg is
+#: untouched; output identical on every fixture — two-leg preflight over
+#: all 207 at sf0.01 re-run on the new text). 65 oracles change text; the
+#: 44 whose latest driver row predates r14 are forced below, and the 21
+#: checked in the r14 window itself (identical behavior, freshest rows)
+#: ride the normal oldest-green rotation — 64 > the 50-row window, so
+#: full same-round coverage is impossible by construction and recency is
+#: the fairest tiebreak.
+FORCE_VERIFY: tuple[str, ...] = (
+    "box_stbox_z",
+    "box_stbox_overlap_join",
+    "box_stbox_overlap_banded",
+    "box_stbox_expand",
+    "serde_wkt_roundtrip",
+    "serde_mfjson",
+    "serde_mfjson_ingest",
+    "serde_wkb_roundtrip",
+    "serde_wkt_forms",
+    "serde_wkt_seqset",
+    "traj_assembly",
+    "traj_extent",
+    "traj_stbox_z_path",
+    "traj_accessors",
+    "traj_length_speed",
+    "traj_value_at_time",
+    "traj_shift_scale",
+    "traj_time_buckets",
+    "traj_azimuth",
+    "traj_speed_segments",
+    "traj_at_box",
+    "traj_project_mercator",
+    "traj_length_haversine",
+    "traj_minus_box",
+    "traj_stops",
+    "traj_tcentroid",
+    "traj_resample_linear",
+    "traj_unnest_instants",
+    "traj_space_time_grid",
+    "traj_speed_filter",
+    "traj_cumulative_length",
+    "traj_geofence_events",
+    "traj_turning_points",
+    "traj_interp_mixed",
+    "traj_od_matrix",
+    "traj_zorder_key",
+    "traj_ewma",
+    "serde_e2e_pipeline",
+    "src_python_datasource",
+    "trajsim_hausdorff",
+    "trajsim_nearest_approach",
+    "trajsim_nearest_instant",
+    "trajsim_tdwithin",
+    "trajsim_tdistance",
+)
 
 
 @functools.lru_cache(maxsize=1)

@@ -220,9 +220,12 @@ def test_json_extraction_grammar_divergence(spark):
     numbers (every fixture; all sweeps green):
 
     1. failure MODE on malformed documents — Spark get_json_object yields
-       NULL, DuckDB json_extract_string ABORTS (the pre-r13 CAST asymmetry
-       class; DuckDB's tolerant form TRY_CAST(s AS JSON) is the staged r15
-       oracle-alignment candidate, see PREFLIGHT_r14);
+       NULL, DuckDB's raw json_extract_string(VARCHAR, …) ABORTS (the
+       pre-r13 CAST asymmetry class). CONVERGED on the oracle path in r15:
+       the posit CTEs route through json_extract_string(TRY_CAST(props AS
+       JSON), …), which NULLs like Spark — the adopted-form block below
+       pins that convergence doc-by-doc. The raw-form pins stay because
+       they mark the ENGINE boundary the alignment works around;
     2. leniency DIRECTION inside the malformed class — Spark tolerates
        single-quoted keys and trailing garbage (extracts a value where
        DuckDB can only NULL or abort), DuckDB tolerates trailing commas;
@@ -283,7 +286,31 @@ def test_json_extraction_grammar_divergence(spark):
     sp_d = spark.sql("SELECT try_cast('1180591620717411303424' AS DOUBLE)").first()[0]
     du_d = con.sql("SELECT TRY_CAST('1.1805916207174113e21' AS DOUBLE)").fetchone()[0]
     assert sp_d == du_d == 1.1805916207174113e21
-    # the staged r15 candidate exists and is Spark-tolerant on class 1
-    assert con.sql(
-        "SELECT json_extract_string(TRY_CAST('not json' AS JSON), '$.k')"
-    ).fetchone()[0] is None
+    # --- the ADOPTED oracle form (r15): extraction through DuckDB's
+    # tolerant JSON cast, exactly as the three posit CTEs spell it ---
+    def duck_adopted(doc):
+        try:
+            return con.sql(
+                "SELECT json_extract_string(TRY_CAST(?::VARCHAR AS JSON), '$.k')",
+                params=[doc],
+            ).fetchone()[0]
+        except duckdb.Error:
+            return "<ABORT>"
+
+    # class 1 CONVERGES: malformed documents NULL in both engines — no
+    # abort anywhere on the oracle path
+    for d in docs["malformed_aborts"]:
+        assert duck_adopted(d) is None and sp[d] is None, d
+    # class 2a residual moves from abort-vs-value to NULL-vs-value
+    # (Spark still extracts '5'; still unreachable on well-formed props)
+    for d in docs["spark_lenient"]:
+        assert duck_adopted(d) is None and sp[d] == "5", d
+    # classes 2b and 3 are untouched by the JSON cast: DuckDB's own parse
+    # grammar applies after the cast exactly as before
+    assert duck_adopted('{"k": 5,}') == "5"
+    assert duck_adopted('{"k": NaN}') == "NaN"
+    assert duck_adopted('{"k": 1e999}') == "Infinity"
+    assert duck_adopted(raw) == "1.1805916207174113e21"
+    # and on well-formed documents the adopted form is a no-op
+    for d in ('{"k": "50.0"}', '{"k": 1.5}'):
+        assert duck_adopted(d) == duck(d)

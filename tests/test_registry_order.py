@@ -23,61 +23,62 @@ from meos_rs_spark.registry import (
 )
 
 # Round-15 rotation computed from CORRECTNESS_r01..r14: zero reds, zero
-# never-checked, FORCE_VERIFY cleared (all 28 r14 envelope swaps re-earned
-# green rows in the r14 window) — the head is pure oldest-green refill:
-# the 11 remaining r8 greens, all 20 r9 greens, and the 19 oldest r10
-# greens (registration order within each round).
+# never-checked. The 44 oracle-alignment swaps (TRY_CAST(props AS JSON) in
+# the posit CTEs — every changed-oracle query whose latest driver row
+# predates r14; the 21 r14-fresh ones ride the normal rotation) slot first
+# via FORCE_VERIFY in registration order; the remaining 6 are oldest-green
+# refill — the 6 oldest r8 greens.
 R15_EXPECTED_HEAD = (
+    "box_stbox_z",
+    "box_stbox_overlap_join",
+    "box_stbox_overlap_banded",
+    "box_stbox_expand",
+    "serde_wkt_roundtrip",
+    "serde_mfjson",
+    "serde_mfjson_ingest",
+    "serde_wkb_roundtrip",
+    "serde_wkt_forms",
+    "serde_wkt_seqset",
+    "traj_assembly",
+    "traj_extent",
+    "traj_stbox_z_path",
+    "traj_accessors",
+    "traj_length_speed",
+    "traj_value_at_time",
+    "traj_shift_scale",
+    "traj_time_buckets",
+    "traj_azimuth",
+    "traj_speed_segments",
+    "traj_at_box",
+    "traj_project_mercator",
+    "traj_length_haversine",
+    "traj_minus_box",
+    "traj_stops",
+    "traj_tcentroid",
+    "traj_resample_linear",
+    "traj_unnest_instants",
+    "traj_space_time_grid",
+    "traj_speed_filter",
+    "traj_cumulative_length",
+    "traj_geofence_events",
+    "traj_turning_points",
+    "traj_interp_mixed",
+    "traj_od_matrix",
+    "traj_zorder_key",
+    "traj_ewma",
+    "serde_e2e_pipeline",
+    "src_python_datasource",
+    "trajsim_hausdorff",
+    "trajsim_nearest_approach",
+    "trajsim_nearest_instant",
+    "trajsim_tdwithin",
+    "trajsim_tdistance",
     "scalar_dates",
     "scalar_math",
     "scalar_case_coalesce",
     "scalar_arrays",
     "scalar_regexp",
     "scalar_maps",
-    "win_rownum_truncate",
-    "win_rank_dense",
-    "win_rolling_frame",
-    "win_running_total",
-    "win_ntile_first_last",
-    "dedup_minhash_estimate",
-    "dedup_containment",
-    "src_partition_pruning",
-    "src_schema_evolution",
-    "src_orc_roundtrip",
-    "snk_compaction",
-    "snk_cdc_apply",
-    "text_repetition",
-    "text_curation_pipeline",
-    "text_top_ngrams",
-    "text_chunking",
-    "text_entropy",
-    "text_pii_scrub",
-    "text_gopher_rules",
-    "stream_interval_join",
-    "stream_doc_curation",
-    "stream_fingerprint_dedup",
-    "rel_conditional_agg",
-    "rel_bloom_join",
-    "rel_bitmap_distinct",
-    "text_quality",
-    "text_tfidf_topterms",
-    "text_unigram_logprob",
-    "dedup_chunk_level",
-    "stream_stateful_evicting",
-    "rel_pivot",
-    "rel_percentiles",
-    "rel_grouping_sets",
-    "rel_salted_join",
-    "rel_cohort_retention",
-    "rel_scd2_intervals",
-    "text_hash_split",
-    "text_quota_sample",
-    "text_shard_packing",
-    "text_length_histogram",
-    "text_mixture_weights",
-    "scalar_ts_roundtrip",
-    "ttype_ttext_ops",
-    "win_lead_gap",
 )
 
 
