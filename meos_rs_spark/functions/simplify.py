@@ -55,11 +55,28 @@ def kept_ids_string(event_ids) -> str:
     as the literal ``null``; BOTH the Spark kernel (_simplify_group) and
     the Spark-free golden generator (tools/gen_golden.py) go through this
     one function, so the two legs cannot drift.
+
+    Exact on FLOAT-coerced ids (r14 ADVICE item 1): one NULL in the group
+    coerces pandas' event_id column to float64, where ids >= 2**53 lose
+    bits — ``int(float(e))`` would then silently MISNAME the kept posit.
+    Any float whose int round-trip is inexact renders ``null`` instead of
+    a wrong id (same class as NULL: the true id is unrepresentable in the
+    value we were handed).
     """
     out = []
     for e in event_ids:
         try:
-            out.append(str(int(e)))
+            i = int(e)
+            # floats only — int64-typed ids (python or numpy) are exact.
+            # Non-integral floats misname outright; |e| >= 2**53 may LOOK
+            # integral but the int64→float64 coercion upstream already
+            # dropped bits, so the rendered id would be unverifiable.
+            if isinstance(e, (float, np.floating)) and (
+                float(e) != i or abs(i) >= 2**53
+            ):
+                out.append("null")
+                continue
+            out.append(str(i))
         except (TypeError, ValueError, OverflowError):  # None/NaN/pd.NA/±inf
             out.append("null")
     return ",".join(out)

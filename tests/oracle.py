@@ -71,6 +71,15 @@ def _canon_datelike(v):
     return v
 
 
+#: Non-fatal audit trail (r14 ADVICE item 2): every column whose values
+#: compared equal ONLY after date-like canonicalization. A genuine engine
+#: type regression (one leg returning DATE where the other returns
+#: midnight TIMESTAMP for every row) no longer vanishes silently — it
+#: lands here, and preflight prints it. Reset per run by the callers that
+#: care; appended as "query.column: <why>" strings.
+TYPE_NOTES: list[str] = []
+
+
 def compare(spark_df, duck_df: pd.DataFrame, name: str, float_rtol: float = 0.0) -> list[str]:
     """Return a list of mismatch descriptions (empty == parity)."""
     issues: list[str] = []
@@ -111,7 +120,25 @@ def compare(spark_df, duck_df: pd.DataFrame, name: str, float_rtol: float = 0.0)
                 # Canonicalize to python datetime (which spans year
                 # 1..9999) before the exact compare; non-date values pass
                 # through untouched, so strings/ints/tuples are unaffected.
-                av, bv = av.map(_canon_datelike), bv.map(_canon_datelike)
+                ac, bc = av.map(_canon_datelike), bv.map(_canon_datelike)
+                changed = not (ac.equals(av) and bc.equals(bv))
+                if changed:
+                    # record columns the canonicalization RESCUED — equal
+                    # after but not before means the engines returned
+                    # different date-like representations (r14 ADVICE 2)
+                    try:
+                        eq_raw = (av == bv) | (av.isna() & bv.isna())
+                        raw_equal = bool(eq_raw.all())
+                    except (TypeError, ValueError):
+                        raw_equal = False
+                    eq_canon = (ac == bc) | (ac.isna() & bc.isna())
+                    if bool(eq_canon.all()) and not raw_equal:
+                        TYPE_NOTES.append(
+                            f"{name}.{c}: date-like representations differ "
+                            f"(spark={av.dtype}, duck={bv.dtype}); values "
+                            "equal only after canonicalization"
+                        )
+                av, bv = ac, bc
             eq = (av == bv) | (av.isna() & bv.isna())
             if not bool(eq.all()):
                 bad = np.where(~eq.to_numpy())[0][:3]

@@ -66,3 +66,43 @@ def test_registry_wide_plan_lint(registry_snapshots):
     # executor-memory pins are banned: multi-consumer intermediates go to
     # parquet staging tables (functions/staging.py), never .cache()
     assert not cached, f"cached (executor-memory-pinned) intermediates: {cached}"
+
+
+def test_no_raw_posits_consumers_outside_the_whitelist():
+    """The envelope-sweep invariant, machine-checked (r14 VERDICT blemish:
+    PREFLIGHT_r14 claimed 'grep posits( over queries/ is empty' while
+    src_python_datasource still calls the raw view): zero registered
+    queries may read the raw posits view or embed its raw CTE, EXCEPT
+    src_python_datasource in sources_sinks.py, whose inline non-null
+    mmsi/lon/lat/ts gate (mirrored in its oracle's WHERE) is strictly
+    stronger than the XY envelope. Any new raw consumer must justify
+    itself here."""
+    import os
+    import re
+
+    import meos_rs_spark.queries as qpkg
+
+    qdir = os.path.dirname(os.path.abspath(qpkg.__file__))
+    census: dict[str, dict[str, int]] = {}
+    for fname in sorted(os.listdir(qdir)):
+        if not fname.endswith(".py"):
+            continue
+        with open(os.path.join(qdir, fname), encoding="utf-8") as fh:
+            src = fh.read()
+        hits = {
+            # the raw view call — posits_xy(/posits_v( are different tokens
+            "posits(": len(re.findall(r"(?<![\w_])posits\(", src)),
+            # the raw CTE token — POSITS_XY_CTE/POSITS_V_CTE don't match
+            "POSITS_CTE": len(re.findall(r"(?<![\w_])POSITS_CTE\b", src)),
+        }
+        if any(hits.values()):
+            census[fname] = hits
+    # exactly one import + one CTE use + one view call, all in
+    # sources_sinks.py (src_python_datasource)
+    assert census == {"sources_sinks.py": {"posits(": 1, "POSITS_CTE": 2}}, census
+    # and that one call site still applies its explicit stronger gate
+    with open(os.path.join(qdir, "sources_sinks.py"), encoding="utf-8") as fh:
+        src = fh.read()
+    call = src.index("posits(spark, sf_dir)")
+    gate = src.index('F.col("mmsi").isNotNull()', call)
+    assert 0 < gate - call < 200, "the raw call lost its inline envelope gate"

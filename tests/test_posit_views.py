@@ -155,6 +155,65 @@ def test_garbage_lat_is_dropped_by_envelopes_and_aborts_the_raw_cast(
         con.sql(f"WITH {POSITS_CTE} SELECT count(lat) FROM posits").fetchone()
 
 
+def test_malformed_props_document_converges_in_both_engines(
+    spark, tmp_path_factory
+):
+    """r15 oracle alignment (staged PREFLIGHT_r14, executed): a MALFORMED
+    props document — 'not json', not merely a non-numeric '$.k' — used to
+    ABORT the DuckDB leg's json_extract_string while Spark NULLed. The
+    CTEs now extract through TRY_CAST(props AS JSON), so the row reads as
+    NULL lat in BOTH engines: kept by raw/v, dropped by xy, no abort
+    anywhere on the oracle path."""
+    import duckdb
+
+    from meos_rs_spark.functions.trajectory import (
+        POSITS_CTE,
+        POSITS_V_CTE,
+        POSITS_XY_CTE,
+        posits,
+        posits_v,
+        posits_xy,
+    )
+
+    base = str(tmp_path_factory.mktemp("malformed"))
+    df = spark.createDataFrame(
+        [
+            (1, 1, "2024-01-01 00:00:00", "posit", 10.0, '{"k": "50.0"}'),
+            (2, 1, "2024-01-01 00:01:00", "posit", 11.0, "not json"),
+            (3, 1, "2024-01-01 00:02:00", "posit", 12.0, '{"k": 050}'),
+        ],
+        "event_id long, user_id long, ts string, event_type string, "
+        "value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP_NTZ) AS ts", "user_id",
+        "event_type", "value", "props",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(base + "/events.parquet")
+
+    sp = {
+        "raw": posits(spark, base),
+        "v": posits_v(spark, base),
+        "xy": posits_xy(spark, base),
+    }
+    # Spark: malformed docs read NULL lat — raw/v keep all 3, xy keeps 1
+    assert {k: v.count() for k, v in sp.items()} == {"raw": 3, "v": 3, "xy": 1}
+    assert sp["raw"].filter("lat IS NULL").count() == 2
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{base}/events.parquet/*.parquet'"
+    )
+    for key, cte, want_n, want_null in (
+        ("raw", POSITS_CTE, 3, 2),
+        ("v", POSITS_V_CTE, 3, 2),
+        ("xy", POSITS_XY_CTE, 1, 0),
+    ):
+        n, nnull = con.sql(
+            f"WITH {cte} SELECT count(*), count(*) - count(lat) FROM posits"
+        ).fetchone()
+        assert (n, nnull) == (want_n, want_null), key
+
+
 def test_compare_canonicalizes_cross_dtype_datelikes():
     """The r14 win_gap_islands false DIVERGE: year-9999 extremes rows force
     one engine's column to object datetime.date while the other holds
@@ -179,14 +238,33 @@ def test_compare_canonicalizes_cross_dtype_datelikes():
     du_bad = pd.DataFrame({"d": [pd.Timestamp("1901-01-02"), dt.datetime(9999, 1, 1)]})
     assert compare(FakeSparkDF(sp), du_bad, "t") != []
 
+    # r14 ADVICE item 2: the canonicalization is no longer silent — a
+    # column that compared equal ONLY thanks to it leaves a TYPE_NOTES
+    # entry (the DATE-vs-midnight-TIMESTAMP regression audit trail) …
+    from tests.oracle import TYPE_NOTES
+
+    TYPE_NOTES.clear()
+    assert compare(FakeSparkDF(sp), du, "audited") == []
+    assert len(TYPE_NOTES) == 1 and TYPE_NOTES[0].startswith("audited.d:")
+    # … while a same-representation object column (e.g. plain strings)
+    # passes through without a note
+    TYPE_NOTES.clear()
+    sp_s = pd.DataFrame({"s": ["a", "b"]})
+    assert compare(FakeSparkDF(sp_s.copy()), sp_s.copy(), "clean") == []
+    assert TYPE_NOTES == []
+
 
 def test_kept_ids_string_total_by_property():
-    """hypothesis: kept_ids_string never raises and is structure-exact for
-    ANY mix of ints, floats (incl. nan/inf — inf is int()-convertible? no:
+    """hypothesis: kept_ids_string never raises and is VALUE-exact for ANY
+    mix of ints, floats (incl. nan/inf — inf is int()-convertible? no:
     OverflowError is also caught), None, and pd.NA — the r14 abort class
-    can never come back through a new dtype."""
+    can never come back through a new dtype, and (r14 ADVICE item 1) a
+    rendered id is always the EXACT value handed in: non-integral floats
+    and floats past 2**53 (where int64→float64 coercion drops bits) render
+    'null' rather than a plausible-looking wrong id."""
     import math
 
+    import numpy as np
     import pandas as pd
     from hypothesis import given, settings
     from hypothesis import strategies as st
@@ -196,11 +274,16 @@ def test_kept_ids_string_total_by_property():
     cell = st.one_of(
         st.integers(min_value=-(2**63), max_value=2**63 - 1),
         st.floats(allow_nan=True, allow_infinity=True),
+        # the coercion shape that motivated the guard: int64 ids laundered
+        # through float64 by a NULL in the same pandas column
+        st.integers(min_value=-(2**63), max_value=2**63 - 1).map(
+            lambda i: np.float64(i)
+        ),
         st.none(),
         st.just(pd.NA),
     )
 
-    @settings(max_examples=200, deadline=None)
+    @settings(max_examples=300, deadline=None)
     @given(st.lists(cell, max_size=30))
     def check(vals):
         out = kept_ids_string(vals)
@@ -209,11 +292,23 @@ def test_kept_ids_string_total_by_property():
         for p, v in zip(parts, vals):
             if p != "null":
                 assert int(p) == int(v)  # exact round-trip for renderables
+                if isinstance(v, (float, np.floating)):
+                    # a rendered float is integral, small enough to be
+                    # bit-exact, and round-trips through float64
+                    assert float(v) == int(v) and abs(int(v)) < 2**53
             else:
                 ok_null = (
                     v is None
                     or v is pd.NA
-                    or (isinstance(v, float) and (math.isnan(v) or math.isinf(v)))
+                    or (
+                        isinstance(v, (float, np.floating))
+                        and (
+                            math.isnan(v)
+                            or math.isinf(v)
+                            or float(v) != int(v)
+                            or abs(int(v)) >= 2**53
+                        )
+                    )
                 )
                 assert ok_null, (p, v)
 

@@ -68,3 +68,21 @@ def test_kept_ids_string_is_total_on_null_ids():
     assert kept_ids_string(np.array([None, 7], dtype=object)) == "null,7"
     assert kept_ids_string(pd.array([1, pd.NA], dtype="Int64")) == "1,null"
     assert kept_ids_string([]) == ""
+
+
+def test_kept_ids_string_rejects_bit_lossy_floats():
+    """r14 ADVICE item 1: a NULL in the group coerces event_id to float64,
+    where ids >= 2**53 lose bits — int(float) then MISNAMES the kept
+    posit. Lossy floats render 'null'; exact int64 ids (python or numpy,
+    any magnitude) still render their full digits."""
+    import numpy as np
+
+    from meos_rs_spark.functions.simplify import kept_ids_string
+
+    big = 2**53 + 1  # not representable in float64
+    assert kept_ids_string([np.float64(big)]) == "null"
+    assert kept_ids_string([float(2**53)]) == "null"  # boundary: coerced
+    assert kept_ids_string([2.5]) == "null"  # non-integral
+    assert kept_ids_string([np.float64(2**53 - 1)]) == str(2**53 - 1)
+    # int-typed ids are exact at any magnitude — no guard applies
+    assert kept_ids_string([big, np.int64(2**62)]) == f"{big},{2**62}"

@@ -70,6 +70,13 @@ def main() -> int:
     )
     for name, detail in bad:
         print(f"  {name}: {detail}")
+    # non-fatal audit trail (r14 ADVICE 2): columns whose values compared
+    # equal only after date-like canonicalization — a DATE-vs-TIMESTAMP
+    # engine regression surfaces here instead of vanishing
+    from tests.oracle import TYPE_NOTES
+
+    for note in TYPE_NOTES:
+        print(f"  note: {note}")
     return 1 if bad else 0
 
 
