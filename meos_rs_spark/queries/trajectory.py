@@ -38,6 +38,12 @@ from meos_rs_spark.registry import register
 
 MIN_TRIP, MAX_TRIP = 5, 80
 
+#: traj_resample_linear's grid step (6 h) and max interpolatable segment
+#: span (366 days ⇒ ≤ 1464 markers per segment): the time-axis validity
+#: gate that bounds grid amplification — see the query's doc.
+RESAMPLE_STEP_US = 21_600_000_000
+RESAMPLE_MAX_SEGMENT_US = 366 * 86_400_000_000
+
 #: posits_xy + the monotonic dedup every assemble()-based Spark leg applies
 #: (one row per (mmsi, ts), lowest event_id wins — functions.trajectory.
 #: dedup_monotonic). Any oracle whose Spark twin goes through assemble()
@@ -1470,42 +1476,31 @@ dedup AS (
   SELECT * FROM posits
   QUALIFY row_number() OVER (PARTITION BY mmsi, ts ORDER BY event_id) = 1
 ),
-spans AS (SELECT mmsi, min(ts) AS t0, max(ts) AS t1 FROM dedup GROUP BY mmsi),
-grid AS (
-  SELECT mmsi, u.g
-  FROM spans, unnest(generate_series(date_trunc('day', t0), t1, INTERVAL 6 HOUR)) AS u(g)
-  WHERE u.g >= t0 AND u.g <= t1
+segs AS (
+  SELECT mmsi, lon, lat,
+         epoch_us(ts) AS p_us,
+         lead(lon) OVER w AS n_lon,
+         lead(lat) OVER w AS n_lat,
+         epoch_us(lead(ts) OVER w) AS n_us
+  FROM dedup
+  WINDOW w AS (PARTITION BY mmsi ORDER BY ts)
 ),
-tagged AS (
-  SELECT mmsi, ts, lon, lat, 0 AS is_marker FROM dedup
-  UNION ALL
-  SELECT mmsi, g, NULL, NULL, 1 FROM grid
+valid AS (
+  SELECT * FROM segs
+  WHERE n_us IS NOT NULL AND n_us - p_us <= {RESAMPLE_MAX_SEGMENT_US}
 ),
-interp AS (
-  SELECT mmsi, ts, is_marker,
-         last_value(lon IGNORE NULLS) OVER wp AS p_lon,
-         last_value(lat IGNORE NULLS) OVER wp AS p_lat,
-         last_value(CASE WHEN is_marker = 0 THEN ts END IGNORE NULLS) OVER wp AS p_ts,
-         first_value(lon IGNORE NULLS) OVER wf AS n_lon,
-         first_value(lat IGNORE NULLS) OVER wf AS n_lat,
-         first_value(CASE WHEN is_marker = 0 THEN ts END IGNORE NULLS) OVER wf AS n_ts
-  FROM tagged
-  WINDOW wp AS (PARTITION BY mmsi ORDER BY ts, is_marker
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-         wf AS (PARTITION BY mmsi ORDER BY ts, is_marker
-                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+marks AS (
+  SELECT mmsi, lon, lat, n_lon, n_lat, p_us, n_us, u.g_us
+  FROM valid, unnest(generate_series(
+         p_us + ((-p_us % {RESAMPLE_STEP_US}) + {RESAMPLE_STEP_US}) % {RESAMPLE_STEP_US},
+         n_us - 1, {RESAMPLE_STEP_US})) AS u(g_us)
 )
-SELECT mmsi, ts AS g,
-       CASE WHEN epoch_us(n_ts) = epoch_us(p_ts) THEN p_lon
-            ELSE p_lon + (n_lon - p_lon)
-                 * (CAST(epoch_us(ts) - epoch_us(p_ts) AS DOUBLE)
-                    / CAST(epoch_us(n_ts) - epoch_us(p_ts) AS DOUBLE)) END AS lon_i,
-       CASE WHEN epoch_us(n_ts) = epoch_us(p_ts) THEN p_lat
-            ELSE p_lat + (n_lat - p_lat)
-                 * (CAST(epoch_us(ts) - epoch_us(p_ts) AS DOUBLE)
-                    / CAST(epoch_us(n_ts) - epoch_us(p_ts) AS DOUBLE)) END AS lat_i
-FROM interp
-WHERE is_marker = 1 AND p_ts IS NOT NULL AND n_ts IS NOT NULL
+SELECT mmsi, make_timestamp(g_us) AS g,
+       lon + (n_lon - lon) * (CAST(g_us - p_us AS DOUBLE)
+                              / CAST(n_us - p_us AS DOUBLE)) AS lon_i,
+       lat + (n_lat - lat) * (CAST(g_us - p_us AS DOUBLE)
+                              / CAST(n_us - p_us AS DOUBLE)) AS lat_i
+FROM marks
 """,
     tags=("L2c", "L2b"),
     doc="grid resampling with linear interpolation (L2 temporal_tsample, LINEAR "
@@ -1514,12 +1509,19 @@ WHERE is_marker = 1 AND p_ts IS NOT NULL AND n_ts IS NOT NULL
     "segment are generated map-side (sequence+explode) and lerped in epoch "
     "micros — ONE scan, ONE vessel-key shuffle, no union, no per-marker join "
     "(r5 VERDICT item 4 replaced the union+ignore-nulls-window shape, whose "
-    "two legs each rescanned and reshuffled the posits); the 6h step divides "
-    "a day, so the oracle's day-floor-anchored grid is the global epoch "
-    "alignment this ceil-to-step reproduces exactly",
+    "two legs each rescanned and reshuffled the posits). Segments longer "
+    "than 366 days are NOT interpolated (r14 VERDICT item 4, extremes "
+    "contract #4): one corrupt 1901→9999 posit pair used to expand to an "
+    "~11.8M-element marker array and OOM-wedge the executor — one bad row "
+    "killing the job at scale. Interpolating across a year-plus silence gap "
+    "is meaningless (the reference builds sequences from observed instants "
+    "only, tseq.rs:50-64); the gate is the time-axis sibling of the XY "
+    "envelope, applied identically in both legs and output-neutral on every "
+    "driver fixture (max real gap ≈ 6 days at sf0.1). The oracle mirrors "
+    "the segment shape exactly — its previous vessel-span day-anchored grid "
+    "amplified the same way",
 )
 def traj_resample_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
-    step_us = 21_600_000_000  # 6 hours
     p = dedup_monotonic(posits_xy(spark, sf_dir))
     w = Window.partitionBy("mmsi").orderBy("ts")
     # each kept marker g has a posit at-or-before (p) and strictly-after (n);
@@ -1536,14 +1538,24 @@ def traj_resample_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lead("lat").over(w).alias("n_lat"),
             F.unix_micros(F.lead("ts").over(w).cast("timestamp")).alias("n_us"),
         )
-        .filter(F.col("n_us").isNotNull())
+        .filter(
+            F.col("n_us").isNotNull()
+            # max-span validity gate (see the doc above): bounds the marker
+            # array at 1464 elements per segment, killing the grid-
+            # amplification OOM class map-side, before any explode
+            & ((F.col("n_us") - F.col("p_us")) <= RESAMPLE_MAX_SEGMENT_US)
+        )
     )
     # first grid-aligned instant >= segment start, in integer micros (double
-    # division + ceil could misround exactly-aligned stamps)
-    g0 = F.expr(f"((p_us + {step_us - 1}) DIV {step_us}) * {step_us}")
+    # division + ceil could misround exactly-aligned stamps). pmod, not
+    # DIV-based ceil: both engines' integer division truncates toward zero,
+    # which for PRE-EPOCH (negative-micros) segment starts skips the true
+    # first grid instant — the positive-mod form is exact ceiling on the
+    # whole timeline and identical to the oracle's ((-p % s) + s) % s.
+    g0 = F.expr(f"p_us + pmod(-p_us, {RESAMPLE_STEP_US})")
     gs = F.when(
         g0 < F.col("n_us"),
-        F.sequence(g0, F.col("n_us") - 1, F.lit(step_us)),
+        F.sequence(g0, F.col("n_us") - 1, F.lit(RESAMPLE_STEP_US)),
     ).otherwise(F.expr("CAST(array() AS ARRAY<BIGINT>)"))
     marks = segs.select(
         "mmsi", "lon", "lat", "n_lon", "n_lat", "p_us", "n_us",

@@ -315,3 +315,74 @@ def test_duplicate_ts_twins_agree_cross_engine(spark, tmp_path):
     acc = {r.mmsi: r for r in reg["traj_accessors"].fn(spark, str(tmp_path)).collect()}
     assert acc[9].subtype == "Instant" and acc[9].n_instants == 1
     assert acc[7].n_instants == 5  # 7 posits, 2 dropped as dup-ts
+
+
+def test_resample_max_span_gate_and_preepoch_alignment(
+    spark, tmp_path_factory
+):
+    """r14 VERDICT item 4 (extremes contract #4): one corrupt 1901→9999
+    segment used to expand to ~11.8M grid markers and OOM-wedge the JVM.
+    The 366-day max-span validity gate drops such a segment in BOTH legs
+    — zero markers, job completes. Also pins the pre-epoch grid anchor:
+    integer division truncates toward zero in both engines, so the old
+    (p+s-1) DIV s ceiling SKIPPED the true first grid instant of a
+    negative-micros segment; the pmod form is exact ceiling on the whole
+    timeline (vessel 3's 12:00 marker is the witness — trunc-div starts
+    at 18:00)."""
+    import datetime as dt
+    import json as _json
+
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    base = str(tmp_path_factory.mktemp("resample"))
+    rows = [
+        # vessel 1: ordinary 13 h segment → markers at 06:00 and 12:00
+        (1, 1, "2024-01-01 00:00:00", 0.0, 0.0),
+        (2, 1, "2024-01-01 13:00:00", 13.0, 26.0),
+        # vessel 2: the corrupt 8099-year segment → gated, NO markers
+        (3, 2, "1901-01-01 00:00:00", 1.0, 1.0),
+        (4, 2, "9999-12-30 00:00:00", 2.0, 2.0),
+        # vessel 3: pre-epoch 13 h segment ending before the epoch
+        (5, 3, "1969-12-31 10:00:00", 0.0, 0.0),
+        (6, 3, "1969-12-31 23:00:00", 13.0, 26.0),
+    ]
+    df = spark.createDataFrame(
+        [
+            (eid, ts, uid, "posit", lon, _json.dumps({"k": lat}))
+            for eid, uid, ts, lon, lat in rows
+        ],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP_NTZ) AS ts", "user_id",
+        "event_type", "value", "props",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(base + "/events.parquet")
+
+    got = (
+        entry.queries()["traj_resample_linear"](spark, base)
+        .orderBy("mmsi", "g")
+        .collect()
+    )
+    as_tuples = [(r.mmsi, r.g, r.lon_i, r.lat_i) for r in got]
+    assert as_tuples == [
+        # vessel 1's first posit is exactly ON the grid → frac-0 marker
+        (1, dt.datetime(2024, 1, 1, 0), 0.0, 0.0),
+        (1, dt.datetime(2024, 1, 1, 6), 6.0, 12.0),
+        (1, dt.datetime(2024, 1, 1, 12), 12.0, 24.0),
+        # vessel 2 gated out entirely; vessel 3 keeps BOTH pre-epoch
+        # markers, including the 12:00 one trunc-div ceiling skipped
+        (3, dt.datetime(1969, 12, 31, 12), 2.0, 4.0),
+        (3, dt.datetime(1969, 12, 31, 18), 8.0, 16.0),
+    ]
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{base}/events.parquet/*.parquet'"
+    )
+    duck = con.sql(
+        entry.oracle_sql()["traj_resample_linear"] + " ORDER BY mmsi, g"
+    ).fetchall()
+    assert [tuple(r) for r in duck] == as_tuples

@@ -31,12 +31,14 @@ watermark, out of scope for fixture-exact twins; (4) time-grid
 amplification (r13, measured once the chunk-salvage machinery could see
 it): a resample/grid query whose span derives from the data
 (``traj_resample_linear``: markers every 6 h between consecutive posits)
-turns one corrupt 1901→9999 segment into ~11.8M generated markers —
-BOTH engines grind or exhaust memory (Spark leg OOMs a default-1 g JVM,
-which is what wedged this twin's chunk in every campaign since r12);
-same mitigation as (3), an ingest sanity horizon, since a silent
-marker cap would truncate data and a loud span guard cannot be expressed
-in the DuckDB leg without diverging failure modes. Year-9999 outputs
+turned one corrupt 1901→9999 segment into ~11.8M generated markers —
+BOTH engines ground or exhausted memory (the Spark leg OOMed a
+default-1 g JVM, wedging this twin's chunk in every campaign through
+r14). CLOSED in r15 (r14 VERDICT item 4): a 366-day max-span validity
+gate — the time-axis sibling of the XY envelope — drops such a segment
+in BOTH legs symmetrically (the oracle now generates markers per
+segment like the Spark leg, so the gate is one shared predicate);
+extremes row now OK, pinned in tests/test_trajectory.py. Year-9999 outputs
 also exceed pandas' ns epoch in the COMPARE harness itself (ArrowInvalid
 / date-vs-Timestamp dtype artifacts) — harness limits, not engine ones.
 
