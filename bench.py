@@ -51,6 +51,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 
 BENCH_QUERIES = [
     "flagship_trip_pipeline",
@@ -311,6 +312,24 @@ def _is_quiet(sitting) -> bool:
     return sitting["spread2_max"] <= SPREAD2_QUIET
 
 
+def _should_run_sitting(
+    i, sittings, max_sittings, overtime_cap, elapsed_s, time_budget_s
+) -> bool:
+    """Sitting-loop admission (r14 VERDICT item 3): the first
+    ``max_sittings`` always run (subject to main's quiet-early-exit);
+    OVERTIME sittings up to ``overtime_cap`` run only while NO sitting has
+    qualified as quiet and the wall-clock budget has room — so a loud box
+    gets extra chances at a quiet reading without a permanently-loud box
+    overstaying the driver's patience."""
+    if i < max_sittings:
+        return True
+    return (
+        i < overtime_cap
+        and not any(s["quiet"] for s in sittings)
+        and elapsed_s <= time_budget_s
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     max_sittings = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_SITTINGS", "4")))
@@ -338,8 +357,35 @@ def main() -> None:
         warm_up(registry, BENCH_QUERIES, spark)
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
+    # time-budgeted overtime (r14 VERDICT item 3): the r14 driver sitting
+    # was loud in all 4 sittings (0/4 quiet, artifact overstated the
+    # engine by ~1 s) and today's builder pattern — quiet PRE-samples,
+    # loud SWEEPS — shows the noise lands mid-sweep where pre-sampling
+    # can't see it. When no sitting has qualified as quiet yet, up to two
+    # OVERTIME sittings run beyond max_sittings, gated by a wall-clock
+    # budget so a permanently-loud box still finishes well inside the
+    # driver's patience (default 900 s for the whole sitting loop).
+    overtime_cap = max_sittings + int(
+        os.environ.get("SPARK_GRAFT_BENCH_OVERTIME", "2")
+    )
+    time_budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_TIME_BUDGET", "900"))
+    loop_start = time.time()
+
     sittings = []
-    for i in range(max_sittings):
+    i = -1
+    while True:
+        i += 1
+        if not _should_run_sitting(
+            i, sittings, max_sittings, overtime_cap,
+            time.time() - loop_start, time_budget_s,
+        ):
+            break
+        if i >= max_sittings:
+            print(
+                f"# overtime sitting {i + 1}: 0 quiet so far, "
+                f"{round(time.time() - loop_start)}s elapsed of {time_budget_s:.0f}s budget",
+                flush=True,
+            )
         # wait-for-quiet: a loud pre-sample costs ~30 s to detect but a
         # loud SWEEP costs a full 16-query × 3-run sitting — so re-sample
         # (up to 4×) before burning one. The last pre-sample is recorded

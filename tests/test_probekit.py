@@ -438,3 +438,24 @@ def test_bench_trailing_reader_salvages_a_decapitated_artifact():
     # garbage tails degrade to {} (skipped), never a crash
     assert _salvage_tail("") == {}
     assert _salvage_tail('"queries": {"a": "oops"}, "sf": 0.1') == {}
+
+
+def test_bench_overtime_sittings_run_only_while_loud_and_in_budget():
+    """r14 VERDICT item 3: the r14 driver sitting was 0/4 quiet — overtime
+    sittings beyond max_sittings buy extra chances at a quiet reading, but
+    only while no quiet sitting exists and the wall-clock budget holds."""
+    import bench
+
+    q = {"quiet": True}
+    l = {"quiet": False}
+    f = bench._should_run_sitting
+    # the base allocation always runs
+    assert f(0, [], 4, 6, 0.0, 900)
+    assert f(3, [l, l, l], 4, 6, 500.0, 900)
+    # overtime: runs while all-loud and inside budget…
+    assert f(4, [l, l, l, l], 4, 6, 600.0, 900)
+    assert f(5, [l, l, l, l, l], 4, 6, 800.0, 900)
+    # …but not once a quiet sitting exists, the cap is hit, or time is up
+    assert not f(4, [l, q, l, l], 4, 6, 100.0, 900)
+    assert not f(6, [l] * 6, 4, 6, 100.0, 900)
+    assert not f(4, [l, l, l, l], 4, 6, 901.0, 900)
