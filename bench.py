@@ -409,8 +409,9 @@ def main() -> None:
         # block (steal_measured) so a spread2-only quiet verdict is
         # visibly weaker.
         _fmt = lambda v: "unmeasured" if v is None else f"{v}%"  # noqa: E731
+        denom = max_sittings if i < max_sittings else overtime_cap
         print(
-            f"# sitting {i + 1}/{max_sittings}: pre-sample steal={_fmt(pre)}",
+            f"# sitting {i + 1}/{denom}: pre-sample steal={_fmt(pre)}",
             flush=True,
         )
         sitting = _sweep(spark, registry, sf_dir)
