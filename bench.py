@@ -320,13 +320,21 @@ def _should_run_sitting(
     OVERTIME sittings up to ``overtime_cap`` run only while NO sitting has
     qualified as quiet and the wall-clock budget has room — so a loud box
     gets extra chances at a quiet reading without a permanently-loud box
-    overstaying the driver's patience."""
+    overstaying the driver's patience.
+
+    Budget check is ADMISSION-WITH-HEADROOM, not elapsed-only (r15 review
+    find): an admitted sitting still runs a full sweep plus up to 4×30 s
+    pre-sample retries, so admitting at elapsed=budget-ε would overrun by
+    whole minutes exactly on the loud boxes the feature targets. An
+    overtime sitting is admitted only if the worst COMPLETED sitting's
+    wall time (sweep + the retry ceiling) still fits inside the budget."""
     if i < max_sittings:
         return True
+    worst = max((s.get("wall_s") or 0.0 for s in sittings), default=0.0)
     return (
         i < overtime_cap
         and not any(s["quiet"] for s in sittings)
-        and elapsed_s <= time_budget_s
+        and elapsed_s + worst <= time_budget_s
     )
 
 
@@ -392,6 +400,7 @@ def main() -> None:
         # whether or not it went quiet; the sweep runs regardless on the
         # final attempt so a permanently-loud box still yields an honest
         # quiet:false artifact instead of nothing.
+        t_sit = time.time()
         pre = None
         for attempt in range(4):
             pre = sample_steal(presample_s) if presample_s > 0 else None
@@ -416,6 +425,9 @@ def main() -> None:
         )
         sitting = _sweep(spark, registry, sf_dir)
         sitting["pre_steal_pct"] = pre
+        # full sitting wall time (pre-sample retries + sweep) — the
+        # overtime admission's headroom estimate
+        sitting["wall_s"] = round(time.time() - t_sit, 1)
         sitting["quiet"] = _is_quiet(sitting)
         sittings.append(sitting)
         print(

@@ -172,9 +172,9 @@ def scalar_case_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_json",
     oracle="""
 SELECT event_id,
-       CAST(FLOOR(CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS BIGINT) AS k_val,
-       json_extract_string(props, '$.missing') AS missing_val,
-       CASE WHEN json_extract(props, '$.k') IS NOT NULL THEN 1 ELSE 0 END AS has_k
+       CAST(FLOOR(CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k') AS DOUBLE)) AS BIGINT) AS k_val,
+       json_extract_string(TRY_CAST(props AS JSON), '$.missing') AS missing_val,
+       CASE WHEN json_extract(TRY_CAST(props AS JSON), '$.k') IS NOT NULL THEN 1 ELSE 0 END AS has_k
 FROM events
 """,
     tags=("scalar", "json"),
@@ -183,7 +183,12 @@ FROM events
     "decimal-rendered JSON numbers (Spark CAST('1.0' AS BIGINT) ABORTS, "
     "DuckDB returns 1 — r11 review, probed live), so the direct cast was "
     "both a one-bad-row job killer and a twin mismatch on any fixture "
-    "whose k renders with a decimal point.",
+    "whose k renders with a decimal point. Extraction goes through "
+    "TRY_CAST(props AS JSON) like the posit CTEs (r15 review find: these "
+    "two scalar oracles were the last raw sites, so a malformed document "
+    "still aborted the DuckDB leg here after the CTE convergence; probed "
+    "live — 'not json' now reads NULL/has_k=0 in both engines, well-formed "
+    "docs are a no-op, and a registry-wide lint pins zero raw sites).",
 )
 def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -294,7 +299,7 @@ SELECT event_id,
        1.0 / NULLIF(value - 50.0, 0.0) AS inv_dist,
        CAST(value = 50.0 AS INT) AS hit_pole,
        TRY_CAST(event_type AS DOUBLE) AS et_num,
-       CAST(FLOOR(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS BIGINT) AS k_num,
+       CAST(FLOOR(TRY_CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k') AS DOUBLE)) AS BIGINT) AS k_num,
        COALESCE(TRY_CAST(event_type AS DOUBLE), -1.0) AS et_num_or_default
 FROM events
 """,

@@ -96,12 +96,13 @@ DRIVER_WINDOW = 50
 #: tolerant ``TRY_CAST(props AS JSON)`` so a malformed document NULLs in
 #: both engines instead of aborting the oracle leg (the Spark leg is
 #: untouched; output identical on every fixture — two-leg preflight over
-#: all 207 at sf0.01 re-run on the new text). 65 oracles change text; the
-#: 44 whose latest driver row predates r14 are forced below, and the 21
-#: checked in the r14 window itself (identical behavior, freshest rows)
-#: ride the normal oldest-green rotation — 64 > the 50-row window, so
-#: full same-round coverage is impossible by construction and recency is
-#: the fairest tiebreak.
+#: all 207 at sf0.01 re-run on the new text). 67 oracles change text (65
+#: posit-CTE consumers + the two scalar raw sites found in the r15
+#: review); the 46 whose latest driver row predates r14 are forced below,
+#: and the 21 checked in the r14 window itself (identical behavior,
+#: freshest rows) ride the normal oldest-green rotation — 67 > the 50-row
+#: window, so full same-round coverage is impossible by construction and
+#: recency is the fairest tiebreak.
 FORCE_VERIFY: tuple[str, ...] = (
     "box_stbox_z",
     "box_stbox_overlap_join",
@@ -142,6 +143,11 @@ FORCE_VERIFY: tuple[str, ...] = (
     "traj_ewma",
     "serde_e2e_pipeline",
     "src_python_datasource",
+    # r15 review find (same commit): the two scalar oracles were the LAST
+    # raw json_extract*(props, …) sites — swapped to the adopted form and
+    # pinned registry-wide by test_no_raw_json_props_extraction_in_any_oracle
+    "scalar_json",
+    "scalar_try_arith",
     "trajsim_hausdorff",
     "trajsim_nearest_approach",
     "trajsim_nearest_instant",

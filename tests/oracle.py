@@ -122,7 +122,8 @@ def compare(spark_df, duck_df: pd.DataFrame, name: str, float_rtol: float = 0.0)
                 # through untouched, so strings/ints/tuples are unaffected.
                 ac, bc = av.map(_canon_datelike), bv.map(_canon_datelike)
                 changed = not (ac.equals(av) and bc.equals(bv))
-                if changed:
+                eq = (ac == bc) | (ac.isna() & bc.isna())
+                if changed and bool(eq.all()):
                     # record columns the canonicalization RESCUED — equal
                     # after but not before means the engines returned
                     # different date-like representations (r14 ADVICE 2)
@@ -131,15 +132,15 @@ def compare(spark_df, duck_df: pd.DataFrame, name: str, float_rtol: float = 0.0)
                         raw_equal = bool(eq_raw.all())
                     except (TypeError, ValueError):
                         raw_equal = False
-                    eq_canon = (ac == bc) | (ac.isna() & bc.isna())
-                    if bool(eq_canon.all()) and not raw_equal:
+                    if not raw_equal:
                         TYPE_NOTES.append(
                             f"{name}.{c}: date-like representations differ "
                             f"(spark={av.dtype}, duck={bv.dtype}); values "
                             "equal only after canonicalization"
                         )
                 av, bv = ac, bc
-            eq = (av == bv) | (av.isna() & bv.isna())
+            else:
+                eq = (av == bv) | (av.isna() & bv.isna())
             if not bool(eq.all()):
                 bad = np.where(~eq.to_numpy())[0][:3]
                 issues.append(

@@ -106,3 +106,22 @@ def test_no_raw_posits_consumers_outside_the_whitelist():
     call = src.index("posits(spark, sf_dir)")
     gate = src.index('F.col("mmsi").isNotNull()', call)
     assert 0 < gate - call < 200, "the raw call lost its inline envelope gate"
+
+
+def test_no_raw_json_props_extraction_in_any_oracle():
+    """r15 review find: after the posit-CTE convergence, scalar_json and
+    scalar_try_arith were the LAST oracles extracting from raw props —
+    a malformed document still aborted their DuckDB leg while Spark
+    NULLed. Every oracle extraction from props must go through
+    TRY_CAST(props AS JSON); zero raw sites, registry-wide, forever."""
+    import re
+
+    import __spark_entry__ as entry
+
+    raw_site = re.compile(r"json_extract(?:_string)?\(\s*props\s*,")
+    offenders = {
+        name: raw_site.findall(sql)
+        for name, sql in entry.oracle_sql().items()
+        if raw_site.search(sql)
+    }
+    assert offenders == {}, offenders

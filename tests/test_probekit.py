@@ -446,8 +446,8 @@ def test_bench_overtime_sittings_run_only_while_loud_and_in_budget():
     only while no quiet sitting exists and the wall-clock budget holds."""
     import bench
 
-    q = {"quiet": True}
-    l = {"quiet": False}
+    q = {"quiet": True, "wall_s": 90.0}
+    l = {"quiet": False, "wall_s": 90.0}
     f = bench._should_run_sitting
     # the base allocation always runs
     assert f(0, [], 4, 6, 0.0, 900)
@@ -459,3 +459,11 @@ def test_bench_overtime_sittings_run_only_while_loud_and_in_budget():
     assert not f(4, [l, q, l, l], 4, 6, 100.0, 900)
     assert not f(6, [l] * 6, 4, 6, 100.0, 900)
     assert not f(4, [l, l, l, l], 4, 6, 901.0, 900)
+    # admission-with-headroom (r15 review find): a sitting costs a full
+    # sweep + retries, so elapsed alone must not admit at budget-epsilon —
+    # the worst completed sitting's wall time must still fit
+    slow = {"quiet": False, "wall_s": 200.0}
+    assert not f(4, [l, l, l, slow], 4, 6, 750.0, 900)  # 750+200 > 900
+    assert f(4, [l, l, l, slow], 4, 6, 650.0, 900)  # 650+200 <= 900
+    # sittings without wall_s (older records) degrade to elapsed-only
+    assert f(4, [{"quiet": False}] * 4, 4, 6, 899.0, 900)

@@ -23,11 +23,12 @@ from meos_rs_spark.registry import (
 )
 
 # Round-15 rotation computed from CORRECTNESS_r01..r14: zero reds, zero
-# never-checked. The 44 oracle-alignment swaps (TRY_CAST(props AS JSON) in
+# never-checked. The 46 oracle-alignment swaps (TRY_CAST(props AS JSON) in
 # the posit CTEs — every changed-oracle query whose latest driver row
-# predates r14; the 21 r14-fresh ones ride the normal rotation) slot first
-# via FORCE_VERIFY in registration order; the remaining 6 are oldest-green
-# refill — the 6 oldest r8 greens.
+# predates r14; the 21 r14-fresh ones ride the normal rotation — plus the
+# two scalar-oracle raw sites found in the r15 review) slot first via
+# FORCE_VERIFY in registration order; the remaining 4 are oldest-green
+# refill — the 4 oldest r8 greens.
 R15_EXPECTED_HEAD = (
     "box_stbox_z",
     "box_stbox_overlap_join",
@@ -68,6 +69,8 @@ R15_EXPECTED_HEAD = (
     "traj_ewma",
     "serde_e2e_pipeline",
     "src_python_datasource",
+    "scalar_json",
+    "scalar_try_arith",
     "trajsim_hausdorff",
     "trajsim_nearest_approach",
     "trajsim_nearest_instant",
@@ -77,8 +80,6 @@ R15_EXPECTED_HEAD = (
     "scalar_math",
     "scalar_case_coalesce",
     "scalar_arrays",
-    "scalar_regexp",
-    "scalar_maps",
 )
 
 
