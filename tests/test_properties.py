@@ -180,3 +180,41 @@ def test_canon_plan_invariant_under_uniform_exprid_shift(plan, shift):
 
     shifted = re.sub(r"#(\d+)", lambda m: f"#{int(m.group(1)) + shift}", plan)
     assert _canon_plan(plan) == _canon_plan(shifted)
+
+
+# --- resample grid-ceiling alignment (r15) ---------------------------------
+
+_TS_US = st.integers(
+    min_value=-2_208_988_800_000_000,  # 1900-01-01 in epoch micros
+    max_value=253_402_300_799_000_000,  # 9999-12-31
+)
+
+
+@_given(_TS_US)
+@settings(max_examples=500, deadline=None)
+def test_resample_ceiling_formulas_are_exact_and_engine_identical(p):
+    """r15: traj_resample_linear's first-marker alignment must be TRUE
+    ceiling to the 6h grid on the whole timeline — both engines' integer
+    division truncates toward zero, so the old (p+s-1) DIV s form skipped
+    the first pre-epoch grid instant. Pins that the Spark spelling
+    (p + pmod(-p, s)) and the DuckDB spelling (p + ((-p % s) + s) % s,
+    with C-style trunc-sign %) both equal math.ceil semantics, including
+    exactly-aligned and negative stamps."""
+    import math
+
+    s = 21_600_000_000
+    true_ceil = math.ceil(p / s) * s  # float-safe? p/s may lose precision…
+    true_ceil = -((-p) // s) * s  # …so use exact integer ceiling instead
+
+    # Spark: pmod(a, b) is the positive modulus
+    spark_g0 = p + ((-p) % s)  # python % IS positive-mod for positive s
+    # DuckDB: % is trunc-signed (C semantics: sign follows the dividend)
+    def trunc_mod(a, b):
+        return a % b if a >= 0 else -((-a) % b)
+
+    duck_inner = trunc_mod(-p, s)
+    duck_g0 = p + ((duck_inner + s) % s)
+
+    assert spark_g0 == true_ceil
+    assert duck_g0 == true_ceil
+    assert spark_g0 >= p and spark_g0 - p < s and spark_g0 % s == 0
