@@ -103,57 +103,12 @@ DRIVER_WINDOW = 50
 #: freshest rows) ride the normal oldest-green rotation — 67 > the 50-row
 #: window, so full same-round coverage is impossible by construction and
 #: recency is the fairest tiebreak.
-FORCE_VERIFY: tuple[str, ...] = (
-    "box_stbox_z",
-    "box_stbox_overlap_join",
-    "box_stbox_overlap_banded",
-    "box_stbox_expand",
-    "serde_wkt_roundtrip",
-    "serde_mfjson",
-    "serde_mfjson_ingest",
-    "serde_wkb_roundtrip",
-    "serde_wkt_forms",
-    "serde_wkt_seqset",
-    "traj_assembly",
-    "traj_extent",
-    "traj_stbox_z_path",
-    "traj_accessors",
-    "traj_length_speed",
-    "traj_value_at_time",
-    "traj_shift_scale",
-    "traj_time_buckets",
-    "traj_azimuth",
-    "traj_speed_segments",
-    "traj_at_box",
-    "traj_project_mercator",
-    "traj_length_haversine",
-    "traj_minus_box",
-    "traj_stops",
-    "traj_tcentroid",
-    "traj_resample_linear",
-    "traj_unnest_instants",
-    "traj_space_time_grid",
-    "traj_speed_filter",
-    "traj_cumulative_length",
-    "traj_geofence_events",
-    "traj_turning_points",
-    "traj_interp_mixed",
-    "traj_od_matrix",
-    "traj_zorder_key",
-    "traj_ewma",
-    "serde_e2e_pipeline",
-    "src_python_datasource",
-    # r15 review find (same commit): the two scalar oracles were the LAST
-    # raw json_extract*(props, …) sites — swapped to the adopted form and
-    # pinned registry-wide by test_no_raw_json_props_extraction_in_any_oracle
-    "scalar_json",
-    "scalar_try_arith",
-    "trajsim_hausdorff",
-    "trajsim_nearest_approach",
-    "trajsim_nearest_instant",
-    "trajsim_tdwithin",
-    "trajsim_tdistance",
-)
+#: r16: all 46 r15 entries (44 posit-CTE TRY_CAST oracle swaps + the two
+#: scalar raw sites from the r15 self-review) re-earned green driver rows
+#: in the r15 window (CORRECTNESS_r15.json, 50/50 green) and were cleared.
+#: The 21 changed-oracle queries whose latest row is r14 (old text) ride
+#: the normal oldest-green rotation per the r15 verdict.
+FORCE_VERIFY: tuple[str, ...] = ()
 
 
 @functools.lru_cache(maxsize=1)

@@ -3,8 +3,8 @@ FIRST 50 entries of __spark_entry__.queries() only (observed in r2), so the
 round's verification targets must occupy exactly those positions.
 
 Since round 6 the head is COMPUTED from the committed CORRECTNESS_r*.json
-artifacts (registry.compute_verify_head). R15_EXPECTED_HEAD pins the tuple
-the r1-r14 artifacts produce; when the driver lands CORRECTNESS_r15.json the
+artifacts (registry.compute_verify_head). R16_EXPECTED_HEAD pins the tuple
+the r1-r15 artifacts produce; when the driver lands CORRECTNESS_r16.json the
 pin goes stale and this test fails — the next round's first task is then
 reviewing the freshly computed rotation and re-pinning it here. Per r9
 ADVICE, any commit that changes the computed head (a new CORRECTNESS
@@ -22,64 +22,63 @@ from meos_rs_spark.registry import (
     verify_order_head,
 )
 
-# Round-15 rotation computed from CORRECTNESS_r01..r14: zero reds, zero
-# never-checked. The 46 oracle-alignment swaps (TRY_CAST(props AS JSON) in
-# the posit CTEs — every changed-oracle query whose latest driver row
-# predates r14; the 21 r14-fresh ones ride the normal rotation — plus the
-# two scalar-oracle raw sites found in the r15 review) slot first via
-# FORCE_VERIFY in registration order; the remaining 4 are oldest-green
-# refill — the 4 oldest r8 greens.
-R15_EXPECTED_HEAD = (
-    "box_stbox_z",
-    "box_stbox_overlap_join",
-    "box_stbox_overlap_banded",
-    "box_stbox_expand",
-    "serde_wkt_roundtrip",
-    "serde_mfjson",
-    "serde_mfjson_ingest",
-    "serde_wkb_roundtrip",
-    "serde_wkt_forms",
-    "serde_wkt_seqset",
-    "traj_assembly",
-    "traj_extent",
-    "traj_stbox_z_path",
-    "traj_accessors",
-    "traj_length_speed",
-    "traj_value_at_time",
-    "traj_shift_scale",
-    "traj_time_buckets",
-    "traj_azimuth",
-    "traj_speed_segments",
-    "traj_at_box",
-    "traj_project_mercator",
-    "traj_length_haversine",
-    "traj_minus_box",
-    "traj_stops",
-    "traj_tcentroid",
-    "traj_resample_linear",
-    "traj_unnest_instants",
-    "traj_space_time_grid",
-    "traj_speed_filter",
-    "traj_cumulative_length",
-    "traj_geofence_events",
-    "traj_turning_points",
-    "traj_interp_mixed",
-    "traj_od_matrix",
-    "traj_zorder_key",
-    "traj_ewma",
-    "serde_e2e_pipeline",
-    "src_python_datasource",
-    "scalar_json",
-    "scalar_try_arith",
-    "trajsim_hausdorff",
-    "trajsim_nearest_approach",
-    "trajsim_nearest_instant",
-    "trajsim_tdwithin",
-    "trajsim_tdistance",
-    "scalar_dates",
-    "scalar_math",
-    "scalar_case_coalesce",
-    "scalar_arrays",
+# Round-16 rotation computed from CORRECTNESS_r01..r15: zero reds, zero
+# never-checked, FORCE_VERIFY cleared (all 46 r15 swaps re-earned green in
+# the r15 window) — so the head is pure oldest-green rotation: the r8/r9
+# greens first, then r10, then the oldest r11 block up to the 50-row
+# window. The 21 changed-oracle queries whose latest row is r14 enter in
+# later rounds as their rows age to the front.
+R16_EXPECTED_HEAD = (
+    "scalar_regexp",
+    "scalar_maps",
+    "win_rownum_truncate",
+    "win_rank_dense",
+    "win_rolling_frame",
+    "win_running_total",
+    "win_ntile_first_last",
+    "dedup_minhash_estimate",
+    "dedup_containment",
+    "src_partition_pruning",
+    "src_schema_evolution",
+    "src_orc_roundtrip",
+    "snk_compaction",
+    "snk_cdc_apply",
+    "text_repetition",
+    "text_curation_pipeline",
+    "text_top_ngrams",
+    "text_chunking",
+    "text_entropy",
+    "text_pii_scrub",
+    "text_gopher_rules",
+    "stream_interval_join",
+    "stream_doc_curation",
+    "stream_fingerprint_dedup",
+    "rel_conditional_agg",
+    "rel_bloom_join",
+    "rel_bitmap_distinct",
+    "text_quality",
+    "text_tfidf_topterms",
+    "text_unigram_logprob",
+    "dedup_chunk_level",
+    "stream_stateful_evicting",
+    "rel_pivot",
+    "rel_percentiles",
+    "rel_grouping_sets",
+    "rel_salted_join",
+    "rel_cohort_retention",
+    "rel_scd2_intervals",
+    "text_hash_split",
+    "text_quota_sample",
+    "text_shard_packing",
+    "text_length_histogram",
+    "text_mixture_weights",
+    "scalar_ts_roundtrip",
+    "ttype_ttext_ops",
+    "win_lead_gap",
+    "win_rolling_median",
+    "box_tbox_predicates",
+    "box_int_to_tbox",
+    "dedup_exact",
 )
 
 
@@ -91,10 +90,10 @@ def test_head_is_exactly_the_driver_window():
     assert tuple(names[:50]) == head
 
 
-def test_computed_head_matches_the_round15_pin():
+def test_computed_head_matches_the_round16_pin():
     # Stale-pin alarm: fails as soon as a new CORRECTNESS artifact lands,
     # forcing the next round to review + re-pin the rotation.
-    assert verify_order_head() == R15_EXPECTED_HEAD
+    assert verify_order_head() == R16_EXPECTED_HEAD
 
 
 def test_head_priority_rule():
