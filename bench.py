@@ -313,7 +313,8 @@ def _is_quiet(sitting) -> bool:
 
 
 def _should_run_sitting(
-    i, sittings, max_sittings, overtime_cap, elapsed_s, time_budget_s
+    i, sittings, max_sittings, overtime_cap, elapsed_s, time_budget_s,
+    retry_ceiling_s=0.0,
 ) -> bool:
     """Sitting-loop admission (r14 VERDICT item 3): the first
     ``max_sittings`` always run (subject to main's quiet-early-exit);
@@ -325,16 +326,26 @@ def _should_run_sitting(
     Budget check is ADMISSION-WITH-HEADROOM, not elapsed-only (r15 review
     find): an admitted sitting still runs a full sweep plus up to 4×30 s
     pre-sample retries, so admitting at elapsed=budget-ε would overrun by
-    whole minutes exactly on the loud boxes the feature targets. An
-    overtime sitting is admitted only if the worst COMPLETED sitting's
-    wall time (sweep + the retry ceiling) still fits inside the budget."""
+    whole minutes exactly on the loud boxes the feature targets.
+
+    r15 ADVICE refinement: a prior sitting's wall time only includes the
+    retries IT happened to hit, so the estimate now adds the FIXED retry
+    ceiling (``retry_ceiling_s`` = 4 × presample_s, passed by main) on top
+    of the worst completed sitting's sweep-only time (``sweep_s``; records
+    predating that field fall back to their full ``wall_s``, which
+    over-counts retries — conservative). Sittings with no wall record at
+    all degrade to elapsed-only admission, as before."""
     if i < max_sittings:
         return True
-    worst = max((s.get("wall_s") or 0.0 for s in sittings), default=0.0)
+    worst = max(
+        (s.get("sweep_s") or s.get("wall_s") or 0.0 for s in sittings),
+        default=0.0,
+    )
+    headroom = worst + retry_ceiling_s if worst > 0 else 0.0
     return (
         i < overtime_cap
         and not any(s["quiet"] for s in sittings)
-        and elapsed_s + worst <= time_budget_s
+        and elapsed_s + headroom <= time_budget_s
     )
 
 
@@ -386,6 +397,7 @@ def main() -> None:
         if not _should_run_sitting(
             i, sittings, max_sittings, overtime_cap,
             time.time() - loop_start, time_budget_s,
+            retry_ceiling_s=4 * presample_s,
         ):
             break
         if i >= max_sittings:
@@ -423,10 +435,14 @@ def main() -> None:
             f"# sitting {i + 1}/{denom}: pre-sample steal={_fmt(pre)}",
             flush=True,
         )
+        t_sweep = time.time()
         sitting = _sweep(spark, registry, sf_dir)
         sitting["pre_steal_pct"] = pre
-        # full sitting wall time (pre-sample retries + sweep) — the
-        # overtime admission's headroom estimate
+        # sweep-only wall time — the overtime admission's headroom base
+        # (the retry ceiling is added as a fixed term, r15 ADVICE)
+        sitting["sweep_s"] = round(time.time() - t_sweep, 1)
+        # full sitting wall time (pre-sample retries + sweep), kept for
+        # the artifact and as the fallback for pre-r16 record shapes
         sitting["wall_s"] = round(time.time() - t_sit, 1)
         sitting["quiet"] = _is_quiet(sitting)
         sittings.append(sitting)

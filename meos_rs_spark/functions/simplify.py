@@ -61,18 +61,26 @@ def kept_ids_string(event_ids) -> str:
     bits — ``int(float(e))`` would then silently MISNAME the kept posit.
     Any float whose int round-trip is inexact renders ``null`` instead of
     a wrong id (same class as NULL: the true id is unrepresentable in the
-    value we were handed).
+    value we were handed). The exactness threshold is per-DTYPE (r15
+    ADVICE: 2**(mantissa bits + 1) — float64 → 2**53, float32 → 2**24),
+    so a narrower float that reaches this function — unreachable from
+    pandas' int64+NULL coercion today, which always widens to float64 —
+    still honors the invariant instead of rendering a post-coercion value.
     """
     out = []
     for e in event_ids:
         try:
             i = int(e)
             # floats only — int64-typed ids (python or numpy) are exact.
-            # Non-integral floats misname outright; |e| >= 2**53 may LOOK
-            # integral but the int64→float64 coercion upstream already
-            # dropped bits, so the rendered id would be unverifiable.
+            # Non-integral floats misname outright; |e| at or beyond the
+            # dtype's integer-exactness limit may LOOK integral but the
+            # int→float coercion upstream already dropped bits, so the
+            # rendered id would be unverifiable.
+            if isinstance(e, (float, np.floating)):
+                ftype = type(e) if isinstance(e, np.floating) else np.float64
+                exact_limit = 2 ** (np.finfo(ftype).nmant + 1)
             if isinstance(e, (float, np.floating)) and (
-                float(e) != i or abs(i) >= 2**53
+                float(e) != i or abs(i) >= exact_limit
             ):
                 out.append("null")
                 continue

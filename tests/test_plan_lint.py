@@ -113,15 +113,29 @@ def test_no_raw_json_props_extraction_in_any_oracle():
     scalar_try_arith were the LAST oracles extracting from raw props —
     a malformed document still aborted their DuckDB leg while Spark
     NULLed. Every oracle extraction from props must go through
-    TRY_CAST(props AS JSON); zero raw sites, registry-wide, forever."""
+    TRY_CAST(props AS JSON); zero raw sites, registry-wide, forever.
+
+    r15 ADVICE: the original pattern only caught a bare unqualified
+    ``props`` under ``json_extract(_string)`` — a qualified reference
+    (``e.props``), the arrow operators (``props ->> '$.x'``), or
+    ``json_extract_path`` would have bypassed it. The lint now flags ANY
+    extraction idiom whose subject is a raw ``props`` column (optionally
+    table-qualified); the adopted safe form routes through a CTE column
+    (``pj``) produced by ``TRY_CAST(props AS JSON)``, which none of these
+    patterns match."""
     import re
 
     import __spark_entry__ as entry
 
-    raw_site = re.compile(r"json_extract(?:_string)?\(\s*props\s*,")
+    raw_sites = [
+        # any json_extract family call on (possibly qualified) raw props
+        re.compile(r"json_extract\w*\(\s*(?:\w+\.)?props\b", re.IGNORECASE),
+        # DuckDB arrow operators on raw props: props -> / ->> ...
+        re.compile(r"(?:\w+\.)?\bprops\s*->"),
+    ]
     offenders = {
-        name: raw_site.findall(sql)
+        name: [m for rx in raw_sites for m in rx.findall(sql)]
         for name, sql in entry.oracle_sql().items()
-        if raw_site.search(sql)
+        if any(rx.search(sql) for rx in raw_sites)
     }
     assert offenders == {}, offenders

@@ -467,3 +467,14 @@ def test_bench_overtime_sittings_run_only_while_loud_and_in_budget():
     assert f(4, [l, l, l, slow], 4, 6, 650.0, 900)  # 650+200 <= 900
     # sittings without wall_s (older records) degrade to elapsed-only
     assert f(4, [{"quiet": False}] * 4, 4, 6, 899.0, 900)
+    # r15 ADVICE: the headroom base is the worst SWEEP-only time plus the
+    # FIXED retry ceiling — a prior sitting that happened to skip retries
+    # no longer understates the next sitting's worst case
+    swept = {"quiet": False, "sweep_s": 150.0, "wall_s": 155.0}
+    assert not f(4, [l, l, l, swept], 4, 6, 650.0, 900, retry_ceiling_s=120.0)
+    assert f(4, [l, l, l, swept], 4, 6, 600.0, 900, retry_ceiling_s=120.0)
+    # wall_s-only records (pre-r16 shape) still get the ceiling on top —
+    # conservative double-count of retries they may already include
+    assert not f(4, [l, l, l, slow], 4, 6, 650.0, 900, retry_ceiling_s=120.0)
+    # no wall record at all stays elapsed-only even with a ceiling set
+    assert f(4, [{"quiet": False}] * 4, 4, 6, 899.0, 900, retry_ceiling_s=120.0)

@@ -86,3 +86,12 @@ def test_kept_ids_string_rejects_bit_lossy_floats():
     assert kept_ids_string([np.float64(2**53 - 1)]) == str(2**53 - 1)
     # int-typed ids are exact at any magnitude — no guard applies
     assert kept_ids_string([big, np.int64(2**62)]) == f"{big},{2**62}"
+    # r15 ADVICE: the threshold is per-dtype — float32 loses integer
+    # exactness at 2**24, so a float32-coerced id at or past it renders
+    # 'null' rather than the post-coercion value (unreachable from
+    # pandas' float64-widening coercion today, but the docstring's
+    # invariant now matches the guard)
+    assert kept_ids_string([np.float32(2**24)]) == "null"
+    assert kept_ids_string([np.float32(2**24 - 1)]) == str(2**24 - 1)
+    assert kept_ids_string([np.float16(2**11)]) == "null"
+    assert kept_ids_string([np.float16(2**11 - 1)]) == str(2**11 - 1)

@@ -40,6 +40,12 @@ def main() -> int:
     import __spark_entry__ as entry
 
     queries, oracles = entry.queries(), entry.oracle_sql()
+    # r15 ADVICE: TYPE_NOTES is a module-level audit list compare()
+    # appends to — clear it up front so a long-lived process invoking
+    # main() repeatedly never reprints stale notes from an earlier run
+    from tests.oracle import TYPE_NOTES
+
+    TYPE_NOTES.clear()
     # golden VALUES oracles are pinned at sf0.01 — at any other scale run
     # those queries rows-only instead of two-leg
     from meos_rs_spark.registry import load_registry
@@ -72,9 +78,8 @@ def main() -> int:
         print(f"  {name}: {detail}")
     # non-fatal audit trail (r14 ADVICE 2): columns whose values compared
     # equal only after date-like canonicalization — a DATE-vs-TIMESTAMP
-    # engine regression surfaces here instead of vanishing
-    from tests.oracle import TYPE_NOTES
-
+    # engine regression surfaces here instead of vanishing (cleared at the
+    # top of main(), so these notes belong to THIS run only)
     for note in TYPE_NOTES:
         print(f"  note: {note}")
     return 1 if bad else 0
