@@ -127,3 +127,77 @@ def test_chunk_salvage_preserves_measured_rows(tmp_path):
     # no partial at all (crash before the first twin finished)
     got2 = _salvage_chunk(str(tmp_path / "other.chunk5"), ["a"])
     assert got2 == {"a": {"class": "CHUNK_DIED", "error": "chunk died before this twin ran"}}
+
+
+def test_collect_rescues_out_of_ns_timestamps(spark):
+    """r15 VERDICT item 3 witness: a year-9999 sentinel in the OUTPUT used
+    to abort the sweep's collection layer (pandas ns epoch ends at 2262)
+    and was recorded as an engine ABORT/S — 17 of the 45 r15 extremes
+    ABORT/S rows were this harness limit. _collect must rescue the cast
+    (datetime objects span year 1..9999) and compare clean against the
+    DuckDB leg, which already collects at us resolution."""
+    import duckdb
+
+    from tests.oracle import compare
+    from tools.sweep_adversarial import _Wrapped, _collect
+
+    sdf = spark.sql(
+        "SELECT * FROM VALUES "
+        "(1, TIMESTAMP'9999-12-31 00:00:00'), "
+        "(2, TIMESTAMP'1867-01-07 12:00:00'), "
+        "(3, NULL) AS t(id, ts)"
+    )
+    pdf = _collect(sdf)
+    assert len(pdf) == 3
+    con = duckdb.connect()  # keep a reference: the relation lazily binds
+    ddf = con.sql(
+        "SELECT * FROM (VALUES "
+        "(1, TIMESTAMP '9999-12-31 00:00:00'), "
+        "(2, TIMESTAMP '1867-01-07 12:00:00'), "
+        "(3, NULL)) t(id, ts)"
+    ).df()
+    assert compare(_Wrapped(pdf), ddf, "ns_rescue") == []
+
+
+def test_collect_reraises_engine_aborts(spark):
+    """Only the collection-cast class is rescued — a genuine engine abort
+    (ANSI decimal range, the adjudicated magnitude contract) must still
+    surface as ABORT/S, never be retried into silence."""
+    import pytest
+
+    from tools.sweep_adversarial import _collect
+
+    sdf = spark.sql("SELECT CAST(1e300 AS DECIMAL(28,6)) AS x")
+    with pytest.raises(Exception) as ei:
+        _collect(sdf)
+    assert "NUMERIC_VALUE_OUT_OF_RANGE" in str(ei.value)
+
+
+def test_exc_fields_bucket_aborts_by_class():
+    """r15 VERDICT item 3: ABORT rows must carry a machine-bucketable
+    class so cross-round re-certification is identical-by-CLASS, not just
+    by count — and a wrapper (StreamingQueryException) must expose its
+    DEEPEST cause, not hide class drift behind [STREAM_FAILED]."""
+    from tools.sweep_adversarial import _exc_fields
+
+    plain = ValueError(
+        "[NUMERIC_VALUE_OUT_OF_RANGE.WITH_SUGGESTION] 1e300 cannot be "
+        "represented as Decimal(28, 6)."
+    )
+    f = _exc_fields(plain)
+    assert f["exc_type"] == "ValueError"
+    assert f["error_class"] == "NUMERIC_VALUE_OUT_OF_RANGE.WITH_SUGGESTION"
+    assert f["root"].startswith("[NUMERIC_VALUE_OUT_OF_RANGE")
+
+    wrapped = RuntimeError(
+        "[STREAM_FAILED] Query [id = x] terminated with exception: boom\n"
+        "=== Streaming Query ===\n"
+        "Caused by: org.apache.spark.SparkArithmeticException: "
+        "[CAST_OVERFLOW] The value 1e300 of the type DOUBLE cannot be cast\n"
+        "Caused by: java.lang.ArithmeticException: long overflow at deepest"
+    )
+    g = _exc_fields(wrapped)
+    assert g["exc_type"] == "RuntimeError"
+    assert g["error_class"] == "CAST_OVERFLOW"
+    assert g["root"].startswith("java.lang.ArithmeticException: long overflow")
+    assert g["exc_msg"].startswith("[STREAM_FAILED]")

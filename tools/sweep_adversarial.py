@@ -38,9 +38,17 @@ r14). CLOSED in r15 (r14 VERDICT item 4): a 366-day max-span validity
 gate — the time-axis sibling of the XY envelope — drops such a segment
 in BOTH legs symmetrically (the oracle now generates markers per
 segment like the Spark leg, so the gate is one shared predicate);
-extremes row now OK, pinned in tests/test_trajectory.py. Year-9999 outputs
-also exceed pandas' ns epoch in the COMPARE harness itself (ArrowInvalid
-/ date-vs-Timestamp dtype artifacts) — harness limits, not engine ones.
+extremes row now OK, pinned in tests/test_trajectory.py.
+
+Harness-limit retirement (r16, r15 VERDICT item 3): year-9999 OUTPUTS used
+to abort the sweep's own collection layer (pandas' ns epoch ends at 2262 —
+ArrowInvalid/OutOfBoundsDatetime from ``toPandas()``) and were recorded as
+engine ABORT/S — 17 of the 45 r15 extremes ABORT/S rows were this class.
+``_collect`` now rescues exactly that cast (``toArrow()`` +
+``timestamp_as_object=True``; engine aborts re-raise untouched), and every
+ABORT row carries machine-bucketable ``exc_type``/``error_class``/``root``
+fields so cross-round re-certification is identical-by-CLASS, not just
+by count (witnesses in tests/test_adversarial_fixture.py).
 
 ``--chunked[=N]`` runs N-query chunks in subprocesses: a fatal
 extreme-value crash (a mid-Arrow-stream abort can wedge the local py4j
@@ -150,6 +158,70 @@ def _session_dead(exc: Exception) -> bool:
     )
 
 
+#: ns-overflow signatures from the Spark→pandas conversion layer: the
+#: engine computed the result; only the collection cast to pandas' ns
+#: epoch failed. Two spellings observed live — ArrowInvalid ("Casting
+#: from timestamp[us] to timestamp[ns] would result in out of bounds…")
+#: on the Arrow path and OutOfBoundsDatetime on the row-based path.
+_NS_OVERFLOW_TOKENS = (
+    "out of bounds timestamp",
+    "Out of bounds nanosecond timestamp",
+)
+
+
+def _ns_overflow(exc: Exception) -> bool:
+    return type(exc).__name__ in ("ArrowInvalid", "OutOfBoundsDatetime") or any(
+        t in str(exc) for t in _NS_OVERFLOW_TOKENS
+    )
+
+
+def _collect(sdf):
+    """ns-overflow-safe collect (r16, r15 VERDICT item 3).
+
+    ``toPandas()`` converts Arrow ``timestamp[us]`` into pandas' ns epoch
+    and ABORTS on year > 2262 values — a HARNESS limit, not an engine one,
+    that misclassified 17 engine-green extremes rows (year-9999 sentinel
+    outputs) as ABORT/S in every campaign through r15. Fast path first; on
+    an ns-overflow signature, re-collect via ``toArrow()`` and convert
+    with ``timestamp_as_object=True`` so out-of-ns timestamps land as
+    ``datetime.datetime`` objects, which ``tests.oracle.compare``
+    canonicalizes against DuckDB's ``datetime64[us]`` leg. Engine aborts
+    (ANSI range, cast overflow, …) re-raise untouched — only the
+    collection-cast class is rescued."""
+    try:
+        return sdf.toPandas()
+    except Exception as exc:  # noqa: BLE001 — inspect, re-raise non-harness
+        if not _ns_overflow(exc):
+            raise
+        return sdf.toArrow().to_pandas(timestamp_as_object=True)
+
+
+_CAUSED_BY = re.compile(r"Caused by:\s*([\w.$]+(?:Exception|Error)[^\n]*)")
+_ERROR_CLASS = re.compile(r"\[([A-Z][A-Z0-9_.]+)\]")
+
+
+def _exc_fields(exc: Exception) -> dict:
+    """Structured abort record (r15 VERDICT item 3: the extremes artifact
+    recorded only a truncated string — identical-by-count, not by-class).
+
+    Returns ``exc_type`` (python exception class), ``exc_msg`` (first
+    message line), ``error_class`` (the bracketed engine error class, e.g.
+    NUMERIC_VALUE_OUT_OF_RANGE / CAST_OVERFLOW / STREAM_FAILED — the
+    stable cross-round bucketing key), and ``root`` (the DEEPEST
+    ``Caused by:`` line, so a wrapper like StreamingQueryException exposes
+    the underlying abort instead of hiding the class drift)."""
+    msg = str(exc)
+    first = msg.strip().splitlines()[0][:240] if msg.strip() else ""
+    causes = _CAUSED_BY.findall(msg)
+    classes = _ERROR_CLASS.findall(msg)
+    return {
+        "exc_type": type(exc).__name__,
+        "exc_msg": first,
+        "error_class": classes[-1] if classes else None,
+        "root": causes[-1][:240] if causes else first,
+    }
+
+
 def run_sweep(
     spark, fixture_dir: str, names: list[str], partial_path: str | None = None
 ) -> dict[str, dict]:
@@ -182,7 +254,7 @@ def run_sweep(
         try:
             try:
                 sdf = spec.fn(spark, fixture_dir)
-                spdf = sdf.toPandas()
+                spdf = _collect(sdf)
             except Exception as exc:  # noqa: BLE001
                 if not _session_dead(exc):
                     raise
@@ -195,7 +267,7 @@ def run_sweep(
                 spark = _fresh_session()
                 spark.sparkContext.setLogLevel("ERROR")
                 sdf = spec.fn(spark, fixture_dir)
-                spdf = sdf.toPandas()
+                spdf = _collect(sdf)
         except Exception as exc:  # noqa: BLE001 — classification sweep
             # a dead-gateway signature is NOT a measured engine abort — the
             # twin (or its predecessor) took the JVM down and the one
@@ -204,7 +276,11 @@ def run_sweep(
             # confuse cascade noise with a real ABORT/S (r13 live find:
             # three isolated-OK twins carried fake ABORT/S cascade rows).
             cls = "WEDGED" if _session_dead(exc) else "ABORT/S"
-            entry = {"class": cls, "error": f"{type(exc).__name__}: {exc}"[:500]}
+            entry = {
+                "class": cls,
+                "error": f"{type(exc).__name__}: {exc}"[:500],
+                **_exc_fields(exc),
+            }
             results[name] = entry
             _persist(name, entry)
             print(f"{name}: {cls} {entry['error'][:160]}", flush=True)
@@ -212,7 +288,11 @@ def run_sweep(
         try:
             ddf = con.sql(spec.oracle).df()
         except Exception as exc:  # noqa: BLE001
-            entry = {"class": "ABORT/O", "error": f"{type(exc).__name__}: {exc}"[:500]}
+            entry = {
+                "class": "ABORT/O",
+                "error": f"{type(exc).__name__}: {exc}"[:500],
+                **_exc_fields(exc),
+            }
             results[name] = entry
             _persist(name, entry)
             print(f"{name}: ABORT/O {entry['error'][:160]}", flush=True)
