@@ -281,6 +281,18 @@ def run_sweep(
                 "error": f"{type(exc).__name__}: {exc}"[:500],
                 **_exc_fields(exc),
             }
+            if cls == "ABORT/S":
+                # the adjudicated contracts claim BOTH engines abort
+                # consistently — machine-check that per row instead of
+                # leaving it prose (r16): run the oracle leg anyway and
+                # record whether it aborts too (and with what class)
+                try:
+                    entry["oracle_leg"] = {
+                        "class": "RAN",
+                        "rows": len(con.sql(spec.oracle).df()),
+                    }
+                except Exception as oexc:  # noqa: BLE001
+                    entry["oracle_leg"] = {"class": "ABORT", **_exc_fields(oexc)}
             results[name] = entry
             _persist(name, entry)
             print(f"{name}: {cls} {entry['error'][:160]}", flush=True)
