@@ -36,6 +36,25 @@ def duck_connection(sf_dir: str):
     return con
 
 
+def _sort_key(s: pd.Series) -> pd.Series:
+    """Per-column sort key: object columns holding date-likes (the
+    out-of-ns year-9999 rescue path collects datetime OBJECTS) sort as
+    datetime64[us] so both legs take the SAME sort path. Without this, a
+    NULL in such a column raised TypeError and sent only that leg down
+    the astype(str) fallback — where id 10 sorts before id 2 — misaligning
+    rows against the other leg's numeric sort (false DIVERGE, r16)."""
+    import datetime as _dt
+
+    if s.dtype == object:
+        non_null = s.dropna()
+        if len(non_null) and all(
+            isinstance(v, (_dt.date, _dt.datetime, pd.Timestamp))
+            for v in non_null
+        ):
+            return s.map(_canon_datelike).astype("datetime64[us]")
+    return s
+
+
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -49,7 +68,9 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
             )
     sort_cols = list(df.columns)
     try:
-        df = df.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+        df = df.sort_values(
+            sort_cols, kind="mergesort", key=_sort_key
+        ).reset_index(drop=True)
     except TypeError:
         df = df.iloc[
             df.astype(str).sort_values(sort_cols, kind="mergesort").index

@@ -201,3 +201,32 @@ def test_exc_fields_bucket_aborts_by_class():
     assert g["error_class"] == "CAST_OVERFLOW"
     assert g["root"].startswith("java.lang.ArithmeticException: long overflow")
     assert g["exc_msg"].startswith("[STREAM_FAILED]")
+
+
+def test_compare_aligns_rescued_datetime_objects_with_multidigit_keys():
+    """The rescue path collects object-dtype datetimes; a NULL in that
+    column used to TypeError the sort and send only the Spark leg down
+    the astype(str) fallback, where id 10 sorts before id 2 — misaligned
+    rows, false DIVERGE. The per-column sort key keeps both legs on the
+    same (numeric/datetime) sort path."""
+    import datetime as dt
+
+    import duckdb
+    import pandas as pd
+
+    from tests.oracle import compare
+    from tools.sweep_adversarial import _Wrapped
+
+    spark_like = pd.DataFrame(
+        {
+            "id": [2, 10, 7],
+            "ts": [dt.datetime(9999, 12, 31), None, dt.datetime(2020, 1, 2)],
+        }
+    )
+    assert spark_like["ts"].dtype == object  # the rescued collection shape
+    con = duckdb.connect()
+    ddf = con.sql(
+        "SELECT * FROM (VALUES (10, NULL), (7, TIMESTAMP '2020-01-02'), "
+        "(2, TIMESTAMP '9999-12-31')) t(id, ts)"
+    ).df()
+    assert compare(_Wrapped(spark_like), ddf, "align_rescue") == []
