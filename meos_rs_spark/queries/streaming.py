@@ -29,6 +29,33 @@ from meos_rs_spark.registry import register
 # micro-batch split of the input
 DEDUP_WATERMARK = "45 days"
 
+#: Event-time ingest sanity horizon (r16, r15 VERDICT item 3 — the
+#: time-axis ingest sibling of the XY envelope and the resample max-span
+#: gate). One corrupt far-future event-time kills a streaming deployment
+#: two independent ways, both measured on the value-extremes fixture:
+#: (1) a year-9999 instant ABORTS any Pandas-worker stateful operator
+#: (applyInPandasWithState converts Arrow→pandas INSIDE the engine, whose
+#: ns epoch ends at 2262 — one bad row wedges the stage-retry loop at
+#: 100 TB), and (2) a far-future sentinel CATAPULTS the watermark so
+#: every later well-formed batch silently drops (the r12-adjudicated
+#: premise violation). Production streaming systems reject such events at
+#: ingest; this gate is that rejection, applied SYMMETRICALLY — the Spark
+#: leg filters in :func:`_stream_events`, every event-time oracle reads
+#: the ``stream_events`` CTE carrying the identical predicate. Bounds are
+#: fixed validity limits strictly inside pandas' ns epoch
+#: (1677-09-21..2262-04-11); NULL event-times fail the predicate in both
+#: engines (a point in time that is NULL is not a point in time — same
+#: adjudication as the XY envelope). Witnessed end-to-end in
+#: tests/test_streaming_bounds.py.
+TS_HORIZON_FLOOR = "1700-01-01 00:00:00"
+TS_HORIZON_CEIL = "2262-01-01 00:00:00"
+STREAM_EVENTS_CTE = (
+    "stream_events AS (SELECT * FROM events "
+    f"WHERE ts >= TIMESTAMP '{TS_HORIZON_FLOOR}' "
+    f"AND ts < TIMESTAMP '{TS_HORIZON_CEIL}')"
+)
+
+
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
@@ -51,7 +78,12 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         instant = F.expr("timestamp_micros(ts div 1000)")
     else:
         instant = F.col("ts").cast("timestamp")
-    return raw.select("event_id", instant.alias("ts"), "user_id", "event_type", "value")
+    return raw.select(
+        "event_id", instant.alias("ts"), "user_id", "event_type", "value"
+    ).where(
+        (F.col("ts") >= F.lit(TS_HORIZON_FLOOR).cast("timestamp"))
+        & (F.col("ts") < F.lit(TS_HORIZON_CEIL).cast("timestamp"))
+    )
 
 
 def _sink_name(base: str, sf_dir: str) -> str:
@@ -96,12 +128,13 @@ def _run_to_table(df: DataFrame, spark: SparkSession, base: str, sf_dir: str) ->
 
 @register(
     "stream_tumbling_counts",
-    oracle="""
+    oracle=f"""
+WITH {STREAM_EVENTS_CTE}
 SELECT user_id,
        date_trunc('hour', ts) AS win_start,
        count(*) AS n,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-FROM events GROUP BY user_id, date_trunc('hour', ts)
+FROM stream_events GROUP BY user_id, date_trunc('hour', ts)
 """,
     tags=("ST",),
     doc="readStream → 1h tumbling window agg → availableNow → memory sink; "
@@ -135,7 +168,8 @@ _GAP_US = 21_600_000_000
 @register(
     "stream_session_windows",
     oracle=f"""
-WITH flagged AS (
+WITH {STREAM_EVENTS_CTE},
+flagged AS (
   SELECT user_id, ts, event_id,
          -- STRICTLY greater, not >=: Spark's session_window MERGES events
          -- exactly gap apart (probed r11: two events 6h apart form ONE
@@ -145,7 +179,7 @@ WITH flagged AS (
          -- the exact-boundary rows in tests/test_invariants.py.
          CASE WHEN lag(ts) OVER w IS NULL
                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {_GAP_US} THEN 1 ELSE 0 END AS new_s
-  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  FROM stream_events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 sessions AS (
   SELECT user_id, ts,
@@ -305,11 +339,12 @@ def _final_state_per_user(latest: DataFrame) -> DataFrame:
 
 @register(
     "stream_stateful_assembly",
-    oracle="""
+    oracle=f"""
+WITH {STREAM_EVENTS_CTE}
 SELECT user_id, count(*) AS n_points,
        epoch_us(min(ts)) AS t_start_us,
        epoch_us(max(ts)) AS t_end_us
-FROM events GROUP BY user_id
+FROM stream_events GROUP BY user_id
 """,
     tags=("ST", "A5", "A6"),
     doc="true custom stateful operator: applyInPandasWithState trajectory accumulation "
@@ -338,11 +373,12 @@ def stream_stateful_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_stateful_evicting",
-    oracle="""
+    oracle=f"""
+WITH {STREAM_EVENTS_CTE}
 SELECT user_id, count(*) AS n_points,
        epoch_us(min(ts)) AS t_start_us,
        epoch_us(max(ts)) AS t_end_us
-FROM events GROUP BY user_id
+FROM stream_events GROUP BY user_id
 """,
     tags=("ST", "A5", "A6"),
     doc="the DEPLOYMENT shape of stateful trajectory assembly: same "
@@ -391,12 +427,13 @@ def stream_stateful_evicting(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_sliding_counts",
-    oracle="""
-WITH contrib AS (
+    oracle=f"""
+WITH {STREAM_EVENTS_CTE},
+contrib AS (
   SELECT user_id, value,
          date_trunc('hour', ts) AS w1,
          date_trunc('hour', ts) - INTERVAL 1 HOUR AS w0
-  FROM events
+  FROM stream_events
 ),
 expanded AS (
   SELECT user_id, value, w1 AS win_start FROM contrib
@@ -435,9 +472,10 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_dedup_watermark",
-    oracle="""
-WITH d AS (
-  SELECT user_id, ts FROM events
+    oracle=f"""
+WITH {STREAM_EVENTS_CTE},
+d AS (
+  SELECT user_id, ts FROM stream_events
   QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) = 1
 )
 SELECT user_id, count(*) AS n_unique FROM d GROUP BY user_id
@@ -467,9 +505,10 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_foreachbatch_sink",
-    oracle="""
+    oracle=f"""
+WITH {STREAM_EVENTS_CTE}
 SELECT user_id, count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-FROM events GROUP BY user_id
+FROM stream_events GROUP BY user_id
 """,
     tags=("ST", "S6"),
     doc="foreachBatch sink: each micro-batch merged into a parquet store "
@@ -520,10 +559,11 @@ def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_interval_join",
-    oracle="""
+    oracle=f"""
+WITH {STREAM_EVENTS_CTE}
 SELECT a.event_id AS view_id, b.event_id AS purchase_id, a.user_id,
        CAST(epoch_us(b.ts) - epoch_us(a.ts) AS BIGINT) AS dt_us
-FROM events a JOIN events b
+FROM stream_events a JOIN stream_events b
   ON a.user_id = b.user_id
  AND a.event_type = 'view' AND b.event_type = 'purchase'
  AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 2 HOUR

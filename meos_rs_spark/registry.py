@@ -108,7 +108,24 @@ DRIVER_WINDOW = 50
 #: in the r15 window (CORRECTNESS_r15.json, 50/50 green) and were cleared.
 #: The 21 changed-oracle queries whose latest row is r14 (old text) ride
 #: the normal oldest-green rotation per the r15 verdict.
-FORCE_VERIFY: tuple[str, ...] = ()
+#:
+#: r16 event-time ingest horizon (r15 VERDICT item 3): the 8 event-time
+#: streaming twins gained the shared sanity-horizon gate in BOTH legs
+#: (queries/streaming.py STREAM_EVENTS_CTE + _stream_events filter) —
+#: semantics changed (corrupt out-of-horizon event-times now drop
+#: symmetrically instead of aborting the Pandas-worker stage or
+#: catapulting the watermark), so each re-earns a driver row this round.
+#: stream_restart_recovery is NOT here: it carries no event-time column.
+FORCE_VERIFY: tuple[str, ...] = (
+    "stream_tumbling_counts",
+    "stream_session_windows",
+    "stream_stateful_assembly",
+    "stream_stateful_evicting",
+    "stream_sliding_counts",
+    "stream_dedup_watermark",
+    "stream_foreachbatch_sink",
+    "stream_interval_join",
+)
 
 
 @functools.lru_cache(maxsize=1)

@@ -23,12 +23,20 @@ from meos_rs_spark.registry import (
 )
 
 # Round-16 rotation computed from CORRECTNESS_r01..r15: zero reds, zero
-# never-checked, FORCE_VERIFY cleared (all 46 r15 swaps re-earned green in
-# the r15 window) — so the head is pure oldest-green rotation: the r8/r9
-# greens first, then r10, then the oldest r11 block up to the 50-row
-# window. The 21 changed-oracle queries whose latest row is r14 enter in
-# later rounds as their rows age to the front.
+# never-checked. The 8 event-time streaming twins slot first via
+# FORCE_VERIFY (registration order) — their semantics changed this round
+# (the shared ingest sanity-horizon gate in both legs); the remaining 42
+# are pure oldest-green rotation (r8/r9 greens first, then r10, then the
+# oldest r11 block up to the 50-row window).
 R16_EXPECTED_HEAD = (
+    "stream_tumbling_counts",
+    "stream_session_windows",
+    "stream_stateful_assembly",
+    "stream_stateful_evicting",
+    "stream_sliding_counts",
+    "stream_dedup_watermark",
+    "stream_foreachbatch_sink",
+    "stream_interval_join",
     "scalar_regexp",
     "scalar_maps",
     "win_rownum_truncate",
@@ -50,7 +58,6 @@ R16_EXPECTED_HEAD = (
     "text_entropy",
     "text_pii_scrub",
     "text_gopher_rules",
-    "stream_interval_join",
     "stream_doc_curation",
     "stream_fingerprint_dedup",
     "rel_conditional_agg",
@@ -60,7 +67,6 @@ R16_EXPECTED_HEAD = (
     "text_tfidf_topterms",
     "text_unigram_logprob",
     "dedup_chunk_level",
-    "stream_stateful_evicting",
     "rel_pivot",
     "rel_percentiles",
     "rel_grouping_sets",
@@ -73,12 +79,6 @@ R16_EXPECTED_HEAD = (
     "text_length_histogram",
     "text_mixture_weights",
     "scalar_ts_roundtrip",
-    "ttype_ttext_ops",
-    "win_lead_gap",
-    "win_rolling_median",
-    "box_tbox_predicates",
-    "box_int_to_tbox",
-    "dedup_exact",
 )
 
 
