@@ -13,6 +13,8 @@ Exactness is pinned by golden tests on hand-computed curves
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 
@@ -118,8 +120,21 @@ def convex_hull(pts: np.ndarray) -> np.ndarray:
 
 
 def polygon_area(hull: np.ndarray) -> float:
-    """Shoelace area of a CCW vertex ring (0.0 for degenerate hulls)."""
+    """Shoelace area of a CCW vertex ring (0.0 for degenerate hulls).
+
+    Summed with ``math.fsum`` over the per-vertex cross terms — the exactly-
+    rounded result is a pure function of the vertex doubles, identical on
+    every machine. The previous ``np.dot`` form delegated the reduction to
+    BLAS, whose kernel dispatch (and therefore accumulation order) varies by
+    CPU microarchitecture: the golden VALUES oracle pinned on one sandbox
+    read a last-ulp-different area on the next, failing parity with no code
+    change (r16 inherited-state find)."""
     if len(hull) < 3:
         return 0.0
+    n = len(hull)
     x, y = hull[:, 0], hull[:, 1]
-    return float(0.5 * abs(np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y)))
+    terms = [
+        float(x[i]) * float(y[(i + 1) % n]) - float(x[(i + 1) % n]) * float(y[i])
+        for i in range(n)
+    ]
+    return float(0.5 * abs(math.fsum(terms)))

@@ -116,6 +116,14 @@ DRIVER_WINDOW = 50
 #: symmetrically instead of aborting the Pandas-worker stage or
 #: catapulting the watermark), so each re-earns a driver row this round.
 #: stream_restart_recovery is NOT here: it carries no event-time column.
+#:
+#: r16 machine-independent hull area (inherited-state fix): the r16 sandbox
+#: runs a different CPU microarchitecture and its BLAS dispatch made
+#: ``np.dot`` read a last-ulp-different shoelace sum than the box that
+#: generated the round-12 golden — ``polygon_area`` now sums via
+#: ``math.fsum`` (exactly rounded, machine-independent) and the
+#: traj_convex_hull golden is regenerated from the new kernel, so the
+#: changed oracle re-earns a driver row this round.
 FORCE_VERIFY: tuple[str, ...] = (
     "stream_tumbling_counts",
     "stream_session_windows",
@@ -125,6 +133,7 @@ FORCE_VERIFY: tuple[str, ...] = (
     "stream_dedup_watermark",
     "stream_foreachbatch_sink",
     "stream_interval_join",
+    "traj_convex_hull",
 )
 
 

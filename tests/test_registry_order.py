@@ -25,9 +25,12 @@ from meos_rs_spark.registry import (
 # Round-16 rotation computed from CORRECTNESS_r01..r15: zero reds, zero
 # never-checked. The 8 event-time streaming twins slot first via
 # FORCE_VERIFY (registration order) — their semantics changed this round
-# (the shared ingest sanity-horizon gate in both legs); the remaining 42
-# are pure oldest-green rotation (r8/r9 greens first, then r10, then the
-# oldest r11 block up to the 50-row window).
+# (the shared ingest sanity-horizon gate in both legs) — followed by
+# traj_convex_hull (its golden oracle regenerated for the
+# machine-independent fsum shoelace, r16 inherited-state fix); the
+# remaining 41 are pure oldest-green rotation (r8/r9 greens first, then
+# r10, then the oldest r11 block up to the 50-row window —
+# scalar_ts_roundtrip rotated out when the forced hull entry took a slot).
 R16_EXPECTED_HEAD = (
     "stream_tumbling_counts",
     "stream_session_windows",
@@ -37,6 +40,7 @@ R16_EXPECTED_HEAD = (
     "stream_dedup_watermark",
     "stream_foreachbatch_sink",
     "stream_interval_join",
+    "traj_convex_hull",
     "scalar_regexp",
     "scalar_maps",
     "win_rownum_truncate",
@@ -78,7 +82,6 @@ R16_EXPECTED_HEAD = (
     "text_shard_packing",
     "text_length_histogram",
     "text_mixture_weights",
-    "scalar_ts_roundtrip",
 )
 
 

@@ -110,6 +110,46 @@ def test_convex_hull_golden():
     assert polygon_area(convex_hull(line)) == 0.0
 
 
+def test_polygon_area_is_the_exactly_rounded_shoelace_sum():
+    """polygon_area must be bit-identical on every machine (r16 inherited-
+    state find: a BLAS-backed np.dot reduction read a last-ulp-different
+    sum on the reprovisioned sandbox's CPU, breaking golden parity with no
+    code change). The contract is the exactly-rounded (math.fsum) shoelace
+    over the per-vertex cross terms — pinned here against an independent
+    Fraction-exact reference on an irregular ring whose naive left-to-right
+    float sum differs in the last ulp, so any drift back to an
+    accumulation-order-dependent reduction fails on at least some boxes."""
+    import math
+    from fractions import Fraction
+
+    from meos_rs_spark.functions.similarity import polygon_area
+
+    ring = np.array(
+        [
+            [-741319.5559626315, -504770.33260617143],
+            [-218100.59373354586, 742843.9482525988],
+            [-838837.3975997227, -101625.19810133812],
+            [98879.8182880748, 766767.6528830249],
+            [638559.6756714827, 727968.9393970303],
+            [-443157.87097220577, -169406.96557660284],
+            [-282457.6693367504, 768385.6543964341],
+        ],
+        dtype=float,
+    )
+    n = len(ring)
+    terms = [
+        float(ring[i, 0]) * float(ring[(i + 1) % n, 1])
+        - float(ring[(i + 1) % n, 0]) * float(ring[i, 1])
+        for i in range(n)
+    ]
+    # the exactly-rounded sum of the IEEE term doubles, via exact rationals
+    exact = float(sum(Fraction(t) for t in terms))
+    assert polygon_area(ring) == 0.5 * abs(exact)
+    # the naive sequential sum genuinely differs here — the pin is not vacuous
+    assert sum(terms) != exact
+    assert math.fsum(terms) == exact
+
+
 def test_convex_hull_query_invariants(spark):
     from meos_rs_spark.registry import load_registry
     from tests.conftest import SF_SMOKE
