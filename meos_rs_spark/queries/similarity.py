@@ -917,34 +917,34 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents_name,
     )
     nearest = make_nearest_centroid_udf(staged_table_path(spark, cents_name), metric="l2")
-    # stage only the NARROW assignment (vec_id, vn2, cluster_id): the k-means
-    # pass runs once and its result is durable, but re-writing the embedding
-    # arrays would double-store the corpus — both pair-join sides instead
-    # re-attach embeddings from the SOURCE parquet (already columnar and
-    # durable) via a vec_id equi-join, so no materialization ever assumes
-    # executor memory fits the embedded corpus. The staging job itself is
-    # map-only: scan → one ArrowEvalPython (vn2 fold + cell argmin) → write.
-    cells = stage(
-        emb.select(
-            "vec_id",
-            seq_dot("embedding", "embedding").alias("vn2"),
-            nearest("embedding").alias("cluster_id"),
-        ),
-        # sf-keyed name (same hazard class as the quantizer side tables:
-        # interleaved cross-scale builds must not overwrite each other) and
-        # the UDF's side-table dir declared so its content joins the memo
-        # digest — the plan text and input files don't see it
-        side_table_name("semantic_cells", sf_dir),
-        side_inputs=(staged_table_path(spark, cents_name),),
-    )
-    src = emb.select("vec_id", "embedding")
-    a = cells.join(src, "vec_id").select(
+    # ONE map pass (vn2 fold + cell argmin, embedding carried along) into
+    # ONE cluster_id exchange that every consumer reuses (r16 optimization,
+    # guide §2.4): the three readers below — both pair-join sides and the
+    # members census — are canonically identical subplans, so AQE's shuffle
+    # -stage reuse materializes the map stage ONCE and serves all three
+    # (verified: the corpus scan appears in exactly one executed stage).
+    # The r12 shape staged a narrow (vec_id, vn2, cluster_id) table and
+    # re-attached embeddings from the source parquet per side, which at
+    # scale shuffles the embedded corpus once per join SIDE (vec_id
+    # attach ×2 when cells outgrows the broadcast threshold) PLUS once per
+    # pair-join side on cluster_id, and pays a scratch write job besides —
+    # four corpus-sized exchanges and a write where one exchange suffices.
+    # Spill posture is unchanged: the exchange is sort-based and
+    # disk-backed exactly like the parquet staging it replaces, with no
+    # executor-memory residency assumption (not a .cache()).
+    pts = emb.select(
+        "vec_id",
+        "embedding",
+        seq_dot("embedding", "embedding").alias("vn2"),
+        nearest("embedding").alias("cluster_id"),
+    ).repartition("cluster_id")
+    a = pts.select(
         F.col("cluster_id"),
         F.col("vec_id").alias("va"),
         F.col("embedding").alias("ea"),
         F.col("vn2").alias("na"),
     )
-    b = cells.join(src, "vec_id").select(
+    b = pts.select(
         F.col("cluster_id"),
         F.col("vec_id").alias("vb"),
         F.col("embedding").alias("eb"),
@@ -961,7 +961,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("cluster_id", "vb")
     )
-    members = cells.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_members"))
+    members = pts.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_members"))
     dstats = dup.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n_dup_pairs"),
         F.countDistinct("vb").alias("n_removed"),

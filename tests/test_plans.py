@@ -318,14 +318,22 @@ def test_cohort_sizes_broadcast(spark):
 
 
 def test_semdedup_pair_join_is_equi(spark):
-    # cell assignment happens map-side in the staging job (not in this
-    # plan); the within-cluster pair generation must equi-join on cluster_id
-    # with the narrow staged cells broadcast onto the embedding re-attach
+    # cell assignment is ONE map-side ArrowEvalPython pass feeding ONE
+    # cluster_id exchange that both pair-join sides and the members census
+    # reuse (r16: the staged narrow-cells + embedding re-attach joins were
+    # replaced by the carried-along shape — four corpus exchanges → one);
+    # the within-cluster pair generation must equi-join on cluster_id
     plan = _plan(spark, "dedup_semantic")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
     equi = sum(plan.count(j) for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"))
     assert equi >= 1, plan[:2000]
+    # the static plan carries one assignment-kernel site per consumer
+    # reference (a, b, members — AQE stage reuse collapses them to one
+    # executed map stage); the nondeterministic pin keeps Catalyst from
+    # cloning the kernel into join-key null filters, which would double
+    # the count per site
+    assert plan.count("nearest_centroid") == 3, plan[:2000]
 
 
 def test_od_matrix_is_two_stage_agg(spark):
