@@ -87,7 +87,13 @@ def better(nan, score, best_nan, best_score, *, largest: bool):
     return (~nan & best_nan) | (same_class & (score < best_score))
 
 
-__all__ = ["better", "make_nearest_centroid_udf", "make_pq_codes_udf"]
+__all__ = [
+    "better",
+    "make_nearest_centroid_udf",
+    "make_pq_codes_udf",
+    "source_cents_spec",
+    "source_pq_cb_spec",
+]
 
 
 def _load_side(path: str) -> pd.DataFrame:
@@ -101,6 +107,115 @@ def _load_side(path: str) -> pd.DataFrame:
             del _SIDE_CACHE[stale]
         _SIDE_CACHE[key] = tbl
     return tbl
+
+
+# --- source-derived quantizers (r16 optimization) ---------------------------
+#
+# Every deterministic quantizer here is "the first K valid corpus vectors"
+# — a pure function of the SOURCE embeddings parquet, which is already a
+# path every executor can read. Staging those K rows through a Spark
+# parquet write bought nothing but a scratch copy, and cost each query one
+# SEQUENTIAL producing job per run (the write must finish before the main
+# DAG can even be planned, so it never overlaps with anything). The specs
+# below let the Arrow kernels derive the quantizer worker-side from the
+# source dataset instead: a pyarrow read with a vec_id < K filter, which
+# parquet row-group statistics prune to the head of the dataset at any
+# scale — the same IO class as reading the staged K-row table, minus the
+# job that wrote it. The envelope (non-NULL, exactly `dim` components, all
+# finite) is applied identically to `_corpus` in queries/similarity.py, so
+# the derived rows are exactly the rows `stage(emb.filter(vec_id < K))`
+# used to write; kernels and their determinism contract are unchanged.
+
+
+def source_cents_spec(sf_dir: str, k: int, dim: int) -> tuple:
+    """Side-spec: centroids = first-``k`` valid vectors of the fixture's
+    embeddings parquet, as (cent_id, ce) rows."""
+    import os
+
+    return ("src_cents", os.path.join(sf_dir, "embeddings.parquet"), k, dim)
+
+
+def source_pq_cb_spec(sf_dir: str, k: int, dim: int, n_sub: int, subdim: int) -> tuple:
+    """Side-spec: PQ codebook = the first-``k`` valid vectors' subvector
+    slices, as (m, k, cv) rows — ``n_sub`` subspaces of ``subdim`` dims."""
+    import os
+
+    return ("src_pq_cb", os.path.join(sf_dir, "embeddings.parquet"), k, dim, n_sub, subdim)
+
+
+def _file_or_dir_fingerprint(path: str):
+    """dir_fingerprint for dirs; (name, size, mtime_ns) for a single file."""
+    import os
+
+    if os.path.isdir(path):
+        return dir_fingerprint(path)
+    try:
+        st = os.stat(path)
+        return ((os.path.basename(path), st.st_size, st.st_mtime_ns),)
+    except OSError:
+        return None
+
+
+def _load_source_vecs(src_path: str, k: int, dim: int) -> pd.DataFrame:
+    """First-k valid corpus vectors straight from the source dataset —
+    the rows ``_corpus(...).filter(vec_id < k)`` yields: vec_id < k AND
+    the corpus envelope (non-NULL embedding, exactly ``dim`` components,
+    all finite; a NULL component arrives as NaN through Arrow's
+    list<float> → numpy conversion and fails the finite test exactly like
+    the Spark leg's exists() predicate drops it). Cached per worker by
+    (path, fingerprint, k, dim) like the staged side tables."""
+    key = ("src_vecs", src_path, _file_or_dir_fingerprint(src_path), k, dim)
+    tbl = _SIDE_CACHE.get(key)
+    if tbl is None:
+        import pyarrow.dataset as ds
+
+        t = ds.dataset(src_path).to_table(
+            filter=ds.field("vec_id") < k, columns=["vec_id", "embedding"]
+        )
+        df = t.to_pandas().sort_values("vec_id").reset_index(drop=True)
+        valid = np.array(
+            [
+                v is not None
+                and len(v) == dim
+                and bool(np.isfinite(np.asarray(v, dtype=np.float64)).all())
+                for v in df["embedding"]
+            ],
+            dtype=bool,
+        )
+        tbl = df[valid].reset_index(drop=True)
+        for stale in [
+            s for s in _SIDE_CACHE if s[:2] == key[:2] and s != key and s[0] == "src_vecs"
+        ]:
+            del _SIDE_CACHE[stale]
+        _SIDE_CACHE[key] = tbl
+    return tbl
+
+
+def _load_cents(side) -> pd.DataFrame:
+    """(cent_id, ce) side table from a staged dir path or a src_cents spec."""
+    if isinstance(side, str):
+        return _load_side(side)
+    _, src_path, k, dim = side
+    vecs = _load_source_vecs(src_path, k, dim)
+    return pd.DataFrame(
+        {"cent_id": vecs["vec_id"].to_numpy(), "ce": vecs["embedding"].to_numpy()}
+    )
+
+
+def _load_pq_cb(side) -> pd.DataFrame:
+    """(m, k, cv) codebook from a staged dir path or a src_pq_cb spec."""
+    if isinstance(side, str):
+        return _load_side(side)
+    _, src_path, pq_k, dim, n_sub, subdim = side
+    vecs = _load_source_vecs(src_path, pq_k, dim)
+    ks, ms, cvs = [], [], []
+    for _, row in vecs.iterrows():
+        emb = np.asarray(row["embedding"])
+        for m in range(n_sub):
+            ks.append(row["vec_id"])
+            ms.append(m)
+            cvs.append(emb[m * subdim : (m + 1) * subdim])
+    return pd.DataFrame({"k": ks, "m": ms, "cv": cvs})
 
 
 def _dot_const(mat: np.ndarray, vec: np.ndarray) -> np.ndarray:
@@ -117,19 +232,21 @@ def _self_dot(vec: np.ndarray) -> float:
     return _seq_dot(vec[None, :], vec[None, :])[0]
 
 
-def make_nearest_centroid_udf(cents_path: str, *, metric: str):
+def make_nearest_centroid_udf(cents_side, *, metric: str):
     """pandas_udf: embedding → cent_id of the nearest centroid.
 
     ``metric='l2'``  — argmin of ``vn2 + cn2 - 2*dot`` (ORDER BY d2, cent_id);
     ``metric='cos'`` — argmax of ``dot / (sqrt(vn2)*sqrt(cn2))``
-    (ORDER BY ccos DESC, cent_id). Side table columns: cent_id, ce.
+    (ORDER BY ccos DESC, cent_id). ``cents_side``: a staged side-table dir
+    (columns cent_id, ce) or a ``source_cents_spec`` deriving the centroids
+    worker-side from the source embeddings parquet (r16 — no staging job).
     """
     if metric not in ("l2", "cos"):
         raise ValueError(f"unknown metric: {metric}")
 
     @pandas_udf(LongType())
     def nearest_centroid(emb: pd.Series) -> pd.Series:
-        side = _load_side(cents_path).sort_values("cent_id")
+        side = _load_cents(cents_side).sort_values("cent_id")
         ids = side["cent_id"].to_numpy()
         cents = _stack(side["ce"])
         vecs = _stack(emb)
@@ -192,15 +309,17 @@ def make_nearest_centroid_udf(cents_path: str, *, metric: str):
     return nearest_centroid.asNondeterministic()
 
 
-def make_pq_codes_udf(cb_path: str, *, n_sub: int, subdim: int):
+def make_pq_codes_udf(cb_side, *, n_sub: int, subdim: int):
     """pandas_udf: embedding → array of ``n_sub`` PQ codes (one per
     subspace), each the argmin-d2 codebook entry for that subvector
-    (ORDER BY d2, k). Side table columns: m, k, cv.
+    (ORDER BY d2, k). ``cb_side``: a staged side-table dir (columns m, k,
+    cv) or a ``source_pq_cb_spec`` deriving the codebook worker-side from
+    the source embeddings parquet (r16 — no staging job).
     """
 
     @pandas_udf(ArrayType(LongType()))
     def pq_codes(emb: pd.Series) -> pd.Series:
-        side = _load_side(cb_path)
+        side = _load_pq_cb(cb_side)
         vecs = _stack(emb)
         codes = np.empty((vecs.shape[0], n_sub), dtype=np.int64)
         for m in range(n_sub):

@@ -308,7 +308,7 @@ QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) <
     tags=("sim", "ivf"),
     doc=f"IVF-style ANN: {N_CELLS} coarse centroids (a production system trains "
     "them offline with k-means; here the first corpus vectors, deterministically) "
-    "staged as a K-row side table; each corpus vector is assigned its nearest "
+    "derived worker-side from the source parquet; each corpus vector is assigned its nearest "
     "cell MAP-SIDE (functions/quantize.py — no crossJoin explode, no argmin "
     f"window shuffle of the corpus), probes search their {NPROBE} closest cells "
     "via a cell equi-join and re-rank exactly — the inverted-file layout that "
@@ -316,18 +316,18 @@ QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) <
     "the broadcast-crossJoin + window shape: it is constant-sized)",
 )
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from meos_rs_spark.functions.quantize import make_nearest_centroid_udf
-    from meos_rs_spark.functions.staging import side_table_name, stage, staged_table_path
+    from meos_rs_spark.functions.quantize import make_nearest_centroid_udf, source_cents_spec
 
     emb = _corpus(spark, sf_dir)
-    cents_name = side_table_name("ivf_cents", sf_dir)
-    cents = stage(
-        emb.filter(F.col("vec_id") < N_CELLS).select(
-            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce")
-        ),
-        cents_name,
+    # r16: the K-row quantizer derives worker-side from the source parquet
+    # (source_cents_spec — row-group-pruned pyarrow read, same rows the
+    # staged table held), dropping the per-run sequential staging write
+    # job; the probe-assignment side keeps an INLINE K-row DataFrame that
+    # the main DAG broadcasts concurrently instead of a staged scan.
+    cents = emb.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce")
     )
-    nearest = make_nearest_centroid_udf(staged_table_path(spark, cents_name), metric="cos")
+    nearest = make_nearest_centroid_udf(source_cents_spec(sf_dir, N_CELLS, DIM), metric="cos")
     cells = emb.select("vec_id", "label", "embedding", nearest("embedding").alias("cell"))
     probe_assign = (
         emb.filter(F.col("vec_id") < N_PROBES)
@@ -392,7 +392,7 @@ FROM comps GROUP BY cluster_id, dim
     tags=("sim", "ivf", "iterative"),
     doc=f"one Lloyd (k-means) iteration over the embedding corpus — the "
     f"training step behind the IVF quantizer (sim_ann_ivf seeds its cells the "
-    f"same way): {_KM_K} seed centroids staged as a side table, squared-L2 "
+    f"same way): {_KM_K} seed centroids derived worker-side from the source parquet, squared-L2 "
     "assignment MAP-SIDE (functions/quantize.py — no K-fold corpus explode, "
     "no argmin window shuffle), then per-dimension cluster means via "
     "posexplode + exact DECIMAL(28,6) sums so the mean is "
@@ -402,18 +402,12 @@ FROM comps GROUP BY cluster_id, dim
     "table and re-runs the same two stages",
 )
 def sim_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from meos_rs_spark.functions.quantize import make_nearest_centroid_udf
-    from meos_rs_spark.functions.staging import side_table_name, stage, staged_table_path
+    from meos_rs_spark.functions.quantize import make_nearest_centroid_udf, source_cents_spec
 
     emb = _corpus(spark, sf_dir)
-    cents_name = side_table_name("km_cents", sf_dir)
-    stage(
-        emb.filter(F.col("vec_id") < _KM_K).select(
-            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce")
-        ),
-        cents_name,
-    )
-    nearest = make_nearest_centroid_udf(staged_table_path(spark, cents_name), metric="l2")
+    # r16: seeds derive worker-side from the source parquet (same rows the
+    # staged table held) — the assignment pass is the query's ONLY job now
+    nearest = make_nearest_centroid_udf(source_cents_spec(sf_dir, _KM_K, DIM), metric="l2")
     cells = emb.select("vec_id", "embedding", nearest("embedding").alias("cluster_id"))
     comps = cells.select(
         "cluster_id", F.posexplode("embedding").alias("dim", "raw")
@@ -675,7 +669,7 @@ QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY approx_d2, vec_id) <= 
     f"the ANN triad with sign-LSH and IVF): {PQ_M}x{PQ_SUBDIM}-dim subspaces, "
     f"{PQ_K} deterministic centroids per subspace (the first {PQ_K} vectors' "
     f"subvectors), asymmetric-distance scan via per-probe lookup tables. "
-    f"Encode = one MAP-SIDE Arrow pass against the staged side-table "
+    f"Encode = one MAP-SIDE Arrow pass against the source-derived "
     f"codebook (functions/quantize.py — zero shuffles); the ADC scan "
     f"joins 4 tiny lookup tables code-wise (all broadcast) and sums the 4 "
     f"terms in fixed order (bit-exact, no decimal canon needed). At 100 TB "
@@ -685,28 +679,29 @@ QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY approx_d2, vec_id) <= 
 )
 def sim_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meos_rs_spark.functions.embeddings import seq_sqdist
-    from meos_rs_spark.functions.quantize import make_pq_codes_udf
-    from meos_rs_spark.functions.staging import side_table_name, stage, staged_table_path
+    from meos_rs_spark.functions.quantize import make_pq_codes_udf, source_pq_cb_spec
 
     emb = _corpus(spark, sf_dir)
     ms = F.explode(F.array(*[F.lit(m) for m in range(PQ_M)])).alias("m")
-    # codebook: PQ_M x PQ_K subvector rows, staged as a side table
-    cb_name = side_table_name("pq_cb", sf_dir)
-    cb = stage(
+    # codebook: PQ_M x PQ_K subvector rows — an INLINE frame the lookup-
+    # table build broadcasts as part of the main DAG (r16: previously
+    # staged through a per-run sequential parquet write job)
+    cb = (
         emb.filter(F.col("vec_id") < PQ_K)
         .select(F.col("vec_id").alias("k"), "embedding", ms)
         .select(
             "k", "m",
             F.expr(f"slice(embedding, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM})").alias("cv"),
-        ),
-        cb_name,
+        )
     )
     # encode MAP-SIDE (functions/quantize.py): one Arrow pass computes all
-    # PQ_M codes per vector against the side-table codebook — no M-fold
-    # explode of the corpus, no per-(vector, subspace) argmin window shuffle,
-    # no re-widening groupBy; the corpus never shuffles to get encoded
+    # PQ_M codes per vector against the codebook — no M-fold explode of
+    # the corpus, no per-(vector, subspace) argmin window shuffle, no
+    # re-widening groupBy; the corpus never shuffles to get encoded. The
+    # kernel derives the codebook worker-side from the source parquet
+    # (source_pq_cb_spec — the same rows the staged table held)
     codes_udf = make_pq_codes_udf(
-        staged_table_path(spark, cb_name), n_sub=PQ_M, subdim=PQ_SUBDIM
+        source_pq_cb_spec(sf_dir, PQ_K, DIM, PQ_M, PQ_SUBDIM), n_sub=PQ_M, subdim=PQ_SUBDIM
     )
     enc_wide = emb.select("vec_id", codes_udf("embedding").alias("codes")).select(
         "vec_id", *[F.col("codes").getItem(m).alias(f"c{m}") for m in range(PQ_M)]
@@ -892,8 +887,8 @@ FROM members m LEFT JOIN dstats d USING (cluster_id)
 """,
     tags=("dedup", "sim", "semdedup"),
     doc=f"semantic deduplication (SemDeDup, Abbas et al. 2023): cluster the "
-    f"corpus into {_KM_K} k-means cells (seed centroids staged as a side "
-    "table, squared-L2 assignment map-side via functions/quantize.py — no "
+    f"corpus into {_KM_K} k-means cells (seed centroids derived worker-side "
+    "from the source parquet, squared-L2 assignment map-side via functions/quantize.py — no "
     "K-fold corpus explode, no argmin window shuffle), then prune "
     f"within-cluster pairs whose cosine exceeds {SEMDEDUP_TAU} keeping the "
     "lowest vec_id. The threshold compare stays in sqrt-free dot-product "
@@ -905,18 +900,12 @@ FROM members m LEFT JOIN dstats d USING (cluster_id)
     "exactly like the LSH hot-bucket cap in dedup_minhash_lsh.",
 )
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from meos_rs_spark.functions.quantize import make_nearest_centroid_udf
-    from meos_rs_spark.functions.staging import side_table_name, stage, staged_table_path
+    from meos_rs_spark.functions.quantize import make_nearest_centroid_udf, source_cents_spec
 
     emb = _corpus(spark, sf_dir)
-    cents_name = side_table_name("sem_cents", sf_dir)
-    stage(
-        emb.filter(F.col("vec_id") < _KM_K).select(
-            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce")
-        ),
-        cents_name,
-    )
-    nearest = make_nearest_centroid_udf(staged_table_path(spark, cents_name), metric="l2")
+    # r16: seed centroids derive worker-side from the source parquet (same
+    # rows the staged table held) — no per-run staging write job
+    nearest = make_nearest_centroid_udf(source_cents_spec(sf_dir, _KM_K, DIM), metric="l2")
     # ONE map pass (vn2 fold + cell argmin, embedding carried along) into
     # ONE cluster_id exchange that every consumer reuses (r16 optimization,
     # guide §2.4): the three readers below — both pair-join sides and the

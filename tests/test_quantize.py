@@ -400,3 +400,82 @@ def test_corpus_envelope_drops_only_invalid_vectors(spark, tmp_path):
         ).fetchall()
     )
     assert kept_spark == kept_duck == [0, 7]
+
+
+def test_source_cents_spec_matches_staged_rows(spark):
+    """The r16 source-derived quantizer must yield EXACTLY the rows the
+    staged table held: first-K by vec_id, corpus envelope applied (NULL
+    vector, wrong length, NaN/inf/NULL component all dropped) — compared
+    against a Spark-built reference over the real sf0.001 fixture."""
+    from meos_rs_spark.queries.similarity import DIM, _corpus
+
+    sf_dir = "/root/testdata/sf0.001"
+    k = 8
+    spec = quantize.source_cents_spec(sf_dir, k, DIM)
+    side = quantize._load_cents(spec).sort_values("cent_id")
+    ref = (
+        _corpus(spark, sf_dir)
+        .filter(F.col("vec_id") < k)
+        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce"))
+        .orderBy("cent_id")
+        .collect()
+    )
+    assert side["cent_id"].tolist() == [r.cent_id for r in ref]
+    for got, want in zip(side["ce"], ref):
+        assert np.asarray(got, dtype=np.float64).tolist() == list(want.ce)
+
+
+def test_source_cents_spec_applies_the_envelope():
+    """Synthetic parquet with off-envelope rows in the first-K prefix: the
+    loader must drop them exactly like the Spark-side _corpus filter."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    dim = 4
+    rows = {
+        "vec_id": [0, 1, 2, 3, 4, 5],
+        "embedding": [
+            [1.0, 2.0, 3.0, 4.0],       # valid
+            None,                        # NULL vector
+            [1.0, 2.0],                  # wrong length
+            [1.0, float("nan"), 3.0, 4.0],   # NaN component
+            [1.0, float("inf"), 3.0, 4.0],   # inf component
+            [5.0, 6.0, 7.0, 8.0],       # valid
+        ],
+    }
+    t = pa.table(
+        {
+            "vec_id": pa.array(rows["vec_id"], pa.int64()),
+            "embedding": pa.array(rows["embedding"], pa.list_(pa.float32())),
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "embeddings.parquet"))
+        side = quantize._load_cents(quantize.source_cents_spec(d, 6, dim))
+    assert side["cent_id"].tolist() == [0, 5]
+
+
+def test_source_pq_cb_spec_matches_staged_slices(spark):
+    """The source-derived PQ codebook must carry the same (m, k, cv)
+    subvector slices the staged table held."""
+    from meos_rs_spark.queries.similarity import DIM, PQ_K, PQ_M, PQ_SUBDIM, _corpus
+
+    sf_dir = "/root/testdata/sf0.001"
+    spec = quantize.source_pq_cb_spec(sf_dir, PQ_K, DIM, PQ_M, PQ_SUBDIM)
+    side = quantize._load_pq_cb(spec).sort_values(["m", "k"]).reset_index(drop=True)
+    ms = F.explode(F.array(*[F.lit(m) for m in range(PQ_M)])).alias("m")
+    ref = (
+        _corpus(spark, sf_dir)
+        .filter(F.col("vec_id") < PQ_K)
+        .select(F.col("vec_id").alias("k"), "embedding", ms)
+        .select("k", "m", F.expr(f"slice(embedding, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM})").alias("cv"))
+        .orderBy("m", "k")
+        .collect()
+    )
+    assert len(side) == len(ref)
+    for (_, got), want in zip(side.iterrows(), ref):
+        assert (int(got["m"]), int(got["k"])) == (want.m, want.k)
+        assert np.asarray(got["cv"], dtype=np.float64).tolist() == list(want.cv)
