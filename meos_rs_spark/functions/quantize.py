@@ -58,7 +58,13 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, LongType
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
 
 from meos_rs_spark.functions.embeddings import _seq_dot, _stack
 
@@ -90,6 +96,7 @@ def better(nan, score, best_nan, best_score, *, largest: bool):
 __all__ = [
     "better",
     "make_nearest_centroid_udf",
+    "make_pq_adc_udf",
     "make_pq_codes_udf",
     "source_cents_spec",
     "source_pq_cb_spec",
@@ -309,6 +316,31 @@ def make_nearest_centroid_udf(cents_side, *, metric: str):
     return nearest_centroid.asNondeterministic()
 
 
+def _argmin_d2(sub: np.ndarray, cents: np.ndarray, ks: np.ndarray) -> np.ndarray:
+    """Per-row argmin-``k`` of the expanded-form squared distance
+    ``sn2 + cn2 - 2*dot`` over the codebook entries, with the oracle
+    tie-break (ascending-k scan, strict-inequality updates → lowest k wins
+    ties; NaN sorts strictly above +inf, so it loses the argmin even to an
+    overflow distance — (is_nan, d2) pair compare, same as
+    make_nearest_centroid_udf)."""
+    sn2 = _seq_dot(sub, sub)
+    best_k = np.full(sub.shape[0], -1, dtype=np.int64)
+    best_d2 = best_nan = None
+    for i in range(cents.shape[0]):
+        cn2 = _self_dot(cents[i])
+        d2 = sn2 + cn2 - 2.0 * _dot_const(sub, cents[i])
+        nan = np.isnan(d2)
+        d2 = np.where(nan, 0.0, d2)
+        if best_d2 is None:
+            best_d2, best_nan, best_k[:] = d2.copy(), nan.copy(), ks[i]
+        else:
+            upd = better(nan, d2, best_nan, best_d2, largest=False)
+            best_d2[upd] = d2[upd]
+            best_nan[upd] = nan[upd]
+            best_k[upd] = ks[i]
+    return best_k
+
+
 def make_pq_codes_udf(cb_side, *, n_sub: int, subdim: int):
     """pandas_udf: embedding → array of ``n_sub`` PQ codes (one per
     subspace), each the argmin-d2 codebook entry for that subvector
@@ -324,30 +356,77 @@ def make_pq_codes_udf(cb_side, *, n_sub: int, subdim: int):
         codes = np.empty((vecs.shape[0], n_sub), dtype=np.int64)
         for m in range(n_sub):
             sub_cb = side[side["m"] == m].sort_values("k")
-            ks = sub_cb["k"].to_numpy()
-            cents = _stack(sub_cb["cv"])
-            sub = vecs[:, m * subdim : (m + 1) * subdim]
-            sn2 = _seq_dot(sub, sub)
-            best_k = np.full(vecs.shape[0], -1, dtype=np.int64)
-            best_d2 = None
-            for i in range(cents.shape[0]):
-                cn2 = _self_dot(cents[i])
-                d2 = sn2 + cn2 - 2.0 * _dot_const(sub, cents[i])
-                # NaN sorts strictly above +inf in the engines, so it loses
-                # the argmin even to an overflow distance — (is_nan, d2)
-                # pair compare, same as make_nearest_centroid_udf
-                nan = np.isnan(d2)
-                d2 = np.where(nan, 0.0, d2)
-                if best_d2 is None:
-                    best_d2, best_nan, best_k[:] = d2.copy(), nan.copy(), ks[i]
-                else:
-                    upd = better(nan, d2, best_nan, best_d2, largest=False)
-                    best_d2[upd] = d2[upd]
-                    best_nan[upd] = nan[upd]
-                    best_k[upd] = ks[i]
-            codes[:, m] = best_k
+            codes[:, m] = _argmin_d2(
+                vecs[:, m * subdim : (m + 1) * subdim],
+                _stack(sub_cb["cv"]),
+                sub_cb["k"].to_numpy(),
+            )
         return pd.Series(list(codes))
 
     # same single-evaluation pin as make_nearest_centroid_udf: the codes
     # feed 4 equi-join keys, whose IsNotNull filters would re-run the kernel
     return pq_codes.asNondeterministic()
+
+
+def make_pq_adc_udf(cb_side, probes_side, *, n_sub: int, subdim: int):
+    """pandas_udf: embedding → struct of (probe vec_ids, ADC distances) —
+    the classic FAISS asymmetric-distance scan with the lookup table held
+    IN the kernel instead of spread over per-subspace broadcast joins
+    (r16, guide §8: the LUT is constant-sized — N_PROBES × n_sub × K
+    doubles — so it belongs in a side channel, not 4 join subtrees whose
+    probe chains each rebuilt the table and re-broadcast the codebook).
+
+    Per corpus vector: assign codes with the SAME ``_argmin_d2`` scan the
+    encode kernel uses, then total the per-subspace LUT entries in fixed
+    m-order — ``pd2_0 + pd2_1 + pd2_2 + pd2_3`` exactly like the joined
+    shape summed them, every term the expanded-form ``pn2 + cn2 - 2*dot``
+    sequential fold — so the emitted doubles are bit-identical to the
+    4-broadcast-join plan this replaces (verified at sf0.01 and sf0.1).
+
+    ``cb_side``/``probes_side``: staged dirs or source specs (probes =
+    ``source_cents_spec(sf_dir, N_PROBES, dim)`` — the same first-K-valid
+    rows the probe scan selects). An empty codebook or probe set yields
+    empty output arrays for every row — the joined shape's empty result.
+    """
+    out_t = StructType(
+        [
+            StructField("pids", ArrayType(LongType())),
+            StructField("d2s", ArrayType(DoubleType())),
+        ]
+    )
+
+    @pandas_udf(out_t)
+    def pq_adc(emb: pd.Series) -> pd.DataFrame:
+        side = _load_pq_cb(cb_side)
+        probes = _load_cents(probes_side)
+        pids = probes["cent_id"].to_numpy()
+        n = len(emb)
+        if n == 0 or len(pids) == 0 or len(side) == 0:
+            empty_ids: list = [] if n == 0 else [[]] * n
+            return pd.DataFrame({"pids": empty_ids, "d2s": empty_ids})
+        pvecs = _stack(probes["ce"])
+        vecs = _stack(emb)
+        total = np.zeros((n, len(pids)), dtype=np.float64)
+        for m in range(n_sub):
+            sub_cb = side[side["m"] == m].sort_values("k")
+            ks = sub_cb["k"].to_numpy()
+            if len(ks) == 0:
+                return pd.DataFrame({"pids": [[]] * n, "d2s": [[]] * n})
+            cents = _stack(sub_cb["cv"])
+            codes = _argmin_d2(vecs[:, m * subdim : (m + 1) * subdim], cents, ks)
+            # per-probe LUT for this subspace: probe × codebook entry
+            psub = pvecs[:, m * subdim : (m + 1) * subdim]
+            pn2 = _seq_dot(psub, psub)
+            lut = np.empty((len(pids), cents.shape[0]), dtype=np.float64)
+            for i in range(cents.shape[0]):
+                cn2 = _self_dot(cents[i])
+                lut[:, i] = pn2 + cn2 - 2.0 * _dot_const(psub, cents[i])
+            kpos = {int(kv): idx for idx, kv in enumerate(ks)}
+            cols = np.array([kpos[int(c)] for c in codes], dtype=np.int64)
+            total += lut[:, cols].T
+        return pd.DataFrame(
+            {"pids": [pids.tolist()] * n, "d2s": [row.tolist() for row in total]}
+        )
+
+    # single-evaluation pin, same rationale as the other kernels
+    return pq_adc.asNondeterministic()

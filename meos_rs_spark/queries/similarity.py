@@ -669,67 +669,52 @@ QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY approx_d2, vec_id) <= 
     f"the ANN triad with sign-LSH and IVF): {PQ_M}x{PQ_SUBDIM}-dim subspaces, "
     f"{PQ_K} deterministic centroids per subspace (the first {PQ_K} vectors' "
     f"subvectors), asymmetric-distance scan via per-probe lookup tables. "
-    f"Encode = one MAP-SIDE Arrow pass against the source-derived "
-    f"codebook (functions/quantize.py — zero shuffles); the ADC scan "
-    f"joins 4 tiny lookup tables code-wise (all broadcast) and sums the 4 "
-    f"terms in fixed order (bit-exact, no decimal canon needed). At 100 TB "
+    f"Encode + ADC = ONE MAP-SIDE Arrow pass (functions/quantize.py "
+    f"make_pq_adc_udf): the kernel assigns codes against the source-derived "
+    f"codebook and totals the constant-sized per-probe LUT "
+    f"({N_PROBES}x{PQ_M}x{PQ_K} doubles) in fixed m-order — bit-identical "
+    f"to the 4-broadcast-join ADC shape it replaced (r16), with zero joins "
+    f"and zero corpus shuffles before the final top-k window. At 100 TB "
     f"codes are {PQ_M} bytes/vector vs {DIM * 4} for raw floats -- the scan "
     f"touches 64x less data; squared distances stay in dot-product form so "
     f"both engines fold identically.",
 )
 def sim_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from meos_rs_spark.functions.embeddings import seq_sqdist
-    from meos_rs_spark.functions.quantize import make_pq_codes_udf, source_pq_cb_spec
+    from meos_rs_spark.functions.quantize import (
+        make_pq_adc_udf,
+        source_cents_spec,
+        source_pq_cb_spec,
+    )
 
     emb = _corpus(spark, sf_dir)
-    ms = F.explode(F.array(*[F.lit(m) for m in range(PQ_M)])).alias("m")
-    # codebook: PQ_M x PQ_K subvector rows — an INLINE frame the lookup-
-    # table build broadcasts as part of the main DAG (r16: previously
-    # staged through a per-run sequential parquet write job)
-    cb = (
-        emb.filter(F.col("vec_id") < PQ_K)
-        .select(F.col("vec_id").alias("k"), "embedding", ms)
+    # one Arrow pass per corpus vector: assign all PQ_M codes AND total the
+    # per-probe ADC lookup entries (probes and codebook both derive
+    # worker-side from the source parquet — the same first-K-valid rows
+    # the probe scan / staged codebook selected). No M-fold corpus
+    # explode, no per-subspace argmin window, no LUT joins: the old shape
+    # rebuilt the probe LUT chain once per subspace (4 broadcast builds ×
+    # (probe scan + codebook broadcast + Arrow eval) per run).
+    adc = make_pq_adc_udf(
+        source_pq_cb_spec(sf_dir, PQ_K, DIM, PQ_M, PQ_SUBDIM),
+        source_cents_spec(sf_dir, N_PROBES, DIM),
+        n_sub=PQ_M,
+        subdim=PQ_SUBDIM,
+    )
+    scored = (
+        emb.select("vec_id", adc("embedding").alias("s"))
         .select(
-            "k", "m",
-            F.expr(f"slice(embedding, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM})").alias("cv"),
+            "vec_id",
+            F.explode(
+                F.arrays_zip(
+                    F.col("s.pids").alias("probe_id"), F.col("s.d2s").alias("approx_d2")
+                )
+            ).alias("p"),
         )
+        .select(F.col("p.probe_id").alias("probe_id"), "vec_id", F.col("p.approx_d2").alias("approx_d2"))
     )
-    # encode MAP-SIDE (functions/quantize.py): one Arrow pass computes all
-    # PQ_M codes per vector against the codebook — no M-fold explode of
-    # the corpus, no per-(vector, subspace) argmin window shuffle, no
-    # re-widening groupBy; the corpus never shuffles to get encoded. The
-    # kernel derives the codebook worker-side from the source parquet
-    # (source_pq_cb_spec — the same rows the staged table held)
-    codes_udf = make_pq_codes_udf(
-        source_pq_cb_spec(sf_dir, PQ_K, DIM, PQ_M, PQ_SUBDIM), n_sub=PQ_M, subdim=PQ_SUBDIM
-    )
-    enc_wide = emb.select("vec_id", codes_udf("embedding").alias("codes")).select(
-        "vec_id", *[F.col("codes").getItem(m).alias(f"c{m}") for m in range(PQ_M)]
-    )
-    # per-probe lookup tables: N_PROBES x M x K rows — broadcast side
-    pd_tab = (
-        emb.filter(F.col("vec_id") < N_PROBES)
-        .select(F.col("vec_id").alias("probe_id"), "embedding",
-                F.explode(F.array(*[F.lit(m) for m in range(PQ_M)])).alias("pm"))
-        .select("probe_id", "pm",
-                F.expr(f"slice(embedding, pm * {PQ_SUBDIM} + 1, {PQ_SUBDIM})").alias("sv"))
-        .join(broadcast(cb), F.col("m") == F.col("pm"))
-        .select("probe_id", "pm", "k", seq_sqdist("sv", "cv").alias("pd2"))
-    )
-    scored = enc_wide
-    for m in range(PQ_M):
-        t = pd_tab.filter(F.col("pm") == m).select(
-            F.col("probe_id").alias(f"probe_{m}"), F.col("k").alias(f"k{m}"), F.col("pd2").alias(f"pd2_{m}")
-        )
-        cond = F.col(f"k{m}") == F.col(f"c{m}")
-        if m > 0:
-            cond = cond & (F.col(f"probe_{m}") == F.col("probe_0"))
-        scored = scored.join(broadcast(t), cond)
-    approx = F.col("pd2_0") + F.col("pd2_1") + F.col("pd2_2") + F.col("pd2_3")
     topw = Window.partitionBy("probe_id").orderBy("approx_d2", "vec_id")
     return (
-        scored.filter(F.col("vec_id") != F.col("probe_0"))
-        .select(F.col("probe_0").alias("probe_id"), "vec_id", approx.alias("approx_d2"))
+        scored.filter(F.col("vec_id") != F.col("probe_id"))
         .withColumn("__rn", F.row_number().over(topw))
         .filter(F.col("__rn") <= TOP_K)
         .select("probe_id", "vec_id", "approx_d2")

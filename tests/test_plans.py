@@ -225,17 +225,16 @@ def test_knn_graph_join_is_bucket_equi(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
 
 
-def test_pq_ann_is_all_broadcast(spark):
-    # encoding is one map-side Arrow pass (all PQ codes per vector, single
-    # evaluation, no per-subspace argmin window); lookup tables are tiny so
-    # every join must broadcast; the ADC scan stays linear in the corpus
-    # (no SMJ shuffle, no cartesian) and the only exchange is the final
-    # per-probe top-k window
+def test_pq_ann_is_one_map_pass(spark):
+    # encode + ADC totalling happen in ONE map-side Arrow pass against the
+    # worker-side codebook/probe LUT (r16: replaced the 4-broadcast-join
+    # ADC shape); the plan must carry NO join of any kind, a single
+    # kernel evaluation, and the only exchange is the final per-probe
+    # top-k window
     plan = _plan(spark, "sim_pq_ann")
     assert "CartesianProduct" not in plan
-    assert "SortMergeJoin" not in plan, plan[:2000]
-    assert plan.count("BroadcastHashJoin") >= 5, plan[:2000]
-    assert plan.count("pq_codes") == 1, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
+    assert plan.count("pq_adc") == 1, plan[:2000]
     assert plan.count("Exchange hashpartitioning") <= 1, plan[:2000]
 
 

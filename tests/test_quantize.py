@@ -479,3 +479,45 @@ def test_source_pq_cb_spec_matches_staged_slices(spark):
     for (_, got), want in zip(side.iterrows(), ref):
         assert (int(got["m"]), int(got["k"])) == (want.m, want.k)
         assert np.asarray(got["cv"], dtype=np.float64).tolist() == list(want.cv)
+
+
+def test_pq_adc_matches_codes_plus_lut_reference(spark):
+    """The fused ADC kernel must emit exactly the doubles the joined shape
+    produced: codes from make_pq_codes_udf, each probe's approx_d2 the
+    fixed-m-order sum of seq_sqdist(probe subvector, coded centroid)."""
+    from meos_rs_spark.queries.similarity import DIM, N_PROBES, PQ_K, PQ_M, PQ_SUBDIM, _corpus
+
+    sf_dir = "/root/testdata/sf0.001"
+    cb_spec = quantize.source_pq_cb_spec(sf_dir, PQ_K, DIM, PQ_M, PQ_SUBDIM)
+    pr_spec = quantize.source_cents_spec(sf_dir, N_PROBES, DIM)
+    emb = _corpus(spark, sf_dir)
+    adc = quantize.make_pq_adc_udf(cb_spec, pr_spec, n_sub=PQ_M, subdim=PQ_SUBDIM)
+    got = {
+        r.vec_id: (list(r.s.pids), list(r.s.d2s))
+        for r in emb.select("vec_id", adc("embedding").alias("s")).collect()
+    }
+
+    codes_udf = quantize.make_pq_codes_udf(cb_spec, n_sub=PQ_M, subdim=PQ_SUBDIM)
+    codes = {
+        r.vec_id: list(r.codes)
+        for r in emb.select("vec_id", codes_udf("embedding").alias("codes")).collect()
+    }
+    side = quantize._load_pq_cb(cb_spec)
+    probes = quantize._load_cents(pr_spec)
+    from meos_rs_spark.functions.embeddings import _seq_dot
+
+    def fold_dot(a, b):
+        return _seq_dot(a[None, :], b[None, :])[0]
+
+    for vec_id, (pids, d2s) in got.items():
+        assert pids == probes["cent_id"].tolist()
+        for p_i, pid in enumerate(pids):
+            pe = np.asarray(probes["ce"][probes["cent_id"] == pid].iloc[0], dtype=np.float32).astype(np.float64)
+            total = 0.0
+            for m in range(PQ_M):
+                k = codes[vec_id][m]
+                cv = side[(side["m"] == m) & (side["k"] == k)]["cv"].iloc[0]
+                c = np.asarray(cv, dtype=np.float32).astype(np.float64)
+                sub = pe[m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
+                total += fold_dot(sub, sub) + fold_dot(c, c) - 2.0 * fold_dot(sub, c)
+            assert d2s[p_i] == total, (vec_id, pid)
