@@ -95,9 +95,11 @@ def better(nan, score, best_nan, best_score, *, largest: bool):
 
 __all__ = [
     "better",
+    "make_ivf_scores_udf",
     "make_nearest_centroid_udf",
     "make_pq_adc_udf",
     "make_pq_codes_udf",
+    "make_probe_cosines_udf",
     "source_cents_spec",
     "source_pq_cb_spec",
 ]
@@ -239,6 +241,64 @@ def _self_dot(vec: np.ndarray) -> float:
     return _seq_dot(vec[None, :], vec[None, :])[0]
 
 
+def _nearest_id(
+    vecs: np.ndarray, cents: np.ndarray, ids: np.ndarray, metric: str
+) -> np.ndarray:
+    """Per-row nearest-centroid id under the oracle's total order —
+    the loop behind make_nearest_centroid_udf, shared with the fused IVF
+    kernel. ``metric='l2'`` argmin of ``vn2 + cn2 - 2*dot``; ``'cos'``
+    argmax of ``dot / (sqrt(vn2)*sqrt(cn2))``."""
+    vn2 = _seq_dot(vecs, vecs)
+    if metric == "cos":
+        vnorm = np.sqrt(vn2)
+    best_id = np.full(vecs.shape[0], -1, dtype=np.int64)
+    best_score = None
+    no_null = np.zeros(vecs.shape[0], dtype=bool)
+    for i in range(cents.shape[0]):
+        cn2 = _self_dot(cents[i])
+        dot = _dot_const(vecs, cents[i])
+        if metric == "l2":
+            score = vn2 + cn2 - 2.0 * dot
+            null = no_null  # no division: the oracle cannot emit NULL
+        else:
+            den = vnorm * np.sqrt(cn2)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                score = dot / den
+            # DuckDB DOUBLE division never yields NaN/inf on a zero
+            # denominator — it yields NULL, which sorts LAST in BOTH
+            # directions (NULLS LAST), i.e. loses every contest. numpy
+            # gives NaN here, which would WIN the cosine argmax (NaN
+            # sorts above +inf) — a zero-norm centroid would swallow
+            # the whole corpus while the oracle assigns it nothing
+            # (r10 review find; latent until a zero vector exists).
+            # Track the NULL class separately from genuine NaN data.
+            null = den == 0.0
+        # the engines sort (non-NULL) NaN STRICTLY ABOVE +inf (module
+        # docstring), so NaN-from-data must beat an overflow-to-+inf
+        # score in the cosine argmax and lose to it in the L2 argmin —
+        # a NaN→+inf remap would conflate the two and let the tiebreak
+        # pick the wrong centroid. Compare on the (is_nan, score) pair.
+        nan = np.isnan(score) & ~null
+        score = np.where(nan | null, 0.0, score)  # placeholder cells
+        if best_score is None:
+            best_score, best_nan = score.copy(), nan.copy()
+            best_null, best_id[:] = null.copy(), ids[i]
+        else:
+            # NULL-like loses to any non-NULL and keeps the incumbent
+            # against another NULL (ascending-id scan = lowest-id
+            # tiebreak, the oracle's ORDER BY ..., cent_id on all-NULL)
+            upd = (~null & best_null) | (
+                ~null
+                & ~best_null
+                & better(nan, score, best_nan, best_score, largest=(metric == "cos"))
+            )
+            best_score[upd] = score[upd]
+            best_nan[upd] = nan[upd]
+            best_null[upd] = null[upd]
+            best_id[upd] = ids[i]
+    return best_id
+
+
 def make_nearest_centroid_udf(cents_side, *, metric: str):
     """pandas_udf: embedding → cent_id of the nearest centroid.
 
@@ -254,60 +314,9 @@ def make_nearest_centroid_udf(cents_side, *, metric: str):
     @pandas_udf(LongType())
     def nearest_centroid(emb: pd.Series) -> pd.Series:
         side = _load_cents(cents_side).sort_values("cent_id")
-        ids = side["cent_id"].to_numpy()
-        cents = _stack(side["ce"])
-        vecs = _stack(emb)
-        vn2 = _seq_dot(vecs, vecs)
-        if metric == "cos":
-            vnorm = np.sqrt(vn2)
-        best_id = np.full(vecs.shape[0], -1, dtype=np.int64)
-        best_score = None
-        no_null = np.zeros(vecs.shape[0], dtype=bool)
-        for i in range(cents.shape[0]):
-            cn2 = _self_dot(cents[i])
-            dot = _dot_const(vecs, cents[i])
-            if metric == "l2":
-                score = vn2 + cn2 - 2.0 * dot
-                null = no_null  # no division: the oracle cannot emit NULL
-            else:
-                den = vnorm * np.sqrt(cn2)
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    score = dot / den
-                # DuckDB DOUBLE division never yields NaN/inf on a zero
-                # denominator — it yields NULL, which sorts LAST in BOTH
-                # directions (NULLS LAST), i.e. loses every contest. numpy
-                # gives NaN here, which would WIN the cosine argmax (NaN
-                # sorts above +inf) — a zero-norm centroid would swallow
-                # the whole corpus while the oracle assigns it nothing
-                # (r10 review find; latent until a zero vector exists).
-                # Track the NULL class separately from genuine NaN data.
-                null = den == 0.0
-            # the engines sort (non-NULL) NaN STRICTLY ABOVE +inf (module
-            # docstring), so NaN-from-data must beat an overflow-to-+inf
-            # score in the cosine argmax and lose to it in the L2 argmin —
-            # a NaN→+inf remap would conflate the two and let the tiebreak
-            # pick the wrong centroid. Compare on the (is_nan, score) pair.
-            nan = np.isnan(score) & ~null
-            score = np.where(nan | null, 0.0, score)  # placeholder cells
-            if best_score is None:
-                best_score, best_nan = score.copy(), nan.copy()
-                best_null, best_id[:] = null.copy(), ids[i]
-            else:
-                # NULL-like loses to any non-NULL and keeps the incumbent
-                # against another NULL (ascending-id scan = lowest-id
-                # tiebreak, the oracle's ORDER BY ..., cent_id on all-NULL)
-                upd = (~null & best_null) | (
-                    ~null
-                    & ~best_null
-                    & better(
-                        nan, score, best_nan, best_score, largest=(metric == "cos")
-                    )
-                )
-                best_score[upd] = score[upd]
-                best_nan[upd] = nan[upd]
-                best_null[upd] = null[upd]
-                best_id[upd] = ids[i]
-        return pd.Series(best_id)
+        return pd.Series(
+            _nearest_id(_stack(emb), _stack(side["ce"]), side["cent_id"].to_numpy(), metric)
+        )
 
     # the assignment feeds equi-join keys (IVF cell join); Catalyst's
     # IsNotNull join-key filter would otherwise substitute the (deterministic)
@@ -366,6 +375,131 @@ def make_pq_codes_udf(cb_side, *, n_sub: int, subdim: int):
     # same single-evaluation pin as make_nearest_centroid_udf: the codes
     # feed 4 equi-join keys, whose IsNotNull filters would re-run the kernel
     return pq_codes.asNondeterministic()
+
+
+def make_ivf_scores_udf(cents_side, probes_side, *, nprobe: int):
+    """pandas_udf: embedding → struct of (probe vec_ids, cosines) for the
+    probes whose top-``nprobe`` cells contain this vector's cell — the
+    whole IVF candidate search as ONE map-side Arrow pass (r16; replaces
+    the probe×centroid crossJoin + ranking window + probe_cells broadcast
+    + cell equi-join + pair cosine eval).
+
+    Bit-compatibility with the joined shape, piece by piece:
+
+    * the corpus cell is ``_nearest_id(..., metric='cos')`` — the exact
+      assignment kernel the join shape used;
+    * each probe's cell ranking reproduces ``row_number() OVER (ORDER BY
+      pcos DESC, cent_id) <= nprobe`` where pcos carries the ``cosine()``
+      UDF's contract (zero denominator OR NaN result → NULL, NULLS LAST
+      under DESC): rank key = (is_null, -pcos, cent_id);
+    * the emitted pair score is the same ``cosine()`` contract — NULL for
+      a zero-norm side or NaN result, the plain double otherwise.
+
+    Empty centroid or probe sets emit empty arrays (the joins' empty
+    result). The ``vec_id != probe_id`` guard stays JVM-side.
+    """
+    out_t = StructType(
+        [
+            StructField("pids", ArrayType(LongType())),
+            StructField("cosines", ArrayType(DoubleType())),
+        ]
+    )
+
+    @pandas_udf(out_t)
+    def ivf_scores(emb: pd.Series) -> pd.DataFrame:
+        cside = _load_cents(cents_side).sort_values("cent_id")
+        probes = _load_cents(probes_side).sort_values("cent_id")
+        n = len(emb)
+        cids = cside["cent_id"].to_numpy()
+        pids = probes["cent_id"].to_numpy()
+        if n == 0 or len(cids) == 0 or len(pids) == 0:
+            empty: list = [] if n == 0 else [[]] * n
+            return pd.DataFrame({"pids": empty, "cosines": empty})
+        cents = _stack(cside["ce"])
+        pvecs = _stack(probes["ce"])
+        vecs = _stack(emb)
+        cell = _nearest_id(vecs, cents, cids, "cos")
+        enorm = np.sqrt(_seq_dot(vecs, vecs))
+        cn = np.sqrt(np.array([_self_dot(cents[i]) for i in range(cents.shape[0])]))
+        out_ids: list[list] = [[] for _ in range(n)]
+        out_cos: list[list] = [[] for _ in range(n)]
+        for p in range(pvecs.shape[0]):
+            pn = np.sqrt(_self_dot(pvecs[p]))
+            # rank this probe's cells: (is_null, -pcos, cent_id)
+            pdots = _dot_const(cents, pvecs[p])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                pcos = pdots / (pn * cn)
+            pnull = ((pn * cn) == 0.0) | np.isnan(pcos)
+            order = sorted(
+                range(len(cids)),
+                key=lambda i: (bool(pnull[i]), -pcos[i] if not pnull[i] else 0.0, int(cids[i])),
+            )
+            probed = {int(cids[i]) for i in order[:nprobe]}
+            # score every corpus row in a probed cell
+            num = _dot_const(vecs, pvecs[p])
+            den = pn * enorm
+            with np.errstate(divide="ignore", invalid="ignore"):
+                c = num / den
+            null = (den == 0.0) | np.isnan(c)
+            pid = int(pids[p])
+            for r in range(n):
+                if int(cell[r]) in probed:
+                    out_ids[r].append(pid)
+                    out_cos[r].append(None if null[r] else float(c[r]))
+        return pd.DataFrame({"pids": out_ids, "cosines": out_cos})
+
+    # single-evaluation pin, same rationale as the other kernels
+    return ivf_scores.asNondeterministic()
+
+
+def make_probe_cosines_udf(probes_side):
+    """pandas_udf: embedding → struct of (probe vec_ids, cosines) — the
+    brute-force probe scoring as ONE map-side Arrow pass with the probes
+    derived worker-side (r16; replaces the l2norm pass + probes broadcast
+    + nested-loop pair join + second Arrow eval).
+
+    Per (vector, probe): ``try_divide(seq_dot(pe, emb), pnorm * enorm)``
+    reproduced bit-for-bit — the numerator a sequential per-dimension fold
+    (scalar-broadcast multiplies commute bit-exactly), the norms the same
+    sqrt-of-self-fold ``l2norm`` computed, and the try_divide contract
+    kept literally: a ZERO denominator (zero-norm side) yields NULL, any
+    other IEEE result — including NaN from inf/inf overflow — is emitted
+    as the plain double. NULLs then sort last under the consumer's DESC
+    ranking exactly as before.
+    """
+    out_t = StructType(
+        [
+            StructField("pids", ArrayType(LongType())),
+            StructField("cosines", ArrayType(DoubleType())),
+        ]
+    )
+
+    @pandas_udf(out_t)
+    def probe_cosines(emb: pd.Series) -> pd.DataFrame:
+        probes = _load_cents(probes_side)
+        pids = probes["cent_id"].to_numpy()
+        n = len(emb)
+        if n == 0 or len(pids) == 0:
+            empty: list = [] if n == 0 else [[]] * n
+            return pd.DataFrame({"pids": empty, "cosines": empty})
+        pvecs = _stack(probes["ce"])
+        vecs = _stack(emb)
+        enorm = np.sqrt(_seq_dot(vecs, vecs))
+        pid_list = pids.tolist()
+        cos_rows: list[list] = [[] for _ in range(n)]
+        for i in range(pvecs.shape[0]):
+            pnorm = np.sqrt(_self_dot(pvecs[i]))
+            num = _dot_const(vecs, pvecs[i])
+            den = pnorm * enorm
+            with np.errstate(divide="ignore", invalid="ignore"):
+                c = num / den
+            zero = den == 0.0
+            for r in range(n):
+                cos_rows[r].append(None if zero[r] else float(c[r]))
+        return pd.DataFrame({"pids": [pid_list] * n, "cosines": cos_rows})
+
+    # single-evaluation pin, same rationale as the other kernels
+    return probe_cosines.asNondeterministic()
 
 
 def make_pq_adc_udf(cb_side, probes_side, *, n_sub: int, subdim: int):

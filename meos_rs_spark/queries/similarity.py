@@ -89,28 +89,38 @@ FROM scored
 QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) <= {TOP_K}
 """,
     tags=("sim",),
-    doc="brute-force cosine top-k: probes broadcast against the corpus, "
-    "TakeOrdered per probe; the exactness baseline for the LSH variant",
+    doc="brute-force cosine top-k: ONE map-side Arrow pass scores every "
+    "corpus vector against the worker-side-derived probe set (r16 — "
+    "replaces the broadcast + nested-loop pair join), then a per-probe "
+    "top-k window; the exactness baseline for the LSH variant",
 )
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # norms fold once per VECTOR (not once per pair): cosine = dot/(|a|·|b|)
-    # with |·| precomputed — same sequential fold the oracle's
-    # sqrt(list_dot_product(v,v)) factor performs, so values stay bit-equal
-    emb = _corpus(spark, sf_dir).withColumn("enorm", l2norm("embedding"))
-    probes = emb.filter(F.col("vec_id") < N_PROBES).select(
-        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe"), F.col("enorm").alias("pnorm")
-    )
-    # try_divide: a zero-norm vector (a real hazard at scale — failed-encoder
-    # all-zero embeddings) must yield NULL like the oracle's x/0, not abort
-    # the job (Spark 4 ANSI raises DIVIDE_BY_ZERO on plain `/`); both engines
-    # then sort the NULL below every real score under DESC NULLS LAST
-    scored = emb.join(broadcast(probes), F.col("vec_id") != F.col("probe_id")).withColumn(
-        "cosine",
-        F.try_divide(seq_dot(F.col("pe"), F.col("embedding")), F.col("pnorm") * F.col("enorm")),
+    from meos_rs_spark.functions.quantize import make_probe_cosines_udf, source_cents_spec
+
+    # cosine = dot/(|a|·|b|) with the norms folded once per VECTOR and the
+    # try_divide zero-norm→NULL contract, all inside one Arrow kernel (the
+    # probes derive worker-side from the source parquet — the same
+    # first-N_PROBES-valid rows the broadcast side selected); values stay
+    # bit-equal to the oracle's sqrt(list_dot_product(v,v)) factors
+    scorer = make_probe_cosines_udf(source_cents_spec(sf_dir, N_PROBES, DIM))
+    scored = (
+        _corpus(spark, sf_dir)
+        .select("vec_id", "label", scorer("embedding").alias("s"))
+        .select(
+            "vec_id",
+            "label",
+            F.explode(
+                F.arrays_zip(
+                    F.col("s.pids").alias("probe_id"), F.col("s.cosines").alias("cosine")
+                )
+            ).alias("p"),
+        )
+        .select(F.col("p.probe_id").alias("probe_id"), "vec_id", "label", F.col("p.cosine").alias("cosine"))
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), "vec_id")
     return (
-        scored.withColumn("__rn", F.row_number().over(w))
+        scored.filter(F.col("vec_id") != F.col("probe_id"))
+        .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= TOP_K)
         .select("probe_id", "vec_id", "label", "cosine")
     )
@@ -316,34 +326,37 @@ QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) <
     "the broadcast-crossJoin + window shape: it is constant-sized)",
 )
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from meos_rs_spark.functions.quantize import make_nearest_centroid_udf, source_cents_spec
+    from meos_rs_spark.functions.quantize import make_ivf_scores_udf, source_cents_spec
 
-    emb = _corpus(spark, sf_dir)
-    # r16: the K-row quantizer derives worker-side from the source parquet
-    # (source_cents_spec — row-group-pruned pyarrow read, same rows the
-    # staged table held), dropping the per-run sequential staging write
-    # job; the probe-assignment side keeps an INLINE K-row DataFrame that
-    # the main DAG broadcasts concurrently instead of a staged scan.
-    cents = emb.filter(F.col("vec_id") < N_CELLS).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce")
+    # r16: the whole candidate search is ONE map-side Arrow pass — the
+    # kernel derives centroids AND probes worker-side from the source
+    # parquet, assigns each corpus vector its cell with the exact
+    # assignment scan, ranks each probe's cells the way the old window
+    # did, and emits a (probe_id, cosine) pair for every probe whose
+    # top-NPROBE cells contain the vector's cell. This replaces the probe
+    # crossJoin + ranking window + probe_cells broadcast + cell equi-join
+    # + pair-cosine eval; the only exchange left is the final top-k
+    # window, and nothing shuffles but the candidate pairs.
+    scorer = make_ivf_scores_udf(
+        source_cents_spec(sf_dir, N_CELLS, DIM),
+        source_cents_spec(sf_dir, N_PROBES, DIM),
+        nprobe=NPROBE,
     )
-    nearest = make_nearest_centroid_udf(source_cents_spec(sf_dir, N_CELLS, DIM), metric="cos")
-    cells = emb.select("vec_id", "label", "embedding", nearest("embedding").alias("cell"))
-    probe_assign = (
-        emb.filter(F.col("vec_id") < N_PROBES)
-        .crossJoin(broadcast(cents))
-        .withColumn("pcos", cosine(F.col("embedding"), F.col("ce")))
+    cand = (
+        _corpus(spark, sf_dir)
+        .select("vec_id", "label", scorer("embedding").alias("s"))
+        .select(
+            "vec_id",
+            "label",
+            F.explode(
+                F.arrays_zip(
+                    F.col("s.pids").alias("probe_id"), F.col("s.cosines").alias("cosine")
+                )
+            ).alias("p"),
+        )
+        .select(F.col("p.probe_id").alias("probe_id"), "vec_id", "label", F.col("p.cosine").alias("cosine"))
+        .filter(F.col("vec_id") != F.col("probe_id"))
     )
-    wp = Window.partitionBy("vec_id").orderBy(F.col("pcos").desc(), "cent_id")
-    probe_cells = (
-        probe_assign.withColumn("__rn", F.row_number().over(wp))
-        .filter(F.col("__rn") <= NPROBE)
-        .select(F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe"),
-                F.col("cent_id").alias("cell"))
-    )
-    cand = cells.join(
-        broadcast(probe_cells), (cells.cell == probe_cells.cell) & (F.col("vec_id") != F.col("probe_id"))
-    ).withColumn("cosine", cosine(F.col("pe"), F.col("embedding")))
     wk = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), "vec_id")
     return (
         cand.withColumn("__rnk", F.row_number().over(wk))

@@ -99,18 +99,17 @@ def test_flagship_single_shuffle_agg(spark):
     assert "TakeOrderedAndProject" in plan
 
 
-def test_ivf_candidate_join_is_equi(spark):
-    # corpus cell assignment is MAP-SIDE (one ArrowEvalPython against the
-    # staged side-table quantizer — evaluated exactly once, never duplicated
-    # into a join-key null filter); the candidate search must equi-join on
-    # the cell (never rescan the corpus per probe) with the probe side
-    # broadcast; the only exchanges are the two constant-sized windows
-    # (probe top-NPROBE, final top-k)
+def test_ivf_candidate_search_is_one_map_pass(spark):
+    # the whole candidate search is MAP-SIDE (one ArrowEvalPython kernel:
+    # cell assignment + probe cell-ranking + pair cosine, evaluated
+    # exactly once — r16, replacing the probe crossJoin + ranking window
+    # + probe_cells broadcast + cell equi-join); the plan must carry NO
+    # join and the only exchange is the final per-probe top-k window
     plan = _plan(spark, "sim_ann_ivf")
     assert "CartesianProduct" not in plan
-    assert "BroadcastHashJoin" in plan, plan[:2000]
-    assert plan.count("nearest_centroid") == 1, plan[:2000]
-    assert plan.count("Exchange hashpartitioning") <= 2, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
+    assert plan.count("ivf_scores") == 1, plan[:2000]
+    assert plan.count("Exchange hashpartitioning") <= 1, plan[:2000]
 
 
 def test_nearest_instant_is_bucket_equi_join(spark):
