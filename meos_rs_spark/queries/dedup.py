@@ -336,6 +336,20 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).unionByName(
         pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     )
+    return _min_label_components(edges)
+
+
+def _min_label_components(edges: DataFrame) -> DataFrame:
+    """Min-label propagation over a symmetric (src, dst) edge frame, with
+    convergence early-exit (r16 optimization): propagation is monotone, so
+    a round that changes NO label proves the fixed point and every further
+    round is identity work — on LSH-clique graphs (diameter 1-2) that
+    retires 5 of the 8 eagerly-checkpointed rounds, each a serial
+    join+shuffle+materialize. CC_ROUNDS stays the hard bound, and the
+    parity twin still compares against DuckDB's exact transitive closure,
+    so an early exit can never ship an unconverged component (the
+    convergence test runs on the SAME materialized frame the next round
+    would read — one LIMIT-1 job per executed round)."""
     # materialize once and truncate lineage: each propagation round references
     # the previous labels TWICE, so without checkpointing the logical plan
     # doubles per round (2^rounds copies of the whole LSH pipeline — OOMs the
@@ -356,10 +370,15 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             labels.join(nbr, labels.doc_id == nbr.src, "left")
             .select(
                 "doc_id",
+                F.col("label").alias("__prev"),
                 F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label"),
             )
             .localCheckpoint(eager=True)
         )
+        converged = labels.filter(F.col("label") != F.col("__prev")).isEmpty()
+        labels = labels.drop("__prev")
+        if converged:
+            break
     return labels.select(
         "doc_id",
         F.col("label").alias("component"),
