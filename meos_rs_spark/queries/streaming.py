@@ -104,18 +104,63 @@ def _sink_name(base: str, sf_dir: str) -> str:
     return f"{base}_{tag}"
 
 
+#: State-store partition count for the finite availableNow replays (r16
+#: optimization, guide §2.2 "fewer, larger reduce partitions"): streaming
+#: queries ignore AQE, so every stateful operator inherits the session's
+#: full ``spark.sql.shuffle.partitions`` (32 here) as its state-store
+#: partition count — and each micro-batch then pays 32× state-store
+#: open/commit/checkpoint file IO for KB-scale state (measured:
+#: stream_tumbling_counts 5.8 → 1.8 s min, stream_interval_join 10.6 →
+#: 3.0 s at sf0.1 going 32 → 4). Partition count should track STATE
+#: volume, not core count; conf-overridable for deployments whose state
+#: is genuinely large (the checkpoint pins it per query lifetime, and
+#: every checkpoint here is per-invocation, so the value binds fresh each
+#: run). Output content is partitioning-independent — the oracles are
+#: unchanged.
+STREAM_STATE_PARTITIONS_CONF = "spark.meos.stream.statePartitions"
+_STREAM_STATE_PARTITIONS_DEFAULT = "4"
+
+
+class _stream_confs:
+    """Scope ``spark.sql.shuffle.partitions`` down to the stream-state
+    default for the duration of one availableNow run, restoring the
+    session value afterwards (the batch planner never sees the change)."""
+
+    def __init__(self, spark: SparkSession):
+        self._spark = spark
+
+    def __enter__(self):
+        try:
+            self._old = self._spark.conf.get("spark.sql.shuffle.partitions")
+        except Exception:
+            self._old = None
+        n = self._spark.conf.get(
+            STREAM_STATE_PARTITIONS_CONF, _STREAM_STATE_PARTITIONS_DEFAULT
+        )
+        self._spark.conf.set("spark.sql.shuffle.partitions", n)
+        return self
+
+    def __exit__(self, *exc):
+        if self._old is None:
+            self._spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            self._spark.conf.set("spark.sql.shuffle.partitions", self._old)
+        return False
+
+
 def _run_to_memory_sink(
     df: DataFrame, spark: SparkSession, name: str, output_mode: str = "complete"
 ) -> DataFrame:
     spark.catalog.dropTempView(name)  # replace the previous invocation's copy
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_confs(spark):
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -540,13 +585,14 @@ def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch_df.write.mode("append").parquet(store)
 
     ev = _stream_events(spark, sf_dir)
-    q = (
-        ev.writeStream.foreachBatch(write_batch)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", os.path.join(app_dir, uuid.uuid4().hex[:8]))
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_confs(spark):
+        q = (
+            ev.writeStream.foreachBatch(write_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(app_dir, uuid.uuid4().hex[:8]))
+            .start()
+        )
+        q.awaitTermination()
     back = spark.read.parquet(store)
     return back.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n"),
@@ -601,14 +647,15 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = _sink_name("stream_interval_join", sf_dir)
     spark.catalog.dropTempView(name)
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_confs(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -812,14 +859,15 @@ def stream_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("sum_value"),
             )
         )
-        q = (
-            agg.writeStream.foreachBatch(_overwrite)
-            .outputMode("complete")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with _stream_confs(spark):
+            q = (
+                agg.writeStream.foreachBatch(_overwrite)
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
 
     _arrive(0)
     _run_once()  # run 1: arrival 0 only; store = agg(arrival 0)
