@@ -184,7 +184,42 @@ def box_stbox_z(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: hash-split into K chunks per side and the join key is (cell, ca, cb), so
 #: a hot cell spreads over K² tasks instead of one. K² × #cells partitions;
 #: exploded rows grow ×K per side (box metadata only, ~50 B/row).
-_OVERLAP_CHUNKS = 8
+#:
+#: r16: K is now ADAPTIVE (guide §2.5 — measure the skew, then salt). The
+#: fixed K = 8 inflated BOTH exploded sides 8× on every run at every
+#: scale, paying the full salt price even when no cell is hot. K derives
+#: from the observed hottest cell as a lazy scalar subquery inside the
+#: same DAG (zero extra jobs): a cell of M boxes yields ~M² candidate
+#: pairs, K chunks per side split it into K² tasks of ~(M/K)² pairs, so
+#: ``K = ceil(M / sqrt(_SALT_TARGET_PAIRS))`` bounds per-task pair work
+#: while a uniform distribution (hot cell ≪ √target) degrades to K = 1 —
+#: no inflation at all. The salt never reaches the output, so the oracle
+#: and result are untouched for any K. ``_OVERLAP_CHUNKS_MAX`` caps the
+#: blowup an adversarial census could request.
+_SALT_TARGET_PAIRS = 1 << 20
+_OVERLAP_CHUNKS_MAX = 64
+
+
+def _salt_chunks(cells: DataFrame, *keys: str):
+    """Adaptive chunk-salt K for a grid self-join, as a scalar-subquery
+    Column over the unsalted cell census (see _SALT_TARGET_PAIRS note)."""
+    import math
+
+    m = (
+        cells.groupBy(*[F.col(k) for k in keys])
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("m"))
+        .scalar()
+    )
+    return F.greatest(
+        F.lit(1),
+        F.least(
+            F.lit(_OVERLAP_CHUNKS_MAX),
+            F.ceil(
+                F.coalesce(m, F.lit(0)).cast("double") / math.sqrt(_SALT_TARGET_PAIRS)
+            ).cast("int"),
+        ),
+    )
 
 #: adaptive-grid cap: cell size never drops below (data span / _MAX_GRID)
 #: per axis, so one domain-spanning outlier box streams at most
@@ -327,7 +362,13 @@ def box_stbox_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         bounded.withColumn("cellx", F.explode(F.sequence(F.col("cx0"), F.col("cx1"))))
         .withColumn("celly", F.explode(F.sequence(F.col("cy0"), F.col("cy1"))))
     )
-    K = _OVERLAP_CHUNKS
+    # adaptive chunk salt (see _SALT_TARGET_PAIRS): K is a scalar subquery
+    # over the unsalted cell census, attached as a per-row __k column so
+    # the Generate/pmod below reference a plain attribute (subqueries are
+    # legal in a Project, not inside a generator expression); both sides'
+    # identical census subqueries dedupe via subquery reuse
+    K = _salt_chunks(cells, "cellx", "celly")
+    cells = cells.withColumn("__k", K)
     a = cells.select(
         F.col("mmsi").alias("mmsi_a"),
         F.col("cellx").alias("cx_a"),
@@ -335,8 +376,8 @@ def box_stbox_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cx0").alias("cx0_a"),
         F.col("cy0").alias("cy0_a"),
         F.struct("xmin", "xmax", "ymin", "ymax", "tmin", "tmax").alias("a"),
-        F.pmod(F.hash("mmsi"), F.lit(K)).alias("ca"),
-        F.explode(F.sequence(F.lit(0), F.lit(K - 1))).alias("cb"),
+        F.pmod(F.hash("mmsi"), F.col("__k")).alias("ca"),
+        F.explode(F.sequence(F.lit(0), F.col("__k") - F.lit(1))).alias("cb"),
     )
     b = cells.select(
         F.col("mmsi").alias("mmsi_b"),
@@ -345,8 +386,8 @@ def box_stbox_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cx0").alias("cx0_b"),
         F.col("cy0").alias("cy0_b"),
         F.struct("xmin", "xmax", "ymin", "ymax", "tmin", "tmax").alias("b"),
-        F.pmod(F.hash("mmsi"), F.lit(K)).alias("cb"),
-        F.explode(F.sequence(F.lit(0), F.lit(K - 1))).alias("ca"),
+        F.pmod(F.hash("mmsi"), F.col("__k")).alias("cb"),
+        F.explode(F.sequence(F.lit(0), F.col("__k") - F.lit(1))).alias("ca"),
     )
     # floor is monotonic, so floor(max(xmin_a, xmin_b)/cw) ==
     # max(floor(xmin_a/cw), floor(xmin_b/cw)) — the canonical cell is the
@@ -501,7 +542,18 @@ def box_stbox_overlap_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"t0us div {_TCELL_US}").alias("ctb0"),
         F.expr(f"t1us div {_TCELL_US}").alias("ctb1"),
     )
-    K = _OVERLAP_CHUNKS
+    # adaptive chunk salt (see _SALT_TARGET_PAIRS): census over the
+    # UNSALTED b-side (raw time-cell) census — the a-side's Δ-expanded
+    # cells differ by at most one adjacent time cell, within the
+    # heuristic's tolerance; the per-row __k column keeps the subquery in
+    # a Project (legal) while the Generate references a plain attribute
+    b_cells = (
+        bounded.withColumn("cellx", F.explode(F.sequence("cx0", "cx1")))
+        .withColumn("celly", F.explode(F.sequence("cy0", "cy1")))
+        .withColumn("cellt", F.explode(F.sequence("ctb0", "ctb1")))
+    )
+    K = _salt_chunks(b_cells, "cellx", "celly", "cellt")
+    bounded = bounded.withColumn("__k", K)
     a = (
         bounded.withColumn("cellx", F.explode(F.sequence("cx0", "cx1")))
         .withColumn("celly", F.explode(F.sequence("cy0", "cy1")))
@@ -516,8 +568,8 @@ def box_stbox_overlap_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cy0").alias("cy0_a"),
             F.col("cta0").alias("ct0_a"),
             F.struct("xmin", "xmax", "ymin", "ymax", "t0us", "t1us").alias("a"),
-            F.pmod(F.hash("mmsi", "d"), F.lit(K)).alias("ca"),
-            F.explode(F.sequence(F.lit(0), F.lit(K - 1))).alias("cb"),
+            F.pmod(F.hash("mmsi", "d"), F.col("__k")).alias("ca"),
+            F.explode(F.sequence(F.lit(0), F.col("__k") - F.lit(1))).alias("cb"),
         )
     )
     b = (
@@ -534,8 +586,8 @@ def box_stbox_overlap_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cy0").alias("cy0_b"),
             F.col("ctb0").alias("ct0_b"),
             F.struct("xmin", "xmax", "ymin", "ymax", "t0us", "t1us").alias("b"),
-            F.pmod(F.hash("mmsi", "d"), F.lit(K)).alias("cb"),
-            F.explode(F.sequence(F.lit(0), F.lit(K - 1))).alias("ca"),
+            F.pmod(F.hash("mmsi", "d"), F.col("__k")).alias("cb"),
+            F.explode(F.sequence(F.lit(0), F.col("__k") - F.lit(1))).alias("ca"),
         )
     )
     # canonical 3D cell: the per-axis MAX of the two sides' first covered
