@@ -192,8 +192,15 @@ def _load_source_vecs(src_path: str, k: int, dim: int) -> pd.DataFrame:
             dtype=bool,
         )
         tbl = df[valid].reset_index(drop=True)
+        # evict only the SAME spec's stale fingerprints: two specs over one
+        # source parquet with different k (ivf cents k=8 + probes k=5, pq
+        # codebook k=16 + probes k=5) must coexist, or every batch evicts
+        # its sibling and re-reads the dataset (r16 self-review find —
+        # measured 6 reads over 3 batches where 2 are expected)
         for stale in [
-            s for s in _SIDE_CACHE if s[:2] == key[:2] and s != key and s[0] == "src_vecs"
+            s
+            for s in _SIDE_CACHE
+            if s[0] == "src_vecs" and s[1] == src_path and s[3:] == (k, dim) and s != key
         ]:
             del _SIDE_CACHE[stale]
         _SIDE_CACHE[key] = tbl
@@ -242,13 +249,17 @@ def _self_dot(vec: np.ndarray) -> float:
 
 
 def _nearest_id(
-    vecs: np.ndarray, cents: np.ndarray, ids: np.ndarray, metric: str
+    vecs: np.ndarray, cents: np.ndarray, ids: np.ndarray, metric: str,
+    vn2: np.ndarray | None = None,
 ) -> np.ndarray:
     """Per-row nearest-centroid id under the oracle's total order —
     the loop behind make_nearest_centroid_udf, shared with the fused IVF
     kernel. ``metric='l2'`` argmin of ``vn2 + cn2 - 2*dot``; ``'cos'``
-    argmax of ``dot / (sqrt(vn2)*sqrt(cn2))``."""
-    vn2 = _seq_dot(vecs, vecs)
+    argmax of ``dot / (sqrt(vn2)*sqrt(cn2))``. ``vn2``: optionally the
+    caller's precomputed self-dot fold (the same _seq_dot values — the
+    fused IVF kernel needs them for its own norms too)."""
+    if vn2 is None:
+        vn2 = _seq_dot(vecs, vecs)
     if metric == "cos":
         vnorm = np.sqrt(vn2)
     best_id = np.full(vecs.shape[0], -1, dtype=np.int64)
@@ -418,8 +429,9 @@ def make_ivf_scores_udf(cents_side, probes_side, *, nprobe: int):
         cents = _stack(cside["ce"])
         pvecs = _stack(probes["ce"])
         vecs = _stack(emb)
-        cell = _nearest_id(vecs, cents, cids, "cos")
-        enorm = np.sqrt(_seq_dot(vecs, vecs))
+        vn2 = _seq_dot(vecs, vecs)
+        cell = _nearest_id(vecs, cents, cids, "cos", vn2=vn2)
+        enorm = np.sqrt(vn2)
         cn = np.sqrt(np.array([_self_dot(cents[i]) for i in range(cents.shape[0])]))
         out_ids: list[list] = [[] for _ in range(n)]
         out_cos: list[list] = [[] for _ in range(n)]
@@ -434,18 +446,25 @@ def make_ivf_scores_udf(cents_side, probes_side, *, nprobe: int):
                 range(len(cids)),
                 key=lambda i: (bool(pnull[i]), -pcos[i] if not pnull[i] else 0.0, int(cids[i])),
             )
-            probed = {int(cids[i]) for i in order[:nprobe]}
-            # score every corpus row in a probed cell
-            num = _dot_const(vecs, pvecs[p])
-            den = pn * enorm
+            probed = [int(cids[i]) for i in order[:nprobe]]
+            # fold ONLY the candidate rows (r16 self-review find: folding
+            # all n rows per probe re-did the brute-force work IVF exists
+            # to avoid — the candidate mask costs an isin scan, the folds
+            # then run on ~n·nprobe/n_cells rows; per-row fold values are
+            # row-independent, so subsetting is bit-neutral)
+            cand_idx = np.nonzero(np.isin(cell, probed))[0]
+            if len(cand_idx) == 0:
+                continue
+            sub = vecs[cand_idx]
+            num = _dot_const(sub, pvecs[p])
+            den = pn * enorm[cand_idx]
             with np.errstate(divide="ignore", invalid="ignore"):
                 c = num / den
             null = (den == 0.0) | np.isnan(c)
             pid = int(pids[p])
-            for r in range(n):
-                if int(cell[r]) in probed:
-                    out_ids[r].append(pid)
-                    out_cos[r].append(None if null[r] else float(c[r]))
+            for j, r in enumerate(cand_idx):
+                out_ids[r].append(pid)
+                out_cos[r].append(None if null[j] else float(c[j]))
         return pd.DataFrame({"pids": out_ids, "cosines": out_cos})
 
     # single-evaluation pin, same rationale as the other kernels

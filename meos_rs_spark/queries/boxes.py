@@ -211,14 +211,21 @@ def _salt_chunks(cells: DataFrame, *keys: str):
         .agg(F.max("n").alias("m"))
         .scalar()
     )
-    return F.greatest(
-        F.lit(1),
-        F.least(
-            F.lit(_OVERLAP_CHUNKS_MAX),
-            F.ceil(
-                F.coalesce(m, F.lit(0)).cast("double") / math.sqrt(_SALT_TARGET_PAIRS)
-            ).cast("int"),
-        ),
+    # clamp in LONG, narrow to int only after the cap: ceil() of an
+    # extreme hottest-cell count exceeds INT_MAX exactly on the most
+    # skewed inputs, and an early cast would abort under ANSI (r16
+    # self-review find)
+    return (
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.least(
+                F.lit(_OVERLAP_CHUNKS_MAX).cast("bigint"),
+                F.ceil(
+                    F.coalesce(m, F.lit(0)).cast("double") / math.sqrt(_SALT_TARGET_PAIRS)
+                ),
+            ),
+        )
+        .cast("int")
     )
 
 #: adaptive-grid cap: cell size never drops below (data span / _MAX_GRID)

@@ -146,3 +146,41 @@ def test_banded_overlap_degenerate_point_data_pre_epoch(spark, tmp_path):
         (3, "1969-12-30"): 2,
         (1, "1969-12-31"): 1,
     }
+
+
+def test_salt_chunks_clamps_before_narrowing(spark):
+    """The chunk-salt clamp must happen in LONG before the int cast: an
+    extreme hottest-cell count would otherwise overflow the cast under
+    ANSI exactly on the most skewed inputs (r16 self-review find). Driven
+    by substituting a huge literal for the census maximum."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from meos_rs_spark.queries.boxes import _OVERLAP_CHUNKS_MAX, _SALT_TARGET_PAIRS
+
+    # the same expression _salt_chunks builds, with m = 2^62
+    m = F.lit(1 << 62).cast("bigint")
+    k = (
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.least(
+                F.lit(_OVERLAP_CHUNKS_MAX).cast("bigint"),
+                F.ceil(F.coalesce(m, F.lit(0)).cast("double") / math.sqrt(_SALT_TARGET_PAIRS)),
+            ),
+        )
+        .cast("int")
+    )
+    assert spark.range(1).select(k.alias("k")).collect()[0].k == _OVERLAP_CHUNKS_MAX
+
+
+def test_salt_chunks_is_one_on_uniform_cells(spark):
+    from pyspark.sql import functions as F
+
+    from meos_rs_spark.queries.boxes import _salt_chunks
+
+    cells = spark.range(100).select(
+        (F.col("id") % 50).alias("cellx"), F.lit(0).alias("celly")
+    )
+    k = spark.range(1).select(_salt_chunks(cells, "cellx", "celly").alias("k")).collect()[0].k
+    assert k == 1

@@ -521,3 +521,66 @@ def test_pq_adc_matches_codes_plus_lut_reference(spark):
                 sub = pe[m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
                 total += fold_dot(sub, sub) + fold_dot(c, c) - 2.0 * fold_dot(sub, c)
             assert d2s[p_i] == total, (vec_id, pid)
+
+
+def test_source_vecs_cache_keeps_sibling_k_entries():
+    """Two specs over ONE source parquet with different k (the IVF kernel
+    loads cents k=8 AND probes k=5 per batch) must coexist in the worker
+    cache — the r16 self-review found the eviction matched on path alone,
+    so every batch evicted its sibling and re-read the dataset."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    dim = 4
+    t = pa.table(
+        {
+            "vec_id": pa.array(list(range(10)), pa.int64()),
+            "embedding": pa.array([[float(i)] * dim for i in range(10)], pa.list_(pa.float32())),
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "embeddings.parquet")
+        pq.write_table(t, src)
+        a = quantize._load_source_vecs(src, 8, dim)
+        b = quantize._load_source_vecs(src, 5, dim)
+        keys = [s for s in quantize._SIDE_CACHE if s[0] == "src_vecs" and s[1] == src]
+        assert len(keys) == 2, keys
+        # cache HIT: the returned frame is the same object, no re-read
+        assert quantize._load_source_vecs(src, 8, dim) is a
+        assert quantize._load_source_vecs(src, 5, dim) is b
+        # a content change still evicts the matching spec's stale entry
+        pq.write_table(t.slice(0, 9), src)
+        os.utime(src, (1, 1))
+        a2 = quantize._load_source_vecs(src, 8, dim)
+        assert a2 is not a and len(a2) == 8
+        keys8 = [
+            s
+            for s in quantize._SIDE_CACHE
+            if s[0] == "src_vecs" and s[1] == src and s[3:] == (8, dim)
+        ]
+        assert len(keys8) == 1
+
+
+def test_source_vecs_envelope_drops_null_component():
+    """A NULL list ELEMENT arrives as NaN through Arrow and must fail the
+    finite test exactly like the Spark exists() predicate."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    dim = 4
+    t = pa.table(
+        {
+            "vec_id": pa.array([0, 1], pa.int64()),
+            "embedding": pa.array([[1.0, None, 3.0, 4.0], [1.0, 2.0, 3.0, 4.0]], pa.list_(pa.float32())),
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "embeddings.parquet"))
+        side = quantize._load_cents(quantize.source_cents_spec(d, 2, dim))
+    assert side["cent_id"].tolist() == [1]
