@@ -118,26 +118,62 @@ def _sink_name(base: str, sf_dir: str) -> str:
 #: run). Output content is partitioning-independent — the oracles are
 #: unchanged.
 STREAM_STATE_PARTITIONS_CONF = "spark.meos.stream.statePartitions"
-_STREAM_STATE_PARTITIONS_DEFAULT = "4"
+_STREAM_STATE_MIN = 4
+_STREAM_STATE_MAX = 200
+
+
+def _state_partitions(spark: SparkSession, sf_dir: str | None) -> str:
+    """Scale-adaptive default: ~one state partition per MB of the source
+    backlog (the events parquet when present, else the fixture dir
+    total), clamped to [4, 200] — measured on the ×10 growth fixture the
+    optimum tracks state volume, not core count (4 parts: 7.8 s, 16:
+    4.1 s, 32: 5.2 s at ×10 vs 4 optimal at ×1). An explicit
+    ``spark.meos.stream.statePartitions`` always wins; with no size hint
+    the floor applies."""
+    try:
+        return spark.conf.get(STREAM_STATE_PARTITIONS_CONF)
+    except Exception:
+        pass
+    import math
+    import os
+
+    size = 0
+    if sf_dir:
+        ev = os.path.join(sf_dir, "events.parquet")
+        try:
+            if os.path.isfile(ev):
+                size = os.path.getsize(ev)
+            elif os.path.isdir(sf_dir):
+                size = sum(
+                    os.path.getsize(os.path.join(sf_dir, f))
+                    for f in os.listdir(sf_dir)
+                    if f.endswith(".parquet")
+                    and os.path.isfile(os.path.join(sf_dir, f))
+                )
+        except OSError:
+            size = 0
+    n = max(_STREAM_STATE_MIN, min(_STREAM_STATE_MAX, math.ceil(size / (1 << 20))))
+    return str(n)
 
 
 class _stream_confs:
     """Scope ``spark.sql.shuffle.partitions`` down to the stream-state
-    default for the duration of one availableNow run, restoring the
+    policy for the duration of one availableNow run, restoring the
     session value afterwards (the batch planner never sees the change)."""
 
-    def __init__(self, spark: SparkSession):
+    def __init__(self, spark: SparkSession, sf_dir: str | None = None):
         self._spark = spark
+        self._sf_dir = sf_dir
 
     def __enter__(self):
         try:
             self._old = self._spark.conf.get("spark.sql.shuffle.partitions")
         except Exception:
             self._old = None
-        n = self._spark.conf.get(
-            STREAM_STATE_PARTITIONS_CONF, _STREAM_STATE_PARTITIONS_DEFAULT
+        self._spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            _state_partitions(self._spark, self._sf_dir),
         )
-        self._spark.conf.set("spark.sql.shuffle.partitions", n)
         return self
 
     def __exit__(self, *exc):
@@ -149,10 +185,11 @@ class _stream_confs:
 
 
 def _run_to_memory_sink(
-    df: DataFrame, spark: SparkSession, name: str, output_mode: str = "complete"
+    df: DataFrame, spark: SparkSession, name: str, output_mode: str = "complete",
+    sf_dir: str | None = None,
 ) -> DataFrame:
     spark.catalog.dropTempView(name)  # replace the previous invocation's copy
-    with _stream_confs(spark):
+    with _stream_confs(spark, sf_dir):
         q = (
             df.writeStream.format("memory")
             .queryName(name)
@@ -165,7 +202,7 @@ def _run_to_memory_sink(
 
 
 def _run_to_table(df: DataFrame, spark: SparkSession, base: str, sf_dir: str) -> DataFrame:
-    return _run_to_memory_sink(df, spark, _sink_name(base, sf_dir))
+    return _run_to_memory_sink(df, spark, _sink_name(base, sf_dir), sf_dir=sf_dir)
 
 
 # --- tumbling window aggregation -------------------------------------------
@@ -411,7 +448,8 @@ def stream_stateful_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     latest = _run_to_memory_sink(
-        out, spark, _sink_name("stream_stateful_assembly", sf_dir), "update"
+        out, spark, _sink_name("stream_stateful_assembly", sf_dir), "update",
+        sf_dir=sf_dir,
     )
     return _final_state_per_user(latest)
 
@@ -463,6 +501,7 @@ def stream_stateful_evicting(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         _sink_name("stream_stateful_evicting", sf_dir),
         "update",
+        sf_dir=sf_dir,
     )
     return _final_state_per_user(latest)
 
@@ -585,7 +624,7 @@ def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch_df.write.mode("append").parquet(store)
 
     ev = _stream_events(spark, sf_dir)
-    with _stream_confs(spark):
+    with _stream_confs(spark, sf_dir):
         q = (
             ev.writeStream.foreachBatch(write_batch)
             .trigger(availableNow=True)
@@ -647,7 +686,7 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = _sink_name("stream_interval_join", sf_dir)
     spark.catalog.dropTempView(name)
-    with _stream_confs(spark):
+    with _stream_confs(spark, sf_dir):
         q = (
             joined.writeStream.format("memory")
             .queryName(name)
@@ -859,7 +898,7 @@ def stream_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("sum_value"),
             )
         )
-        with _stream_confs(spark):
+        with _stream_confs(spark, sf_dir):
             q = (
                 agg.writeStream.foreachBatch(_overwrite)
                 .outputMode("complete")

@@ -22,3 +22,30 @@ def test_watermark_covers_event_span():
             f"SELECT date_diff('day', min(ts), max(ts)) FROM '{sf_dir}/events.parquet'"
         ).fetchone()
         assert span_days < delay_days, (sf_dir, span_days, delay_days)
+
+
+def test_stream_state_partitions_policy(spark):
+    """The scale-adaptive state-partition default: explicit conf wins;
+    otherwise ~1 partition/MB of the events parquet, clamped to [4, 200]."""
+    import os
+    import tempfile
+
+    from meos_rs_spark.queries.streaming import (
+        STREAM_STATE_PARTITIONS_CONF,
+        _state_partitions,
+    )
+
+    assert _state_partitions(spark, "/root/testdata/sf0.1") == "4"  # 2 MB -> floor
+    with tempfile.TemporaryDirectory() as d:
+        with open(os.path.join(d, "events.parquet"), "wb") as f:
+            f.truncate(20 << 20)  # 20 MB backlog -> 20 partitions
+        assert _state_partitions(spark, d) == "20"
+        with open(os.path.join(d, "events.parquet"), "wb") as f:
+            f.truncate(1 << 30)  # 1 GB -> cap
+        assert _state_partitions(spark, d) == "200"
+    assert _state_partitions(spark, None) == "4"
+    spark.conf.set(STREAM_STATE_PARTITIONS_CONF, "7")
+    try:
+        assert _state_partitions(spark, "/root/testdata/sf0.1") == "7"
+    finally:
+        spark.conf.unset(STREAM_STATE_PARTITIONS_CONF)
