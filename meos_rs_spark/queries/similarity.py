@@ -919,6 +919,16 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spill posture is unchanged: the exchange is sort-based and
     # disk-backed exactly like the parquet staging it replaces, with no
     # executor-memory residency assumption (not a .cache()).
+    # CORRECTNESS under reuse-miss (r16 ADVICE): the single-evaluation
+    # here is an AQE shuffle-stage-reuse optimization, not a guarantee —
+    # with AQE off or a plan-canonicalization miss, the three consumers
+    # each re-run the scan + Arrow kernel. Results stay IDENTICAL either
+    # way because the kernel is value-deterministic (the
+    # asNondeterministic pin on nearest_centroid is an optimizer fence
+    # against duplicate evaluation, not a statement about its values);
+    # only the single-materialization perf property is AQE-dependent
+    # (tests/test_plans.py pins the static shape, the profile artifacts
+    # record the executed single-stage scan).
     pts = emb.select(
         "vec_id",
         "embedding",

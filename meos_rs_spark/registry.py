@@ -117,24 +117,13 @@ DRIVER_WINDOW = 50
 #: catapulting the watermark), so each re-earns a driver row this round.
 #: stream_restart_recovery is NOT here: it carries no event-time column.
 #:
-#: r16 machine-independent hull area (inherited-state fix): the r16 sandbox
-#: runs a different CPU microarchitecture and its BLAS dispatch made
-#: ``np.dot`` read a last-ulp-different shoelace sum than the box that
-#: generated the round-12 golden — ``polygon_area`` now sums via
-#: ``math.fsum`` (exactly rounded, machine-independent) and the
-#: traj_convex_hull golden is regenerated from the new kernel, so the
-#: changed oracle re-earns a driver row this round.
-FORCE_VERIFY: tuple[str, ...] = (
-    "stream_tumbling_counts",
-    "stream_session_windows",
-    "stream_stateful_assembly",
-    "stream_stateful_evicting",
-    "stream_sliding_counts",
-    "stream_dedup_watermark",
-    "stream_foreachbatch_sink",
-    "stream_interval_join",
-    "traj_convex_hull",
-)
+#: r17: all 9 r16 entries (the 8 event-time streaming twins with the shared
+#: ingest sanity-horizon gate + traj_convex_hull's regenerated fsum golden)
+#: re-earned green driver rows in the r16 window (CORRECTNESS_r16.json,
+#: 50/50 green) and were cleared. r17 is an optimization round: no query's
+#: declared semantics change, so nothing is forced — the window is pure
+#: oldest-green rotation (r10/r11/r12 rows).
+FORCE_VERIFY: tuple[str, ...] = ()
 
 
 @functools.lru_cache(maxsize=1)

@@ -431,10 +431,19 @@ def test_bench_trailing_reader_salvages_a_decapitated_artifact():
     assert got["sf"] == 0.1
     assert got["queries"]["traj_assembly"] == 0.731
     assert len(got["queries"]) == 16
-    # and the live reader actually admits it: r13's shares are in the window
-    rounds = _trailing_rounds(repo, 0.1)
-    assert any(abs(r.get("traj_assembly", 0) - 0.731 / sum(got["queries"].values())) < 1e-9
-               for r in rounds)
+    # and the live reader actually ADMITS a salvaged artifact (not just
+    # parses it): in a dir where r13 is the only artifact it must fill the
+    # window. (The original assertion read the repo's own trailing window,
+    # which silently broke the round r13 rotated out of the last-3 slice —
+    # r16's artifact landing did exactly that.)
+    import shutil
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        shutil.copy(os.path.join(repo, "BENCH_r13.json"), d)
+        rounds = _trailing_rounds(d, 0.1)
+        assert len(rounds) == 1
+        assert abs(rounds[0]["traj_assembly"] - 0.731 / sum(got["queries"].values())) < 1e-9
     # garbage tails degrade to {} (skipped), never a crash
     assert _salvage_tail("") == {}
     assert _salvage_tail('"queries": {"a": "oops"}, "sf": 0.1') == {}

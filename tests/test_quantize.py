@@ -584,3 +584,80 @@ def test_source_vecs_envelope_drops_null_component():
         pq.write_table(t, os.path.join(d, "embeddings.parquet"))
         side = quantize._load_cents(quantize.source_cents_spec(d, 2, dim))
     assert side["cent_id"].tolist() == [1]
+
+
+def test_probe_cosines_nan_envelope(spark):
+    """Pins the make_probe_cosines_udf NaN envelope (r16 ADVICE, medium):
+    a NaN cosine — inf/inf after intermediate overflow of FINITE
+    components, the only NaN reachable inside the corpus envelope —
+    arrives as NULL through Arrow's list NaN→null coercion, whereas the
+    old try_divide shape emitted NaN (which sorts FIRST under ORDER BY
+    cosine DESC while NULL sorts LAST). The kernel docstring documents
+    this as a known envelope; this test is the alarm if either side of
+    that statement drifts (a Spark/Arrow release that starts passing NaN
+    through would silently FIX the divergence and obsolete the note)."""
+    big = [1.0e200] * 4
+    path = _write_cents(spark, [(0, big)], "q_probe_nan_env")
+    udf = quantize.make_probe_cosines_udf(path)
+    vecs = spark.createDataFrame([(9, big)], "vec_id long, embedding array<float>")
+    (row,) = vecs.select(udf("embedding").alias("s")).collect()
+    # float32 1e200 -> inf componentwise, so num = inf, den = inf: NaN
+    assert row.s.pids == [0]
+    assert row.s.cosines == [None]  # the envelope: NaN emitted as NULL
+    # the try_divide shape this kernel replaced emits NaN on the same input
+    ref = vecs.select(
+        F.try_divide(
+            seq_dot(F.array([F.lit(v) for v in big]).cast("array<float>"), "embedding"),
+            F.sqrt(seq_dot("embedding", "embedding"))
+            * F.sqrt(
+                seq_dot(
+                    F.array([F.lit(v) for v in big]).cast("array<float>"),
+                    F.array([F.lit(v) for v in big]).cast("array<float>"),
+                )
+            ),
+        ).alias("c")
+    ).collect()[0].c
+    assert ref != ref  # NaN: the two shapes genuinely diverge here
+
+
+def test_load_source_vecs_shuffled_source_exact_and_short_circuits(tmp_path):
+    """Unsorted-source guard (r16 VERDICT item 5): a parquet whose rows are
+    SHUFFLED (row-group stats cannot prune to the head) still derives the
+    exact first-K-valid rows, and the batch scan short-circuits once all
+    k distinct head ids have been seen instead of reading the whole file."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(3)
+    dim, k, n = 8, 5, 2000
+    ids = rng.permutation(n)
+    embs = [[float(x) for x in rng.normal(size=dim)] for _ in range(n)]
+    t = pa.table({"vec_id": pa.array(ids, pa.int64()), "embedding": pa.array(embs, pa.list_(pa.float32()))})
+    path = str(tmp_path / "shuffled.parquet")
+    pq.write_table(t, path, row_group_size=100)
+
+    got = quantize._load_source_vecs(path, k, dim)
+    assert got["vec_id"].tolist() == list(range(k))
+    want = {int(i): e for i, e in zip(ids, embs) if i < k}
+    for vid, emb in zip(got["vec_id"], got["embedding"]):
+        assert np.allclose(np.asarray(emb, dtype=np.float64), want[int(vid)], atol=1e-6)
+
+    # short-circuit: the batch loop must stop at the batch where the k-th
+    # distinct id appears — a poisoned iterator past that point must never
+    # be consumed
+    done_batches = []
+    for b in t.to_batches(max_chunksize=100):
+        f = b.filter(pa.compute.less(b.column("vec_id"), k))
+        done_batches.append(f)
+        if len(set(f.column("vec_id").to_pylist())) and all(
+            i in {v for bb in done_batches for v in bb.column("vec_id").to_pylist()}
+            for i in range(k)
+        ):
+            break
+
+    def poisoned(prefix):
+        yield from prefix
+        raise AssertionError("scan ran past the k-th distinct head id")
+
+    out = quantize._first_k_batches(poisoned(done_batches), k)
+    assert sorted(v for b in out for v in b.column("vec_id").to_pylist()) == list(range(k))

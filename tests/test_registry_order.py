@@ -3,8 +3,8 @@ FIRST 50 entries of __spark_entry__.queries() only (observed in r2), so the
 round's verification targets must occupy exactly those positions.
 
 Since round 6 the head is COMPUTED from the committed CORRECTNESS_r*.json
-artifacts (registry.compute_verify_head). R16_EXPECTED_HEAD pins the tuple
-the r1-r15 artifacts produce; when the driver lands CORRECTNESS_r16.json the
+artifacts (registry.compute_verify_head). R17_EXPECTED_HEAD pins the tuple
+the r1-r16 artifacts produce; when the driver lands CORRECTNESS_r17.json the
 pin goes stale and this test fails — the next round's first task is then
 reviewing the freshly computed rotation and re-pinning it here. Per r9
 ADVICE, any commit that changes the computed head (a new CORRECTNESS
@@ -22,66 +22,62 @@ from meos_rs_spark.registry import (
     verify_order_head,
 )
 
-# Round-16 rotation computed from CORRECTNESS_r01..r15: zero reds, zero
-# never-checked. The 8 event-time streaming twins slot first via
-# FORCE_VERIFY (registration order) — their semantics changed this round
-# (the shared ingest sanity-horizon gate in both legs) — followed by
-# traj_convex_hull (its golden oracle regenerated for the
-# machine-independent fsum shoelace, r16 inherited-state fix); the
-# remaining 41 are pure oldest-green rotation (r8/r9 greens first, then
-# r10, then the oldest r11 block up to the 50-row window —
-# scalar_ts_roundtrip rotated out when the forced hull entry took a slot).
-R16_EXPECTED_HEAD = (
-    "stream_tumbling_counts",
-    "stream_session_windows",
-    "stream_stateful_assembly",
-    "stream_stateful_evicting",
-    "stream_sliding_counts",
-    "stream_dedup_watermark",
-    "stream_foreachbatch_sink",
-    "stream_interval_join",
-    "traj_convex_hull",
-    "scalar_regexp",
-    "scalar_maps",
-    "win_rownum_truncate",
-    "win_rank_dense",
-    "win_rolling_frame",
-    "win_running_total",
-    "win_ntile_first_last",
-    "dedup_minhash_estimate",
-    "dedup_containment",
-    "src_partition_pruning",
-    "src_schema_evolution",
-    "src_orc_roundtrip",
-    "snk_compaction",
-    "snk_cdc_apply",
-    "text_repetition",
-    "text_curation_pipeline",
-    "text_top_ngrams",
-    "text_chunking",
-    "text_entropy",
-    "text_pii_scrub",
-    "text_gopher_rules",
-    "stream_doc_curation",
-    "stream_fingerprint_dedup",
-    "rel_conditional_agg",
-    "rel_bloom_join",
-    "rel_bitmap_distinct",
-    "text_quality",
-    "text_tfidf_topterms",
-    "text_unigram_logprob",
-    "dedup_chunk_level",
-    "rel_pivot",
-    "rel_percentiles",
-    "rel_grouping_sets",
-    "rel_salted_join",
-    "rel_cohort_retention",
-    "rel_scd2_intervals",
-    "text_hash_split",
-    "text_quota_sample",
-    "text_shard_packing",
-    "text_length_histogram",
-    "text_mixture_weights",
+# Round-17 rotation computed from CORRECTNESS_r01..r16: zero reds, zero
+# never-checked, zero forced (optimization round — no semantics change, so
+# FORCE_VERIFY is empty). Pure oldest-green rotation: the 4 remaining r10
+# greens first, then the 27 r11 greens, then the oldest 19 of the r12 block
+# up to the 50-row window.
+R17_EXPECTED_HEAD = (
+    "scalar_ts_roundtrip",
+    "ttype_ttext_ops",
+    "win_lead_gap",
+    "win_rolling_median",
+    "box_tbox_predicates",
+    "box_int_to_tbox",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_normalized",
+    "src_catalog_bootstrap",
+    "snk_partitioned_write",
+    "snk_bucketed_join",
+    "text_langid",
+    "stream_restart_recovery",
+    "rel_projection_rename",
+    "rel_group_having",
+    "rel_pricing_summary",
+    "rel_join_inner_broadcast",
+    "rel_join_left_outer",
+    "rel_join_full_outer",
+    "rel_lateral_topn",
+    "rel_approx_distinct",
+    "rel_approx_percentiles",
+    "scalar_bitwise",
+    "win_percent_rank_cume",
+    "win_range_interval",
+    "win_event_transitions",
+    "win_running_distinct",
+    "win_gap_islands",
+    "mm_metadata",
+    "mm_audio_features",
+    "mm_resize",
+    "mm_frame_sample",
+    "mm_decode_features",
+    "mm_jpeg_features",
+    "sim_cosine_topk",
+    "sim_ann_lsh",
+    "sim_embedding_neardup",
+    "sim_ann_ivf",
+    "sim_kmeans_iter",
+    "sim_ann_recall",
+    "sim_prefix_rerank",
+    "sim_knn_graph",
+    "sim_pq_ann",
+    "sim_pagerank",
+    "dedup_semantic",
+    "sim_mmr_rerank",
+    "sim_ann_multiprobe",
 )
 
 
@@ -93,10 +89,10 @@ def test_head_is_exactly_the_driver_window():
     assert tuple(names[:50]) == head
 
 
-def test_computed_head_matches_the_round16_pin():
+def test_computed_head_matches_the_round17_pin():
     # Stale-pin alarm: fails as soon as a new CORRECTNESS artifact lands,
     # forcing the next round to review + re-pin the rotation.
-    assert verify_order_head() == R16_EXPECTED_HEAD
+    assert verify_order_head() == R17_EXPECTED_HEAD
 
 
 def test_head_priority_rule():

@@ -49,3 +49,33 @@ def test_stream_state_partitions_policy(spark):
         assert _state_partitions(spark, "/root/testdata/sf0.1") == "7"
     finally:
         spark.conf.unset(STREAM_STATE_PARTITIONS_CONF)
+
+
+def test_stream_state_partitions_uri_matches_local(spark):
+    """Storage-agnostic sizing (r16 VERDICT item 4): a URI-form fixture
+    location must produce the SAME state-partition count as the plain
+    local path — the old os.path-only probe read 0 bytes for any URI and
+    silently floored at 4. file:// exercises the Hadoop FileSystem branch
+    end-to-end (same code path an s3a:// or hdfs:// deployment takes);
+    both the single-events-parquet and the dir-total fallback policies
+    are covered."""
+    import os
+    import tempfile
+
+    from meos_rs_spark.queries.streaming import _backlog_bytes, _state_partitions
+
+    with tempfile.TemporaryDirectory() as d:
+        with open(os.path.join(d, "events.parquet"), "wb") as f:
+            f.truncate(20 << 20)  # 20 MB backlog -> 20 partitions
+        assert _state_partitions(spark, d) == "20"
+        assert _state_partitions(spark, "file://" + d) == "20"
+        assert _backlog_bytes(spark, "file://" + d) == (20 << 20)
+        # dir-total fallback (no events.parquet): both schemes agree too
+        os.rename(os.path.join(d, "events.parquet"), os.path.join(d, "a.parquet"))
+        with open(os.path.join(d, "b.parquet"), "wb") as f:
+            f.truncate(5 << 20)
+        assert _backlog_bytes(spark, d) == (25 << 20)
+        assert _backlog_bytes(spark, "file://" + d) == (25 << 20)
+        assert _state_partitions(spark, "file://" + d) == "25"
+    # an unreadable URI (no such bucket/scheme reachable) floors, not raises
+    assert _state_partitions(spark, "file:///nonexistent_meos_r17") == "4"
